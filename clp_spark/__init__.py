@@ -1,0 +1,14 @@
+"""clp_spark — a PySpark-native log analytics engine with the query and
+data-processing capabilities of y-scope/clp, re-expressed Spark-first.
+
+Subpackages
+-----------
+oracle      pure-Python reference encoder (test oracle only — never on the hot path)
+functions   vectorized Arrow/pandas UDF kernels and Column-expression helpers
+sources     deterministic synthetic data generators + parquet loaders
+operators   dictionary build/enrich, routing, aggregation, search, dedup, similarity
+plans       end-to-end ingest pipeline with lineage/checkpoint-resume
+streaming   Structured Streaming timeline (count-by-time, update mode)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,29 @@
+from clp_spark.oracle.encoder import (
+    DICT_PLACEHOLDER,
+    ESCAPE_CHAR,
+    FLOAT_PLACEHOLDER,
+    INT_PLACEHOLDER,
+    EncodedMessage,
+    decode_float,
+    decode_message,
+    encode_float,
+    encode_int,
+    encode_message,
+    is_delim,
+    variable_bounds,
+)
+
+__all__ = [
+    "DICT_PLACEHOLDER",
+    "ESCAPE_CHAR",
+    "FLOAT_PLACEHOLDER",
+    "INT_PLACEHOLDER",
+    "EncodedMessage",
+    "decode_float",
+    "decode_message",
+    "encode_float",
+    "encode_int",
+    "encode_message",
+    "is_delim",
+    "variable_bounds",
+]

@@ -1,0 +1,220 @@
+"""Golden tests for the pure-Python reference encoder (the oracle).
+
+Cases ported from the reference's own unit tests:
+- components/core/tests/test-EncodedVariableInterpreter.cpp:28-386, 499-659
+- components/core/tests/test-ir_parsing.cpp:12-120
+"""
+
+import pytest
+
+from clp_spark.oracle import (
+    DICT_PLACEHOLDER,
+    ESCAPE_CHAR,
+    FLOAT_PLACEHOLDER,
+    INT_PLACEHOLDER,
+    decode_float,
+    decode_message,
+    encode_float,
+    encode_int,
+    encode_message,
+    variable_bounds,
+)
+
+INT64_MAX = 2**63 - 1
+INT64_MIN = -(2**63)
+
+
+def vars_of(msg):
+    return [msg[b:e] for b, e in variable_bounds(msg)]
+
+
+class TestVariableBounds:
+    def test_empty_and_nonvars(self):
+        assert vars_of("") == []
+        assert vars_of("/") == []
+        assert vars_of("xyz") == []
+        assert vars_of("=") == []
+
+    def test_mixed_message(self):
+        # test-ir_parsing.cpp: "~=x!abc123;1.2%x:+394/-"
+        assert vars_of("~=x!abc123;1.2%x:+394/-") == ["x", "abc123", "1.2", "+394"]
+
+    def test_hex_tokens(self):
+        assert vars_of(" ad ff 95 24 0d ff ") == ["ad", "ff", "95", "24", "0d", "ff"]
+
+    def test_placeholder_in_text(self):
+        s = " text " + INT_PLACEHOLDER + " var123 "
+        assert vars_of(s) == ["var123"]
+
+    def test_equals_rule_needs_alpha(self):
+        # '=' followed by token without alpha and without digits: not a var
+        assert vars_of("a=-") == []
+        # '=' followed by alpha token: var
+        assert vars_of("user=YScope") == ["YScope"]
+
+    def test_slash_is_delim_dash_is_not(self):
+        assert vars_of("python2.7.3") == ["python2.7.3"]
+        assert vars_of("a/b/c7") == ["c7"]
+        assert vars_of("up-time=3d") == ["3d"]
+
+
+class TestEncodeInt:
+    @pytest.mark.parametrize(
+        "value,expected",
+        [
+            ("0", 0),
+            ("-1", -1),
+            ("1", 1),
+            (str(INT64_MAX), INT64_MAX),
+            (str(INT64_MIN), INT64_MIN),
+        ],
+    )
+    def test_representable(self, value, expected):
+        assert encode_int(value) == expected
+
+    @pytest.mark.parametrize(
+        "value",
+        [
+            "",
+            "a",
+            "-",
+            "+",
+            "-a",
+            "+a",
+            "--",
+            "++",
+            # unrepresentable (test-EncodedVariableInterpreter.cpp:120-199)
+            "-0",
+            "01",
+            "+1",
+            "1u",
+            "1U",
+            "1l",
+            "1L",
+            "1ll",
+            "1LL",
+            "0.0",
+            " 1",
+            "1 ",
+            "- 1",
+            str(INT64_MAX + 1),
+            str(INT64_MIN - 1),
+        ],
+    )
+    def test_not_representable(self, value):
+        assert encode_int(value) is None
+
+
+class TestEncodeFloat:
+    @pytest.mark.parametrize(
+        "value",
+        [
+            "0.0",
+            "-1.0",
+            "1.0",
+            ".1",
+            "-00.00",
+            "-999999999999999.9",
+            "-.9999999999999999",
+            ".9999999999999999",
+        ],
+    )
+    def test_round_trip(self, value):
+        enc = encode_float(value)
+        assert enc is not None
+        assert decode_float(enc) == value
+
+    @pytest.mark.parametrize(
+        "value",
+        [
+            "",
+            "a",
+            "-",
+            "+",
+            "-a",
+            "+a",
+            "--",
+            "++",
+            ".",
+            "1.",
+            " 1.0",
+            "- 1.0",
+            "1.0 ",
+            "+1.0",
+            "1.0f",
+            "1.0F",
+            "1.0l",
+            "1.0L",
+            str(2**64 - 1),  # no decimal point
+            "1.2.3",  # two decimal points
+            "-12345678901234567.8",  # > 16 digits
+        ],
+    )
+    def test_not_representable(self, value):
+        assert encode_float(value) is None
+
+    def test_int_vs_float_disjoint(self):
+        # anything the int encoder takes, the float encoder must reject
+        for v in ["0", "-1", "12345"]:
+            assert encode_int(v) is not None
+            assert encode_float(v) is None
+
+
+class TestEncodeMessage:
+    def test_end_to_end_reference_case(self):
+        # test-EncodedVariableInterpreter.cpp:499-560
+        var_strs = ["4938", "1" + "0" * 19, "-25.5196868642755", "-00.00", "python2.7.3", "\\a1"]
+        msg = (
+            "here is a string with a small int " + var_strs[0]
+            + " and a very large int " + var_strs[1]
+            + " and a double " + var_strs[2]
+            + " and a weird double " + var_strs[3]
+            + " and a str with numbers " + var_strs[4]
+            + " and a str with a backslash and numbers " + var_strs[5]
+            + " and an escape " + ESCAPE_CHAR
+            + " and an int placeholder " + INT_PLACEHOLDER
+            + " and a float placeholder " + FLOAT_PLACEHOLDER
+            + " and a dictionary placeholder " + DICT_PLACEHOLDER
+        )
+        enc = encode_message(msg)
+        # small int -> int var; huge int (20 digits, > INT64_MAX) -> dict;
+        # double -> float var; "-00.00" -> float var; the rest -> dict vars
+        assert enc.placeholders == [
+            ord(INT_PLACEHOLDER),
+            ord(DICT_PLACEHOLDER),
+            ord(FLOAT_PLACEHOLDER),
+            ord(FLOAT_PLACEHOLDER),
+            ord(DICT_PLACEHOLDER),
+            ord(DICT_PLACEHOLDER),
+        ]
+        assert enc.dict_vars == [var_strs[1], var_strs[4], var_strs[5]]
+        assert enc.encoded_vars[0] == 4938
+        # escapes: bare escape/placeholder chars in constants get '\' prefix
+        assert ESCAPE_CHAR + ESCAPE_CHAR in enc.logtype
+        assert ESCAPE_CHAR + INT_PLACEHOLDER in enc.logtype
+        # decode round-trips exactly
+        assert decode_message(enc.logtype, enc.encoded_vars, enc.dict_vars) == msg
+
+    @pytest.mark.parametrize(
+        "msg",
+        [
+            "",
+            "plain constant text only",
+            "Task task_12 failed at 2016-05-08 07:34:05,251 code=0x3f",
+            "took 0.5 s, -00.00 drift, 17 retries",
+            "ratio=-25.5196868642755 user=YScope path=/var/log/app.log",
+            "hex deadBEEF ab AB 0d",
+            "+394 isn't an int (plus sign) but is a variable",
+            "int bounds 9223372036854775807 -9223372036854775808 9223372036854775808",
+            "esc \\ in text and \x11\x12\x13 placeholders",
+            "zero-padded 007 and -0 and 0 and 00.1",
+        ],
+    )
+    def test_round_trip(self, msg):
+        enc = encode_message(msg)
+        assert decode_message(enc.logtype, enc.encoded_vars, enc.dict_vars) == msg
+        # placeholder alignment invariant
+        n_nondict = sum(1 for p in enc.placeholders if p != ord(DICT_PLACEHOLDER))
+        n_dict = sum(1 for p in enc.placeholders if p == ord(DICT_PLACEHOLDER))
+        assert len(enc.encoded_vars) == n_nondict
+        assert len(enc.dict_vars) == n_dict
