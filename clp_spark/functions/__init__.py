@@ -1,0 +1,7 @@
+from clp_spark.functions.encode_kernel import (
+    ENCODED_STRUCT,
+    clp_encode_udf,
+    encode_batch,
+)
+
+__all__ = ["ENCODED_STRUCT", "clp_encode_udf", "encode_batch"]

@@ -1,0 +1,202 @@
+"""Vectorized CLP encode kernel — the production (Arrow/pandas UDF) path.
+
+Implements the same semantics as ``clp_spark.oracle.encoder`` (reference rules:
+/root/reference/components/core/src/clp/ir/parsing.cpp:20-88 and
+EncodedVariableInterpreter.cpp:25-143) but batch-at-a-time:
+
+- variable-token extraction is a single compiled-regex pass per message
+  (C regex engine via ``pandas.Series.str.findall/split``);
+- int/float classification, int64-range checks, and the float bit-pack are
+  fully vectorized (pandas str ops + numpy uint64 arithmetic);
+- only the final logtype string assembly walks rows (cheap joins over
+  precomputed pieces).
+
+No per-row Spark Python: this runs as a scalar pandas UDF over Arrow batches.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+INT_PH = "\x11"
+DICT_PH = "\x12"
+FLOAT_PH = "\x13"
+
+# Token characters: the non-delimiter set  + - . 0-9 A-Z a-z \ _
+_T = r"[+\-.0-9A-Za-z\\_]"
+_B1 = r"(?<!" + _T[1:-1].join(["[", "]"]) + r")"  # not preceded by a token char
+_B2 = r"(?!" + _T[1:-1].join(["[", "]"]) + r")"  # not followed by a token char
+# A variable token: contains a digit | preceded by '=' and contains a letter |
+# multi-digit hex. Anchored to whole tokens via the boundary lookarounds.
+VAR_RE = (
+    _B1
+    + r"(?:"
+    + _T + r"*[0-9]" + _T + r"*"
+    + r"|(?<==)" + _T + r"*[A-Za-z]" + _T + r"*"
+    + r"|[0-9A-Fa-f]{2,}"
+    + r")"
+    + _B2
+)
+
+_INT_SHAPE_RE = r"0|-?[1-9][0-9]*"
+_FLOAT_BODY_RE = r"[0-9]{0,16}\.[0-9]{1,16}"
+
+_INT64_MAX_STR = "9223372036854775807"
+_INT64_MIN_BODY = "9223372036854775808"  # abs(INT64_MIN)
+
+ENCODED_STRUCT = StructType(
+    [
+        StructField("logtype", StringType(), False),
+        StructField("placeholders", ArrayType(IntegerType(), False), False),
+        StructField("encoded_vars", ArrayType(LongType(), False), False),
+        StructField("dict_vars", ArrayType(StringType(), False), False),
+    ]
+)
+
+
+def _classify_tokens(tokens: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(placeholder codes int8 array, encoded int64 values for non-dict slots).
+
+    placeholder codes: 0x11 int, 0x13 float, 0x12 dict. Values for dict slots
+    are 0 (unused).
+    """
+    n = len(tokens)
+    codes = np.full(n, ord(DICT_PH), dtype=np.int16)
+    values = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return codes, values
+
+    # --- integer rule ---
+    int_shape = tokens.str.fullmatch(_INT_SHAPE_RE).to_numpy()
+    if int_shape.any():
+        cand = tokens[int_shape]
+        body = cand.str.lstrip("-")
+        blen = body.str.len()
+        neg = cand.str.len() != blen
+        fits = (
+            (blen < 19)
+            | ((blen == 19) & ~neg & (body <= _INT64_MAX_STR))
+            | ((blen == 19) & neg & (body <= _INT64_MIN_BODY))
+        ).to_numpy()
+        ok_idx = np.flatnonzero(int_shape)[fits]
+        if len(ok_idx):
+            # int64 parse of the (pre-validated) candidates
+            parsed = np.fromiter(
+                (int(t) for t in tokens.iloc[ok_idx]), dtype=np.int64, count=len(ok_idx)
+            )
+            codes[ok_idx] = ord(INT_PH)
+            values[ok_idx] = parsed
+
+    # --- float rule (disjoint from int: requires a '.') ---
+    not_int = codes != ord(INT_PH)
+    maybe = tokens[not_int]
+    neg_f = maybe.str.startswith("-")
+    body_f = maybe.str.replace("^-", "", regex=True)
+    float_shape = (body_f.str.fullmatch(_FLOAT_BODY_RE) & (body_f.str.len() <= 17)).to_numpy()
+    if float_shape.any():
+        idx = np.flatnonzero(not_int)[float_shape]
+        fb = body_f[float_shape]
+        num_digits = (fb.str.len() - 1).to_numpy(dtype=np.uint64)
+        decimal_pos = (fb.str.len() - 1 - fb.str.find(".")).to_numpy(dtype=np.uint64)
+        digits = fb.str.replace(".", "", regex=False).astype(np.uint64).to_numpy()
+        sign = neg_f[float_shape].to_numpy(dtype=np.uint64)
+        enc = (sign << np.uint64(63)) | (digits << np.uint64(8)) | (
+            (num_digits - np.uint64(1)) << np.uint64(4)
+        ) | (decimal_pos - np.uint64(1))
+        codes[idx] = ord(FLOAT_PH)
+        values[idx] = enc.view(np.int64)
+
+    return codes, values
+
+
+def _escape_constants(consts: pd.Series) -> pd.Series:
+    """Escape '\\' and placeholder bytes in logtype constants (backslash first)."""
+    return (
+        consts.str.replace("\\", "\\\\", regex=False)
+        .str.replace(INT_PH, "\\" + INT_PH, regex=False)
+        .str.replace(DICT_PH, "\\" + DICT_PH, regex=False)
+        .str.replace(FLOAT_PH, "\\" + FLOAT_PH, regex=False)
+    )
+
+
+def encode_batch(messages: pd.Series) -> pd.DataFrame:
+    """Encode a batch of messages into (logtype, placeholders, encoded_vars, dict_vars)."""
+    s = messages.fillna("").astype(str)
+    n = len(s)
+    if n == 0:
+        return pd.DataFrame(
+            {"logtype": [], "placeholders": [], "encoded_vars": [], "dict_vars": []}
+        )
+
+    tok_lists = s.str.findall(VAR_RE)
+    const_lists = s.str.split(VAR_RE, regex=True)
+
+    n_vars = tok_lists.str.len().to_numpy(dtype=np.int64)
+    flat_tokens = pd.Series(list(chain.from_iterable(tok_lists)), dtype=object)
+    flat_consts = pd.Series(list(chain.from_iterable(const_lists)), dtype=object)
+    esc_consts = _escape_constants(flat_consts).to_numpy() if len(flat_consts) else np.array([])
+
+    codes, values = _classify_tokens(flat_tokens)
+    ph_chars = np.array([INT_PH, DICT_PH, FLOAT_PH], dtype=object)[
+        np.searchsorted([0x11, 0x12, 0x13], codes)
+    ] if len(codes) else np.array([], dtype=object)
+
+    is_dict = codes == ord(DICT_PH)
+    flat_tok_np = flat_tokens.to_numpy() if len(flat_tokens) else np.array([], dtype=object)
+
+    var_bounds = np.cumsum(n_vars)[:-1]
+    const_bounds = np.cumsum(n_vars + 1)[:-1]
+
+    # per-row slices (row ids -> per-row dict/non-dict counts -> split offsets)
+    row_ids = np.repeat(np.arange(n), n_vars)
+    dict_counts = np.bincount(row_ids[is_dict], minlength=n).astype(np.int64)
+    nondict_counts = n_vars - dict_counts
+
+    codes_rows = np.split(codes, var_bounds)
+    nondict_rows = np.split(values[~is_dict], np.cumsum(nondict_counts)[:-1])
+    dictvar_rows = np.split(flat_tok_np[is_dict], np.cumsum(dict_counts)[:-1])
+    ph_rows = np.split(ph_chars, var_bounds)
+    const_rows = np.split(esc_consts, const_bounds)
+
+    logtypes = []
+    for consts, phs in zip(const_rows, ph_rows):
+        if len(phs) == 0:
+            logtypes.append(consts[0] if len(consts) else "")
+            continue
+        parts = []
+        for j in range(len(phs)):
+            parts.append(consts[j])
+            parts.append(phs[j])
+        parts.append(consts[-1])
+        logtypes.append("".join(parts))
+
+    return pd.DataFrame(
+        {
+            "logtype": logtypes,
+            "placeholders": [c.astype(np.int32).tolist() for c in codes_rows],
+            "encoded_vars": [v.tolist() for v in nondict_rows],
+            "dict_vars": [d.tolist() for d in dictvar_rows],
+        }
+    )
+
+
+def clp_encode_udf():
+    """Scalar pandas UDF: message string -> encoded struct column."""
+
+    @F.pandas_udf(ENCODED_STRUCT)
+    def _encode(messages: pd.Series) -> pd.DataFrame:
+        return encode_batch(messages)
+
+    return _encode

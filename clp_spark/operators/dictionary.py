@@ -1,0 +1,130 @@
+"""Dictionary build + enrich operators.
+
+CLP deduplicates logtypes and dictionary variables into id-keyed dictionaries
+(reference: components/core/src/clp/LogTypeDictionaryEntry.cpp:40-77,
+VariableDictionaryWriter.hpp:35). CLP assigns ids by single-writer insertion
+order; a distributed build needs a deterministic order instead, so we define
+ids as the *dense rank in global sorted value order* (CLP itself persists its
+dictionaries value-sorted — DictionaryWriter). Invariants that matter for
+parity (token-array equality, counts) never depend on the numeric id.
+
+Scale design: no single-partition window. ``assign_sorted_ids`` range-
+partitions the distinct values, ranks *within* each partition in parallel, and
+adds per-partition offsets collected at the driver (O(#partitions) rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_sorted_ids(
+    values: DataFrame, value_col: str, id_col: str, num_partitions: int | None = None
+) -> DataFrame:
+    """Dense deterministic ids 0..n-1 by global sorted order of distinct values.
+
+    Parallel three-step: range-partition distinct values, row_number within
+    each (sorted) partition, then add per-partition base offsets (a tiny
+    driver-side map — O(partitions), not O(rows)).
+    """
+    distinct = values.select(value_col).distinct()
+    if num_partitions:
+        parts = distinct.repartitionByRange(num_partitions, F.col(value_col))
+    else:
+        parts = distinct.repartitionByRange(F.col(value_col))
+    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    # cache so the sampled range boundaries are identical for counts and ranks
+    with_pid.persist()
+    try:
+        counts = {r["_pid"]: r["cnt"] for r in
+                  with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+        offsets = {}
+        acc = 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        spark = values.sparkSession
+        offsets_df = spark.createDataFrame(
+            [(int(pid), int(off)) for pid, off in offsets.items()], ["_pid", "_off"]
+        )
+        w = Window.partitionBy("_pid").orderBy(value_col)
+        ranked = with_pid.withColumn("_rn", F.row_number().over(w) - F.lit(1))
+        out = (
+            ranked.join(F.broadcast(offsets_df), "_pid")
+            .select(F.col(value_col), (F.col("_rn") + F.col("_off")).alias(id_col))
+        )
+        # materialize before unpersisting the intermediate
+        out = out.localCheckpoint(eager=True) if _is_tiny(counts) else out.persist()
+        if not _is_tiny(counts):
+            out.count()
+        return out
+    finally:
+        with_pid.unpersist()
+
+
+def _is_tiny(counts: dict) -> bool:
+    return sum(counts.values()) <= 1_000_000
+
+
+def build_logtype_dict(encoded: DataFrame, logtype_col: str = "logtype") -> DataFrame:
+    """(logtype, logtype_id, num_vars) — deduplicated, deterministically id'd."""
+    ids = assign_sorted_ids(encoded.select(logtype_col), logtype_col, "logtype_id")
+    # placeholders are the 0x11/0x12/0x13 bytes left after dropping escaped pairs
+    unescaped = F.regexp_replace(F.col(logtype_col), r"\\[\s\S]", "")
+    return ids.withColumn(
+        "num_vars", F.length(F.regexp_replace(unescaped, "[^\x11\x12\x13]", ""))
+    )
+
+
+def build_var_dict(encoded: DataFrame, dict_vars_col: str = "dict_vars") -> DataFrame:
+    """(var_value, var_id) over all dictionary variables."""
+    vals = encoded.select(F.explode(dict_vars_col).alias("var_value"))
+    return assign_sorted_ids(vals, "var_value", "var_id")
+
+
+def enrich_with_logtype_ids(
+    encoded: DataFrame, logtype_dict: DataFrame, broadcast: bool = True
+) -> DataFrame:
+    """Broadcast hash-join the logtype dictionary back onto the fact rows."""
+    dict_df = logtype_dict.select("logtype", "logtype_id")
+    if broadcast:
+        dict_df = F.broadcast(dict_df)
+    return encoded.join(dict_df, "logtype", "left")
+
+
+def attach_dict_var_ids(
+    encoded: DataFrame,
+    var_dict: DataFrame,
+    key_cols: list[str],
+    dict_vars_col: str = "dict_vars",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Add ``dict_var_ids: array<long>`` aligned with ``dict_vars``.
+
+    Broadcast path: posexplode + broadcast join + regroup keyed on key_cols.
+    For a var dictionary too large to broadcast, pass broadcast=False for a
+    shuffle hash join (AQE handles skewed hot variables).
+    """
+    exploded = encoded.select(
+        *key_cols, F.posexplode_outer(dict_vars_col).alias("_pos", "var_value")
+    )
+    dict_df = var_dict.select("var_value", "var_id")
+    if broadcast:
+        dict_df = F.broadcast(dict_df)
+    joined = exploded.join(dict_df, "var_value", "left")
+    regrouped = (
+        joined.groupBy(*key_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos").alias("p"), F.col("var_id").alias("v")))
+            ).alias("_pv")
+        )
+        .select(
+            *key_cols,
+            F.expr("transform(filter(_pv, x -> x.p is not null), x -> x.v)").alias(
+                "dict_var_ids"
+            ),
+        )
+    )
+    return encoded.join(regrouped, key_cols, "left")

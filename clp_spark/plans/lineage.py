@@ -1,0 +1,52 @@
+"""Per-split lineage + metrics records for checkpoint-resumable batch runs.
+
+CLP tracks compression job/task state in MySQL and retries idempotent tasks
+(reference: components/clp-package-utils job orchestration,
+compression_scheduler.py poll_running_jobs; task stats compression_task.py:98-144).
+Spark equivalent (north rule): one small JSON record per completed split,
+written atomically next to the sink. Resume = skip splits whose record exists.
+Bookkeeping is O(splits), never O(rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+
+class LineageLog:
+    def __init__(self, out_dir: str):
+        self.dir = os.path.join(out_dir, "_lineage")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _path(self, stage: str, split: int | None) -> str:
+        name = stage if split is None else f"{stage}_split{split:05d}"
+        return os.path.join(self.dir, name + ".json")
+
+    def is_done(self, stage: str, split: int | None = None) -> bool:
+        return os.path.exists(self._path(stage, split))
+
+    def record(self, stage: str, split: int | None = None, **metrics) -> None:
+        """Atomic write (tmp + rename) so a crash never leaves a partial record."""
+        path = self._path(stage, split)
+        payload = {
+            "job_id": os.environ.get("CLP_SPARK_JOB_ID", "local"),
+            "stage": stage,
+            "split": split,
+            "completed_at_epoch_s": time.time(),
+            **metrics,
+        }
+        tmp = path + "." + uuid.uuid4().hex + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, path)
+
+    def read_all(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.dir, name)) as f:
+                    out.append(json.load(f))
+        return out

@@ -1,0 +1,227 @@
+"""End-to-end CLP-semantics ingest pipeline, Spark-first.
+
+read(tokens) → detokenize (Arrow UDF, fixed vocab) → CLP-encode (Arrow UDF) →
+dictionary build (distinct + parallel sorted-rank) → enrich (broadcast hash
+join) → route (partitioned writes per source) → per-sink aggregates.
+
+Mirrors CLP's compression lifecycle (reference:
+components/core/src/clp/clp/FileCompressor.cpp:118,
+streaming_archive/writer/Archive.cpp:301-313 — parse → encode+dict → columnar
+append → per-archive metadata) re-expressed as four resumable Spark stages:
+
+  encode   per split: bucket of input → encoded columnar table (parquet/zstd)
+  dicts    global: logtype + variable dictionaries, deterministic sorted ids
+  route    per split: enrich with ids, fan out partitioned by source
+  agg      global: per-sink row counts, logtype frequencies, var frequencies
+
+Each stage writes an O(1)-sized lineage record per split (plans/lineage.py);
+re-running skips completed splits — idempotent under retry because every
+split's output path is overwritten whole.
+
+Scale notes (100 TB / 10^12 rows):
+- splits = hash buckets of doc_id; at scale the input is an Iceberg table
+  partitioned by bucket(doc_id) so each split's scan is pruned to 1/B of the
+  files. Encode work is O(rows) once — the encoded intermediate is written,
+  not recomputed per stage.
+- dictionaries: logtype dict is tiny (log data is highly templated) →
+  broadcast joins. Var dict may be large → shuffle join path available.
+- aggregates use Spark's built-in partial (map-side) aggregation; hot
+  (source, logtype) keys collapse before the shuffle, so Zipf skew does not
+  concentrate on one reducer. AQE (enabled in session config) re-splits any
+  residual skewed shuffle partitions.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clp_spark.functions.encode_kernel import clp_encode_udf
+from clp_spark.operators.dictionary import (
+    build_logtype_dict,
+    build_var_dict,
+    enrich_with_logtype_ids,
+)
+from clp_spark.plans.lineage import LineageLog
+
+
+def make_detokenize_udf(vocab_text: list[str]):
+    """tokens array<int32> -> message string; vocab captured once per executor."""
+    vocab_arr = np.asarray(vocab_text, dtype=object)
+
+    @F.pandas_udf("string")
+    def _detok(tokens: pd.Series) -> pd.Series:
+        return pd.Series(
+            ["".join(vocab_arr[np.asarray(t, dtype=np.int64)]) for t in tokens],
+            index=tokens.index,
+            dtype=object,
+        )
+
+    return _detok
+
+
+def session_defaults(builder):
+    """AQE + skew-join + sane shuffle sizing for this engine."""
+    return (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+
+
+def encode_stage(
+    spark: SparkSession,
+    seq_path: str,
+    vocab_path: str,
+    out_dir: str,
+    num_splits: int,
+    lineage: LineageLog,
+) -> None:
+    vocab = [
+        r["text"] for r in spark.read.parquet(vocab_path).orderBy("token_id").collect()
+    ]
+    detok = make_detokenize_udf(vocab)
+    encode = clp_encode_udf()
+    seq = spark.read.parquet(seq_path)
+    for b in range(num_splits):
+        if lineage.is_done("encode", b):
+            continue
+        t0 = time.time()
+        split_df = seq.where(F.pmod(F.xxhash64("doc_id"), F.lit(num_splits)) == b)
+        encoded = (
+            split_df.withColumn("message", detok("tokens"))
+            .withColumn("enc", encode("message"))
+            .select(
+                "doc_id",
+                "source",
+                "n_tok",
+                F.col("enc.logtype").alias("logtype"),
+                F.col("enc.placeholders").alias("placeholders"),
+                F.col("enc.encoded_vars").alias("encoded_vars"),
+                F.col("enc.dict_vars").alias("dict_vars"),
+            )
+        )
+        path = f"{out_dir}/encoded/split={b}"
+        encoded.write.mode("overwrite").parquet(path)
+        n = spark.read.parquet(path).count()
+        lineage.record("encode", b, rows=n, wall_s=time.time() - t0, path=path)
+
+
+def dicts_stage(spark: SparkSession, out_dir: str, lineage: LineageLog) -> None:
+    if lineage.is_done("dicts"):
+        return
+    t0 = time.time()
+    encoded = spark.read.parquet(f"{out_dir}/encoded")
+    logtype_dict = build_logtype_dict(encoded)
+    logtype_dict.write.mode("overwrite").parquet(f"{out_dir}/logtype_dict")
+    var_dict = build_var_dict(encoded)
+    var_dict.write.mode("overwrite").parquet(f"{out_dir}/var_dict")
+    n_lt = spark.read.parquet(f"{out_dir}/logtype_dict").count()
+    n_var = spark.read.parquet(f"{out_dir}/var_dict").count()
+    lineage.record("dicts", logtypes=n_lt, variables=n_var, wall_s=time.time() - t0)
+
+
+def route_stage(
+    spark: SparkSession, out_dir: str, num_splits: int, lineage: LineageLog
+) -> None:
+    """Fan encoded+enriched rows out to per-source sinks (CLP's per-schema /
+    per-source routing, reference clp_s/ArchiveWriter.cpp:258-266)."""
+    logtype_dict = spark.read.parquet(f"{out_dir}/logtype_dict")
+    for b in range(num_splits):
+        if lineage.is_done("route", b):
+            continue
+        t0 = time.time()
+        encoded = spark.read.parquet(f"{out_dir}/encoded/split={b}")
+        enriched = enrich_with_logtype_ids(encoded, logtype_dict, broadcast=True)
+        path = f"{out_dir}/sinks/split={b}"
+        (
+            enriched.select(
+                "doc_id", "source", "logtype_id", "placeholders", "encoded_vars", "dict_vars"
+            )
+            .repartition(F.col("source"), F.pmod(F.xxhash64("doc_id"), F.lit(8)))
+            .write.mode("overwrite")
+            .partitionBy("source")
+            .parquet(path)
+        )
+        per_source = {
+            r["source"]: r["cnt"]
+            for r in spark.read.parquet(path)
+            .groupBy("source")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        lineage.record(
+            "route", b, rows=sum(per_source.values()), per_source=per_source,
+            wall_s=time.time() - t0, path=path,
+        )
+
+
+def agg_stage(spark: SparkSession, out_dir: str, lineage: LineageLog) -> None:
+    """Per-sink frequency tallies (CLP's dict occurrence counts + compression
+    stats, reference clp_s/SchemaTree.hpp:68, compression_task.py:98-144)."""
+    if lineage.is_done("agg"):
+        return
+    t0 = time.time()
+    sinks = spark.read.option("basePath", f"{out_dir}/sinks").parquet(f"{out_dir}/sinks")
+    sinks.groupBy("source").agg(F.count("*").alias("n_rows")).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/agg/sink_counts")
+    sinks.groupBy("source", "logtype_id").agg(F.count("*").alias("n")).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/agg/logtype_counts")
+    var_dict = spark.read.parquet(f"{out_dir}/var_dict")
+    (
+        sinks.select("source", F.explode("dict_vars").alias("var_value"))
+        .groupBy("source", "var_value")
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(var_dict), "var_value")
+        .select("source", "var_id", "var_value", "n")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/agg/var_counts")
+    )
+    lineage.record("agg", wall_s=time.time() - t0)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    seq_path: str,
+    vocab_path: str,
+    out_dir: str,
+    num_splits: int = 4,
+) -> dict:
+    """Run (or resume) the full pipeline; returns lineage summary."""
+    lineage = LineageLog(out_dir)
+    encode_stage(spark, seq_path, vocab_path, out_dir, num_splits, lineage)
+    dicts_stage(spark, out_dir, lineage)
+    route_stage(spark, out_dir, num_splits, lineage)
+    agg_stage(spark, out_dir, lineage)
+    return {"records": lineage.read_all()}
+
+
+def main() -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description="CLP-semantics Spark ingest pipeline")
+    p.add_argument("--sequences", required=True)
+    p.add_argument("--vocab", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--splits", type=int, default=4)
+    p.add_argument("--master", default="local[*]")
+    args = p.parse_args()
+    spark = session_defaults(
+        SparkSession.builder.master(args.master)
+        .appName("clp-spark-pipeline")
+        .config("spark.sql.shuffle.partitions", str(max(32, args.splits * 8)))
+    ).getOrCreate()
+    summary = run_pipeline(spark, args.sequences, args.vocab, args.out, args.splits)
+    print({"stages": len(summary["records"])})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,15 @@
+from clp_spark.sources.synth import (
+    VOCAB_SIZE,
+    build_vocab,
+    detokenize_batch,
+    ensure_sequences,
+    generate_sequences,
+)
+
+__all__ = [
+    "VOCAB_SIZE",
+    "build_vocab",
+    "detokenize_batch",
+    "ensure_sequences",
+    "generate_sequences",
+]

@@ -1,0 +1,145 @@
+"""Deterministic synthetic input: the (doc_id, tokens, n_tok, source) sequences
+table plus its fixed detokenizer vocab — the authoritative input shape from
+BASELINE.json's input_hint, synthesized at small scale for tests/bench
+(FIXTURES.md §1-2). Seeded, pure numpy; no external data.
+
+The vocab's variable-shaped pieces cover every branch of the reference
+tokenizer/encoder (delimiters + 3 variable rules, int edge cases, float
+format, escapes, hex — /root/reference/components/core/src/clp/ir/parsing.cpp:20-88,
+EncodedVariableInterpreter.cpp:25-143).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+SEED = 42
+VOCAB_SIZE = 4096
+N_SOURCES = 8
+
+# Hand-picked pieces covering every encoder branch; the rest of the vocab is
+# generated deterministically around these shapes.
+_SPECIAL_PIECES = [
+    # constants
+    "Task", "failed", "connecting", "to", "INFO", "WARN", "ERROR", "node",
+    "took", "retries", "worker", "shutdown", "opened", "session",
+    # delimiter / punctuation pieces
+    " ", ", ", ": ", "/", " [", "] ", "=", "(", ") ", "\n", "\t", "!",
+    # integers (incl. edges)
+    "4938", "0", "-25", "007", "1", "-1", "9223372036854775807",
+    "-9223372036854775808", "9223372036854775808", "10000000000000000000",
+    "+394", "-0",
+    # floats (incl. edges)
+    "-25.5196868642755", "-00.00", "0.5", ".1", "-999999999999999.9",
+    ".9999999999999999", "12345678901234567.8", "1.", "1.2.3",
+    # hex
+    "deadBEEF", "ab", "0d", "ff",
+    # ids with digits
+    "python2.7.3", "container_e19_1512", "task_12", "10.0.0.7",
+    # '='-prefixed values (composed: "user=" + value)
+    "user=", "YScope", "alice",
+    # backslash + placeholder-byte escape cases
+    "\\a1", "x\x11y", "q\x12", "\x13z", "\\",
+    # timestamp-ish
+    "2016-05-08 07:34:05,251", "2024-01-01T00:00:00.000",
+]
+
+
+def build_vocab() -> pd.DataFrame:
+    """(token_id, text) — deterministic vocab of VOCAB_SIZE pieces."""
+    rng = np.random.default_rng(SEED)
+    pieces = list(_SPECIAL_PIECES)
+    consonants = np.array(list("bcdfghjklmnpqrstvwxyz"))
+    vowels = np.array(list("aeiou"))
+    while len(pieces) < VOCAB_SIZE:
+        i = len(pieces)
+        kind = i % 8
+        if kind < 3:  # plain word
+            nsyl = 1 + rng.integers(0, 3)
+            w = "".join(
+                rng.choice(consonants) + rng.choice(vowels) for _ in range(nsyl)
+            )
+            pieces.append(w)
+        elif kind == 3:  # word + space (common in logs)
+            nsyl = 1 + rng.integers(0, 2)
+            w = "".join(rng.choice(consonants) + rng.choice(vowels) for _ in range(nsyl))
+            pieces.append(w + " ")
+        elif kind == 4:  # integer token + space
+            pieces.append(str(rng.integers(-(10**6), 10**9)) + " ")
+        elif kind == 5:  # float token + space
+            a = rng.integers(0, 10**6)
+            b = rng.integers(0, 10**6)
+            pieces.append(f"{a}.{b} ")
+        elif kind == 6:  # hex-ish id + space
+            n = int(rng.integers(2, 10))
+            pieces.append("".join(rng.choice(list("0123456789abcdef"), n)) + " ")
+        else:  # key=value prefix
+            nsyl = 1 + rng.integers(0, 2)
+            w = "".join(rng.choice(consonants) + rng.choice(vowels) for _ in range(nsyl))
+            pieces.append(" " + w + "=")
+    return pd.DataFrame(
+        {"token_id": np.arange(VOCAB_SIZE, dtype=np.int32), "text": pieces[:VOCAB_SIZE]}
+    )
+
+
+def _zipf_probs(n: int, s: float) -> np.ndarray:
+    p = 1.0 / np.power(np.arange(1, n + 1, dtype=np.float64), s)
+    return p / p.sum()
+
+
+def generate_sequences(n_rows: int, seed: int = SEED) -> pd.DataFrame:
+    """Deterministic (doc_id, tokens, n_tok, source) rows.
+
+    Token ids are Zipfian (s≈1.2) over a fixed permutation of the vocab so the
+    hot tokens mix constants and variables; sources are Zipfian over 8 sinks
+    (hot sink ≈ 40% of rows) — realistic skew per FIXTURES.md §1.
+    """
+    rng = np.random.default_rng(seed)
+    tok_perm = rng.permutation(VOCAB_SIZE).astype(np.int32)
+    tok_probs = _zipf_probs(VOCAB_SIZE, 1.2)
+
+    lengths = rng.integers(3, 65, size=n_rows)
+    total = int(lengths.sum())
+    ranks = rng.choice(VOCAB_SIZE, size=total, p=tok_probs)
+    flat_tokens = tok_perm[ranks]
+    bounds = np.cumsum(lengths)[:-1]
+    tokens = np.split(flat_tokens, bounds)
+
+    src_probs = _zipf_probs(N_SOURCES, 1.3)
+    src_idx = rng.choice(N_SOURCES, size=n_rows, p=src_probs)
+
+    return pd.DataFrame(
+        {
+            "doc_id": [f"doc-{i:010d}" for i in range(n_rows)],
+            "tokens": [t.tolist() for t in tokens],
+            "n_tok": lengths.astype(np.int32),
+            "source": pd.Series([f"app-{k}" for k in src_idx], dtype=object),
+        }
+    )
+
+
+def detokenize_batch(token_lists: pd.Series, vocab_text: np.ndarray) -> pd.Series:
+    """tokens array<int32> -> message string (message = ''.join(vocab[t]))."""
+    return pd.Series(
+        ["".join(vocab_text[np.asarray(t, dtype=np.int64)]) for t in token_lists],
+        index=token_lists.index,
+        dtype=object,
+    )
+
+
+_SF_ROWS = {"0.001": 6_000, "0.01": 60_000, "0.1": 600_000}
+
+
+def ensure_sequences(data_dir: str, sf: str) -> tuple[str, str]:
+    """Write (once) and return paths of the sequences+vocab parquet for a scale factor."""
+    os.makedirs(data_dir, exist_ok=True)
+    seq_path = os.path.join(data_dir, f"sequences_sf{sf}.parquet")
+    vocab_path = os.path.join(data_dir, "vocab.parquet")
+    if not os.path.exists(vocab_path):
+        build_vocab().to_parquet(vocab_path, index=False)
+    if not os.path.exists(seq_path):
+        generate_sequences(_SF_ROWS[sf]).to_parquet(seq_path, index=False)
+    return seq_path, vocab_path

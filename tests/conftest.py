@@ -1,0 +1,19 @@
+import pytest
+from pyspark.sql import SparkSession
+
+from clp_spark.plans.pipeline import session_defaults
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        session_defaults(
+            SparkSession.builder.master("local[4]")
+            .appName("clp-spark-tests")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.driver.memory", "6g")
+            .config("spark.ui.enabled", "false")
+        )
+    ).getOrCreate()
+    yield s
+    s.stop()

@@ -1,0 +1,76 @@
+"""Parity tests: vectorized encode kernel vs the pure-Python oracle."""
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from clp_spark.functions.encode_kernel import encode_batch
+from clp_spark.oracle import decode_message, encode_message
+
+FIXTURE_MESSAGES = [
+    "",
+    "plain constant text only",
+    "here is a string with a small int 4938 and a very large int 10000000000000000000"
+    " and a double -25.5196868642755 and a weird double -00.00 and a str with numbers"
+    " python2.7.3 and a str with a backslash and numbers \\a1"
+    " and an escape \\ and an int placeholder \x11 and a float placeholder \x13"
+    " and a dictionary placeholder \x12",
+    "~=x!abc123;1.2%x:+394/-",
+    " ad ff 95 24 0d ff ",
+    " text \x11 var123 ",
+    "2016-05-08 07:34:05,251 INFO Task task_12 took 0.335 s user=alice retries=3",
+    "int bounds 9223372036854775807 -9223372036854775808 9223372036854775808"
+    " -9223372036854775809 92233720368547758070",
+    "floats .1 1. . -00.00 -999999999999999.9 .9999999999999999 12345678901234567.8",
+    "zero-pad 007 -0 0 00.1 +1 +1.0",
+    "a=-  b=c d=4 =e =9 f= /slash/path_7/x",
+    "up-time=3d mixed-0.5-x",
+]
+
+
+def assert_batch_matches_oracle(messages):
+    out = encode_batch(pd.Series(messages, dtype=object))
+    for i, msg in enumerate(messages):
+        exp = encode_message(msg)
+        assert out["logtype"][i] == exp.logtype, f"logtype mismatch for {msg!r}"
+        assert list(out["placeholders"][i]) == exp.placeholders, f"placeholders for {msg!r}"
+        assert list(out["encoded_vars"][i]) == exp.encoded_vars, f"encoded_vars for {msg!r}"
+        assert list(out["dict_vars"][i]) == exp.dict_vars, f"dict_vars for {msg!r}"
+        # and the batch output round-trips through the oracle decoder
+        assert (
+            decode_message(out["logtype"][i], list(out["encoded_vars"][i]),
+                           list(out["dict_vars"][i]))
+            == msg
+        )
+
+
+def test_fixture_messages():
+    assert_batch_matches_oracle(FIXTURE_MESSAGES)
+
+
+# alphabet biased toward the interesting characters
+_ALPHABET = st.sampled_from(
+    list("abcdefz ABZ 0123456789 .-+=/\\_:,!%*?\x11\x12\x13\t~[]") + ["é"]
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.text(_ALPHABET, min_size=0, max_size=60), min_size=1, max_size=20))
+def test_fuzz_parity(messages):
+    assert_batch_matches_oracle(messages)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=-(2**64), max_value=2**64).map(str),
+            st.floats(allow_nan=False, allow_infinity=False).map(lambda f: repr(f)),
+            st.from_regex(r"-?[0-9]{0,20}\.[0-9]{0,20}", fullmatch=True),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_fuzz_numeric_tokens(tokens):
+    assert_batch_matches_oracle([" ".join(tokens)])

@@ -1,0 +1,148 @@
+"""End-to-end pipeline parity vs the pure-Python oracle + resume semantics."""
+
+import collections
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from clp_spark.oracle import decode_message, encode_message
+from clp_spark.plans.lineage import LineageLog
+from clp_spark.plans.pipeline import run_pipeline
+from clp_spark.sources.synth import build_vocab, generate_sequences
+
+N_ROWS = 1500
+
+
+@pytest.fixture(scope="module")
+def tiny_input(tmp_path_factory):
+    d = tmp_path_factory.mktemp("seq")
+    vocab = build_vocab()
+    seqs = generate_sequences(N_ROWS)
+    vocab_path = str(d / "vocab.parquet")
+    seq_path = str(d / "sequences.parquet")
+    vocab.to_parquet(vocab_path, index=False)
+    seqs.to_parquet(seq_path, index=False)
+    return seq_path, vocab_path, vocab, seqs
+
+
+def oracle_encode_all(vocab, seqs):
+    """Reference result: detokenize + encode each row with the pure-Python oracle."""
+    vtext = np.asarray(vocab["text"], dtype=object)
+    rows = []
+    for doc_id, toks, source in zip(seqs["doc_id"], seqs["tokens"], seqs["source"]):
+        msg = "".join(vtext[np.asarray(toks, dtype=np.int64)])
+        enc = encode_message(msg)
+        rows.append((doc_id, source, msg, enc))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, tiny_input, tmp_path_factory):
+    seq_path, vocab_path, vocab, seqs = tiny_input
+    out = str(tmp_path_factory.mktemp("pipe"))
+    run_pipeline(spark, seq_path, vocab_path, out, num_splits=2)
+    return out
+
+
+class TestPipelineParity:
+    def test_sink_counts(self, spark, tiny_input, pipeline_out):
+        _, _, vocab, seqs = tiny_input
+        expected = collections.Counter(seqs["source"])
+        got = {
+            r["source"]: r["n_rows"]
+            for r in spark.read.parquet(f"{pipeline_out}/agg/sink_counts").collect()
+        }
+        assert got == dict(expected)
+
+    def test_logtype_counts_match_oracle(self, spark, tiny_input, pipeline_out):
+        _, _, vocab, seqs = tiny_input
+        oracle_rows = oracle_encode_all(vocab, seqs)
+        expected = collections.Counter(
+            (source, enc.logtype) for _, source, _, enc in oracle_rows
+        )
+        lt = {
+            r["logtype_id"]: r["logtype"]
+            for r in spark.read.parquet(f"{pipeline_out}/logtype_dict").collect()
+        }
+        got = collections.Counter()
+        for r in spark.read.parquet(f"{pipeline_out}/agg/logtype_counts").collect():
+            got[(r["source"], lt[r["logtype_id"]])] = r["n"]
+        assert got == expected
+
+    def test_var_counts_match_oracle(self, spark, tiny_input, pipeline_out):
+        _, _, vocab, seqs = tiny_input
+        oracle_rows = oracle_encode_all(vocab, seqs)
+        expected = collections.Counter()
+        for _, source, _, enc in oracle_rows:
+            for v in enc.dict_vars:
+                expected[(source, v)] += 1
+        got = {
+            (r["source"], r["var_value"]): r["n"]
+            for r in spark.read.parquet(f"{pipeline_out}/agg/var_counts").collect()
+        }
+        assert got == dict(expected)
+
+    def test_row_level_token_equality_and_roundtrip(self, spark, tiny_input, pipeline_out):
+        """Per-row invariant: token-array equality vs the reference encoder."""
+        _, _, vocab, seqs = tiny_input
+        oracle = {
+            doc_id: (msg, enc) for doc_id, _, msg, enc in oracle_encode_all(vocab, seqs)
+        }
+        lt = {
+            r["logtype_id"]: r["logtype"]
+            for r in spark.read.parquet(f"{pipeline_out}/logtype_dict").collect()
+        }
+        rows = spark.read.option("basePath", f"{pipeline_out}/sinks").parquet(
+            f"{pipeline_out}/sinks"
+        ).collect()
+        assert len(rows) == N_ROWS
+        for r in rows:
+            msg, enc = oracle[r["doc_id"]]
+            assert lt[r["logtype_id"]] == enc.logtype
+            assert list(r["placeholders"]) == enc.placeholders
+            assert list(r["encoded_vars"]) == enc.encoded_vars
+            assert list(r["dict_vars"]) == enc.dict_vars
+            assert (
+                decode_message(lt[r["logtype_id"]], list(r["encoded_vars"]),
+                               list(r["dict_vars"]))
+                == msg
+            )
+
+    def test_dict_ids_are_sorted_dense(self, spark, pipeline_out):
+        for name, vcol, icol in [
+            ("logtype_dict", "logtype", "logtype_id"),
+            ("var_dict", "var_value", "var_id"),
+        ]:
+            rows = spark.read.parquet(f"{pipeline_out}/{name}").orderBy(icol).collect()
+            ids = [r[icol] for r in rows]
+            vals = [r[vcol] for r in rows]
+            assert ids == list(range(len(ids)))
+            assert vals == sorted(vals)
+
+
+class TestResume:
+    def test_resume_after_partial_run(self, spark, tiny_input, pipeline_out, tmp_path):
+        seq_path, vocab_path, _, _ = tiny_input
+        out = str(tmp_path / "resume")
+        # full run, then simulate a crash: drop split 1's encode output+record
+        run_pipeline(spark, seq_path, vocab_path, out, num_splits=2)
+        os.remove(f"{out}/_lineage/encode_split00001.json")
+        shutil.rmtree(f"{out}/encoded/split=1")
+        for stale in ["dicts", "agg", "route_split00000", "route_split00001"]:
+            os.remove(f"{out}/_lineage/{stale}.json")
+        # resume must rebuild exactly the same sinks — no dupes, no missing rows
+        run_pipeline(spark, seq_path, vocab_path, out, num_splits=2)
+        a = {
+            (r["source"], r["logtype_id"], r["n"])
+            for r in spark.read.parquet(f"{pipeline_out}/agg/logtype_counts").collect()
+        }
+        b = {
+            (r["source"], r["logtype_id"], r["n"])
+            for r in spark.read.parquet(f"{out}/agg/logtype_counts").collect()
+        }
+        assert a == b
+        lineage = LineageLog(out)
+        total = sum(r["rows"] for r in lineage.read_all() if r["stage"] == "encode")
+        assert total == N_ROWS
