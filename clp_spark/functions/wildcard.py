@@ -1,0 +1,89 @@
+"""CLP wildcard-query string utilities → Spark Column predicates.
+
+Reference semantics: components/core/src/clp/string_utils/string_utils.hpp:97-168
+(`clean_up_wildcard_search_string`, `wildcard_match_unsafe`): '*' matches zero
+or more chars, '?' exactly one, '\\' escapes the next char ('*', '?', '\\'
+stay escaped; other escaped chars become literal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def clean_up_wildcard_query(q: str) -> str:
+    """Collapse '*' runs and drop needless escapes (reference string_utils.cpp:153-204)."""
+    out = []
+    escaped = False
+    i = 0
+    n = len(q)
+    while i < n:
+        c = q[i]
+        if escaped:
+            escaped = False
+            if c in "*?\\":
+                out.append("\\")
+            out.append(c)
+            i += 1
+        elif c == "*":
+            out.append(c)
+            i += 1
+            while i < n and q[i] == "*":
+                i += 1
+        else:
+            if c == "\\":
+                escaped = True
+            else:
+                out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def wildcard_tokens(q: str) -> list[tuple[str, bool]]:
+    """Parse a cleaned wildcard query into [(piece, is_wildcard)] units.
+
+    Literal pieces have escapes resolved; wildcard units are '*' or '?'.
+    """
+    units: list[tuple[str, bool]] = []
+    lit: list[str] = []
+    escaped = False
+    for c in q:
+        if escaped:
+            lit.append(c)
+            escaped = False
+        elif c == "\\":
+            escaped = True
+        elif c in "*?":
+            if lit:
+                units.append(("".join(lit), False))
+                lit = []
+            units.append((c, True))
+        else:
+            lit.append(c)
+    if lit:
+        units.append(("".join(lit), False))
+    return units
+
+
+def _escape_like(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+
+
+def wildcard_to_like_pattern(q: str) -> str:
+    """CLP wildcard ('*'/'?', '\\'-escaped) → SQL LIKE pattern ('%'/'_')."""
+    parts = []
+    for piece, is_wild in wildcard_tokens(clean_up_wildcard_query(q)):
+        if is_wild:
+            parts.append("%" if piece == "*" else "_")
+        else:
+            parts.append(_escape_like(piece))
+    return "".join(parts)
+
+
+def wildcard_match(col: Column, query: str, ignore_case: bool = False) -> Column:
+    """Column predicate: whole-value CLP wildcard match (LIKE — JVM-side)."""
+    pattern = wildcard_to_like_pattern(query)
+    if ignore_case:
+        return col.ilike(pattern)
+    return col.like(pattern)

@@ -1,0 +1,63 @@
+"""CLP aggregation operators (reference: components/core/src/clp_s/aggregators.hpp:66-189)
+as DataFrame transformations. Spark's hash aggregate already does CLP's
+partial/final (reducer) two-stage merge (reference reducer/CountOperator.cpp:4-24)
+— map-side partial aggregation collapses hot keys before the shuffle, which is
+the skew story for Zipfian logtypes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def count_matched(df: DataFrame, predicate: Column | None = None) -> DataFrame:
+    """`--count`: single-row count of matched records."""
+    if predicate is not None:
+        df = df.where(predicate)
+    return df.agg(F.count("*").alias("cnt"))
+
+
+def count_by_time(
+    df: DataFrame, ts_ms_col: Column, bucket_ms: int, predicate: Column | None = None
+) -> DataFrame:
+    """`--count-by-time B`: bucket = (ts_ms / B) * B (integer division —
+    reference clp_s/aggregators.hpp:111-113); count per bucket."""
+    if predicate is not None:
+        df = df.where(predicate)
+    bucket = ((ts_ms_col / F.lit(bucket_ms)).cast("long") * F.lit(bucket_ms)).alias(
+        "bucket_ts"
+    )
+    return df.groupBy(bucket).agg(F.count("*").alias("cnt"))
+
+
+def min_max_of(df: DataFrame, field: Column, predicate: Column | None = None) -> DataFrame:
+    """`--min/--max f` over matched records."""
+    if predicate is not None:
+        df = df.where(predicate)
+    return df.agg(F.min(field).alias("min_val"), F.max(field).alias("max_val"))
+
+
+def unique_of(df: DataFrame, field: Column, predicate: Column | None = None) -> DataFrame:
+    """`unique`: distinct values of a field over matched records."""
+    if predicate is not None:
+        df = df.where(predicate)
+    return df.select(field.alias("value")).distinct()
+
+
+def latest_n(df: DataFrame, ts_col: Column, n: int, tiebreak: Column) -> DataFrame:
+    """Results-cache latest-N by timestamp (reference clp/clo/OutputHandler.*
+    max-heap) — Spark: TakeOrderedAndProject, no full sort."""
+    return df.orderBy(ts_col.desc(), tiebreak.desc()).limit(n)
+
+
+def salted_group_count(
+    df: DataFrame, keys: list[str], salt_buckets: int = 16, salt_col: str = "doc_id"
+) -> DataFrame:
+    """Two-phase salted aggregation for extreme key skew: pre-aggregate on
+    (keys, salt), then merge. Spark's partial agg usually suffices for counts;
+    this is the explicit fallback when a single hot key exceeds one reducer
+    (north-rule skew mitigation)."""
+    salt = F.pmod(F.xxhash64(salt_col), F.lit(salt_buckets)).alias("_salt")
+    partial = df.groupBy(*keys, salt).agg(F.count("*").alias("_n"))
+    return partial.groupBy(*keys).agg(F.sum("_n").alias("n"))

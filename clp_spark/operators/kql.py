@@ -1,0 +1,447 @@
+"""KQL subset → Spark Column compiler (clp-s search surface).
+
+Grammar per the reference (components/core/src/clp_s/search/kql/Kql.g4):
+  query  := atom ((AND|OR) atom)*          # equal precedence, left-assoc
+  atom   := NOT atom | '(' query ')' | col ':' '{' query '}'
+          | col RANGE_OP literal | col ':' value-list | col ':' literal
+          | literal                        # bare value expression
+Columns are dot-paths with optional wildcards per segment and '*' segments
+matching zero-or-more levels (reference SchemaMatch.cpp column resolution);
+the '$' namespace prefix addresses metadata columns (archive_constants.hpp:41-45).
+
+AST passes replicated via Catalyst instead (SURVEY §4.1): De Morgan / boolean
+simplification, constant folding, and type narrowing are built-in; we only do
+what Catalyst can't — schema-aware column resolution, `col: *` → isNotNull
+(ConvertToExists.cpp), literal typing per column, and wildcard value → LIKE.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from fnmatch import fnmatchcase
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DataType,
+    NumericType,
+    StringType,
+    StructType,
+    TimestampType,
+)
+
+from clp_spark.functions.wildcard import wildcard_to_like_pattern
+
+
+# ------------------------------------------------------------------ lexer
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<lbrace>\{)
+  | (?P<rbrace>\})
+  | (?P<range_op><=|>=|<|>)
+  | (?P<colon>:)
+  | (?P<quoted>"(?:\\.|[^"\\])*")
+  | (?P<unquoted>(?:\\.|[^\\():<>"{}\s])+)
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+
+
+def _lex(q: str) -> list[Tok]:
+    toks = []
+    pos = 0
+    while pos < len(q):
+        m = _TOKEN_RE.match(q, pos)
+        if not m:
+            raise ValueError(f"KQL lex error at {pos}: {q[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group()
+        if kind == "unquoted" and text.upper() in ("AND", "OR", "NOT"):
+            toks.append(Tok(text.upper(), text))
+        else:
+            toks.append(Tok(kind, text))
+    toks.append(Tok("eof", ""))
+    return toks
+
+
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r"}
+
+
+def _unescape(text: str, quoted: bool) -> tuple[str, bool]:
+    """→ (value, has_unescaped_wildcards). Escaped wildcards stay escaped with
+    '\\' so downstream wildcard translation treats them literally."""
+    if quoted:
+        text = text[1:-1]
+    out = []
+    has_wild = False
+    i = 0
+    while i < len(text):
+        c = text[i]
+        if c == "\\" and i + 1 < len(text):
+            nxt = text[i + 1]
+            if nxt in _ESCAPES:
+                out.append(_ESCAPES[nxt])
+            elif nxt in "*?":
+                out.append("\\" + nxt)  # keep escaped for wildcard translator
+            elif nxt == "u" and i + 5 < len(text):
+                out.append(chr(int(text[i + 2 : i + 6], 16)))
+                i += 6
+                continue
+            else:
+                out.append(nxt)
+            i += 2
+        else:
+            if c in "*?":
+                has_wild = True
+            out.append(c)
+            i += 1
+    return "".join(out), has_wild
+
+
+# ------------------------------------------------------------------- AST
+
+
+@dataclass
+class Lit:
+    value: str
+    quoted: bool
+    has_wild: bool
+
+
+@dataclass
+class Node:
+    pass
+
+
+@dataclass
+class BoolOp(Node):
+    op: str  # AND | OR
+    lhs: Node
+    rhs: Node
+
+
+@dataclass
+class Not(Node):
+    child: Node
+
+
+@dataclass
+class Filter(Node):
+    column: list[str] | None  # None = bare value expression (match any column)
+    op: str  # ":" | "<" | ">" | "<=" | ">="
+    values: list[Lit]  # >1 for value lists
+    list_mode: str = "or"  # or | and | not
+
+
+class _Parser:
+    def __init__(self, toks: list[Tok], prefix: list[str] | None = None):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> Tok:
+        return self.toks[self.i]
+
+    def eat(self, kind: str | None = None) -> Tok:
+        t = self.toks[self.i]
+        if kind and t.kind != kind:
+            raise ValueError(f"KQL parse error: expected {kind}, got {t.kind} {t.text!r}")
+        self.i += 1
+        return t
+
+    def parse_query(self) -> Node:
+        node = self.parse_atom()
+        while self.peek().kind in ("AND", "OR"):
+            op = self.eat().kind
+            rhs = self.parse_atom()
+            node = BoolOp(op, node, rhs)
+        return node
+
+    def parse_atom(self) -> Node:
+        t = self.peek()
+        if t.kind == "NOT":
+            self.eat()
+            return Not(self.parse_atom())
+        if t.kind == "lparen":
+            self.eat()
+            node = self.parse_query()
+            self.eat("rparen")
+            return node
+        return self.parse_expression()
+
+    def _literal(self) -> Lit:
+        t = self.peek()
+        if t.kind == "quoted":
+            self.eat()
+            v, w = _unescape(t.text, True)
+            return Lit(v, True, w)
+        if t.kind in ("unquoted", "AND", "OR", "NOT"):
+            self.eat()
+            v, w = _unescape(t.text, False)
+            return Lit(v, False, w)
+        raise ValueError(f"KQL parse error: expected literal, got {t.kind} {t.text!r}")
+
+    def parse_expression(self) -> Node:
+        lit = self._literal()
+        t = self.peek()
+        if t.kind == "range_op":
+            op = self.eat().text
+            rhs = self._parse_value_literal()
+            return Filter(_split_column(lit), op, [rhs])
+        if t.kind == "colon":
+            self.eat()
+            col = _split_column(lit)
+            t2 = self.peek()
+            if t2.kind == "lbrace":
+                self.eat()
+                sub = self.parse_query()
+                self.eat("rbrace")
+                _prefix_columns(sub, col)
+                return sub
+            if t2.kind == "lparen":
+                self.eat()
+                mode = "or"
+                if self.peek().kind in ("AND", "OR", "NOT"):
+                    mode = self.eat().kind.lower()
+                vals = []
+                while self.peek().kind != "rparen":
+                    vals.append(self._parse_value_literal())
+                self.eat("rparen")
+                return Filter(col, ":", vals, mode)
+            rhs = self._parse_value_literal()
+            return Filter(col, ":", [rhs])
+        # bare value expression
+        return Filter(None, ":", [lit])
+
+    def _parse_value_literal(self) -> Lit:
+        # timestamp("...") literal
+        t = self.peek()
+        if t.kind == "unquoted" and t.text.startswith("timestamp("):
+            raise ValueError("timestamp() must be lexed specially")
+        if t.kind == "unquoted" and t.text == "timestamp":
+            self.eat()
+            self.eat("lparen")
+            inner = self._literal()
+            self.eat("rparen")
+            return Lit(str(_parse_timestamp(inner.value)), False, False)
+        return self._literal()
+
+
+def _split_column(lit: Lit) -> list[str]:
+    if lit.quoted:
+        return [lit.value]
+    # split on unescaped '.' — escapes already resolved except wildcard escapes
+    return lit.value.split(".")
+
+
+def _prefix_columns(node: Node, prefix: list[str]) -> None:
+    if isinstance(node, Filter):
+        if node.column is not None:
+            node.column = prefix + node.column
+        else:
+            node.column = prefix
+    elif isinstance(node, BoolOp):
+        _prefix_columns(node.lhs, prefix)
+        _prefix_columns(node.rhs, prefix)
+    elif isinstance(node, Not):
+        _prefix_columns(node.child, prefix)
+
+
+def _parse_timestamp(s: str) -> int:
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return int(float(s))
+    except ValueError:
+        pass
+    for fmt in ("%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            dt = datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
+            return int(dt.timestamp() * 1000)
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable timestamp literal: {s!r}")
+
+
+def parse_kql(query: str) -> Node:
+    p = _Parser(_lex(query))
+    node = p.parse_query()
+    p.eat("eof")
+    return node
+
+
+# -------------------------------------------------------------- compiler
+
+
+def _flatten_schema(schema: StructType, prefix: tuple[str, ...] = ()) -> list[tuple[tuple[str, ...], DataType]]:
+    out = []
+    for f in schema.fields:
+        path = prefix + (f.name,)
+        if isinstance(f.dataType, StructType):
+            out.extend(_flatten_schema(f.dataType, path))
+        else:
+            out.append((path, f.dataType))
+    return out
+
+
+def _match_path(pattern: list[str], path: tuple[str, ...]) -> bool:
+    """Wildcard column-descriptor match: '*' segment matches 0+ levels, other
+    segments fnmatch one level (reference SchemaMatch.cpp)."""
+    if not pattern:
+        return not path
+    head = pattern[0]
+    if head == "*":
+        return any(_match_path(pattern[1:], path[i:]) for i in range(len(path) + 1))
+    if path and fnmatchcase(path[0], head):
+        return _match_path(pattern[1:], path[1:])
+    return False
+
+
+def _resolve_columns(df: DataFrame, pattern: list[str]) -> list[tuple[Column, DataType]]:
+    # strip namespace markers ('$' metadata, '@'/'!' defaults) off first segment
+    pat = list(pattern)
+    if pat and pat[0][:1] in "$@!":
+        ns, rest = pat[0][0], pat[0][1:]
+        if rest:
+            pat[0] = rest
+        else:
+            pat = pat[1:]
+        if ns == "$" and pat and not pat[0].startswith("_") and pat[0] != "*":
+            pat[0] = "_" + pat[0]
+    flat = _flatten_schema(df.schema)
+    out = []
+    for path, dtype in flat:
+        if _match_path(pat, path):
+            out.append((F.col(".".join(f"`{p}`" for p in path)), dtype))
+    return out
+
+
+def _value_pred(col: Column, dtype: DataType, lit: Lit, op: str, ignore_case: bool) -> Column:
+    v = lit.value
+    if op == ":":
+        if not lit.quoted and v == "*":
+            return col.isNotNull()
+        if not lit.quoted and v == "null":
+            return col.isNull()
+        if isinstance(dtype, BooleanType):
+            if v.lower() in ("true", "false"):
+                return col == (v.lower() == "true")
+            return F.lit(False)
+        if isinstance(dtype, NumericType):
+            try:
+                num = int(v)
+            except ValueError:
+                try:
+                    num = float(v)
+                except ValueError:
+                    return F.lit(False)
+            return col == F.lit(num)
+        if isinstance(dtype, TimestampType):
+            return col.cast("string") == v
+        if isinstance(dtype, StringType):
+            if lit.has_wild:
+                pat = wildcard_to_like_pattern(v)
+                return col.ilike(pat) if ignore_case else col.like(pat)
+            # value may contain escaped wildcards — strip the escapes for exact compare
+            exact = v.replace("\\*", "*").replace("\\?", "?")
+            if ignore_case:
+                return F.lower(col) == exact.lower()
+            return col == exact
+        if isinstance(dtype, ArrayType):
+            return F.array_contains(col, v)
+        return col.cast("string") == v
+    # range ops — numeric literal never range-matches a string column
+    # (reference NarrowTypes.cpp: literal narrowed to the column's type or dropped)
+    is_numeric_lit = True
+    try:
+        numval = int(v)
+    except ValueError:
+        try:
+            numval = float(v)
+        except ValueError:
+            is_numeric_lit = False
+    if isinstance(dtype, StringType):
+        if is_numeric_lit:
+            return F.lit(False)
+        num = F.lit(v)
+    elif not is_numeric_lit:
+        return F.lit(False)
+    else:
+        num = F.lit(numval)
+    casted = col
+    if op == "<":
+        return casted < num
+    if op == ">":
+        return casted > num
+    if op == "<=":
+        return casted <= num
+    return casted >= num
+
+
+def compile_kql(df: DataFrame, query: str, ignore_case: bool = False) -> Column:
+    """Compile a KQL query into a boolean Column over df's schema."""
+    ast = parse_kql(query)
+    return _compile(df, ast, ignore_case)
+
+
+def _compile(df: DataFrame, node: Node, ignore_case: bool) -> Column:
+    if isinstance(node, BoolOp):
+        lhs = _compile(df, node.lhs, ignore_case)
+        rhs = _compile(df, node.rhs, ignore_case)
+        return (lhs & rhs) if node.op == "AND" else (lhs | rhs)
+    if isinstance(node, Not):
+        return ~_compile(df, node.child, ignore_case)
+    assert isinstance(node, Filter)
+    if node.column is None:
+        cols = [(F.col(f"`{f.name}`"), f.dataType) for f in df.schema.fields
+                if not isinstance(f.dataType, StructType)]
+    else:
+        cols = _resolve_columns(df, node.column)
+    if not cols:
+        return F.lit(False)
+    col_preds = []
+    for col, dtype in cols:
+        val_preds = [
+            _value_pred(col, dtype, lit, node.op, ignore_case) for lit in node.values
+        ]
+        if node.list_mode == "and":
+            p = val_preds[0]
+            for q in val_preds[1:]:
+                p = p & q
+        elif node.list_mode == "not":
+            p = val_preds[0]
+            for q in val_preds[1:]:
+                p = p | q
+            p = ~p
+        else:
+            p = val_preds[0]
+            for q in val_preds[1:]:
+                p = p | q
+        # a null column value never matches (nor anti-matches) — except EXISTS/null checks
+        col_preds.append(p)
+    out = col_preds[0]
+    for p in col_preds[1:]:
+        out = out | p
+    return out
+
+
+def kql_filter(df: DataFrame, query: str, ignore_case: bool = False) -> DataFrame:
+    return df.where(compile_kql(df, query, ignore_case))

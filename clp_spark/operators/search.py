@@ -1,0 +1,497 @@
+"""CLP wildcard text-search over the encoded archive — Spark-first.
+
+Reproduces the reference's query lifecycle (GrepCore::process_raw_query,
+/root/reference/components/core/src/clp/GrepCore.hpp:139-247):
+
+1. replace unescaped '?' with '*' for subquery generation; clean up '*' runs;
+2. tokenize into potential variable tokens (wildcard-aware);
+3. enumerate interpretations of ambiguous tokens (cartesian, like
+   GrepCore.hpp:183-233) → one SubQuery per combination;
+4. per subquery: probe the logtype dictionary with the assembled wildcard
+   pattern → candidate logtype ids; probe the variable dictionary for
+   dictionary-variable constraints (exact or wildcard,
+   EncodedVariableInterpreter.hpp:581-652);
+5. scan: rows filtered by logtype_id ∈ set + ordered-subsequence variable
+   match (clp/Query.hpp:244-268) — all JVM-side Column expressions;
+6. decode only surviving candidates and re-verify the original query with a
+   whole-message wildcard match (Grep.cpp:116-132).
+
+The dictionary probes run at the driver against small dictionary DataFrames —
+CLP's "evaluate the query against the dictionary once, then integer-compare
+per row" strategy (dictionary-first predicate, a hand-rolled dynamic
+partition pruning).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from itertools import product
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clp_spark.functions.wildcard import (
+    clean_up_wildcard_query,
+    wildcard_match,
+    wildcard_to_like_pattern,
+)
+from clp_spark.oracle.encoder import (
+    _NON_DELIM,
+    DICT_PLACEHOLDER,
+    FLOAT_PLACEHOLDER,
+    INT_PLACEHOLDER,
+    could_be_multi_digit_hex,
+    encode_float,
+    encode_int,
+    escape_constant,
+)
+
+MAX_ENUMERATIONS = 128
+MAX_ISIN_IDS = 1000
+MAX_DICT_CONSTRAINT_STRINGS = 10_000
+
+
+# ---------------------------------------------------------------- tokenizer
+
+
+@dataclass
+class QueryToken:
+    """A potential-variable token of the processed query string."""
+
+    chars: list[tuple[str, bool]]  # (char, was_escaped)
+    is_wildcard_only: bool = False
+
+    @property
+    def value_no_wildcards(self) -> str:
+        return "".join(c for c, esc in self.chars if esc or c != "*")
+
+    @property
+    def has_wildcards(self) -> bool:
+        return any(not esc and c == "*" for c, esc in self.chars)
+
+    @property
+    def has_mid_wildcard(self) -> bool:
+        inner = self.chars[1:-1]
+        return any(not esc and c == "*" for c, esc in inner)
+
+    @property
+    def prefix_star(self) -> bool:
+        c, esc = self.chars[0]
+        return not esc and c == "*"
+
+    @property
+    def suffix_star(self) -> bool:
+        c, esc = self.chars[-1]
+        return not esc and c == "*"
+
+    def literal_value(self) -> str:
+        """Token content with escapes resolved (for exact probes)."""
+        return "".join(c for c, _ in self.chars)
+
+
+def _parse_escaped(q: str) -> list[tuple[str, bool]]:
+    out = []
+    escaped = False
+    for c in q:
+        if escaped:
+            out.append((c, True))
+            escaped = False
+        elif c == "\\":
+            escaped = True
+        else:
+            out.append((c, False))
+    return out
+
+
+def _is_var_content(value: str, preceded_by_eq: bool) -> bool:
+    has_digit = any(c.isdigit() and c.isascii() for c in value)
+    has_alpha = any(c.isalpha() and c.isascii() for c in value)
+    return (
+        has_digit
+        or (preceded_by_eq and has_alpha)
+        or could_be_multi_digit_hex(value)
+    )
+
+
+def tokenize_query(q: str) -> list[tuple[str, object]]:
+    """[('const', [(c, esc)...]) | ('token', QueryToken)] over the processed query.
+
+    A token is a maximal run of unescaped non-delimiters and unescaped '*'s
+    touching them; a bare run of '*' is a wildcard-only token.
+    """
+    pairs = _parse_escaped(q)
+
+    def is_tok_char(c: str, esc: bool) -> bool:
+        if not esc and c == "*":
+            return True
+        return c in _NON_DELIM and not (esc and c == "*")
+
+    units: list[tuple[str, object]] = []
+    i, n = 0, len(pairs)
+    const: list[tuple[str, bool]] = []
+    while i < n:
+        c, esc = pairs[i]
+        if is_tok_char(c, esc):
+            j = i
+            while j < n and is_tok_char(*pairs[j]):
+                j += 1
+            run = pairs[i:j]
+            has_content = any(not (not e and ch == "*") for ch, e in run)
+            if has_content:
+                if const:
+                    units.append(("const", const))
+                    const = []
+                units.append(("token", QueryToken(run)))
+            else:
+                if const:
+                    units.append(("const", const))
+                    const = []
+                units.append(("token", QueryToken(run, is_wildcard_only=True)))
+            i = j
+        else:
+            const.append((c, esc))
+            i += 1
+    if const:
+        units.append(("const", const))
+    return units
+
+
+# ------------------------------------------------------------- compilation
+
+
+@dataclass
+class VarConstraint:
+    kind: str  # "int" | "float" | "dict_exact" | "dict_set"
+    exact_value: str | None = None  # stringified encoded value / dict string
+    dict_strings: list[str] = field(default_factory=list)
+
+
+@dataclass
+class SubQuery:
+    logtype_like: str  # SQL LIKE pattern over the logtype dictionary
+    ordered_exact: list[tuple[int, str]] = field(default_factory=list)
+    set_constraints: list[list[str]] = field(default_factory=list)
+    wildcard_match_required: bool = False
+
+
+MATCH_ALL = "MATCH_ALL"
+
+
+def _like_escape_lit(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+
+
+def _const_to_logtype_like(chars: list[tuple[str, bool]]) -> str:
+    """Query constant chars → LIKE pattern over logtype space (escaping as the
+    archive writer escapes constants)."""
+    lit = "".join(c for c, _ in chars)
+    return _like_escape_lit(escape_constant(lit))
+
+
+def _interpretations(tok: QueryToken, preceded_by_eq: bool) -> list[str]:
+    if tok.is_wildcard_only:
+        return ["star"]
+    if tok.has_mid_wildcard:
+        return ["midwild"]
+    v = tok.value_no_wildcards
+    if not tok.has_wildcards:
+        if _is_var_content(v, preceded_by_eq):
+            return ["exact_var"]
+        return ["text"]
+    # wildcard token: ambiguous between logtype text and each possible var kind
+    # (reference: wildcard_string_could_be_representable_integer/float_var,
+    # EncodedVariableInterpreter.cpp:199-226)
+    interps = ["text"]
+    content = v  # non-wildcard chars
+    int_possible = all(c.isdigit() or c == "-" for c in content)
+    float_possible = all(c.isdigit() or c in "-." for c in content)
+    if int_possible:
+        interps.append("wild_int")
+    if float_possible:
+        interps.append("wild_float")
+    interps.append("wild_dict")
+    return interps
+
+
+def compile_query(
+    query: str,
+    logtype_dict: DataFrame,
+    var_dict: DataFrame,
+    ignore_case: bool = False,
+):
+    """→ MATCH_ALL | list[(logtype_ids, SubQuery)] (empty list = no match)."""
+    processed = clean_up_wildcard_query(query.replace("?", "*"))
+    units = tokenize_query(processed)
+
+    # which unit indexes are tokens, and their interpretation choices
+    tok_ix = [i for i, (kind, _) in enumerate(units) if kind == "token"]
+    choices = []
+    for i in tok_ix:
+        prev_eq = False
+        if i > 0 and units[i - 1][0] == "const":
+            prev_chars = units[i - 1][1]
+            prev_eq = len(prev_chars) > 0 and prev_chars[-1][0] == "="
+        choices.append(_interpretations(units[i][1], prev_eq))
+
+    combos = list(product(*choices)) if choices else [()]
+    if len(combos) > MAX_ENUMERATIONS:
+        combos = combos[:MAX_ENUMERATIONS]
+
+    subqueries: list[SubQuery] = []
+    for combo in combos:
+        sq = _build_subquery(units, tok_ix, combo, var_dict, ignore_case)
+        if sq is None:
+            continue
+        if sq == MATCH_ALL:
+            return MATCH_ALL
+        subqueries.append(sq)
+
+    # probe logtype dictionary per subquery
+    compiled = []
+    seen = set()
+    for sq in subqueries:
+        key = (sq.logtype_like, tuple(sq.ordered_exact), sq.wildcard_match_required)
+        if key in seen:
+            continue
+        seen.add(key)
+        probe = logtype_dict.where(
+            F.col("logtype").ilike(sq.logtype_like)
+            if ignore_case
+            else F.col("logtype").like(sq.logtype_like)
+        )
+        ids = [r["logtype_id"] for r in probe.select("logtype_id").collect()]
+        if ids:
+            compiled.append((ids, sq))
+    return compiled
+
+
+def _build_subquery(units, tok_ix, combo, var_dict, ignore_case):
+    like_parts: list[str] = []
+    sq = SubQuery(logtype_like="")
+    combo_iter = iter(combo)
+    for i, (kind, payload) in enumerate(units):
+        if kind == "const":
+            like_parts.append(_const_to_logtype_like(payload))
+            continue
+        tok: QueryToken = payload
+        interp = next(combo_iter)
+        if interp == "star":
+            like_parts.append("%")
+        elif interp == "midwild":
+            sq.wildcard_match_required = True
+            if _is_var_content(tok.value_no_wildcards, False):
+                like_parts.append("%" + DICT_PLACEHOLDER + "%")
+            else:
+                like_parts.append("%")
+        elif interp == "text":
+            sq.wildcard_match_required = sq.wildcard_match_required or tok.has_wildcards
+            like_parts.append(_token_text_like(tok))
+        elif interp == "exact_var":
+            sq.wildcard_match_required = True
+            v = tok.literal_value()
+            iv = encode_int(v)
+            if iv is not None:
+                like_parts.append(INT_PLACEHOLDER)
+                sq.ordered_exact.append((0x11, str(iv)))
+            else:
+                fv = encode_float(v)
+                if fv is not None:
+                    like_parts.append(FLOAT_PLACEHOLDER)
+                    sq.ordered_exact.append((0x13, str(fv)))
+                else:
+                    if ignore_case:
+                        matches = _probe_dict(var_dict, v, True, exact=True)
+                        if not matches:
+                            return None
+                        like_parts.append(DICT_PLACEHOLDER)
+                        sq.set_constraints.append(matches)
+                    else:
+                        exists = (
+                            var_dict.where(F.col("var_value") == v).limit(1).count() > 0
+                        )
+                        if not exists:
+                            return None  # WontMatch
+                        like_parts.append(DICT_PLACEHOLDER)
+                        sq.ordered_exact.append((0x12, v))
+        elif interp in ("wild_int", "wild_float", "wild_dict"):
+            sq.wildcard_match_required = True
+            if tok.prefix_star:
+                like_parts.append("%")
+            if interp == "wild_int":
+                like_parts.append(INT_PLACEHOLDER)
+            elif interp == "wild_float":
+                like_parts.append(FLOAT_PLACEHOLDER)
+            else:
+                like_parts.append(DICT_PLACEHOLDER)
+                content = tok.value_no_wildcards
+                int_possible = all(c.isdigit() or c == "-" for c in content)
+                float_possible = all(c.isdigit() or c in "-." for c in content)
+                if content and not int_possible and not float_possible:
+                    # must be a dictionary variable → probe with wildcards
+                    matches = _probe_dict(
+                        var_dict, _token_wild_pattern(tok), ignore_case, exact=False
+                    )
+                    if not matches:
+                        return None
+                    if len(matches) <= MAX_DICT_CONSTRAINT_STRINGS:
+                        sq.set_constraints.append(matches)
+            if tok.suffix_star:
+                like_parts.append("%")
+        else:  # pragma: no cover
+            raise AssertionError(interp)
+
+    logtype_like = "".join(like_parts)
+    if logtype_like == "%":
+        return MATCH_ALL
+    sq.logtype_like = logtype_like
+    return sq
+
+
+def _token_text_like(tok: QueryToken) -> str:
+    parts = []
+    for c, esc in tok.chars:
+        if not esc and c == "*":
+            parts.append("%")
+        else:
+            parts.append(_like_escape_lit(escape_constant(c)))
+    return "".join(parts)
+
+
+def _token_wild_pattern(tok: QueryToken) -> str:
+    """CLP wildcard pattern of the token (escapes kept) for dict probing."""
+    out = []
+    for c, esc in tok.chars:
+        if esc and c in "*?\\":
+            out.append("\\" + c)
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def _probe_dict(var_dict, pattern: str, ignore_case: bool, exact: bool) -> list[str]:
+    if exact:
+        col = F.col("var_value")
+        pred = F.lower(col) == pattern.lower() if ignore_case else col == pattern
+    else:
+        like = wildcard_to_like_pattern(pattern)
+        pred = F.col("var_value").ilike(like) if ignore_case else F.col("var_value").like(like)
+    rows = var_dict.where(pred).select("var_value").limit(
+        MAX_DICT_CONSTRAINT_STRINGS + 1
+    ).collect()
+    return [r["var_value"] for r in rows]
+
+
+# --------------------------------------------------------------- execution
+
+TAGGED_VARS_EXPR = """
+aggregate(
+  placeholders,
+  struct(cast(0 as int) as di, cast(array() as array<struct<k:int, v:string>>) as out),
+  (s, p) -> struct(
+    s.di + IF(p = 18, 1, 0),
+    array_append(s.out, named_struct(
+      'k', p,
+      'v', IF(p = 18,
+              element_at(dict_vars, s.di + 1),
+              cast(element_at(encoded_vars, size(s.out) - s.di + 1) as string))))),
+  s -> s.out)
+"""
+
+
+def tagged_vars_col() -> Column:
+    """array<struct<k,v>> interleaving non-dict encoded values and dict strings
+    in message order (recovers CLP's single variables column)."""
+    return F.expr(TAGGED_VARS_EXPR)
+
+
+def _subsequence_pred(tagged: Column, needle: list[tuple[int, str]]) -> Column:
+    k = len(needle)
+    needle_arr = F.array(
+        *[
+            F.struct(F.lit(kk).cast("int").alias("k"), F.lit(vv).alias("v"))
+            for kk, vv in needle
+        ]
+    )
+    state = F.aggregate(
+        tagged,
+        F.lit(0),
+        lambda acc, x: F.when(
+            (acc < F.lit(k)) & (x == F.element_at(needle_arr, acc + 1)), acc + 1
+        ).otherwise(acc),
+    )
+    return state == F.lit(k)
+
+
+def _ids_predicate(col: Column, ids: list) -> Column:
+    return col.isin(ids)
+
+
+def make_decode_udf():
+    """Candidates-only decode: (logtype, encoded_vars, dict_vars) -> message."""
+    from clp_spark.oracle.encoder import decode_message
+
+    @F.pandas_udf("string")
+    def _decode(logtype: pd.Series, encoded_vars: pd.Series, dict_vars: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                decode_message(lt, [int(x) for x in ev], list(dv))
+                for lt, ev, dv in zip(logtype, encoded_vars, dict_vars)
+            ],
+            index=logtype.index,
+            dtype=object,
+        )
+
+    return _decode
+
+
+def search_archive(
+    sinks: DataFrame,
+    logtype_dict: DataFrame,
+    var_dict: DataFrame,
+    query: str,
+    ignore_case: bool = False,
+) -> DataFrame:
+    """Matched rows (doc_id, source, logtype_id, message) for a CLP wildcard query."""
+    decode = make_decode_udf()
+    message = decode(F.col("logtype"), F.col("encoded_vars"), F.col("dict_vars"))
+    with_lt = sinks.join(F.broadcast(logtype_dict.select("logtype_id", "logtype")),
+                         "logtype_id", "left") if "logtype" not in sinks.columns else sinks
+
+    compiled = compile_query(query, logtype_dict, var_dict, ignore_case)
+    if compiled == MATCH_ALL:
+        return with_lt.select("doc_id", "source", "logtype_id", message.alias("message"))
+    if not compiled:
+        return (
+            with_lt.select("doc_id", "source", "logtype_id", message.alias("message"))
+            .where(F.lit(False))
+        )
+
+    tagged = tagged_vars_col()
+    candidate_preds = []
+    exact_preds = []  # subqueries not requiring final verification
+    for ids, sq in compiled:
+        pred = _ids_predicate(F.col("logtype_id"), ids)
+        if sq.ordered_exact:
+            pred = pred & _subsequence_pred(tagged, sq.ordered_exact)
+        for strings in sq.set_constraints:
+            def _dict_contains(ss):
+                return lambda x: (x["k"] == F.lit(0x12)) & x["v"].isin(ss)
+
+            pred = pred & F.exists(tagged, _dict_contains(strings))
+        candidate_preds.append(pred)
+        if not sq.wildcard_match_required:
+            exact_preds.append(pred)
+
+    any_candidate = candidate_preds[0]
+    for p in candidate_preds[1:]:
+        any_candidate = any_candidate | p
+    no_verify = None
+    for p in exact_preds:
+        no_verify = p if no_verify is None else (no_verify | p)
+
+    candidates = with_lt.where(any_candidate).withColumn("message", message)
+    final = wildcard_match(F.col("message"), query, ignore_case)
+    if no_verify is not None:
+        final = no_verify | final
+    return candidates.where(final).select("doc_id", "source", "logtype_id", "message")

@@ -1,0 +1,46 @@
+"""Ordered-subsequence array matching (reference clp/Query.hpp:244-268
+`matches_vars`: the subquery's variables must appear in the row's variable
+array in order, not necessarily contiguously).
+
+Spark has no built-in subsequence predicate; we express the greedy automaton
+with the `aggregate` higher-order function — fully JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def contains_ordered_subsequence(arr: Column, needle: list) -> Column:
+    """True iff ``needle`` is an ordered (not necessarily contiguous)
+    subsequence of array column ``arr``.
+
+    Implemented as aggregate(arr, 0, (matched, x) -> matched + (x == needle[matched])),
+    final check matched == len(needle). Greedy matching is exactly the
+    reference's scan.
+    """
+    if not needle:
+        return F.lit(True)
+    needle_arr = F.array(*[F.lit(v) for v in needle])
+    k = len(needle)
+    state = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, x: F.when(
+            (acc < F.lit(k)) & (x == F.element_at(needle_arr, acc + 1)), acc + 1
+        ).otherwise(acc),
+    )
+    return state == F.lit(k)
+
+
+def contains_ordered_subsequence_col(arr: Column, needle: Column) -> Column:
+    """Same, but with the needle itself an array column."""
+    k = F.size(needle)
+    state = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, x: F.when((acc < k) & (x == F.element_at(needle, acc + 1)), acc + 1)
+        .otherwise(acc),
+    )
+    return (k == 0) | (state == k)

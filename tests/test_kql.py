@@ -1,0 +1,128 @@
+"""KQL compiler golden tests, modeled on the reference corpus
+(clp_s/tests/test-clp_s-search.cpp:205-233 over test_search.jsonl)."""
+
+import pytest
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from clp_spark.operators.kql import compile_kql, kql_filter, parse_kql
+
+SCHEMA = StructType(
+    [
+        StructField("idx", LongType()),
+        StructField("a", StringType()),
+        StructField("msg", StringType()),
+        StructField(
+            "arr",
+            StructType([StructField("a", LongType()), StructField("b", LongType())]),
+        ),
+        StructField("var_string", StringType()),
+        StructField("clp_string", StringType()),
+        StructField("float", DoubleType()),
+        StructField("int", LongType()),
+        StructField("bool", BooleanType()),
+        StructField("ambiguous_varstring", StringType()),
+        StructField("one", DoubleType()),
+        StructField("_filename", StringType()),
+        StructField("_file_split_number", LongType()),
+        StructField("_archive_creator_id", StringType()),
+    ]
+)
+
+N = StructType  # noqa: unused alias guard
+
+
+def _row(idx, **kw):
+    base = {f.name: None for f in SCHEMA.fields}
+    base.update(idx=idx, _filename="test_search.jsonl", _file_split_number=0,
+                _archive_creator_id="creator-1")
+    base.update(kw)
+    return tuple(base[f.name] for f in SCHEMA.fields)
+
+
+ROWS = [
+    _row(0, a="clp string"),
+    _row(1, msg='Msg 1: "Abc123"'),
+    _row(2, msg="Msg 2: 'Abc123'"),
+    _row(3, msg="Msg 3: \nAbc123"),
+    _row(4, msg="Msg 4: \\Abc123"),
+    _row(5, msg="Msg 5: \rAbc123"),
+    _row(6, msg="Msg 6: \tAbc123"),
+    _row(7, arr={"a": 999, "b": 1001}),
+    _row(8, arr={"a": 999, "b": 1001}),
+    _row(9, var_string="a", clp_string="a b", float=1.1, int=1, bool=True),
+    _row(10, ambiguous_varstring="abcde"),
+    _row(11, ambiguous_varstring="ae"),
+    _row(12, ambiguous_varstring="a*e"),
+    _row(13, one=1.0),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+GOLDEN = [
+    (r"NOT a: b", {0}),
+    (r'msg: "Msg 1: \"Abc123\""', {1}),
+    (r'''msg: "Msg 2: 'Abc123'"''', {2}),
+    (r'msg: "Msg 3: \nAbc123"', {3}),
+    (r'msg: "Msg 4: \\Abc123"', {4}),
+    (r'msg: "Msg 5: \rAbc123"', {5}),
+    (r'msg: "Msg 6: \tAbc123"', {6}),
+    (r'msg: "*Abc123*"', {1, 2, 3, 4, 5, 6}),
+    (r"arr.b > 1000", {7, 8}),
+    (r"var_string: *", {9}),
+    (r"clp_string: *", {9}),
+    (
+        r'$_filename: "test_search.jsonl" AND $_file_split_number: 0 AND '
+        r"$_archive_creator_id: * AND idx: 0",
+        {0},
+    ),
+    (r'idx: 0 AND NOT $_filename: "clp string"', {0}),
+    (r'idx: 0 AND NOT $*._filename.*: "clp string"', {0}),
+    (
+        r"($_filename: file OR $_file_split_number: 1 OR $_archive_creator_id > 0) AND "
+        r'idx: 0 OR idx: timestamp("1")',
+        {1},
+    ),
+    (r'ambiguous_varstring: "a*e"', {10, 11, 12}),
+    (r'ambiguous_varstring: "a\*e"', {12}),
+    (r"idx: * AND NOT idx: null AND idx: 0", {0}),
+    (r"one > 0.9 AND one < 1.1 AND one: 1.0", {13}),
+    # extra coverage: value lists, nested query syntax, ranges on strings
+    (r"idx: (0 OR 1 OR 2)", {0, 1, 2}),
+    (r"arr: {b > 1000}", {7, 8}),
+    (r"bool: true", {9}),
+    (r"int >= 1 AND float <= 1.2", {9}),
+    (r"NOT idx: *", set()),
+]
+
+
+@pytest.mark.parametrize("query,expected", GOLDEN, ids=[q for q, _ in GOLDEN])
+def test_golden_kql(corpus, query, expected):
+    got = {r["idx"] for r in kql_filter(corpus, query).select("idx").collect()}
+    assert got == expected, f"query {query!r}"
+
+
+def test_parse_shapes():
+    # quoted values keep wildcards literal-escaped at parse level per grammar
+    n = parse_kql(r'a: "x" AND NOT (b: 1 OR c: *)')
+    assert n is not None
+
+
+def test_ignore_case(corpus):
+    got = {
+        r["idx"]
+        for r in corpus.where(compile_kql(corpus, 'msg: "*abc123*"', ignore_case=True))
+        .select("idx")
+        .collect()
+    }
+    assert got == {1, 2, 3, 4, 5, 6}

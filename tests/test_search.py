@@ -1,0 +1,155 @@
+"""Golden search tests: CLP wildcard query semantics over an encoded archive.
+
+Modeled on the reference's golden query corpus approach
+(clp_s/tests/test-clp_s-search.cpp:205-258): exact matched-id sets.
+"""
+
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from clp_spark.functions.encode_kernel import encode_batch
+from clp_spark.operators.search import MATCH_ALL, compile_query, search_archive
+
+CORPUS = [
+    "here is a string with a small int 4938 and a very large int 10000000000000000000",
+    " 4938 in the middle",
+    "no digits at all here",
+    "ERROR failed to connect",
+    "status was ERRORCODE5 yesterday",
+    "xERROR without boundaries",
+    "took 0.335 s",
+    "took 0.336 s",
+    "ratio -25.5196868642755 drift -00.00",
+    "user=alice logged in",
+    "user=alyce logged in",
+    "USER=ALICE LOGGED IN",
+    "hex deadBEEF marker",
+    "hex deadbeef marker",
+    "a literal * star and a literal ? mark",
+    "49380 4938.5 not the int",
+    "a=4938 assignment",
+]
+
+
+def naive_wildcard_match(msg: str, query: str, ignore_case: bool = False) -> bool:
+    """Reference whole-message wildcard semantics (string_utils.hpp:128-154)."""
+    rx = []
+    escaped = False
+    for c in query:
+        if escaped:
+            rx.append(re.escape(c))
+            escaped = False
+        elif c == "\\":
+            escaped = True
+        elif c == "*":
+            rx.append(".*")
+        elif c == "?":
+            rx.append(".")
+        else:
+            rx.append(re.escape(c))
+    flags = re.DOTALL | (re.IGNORECASE if ignore_case else 0)
+    return re.fullmatch("".join(rx), msg, flags) is not None
+
+
+@pytest.fixture(scope="module")
+def archive(spark):
+    enc = encode_batch(pd.Series(CORPUS, dtype=object))
+    logtypes = sorted(set(enc["logtype"]))
+    lt_id = {lt: i for i, lt in enumerate(logtypes)}
+    var_values = sorted({v for dv in enc["dict_vars"] for v in dv})
+
+    sinks_schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("source", StringType()),
+            StructField("logtype_id", LongType()),
+            StructField("logtype", StringType()),
+            StructField("placeholders", ArrayType(IntegerType())),
+            StructField("encoded_vars", ArrayType(LongType())),
+            StructField("dict_vars", ArrayType(StringType())),
+        ]
+    )
+    rows = [
+        (
+            f"doc-{i:04d}",
+            "app-0",
+            lt_id[enc["logtype"][i]],
+            enc["logtype"][i],
+            list(enc["placeholders"][i]),
+            list(enc["encoded_vars"][i]),
+            list(enc["dict_vars"][i]),
+        )
+        for i in range(len(CORPUS))
+    ]
+    sinks = spark.createDataFrame(rows, sinks_schema)
+    logtype_dict = spark.createDataFrame(
+        [(lt, i) for lt, i in lt_id.items()], ["logtype", "logtype_id"]
+    )
+    var_dict = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(var_values)], ["var_value", "var_id"]
+    )
+    return sinks, logtype_dict, var_dict
+
+
+def run(archive, query, ignore_case=False):
+    sinks, lt, vd = archive
+    out = search_archive(sinks, lt, vd, query, ignore_case)
+    return {int(r["doc_id"][4:]) for r in out.collect()}
+
+
+def naive(query, ignore_case=False):
+    return {
+        i for i, m in enumerate(CORPUS) if naive_wildcard_match(m, query, ignore_case)
+    }
+
+
+@pytest.mark.parametrize(
+    "query,ignore_case",
+    [
+        ("*ERROR*", False),
+        ("*error*", True),
+        ("* 4938 *", False),
+        ("*4938*", False),
+        ("took 0.335 s", False),
+        ("*0.335*", False),
+        ("*user=al?ce*", False),
+        ("*user=*", False),
+        ("*deadBEEF*", False),
+        ("*deadbeef*", True),
+        ("*10000000000000000000*", False),
+        ("*zzz_nonexistent_99*", False),
+        ("*-00.00*", False),
+        ("*literal \\* star*", False),
+        ("no digits at all here", False),
+        ("*middle", False),
+    ],
+)
+def test_query_matches_naive_semantics(archive, query, ignore_case):
+    assert run(archive, query, ignore_case) == naive(query, ignore_case)
+
+
+def test_match_all(archive):
+    assert run(archive, "*") == set(range(len(CORPUS)))
+
+
+def test_match_all_compile_shortcircuit(archive):
+    _, lt, vd = archive
+    assert compile_query("*", lt, vd) == MATCH_ALL
+
+
+def test_message_column_is_decoded_original(archive):
+    sinks, lt, vd = archive
+    out = search_archive(sinks, lt, vd, "*ERROR*")
+    got = {r["doc_id"]: r["message"] for r in out.collect()}
+    for doc_id, msg in got.items():
+        assert msg == CORPUS[int(doc_id[4:])]
