@@ -1,38 +1,609 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: CLP encode→route→aggregate over sf0.001 documents.
+queries()      — one entry per implemented operator (SURVEY.md §2 + training-
+                 data ops); each callable takes (spark, sf_dir) → DataFrame.
+oracle_sql()   — DuckDB-equivalent ANSI SQL per query (pre-registered views:
+                 region nation customer supplier part orders lineitem events
+                 documents embeddings). Omitted only for ops whose semantics
+                 aren't SQL-expressible (LSH-ANN bucketing internals).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+_SHIPPED = False
+
+
+def _ensure_workers_have_package(spark: SparkSession) -> None:
+    """Ship clp_spark to executors (the spark-submit --py-files equivalent)."""
+    global _SHIPPED
+    if _SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    zip_base = os.path.join(tempfile.gettempdir(), "clp_spark_pkg")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        staging = tempfile.mkdtemp()
+        shutil.copytree(os.path.join(_REPO, "clp_spark"), os.path.join(staging, "clp_spark"))
+        shutil.make_archive(zip_base, "zip", staging)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this context
+    _SHIPPED = True
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ------------------------------------------------------------ CLP encode ops
+
+_READABLE = [("\x11", "<I>"), ("\x12", "<D>"), ("\x13", "<F>")]
+
+
+def _readable_logtype(col):
+    out = col
+    for ph, vis in _READABLE:
+        out = F.regexp_replace(out, ph, vis)
+    return out
+
+
+def _encoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_workers_have_package(spark)
+    from clp_spark.functions.encode_kernel import clp_encode_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = clp_encode_udf()
+    return docs.withColumn("enc", enc("text")).select(
+        "doc_id",
+        "source",
+        F.col("enc.logtype").alias("raw_logtype"),
+        F.col("enc.dict_vars").alias("dict_vars"),
+    )
+
+
+def q_clp_logtype_extract(spark, sf_dir):
+    return _encoded_docs(spark, sf_dir).select(
+        "doc_id", _readable_logtype(F.col("raw_logtype")).alias("logtype")
+    )
+
+
+def q_clp_encode_route_agg(spark, sf_dir):
+    return (
+        _encoded_docs(spark, sf_dir)
+        .groupBy("source", _readable_logtype(F.col("raw_logtype")).alias("logtype"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_clp_dict_var_counts(spark, sf_dir):
+    return (
+        _encoded_docs(spark, sf_dir)
+        .select(F.explode("dict_vars").alias("var_value"))
+        .groupBy("var_value")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_clp_logtype_dict_ids(spark, sf_dir):
+    """Deterministic sorted dense dictionary ids (distributed rank path)."""
+    from clp_spark.operators.dictionary import assign_sorted_ids
+
+    enc = _encoded_docs(spark, sf_dir).select(
+        _readable_logtype(F.col("raw_logtype")).alias("logtype")
+    )
+    return assign_sorted_ids(enc, "logtype", "logtype_id")
+
+
+# oracle fragment: CLP tokenizer over strictly-[a-z ] text — the only variable
+# rule that can fire is the multi-digit-hex rule (^[a-f]{2,}$)
+_ORACLE_LOGTYPE = (
+    "array_to_string(list_transform(string_split(text, ' '), "
+    "w -> CASE WHEN regexp_matches(w, '^[a-f]{2,}$') THEN '<D>' ELSE w END), ' ')"
+)
+_ORACLE_DICTVARS = (
+    "list_filter(string_split(text, ' '), w -> regexp_matches(w, '^[a-f]{2,}$'))"
+)
+
+
+# ----------------------------------------------------------- search / filter
+
+
+def q_wildcard_search(spark, sf_dir):
+    from clp_spark.functions.wildcard import wildcard_match
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(wildcard_match(F.col("text"), "*spark*join*")).select("doc_id")
+
+
+def q_wildcard_single_char(spark, sf_dir):
+    from clp_spark.functions.wildcard import wildcard_match
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(wildcard_match(F.col("text"), "*fa?t*")).select("doc_id")
+
+
+def q_wildcard_ignore_case(spark, sf_dir):
+    from clp_spark.functions.wildcard import wildcard_match
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(
+        wildcard_match(F.col("text"), "*SPARK*", ignore_case=True)
+    ).select("doc_id")
+
+
+def q_kql_and_range(spark, sf_dir):
+    from clp_spark.operators.kql import kql_filter
+
+    ev = _t(spark, sf_dir, "events")
+    return kql_filter(ev, "event_type: error AND value > 50").select("event_id")
+
+
+def q_kql_value_list(spark, sf_dir):
+    from clp_spark.operators.kql import kql_filter
+
+    ev = _t(spark, sf_dir, "events")
+    return kql_filter(ev, "event_type: (click OR purchase)").select("event_id")
+
+
+def q_kql_not_exists(spark, sf_dir):
+    from clp_spark.operators.kql import kql_filter
+
+    ev = _t(spark, sf_dir, "events")
+    return kql_filter(ev, "NOT event_type: error AND value: *").select("event_id")
+
+
+def q_kql_json_field(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.where(k > 50).groupBy("event_type").agg(F.count("*").alias("n"))
+    )
+
+
+def q_ts_range_filter(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(
+        F.col("ts").between("2024-01-02 00:00:00", "2024-01-03 00:00:00")
+    ).select("event_id")
+
+
+def q_subsequence_match(spark, sf_dir):
+    from clp_spark.operators.subseq import contains_ordered_subsequence
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(
+        contains_ordered_subsequence(F.split("text", " "), ["spark", "join"])
+    ).select("doc_id")
+
+
+def q_projection(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.where(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+# ------------------------------------------------------------- aggregations
+
+
+def q_count_matching(spark, sf_dir):
+    from clp_spark.operators.aggregate import count_matched
+
+    ev = _t(spark, sf_dir, "events")
+    return count_matched(ev, F.col("event_type") == "error")
+
+
+def q_count_by_time(spark, sf_dir):
+    from clp_spark.operators.aggregate import count_by_time
+
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return count_by_time(ev, F.unix_millis(F.col("ts").cast("timestamp")), 60_000)
+
+
+def q_agg_min_max(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.min("value").alias("min_val"), F.max("value").alias("max_val")
+    )
+
+
+def q_agg_unique(spark, sf_dir):
+    from clp_spark.operators.aggregate import unique_of
+
+    ev = _t(spark, sf_dir, "events")
+    return unique_of(ev, F.col("event_type"))
+
+
+def q_latest_n(spark, sf_dir):
+    from clp_spark.operators.aggregate import latest_n
+
+    ev = _t(spark, sf_dir, "events")
+    return latest_n(ev, F.col("ts"), 100, F.col("event_id")).select("event_id")
+
+
+def q_logtype_freq(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+def q_salted_group_count(spark, sf_dir):
+    from clp_spark.operators.aggregate import salted_group_count
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_group_count(ev, ["event_type"], salt_buckets=8, salt_col="event_id")
+
+
+def q_dict_ids_join(spark, sf_dir):
+    """Dictionary-id assignment + broadcast enrich join (decode-join analog)."""
+    from clp_spark.operators.dictionary import assign_sorted_ids
+
+    ev = _t(spark, sf_dir, "events")
+    dim = assign_sorted_ids(ev.select("event_type"), "event_type", "type_id")
+    return (
+        ev.join(F.broadcast(dim), "event_type")
+        .groupBy("type_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ------------------------------------------------------- training-data ops
+
+
+def q_dedup_exact_groups(spark, sf_dir):
+    from clp_spark.operators.dedup import exact_dedup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+def q_dedup_exact_survivors(spark, sf_dir):
+    from clp_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text").select("doc_id")
+
+
+def q_minhash_seed0(spark, sf_dir):
+    from clp_spark.operators.dedup import seeded_hash60, word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    return sh.groupBy("doc_id").agg(
+        F.min(seeded_hash60(F.col("shingle"), 0)).alias("mh")
+    )
+
+
+def q_minhash_band_candidates(spark, sf_dir):
+    from clp_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=8, bands=4)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from clp_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.015)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash(spark, sf_dir):
+    from clp_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return simhash(docs, "doc_id", "text", bits=16)
+
+
+_QUERY_VEC = [1.0] + [0.0] * 63
+
+
+def q_embedding_threshold(spark, sf_dir):
+    from clp_spark.operators.similarity import cosine_above
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_above(emb, "embedding", _QUERY_VEC, 0.30).select("vec_id")
+
+
+def q_embedding_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN — approximate path; rows-only driver check."""
+    from clp_spark.operators.similarity import lsh_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, "embedding", _QUERY_VEC, 10, n_planes=4).select("vec_id")
+
+
+def q_lang_id(spark, sf_dir):
+    from clp_spark.functions.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+def q_quality_score(spark, sf_dir):
+    from clp_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("q"))
+
+
+def q_token_counts(spark, sf_dir):
+    from clp_spark.functions.text import bpe_ish_token_count, word_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(word_count(F.col("text"))).alias("total_words"),
+        F.sum(bpe_ish_token_count(F.col("text"))).alias("total_bpe"),
+    )
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    from clp_spark.functions.text import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+
+
+def q_multimodal_bytes(spark, sf_dir):
+    """Binary-column plumbing: text bytes as opaque payloads through the
+    Arrow-batched mapInPandas feature extractor."""
+    _ensure_workers_have_package(spark)
+    from clp_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return extract_features(media).select("media_id", "byte_len", "content_hash")
+
+
+# --------------------------------------------------------------- contract
+
+_HASH60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CLP parse→encode→route→aggregate over sf0.001 documents."""
+    return q_clp_encode_route_agg(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "clp_logtype_extract": q_clp_logtype_extract,
+        "clp_encode_route_agg": q_clp_encode_route_agg,
+        "clp_dict_var_counts": q_clp_dict_var_counts,
+        "clp_logtype_dict_ids": q_clp_logtype_dict_ids,
+        "wildcard_search": q_wildcard_search,
+        "wildcard_single_char": q_wildcard_single_char,
+        "wildcard_ignore_case": q_wildcard_ignore_case,
+        "kql_and_range": q_kql_and_range,
+        "kql_value_list": q_kql_value_list,
+        "kql_not_exists": q_kql_not_exists,
+        "kql_json_field": q_kql_json_field,
+        "ts_range_filter": q_ts_range_filter,
+        "subsequence_match": q_subsequence_match,
+        "projection": q_projection,
+        "count_matching": q_count_matching,
+        "count_by_time": q_count_by_time,
+        "agg_min_max": q_agg_min_max,
+        "agg_unique": q_agg_unique,
+        "latest_n": q_latest_n,
+        "logtype_freq": q_logtype_freq,
+        "salted_group_count": q_salted_group_count,
+        "dict_ids_join": q_dict_ids_join,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_exact_survivors": q_dedup_exact_survivors,
+        "minhash_seed0": q_minhash_seed0,
+        "minhash_band_candidates": q_minhash_band_candidates,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "embedding_threshold": q_embedding_threshold,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_counts": q_token_counts,
+        "doc_fingerprints": q_doc_fingerprints,
+        "multimodal_bytes": q_multimodal_bytes,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en = "'" + "','".join(
+        ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+         "for", "on", "with", "as", "was", "at", "by", "be", "this"]
+    ) + "'"
+    de = "'" + "','".join(
+        ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"]
+    ) + "'"
+    fr = "'" + "','".join(
+        ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"]
+    ) + "'"
+    bpe_re = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return {
+        "clp_logtype_extract": f"SELECT doc_id, {_ORACLE_LOGTYPE} AS logtype FROM documents",
+        "clp_encode_route_agg": (
+            f"SELECT source, {_ORACLE_LOGTYPE} AS logtype, count(*) AS n "
+            "FROM documents GROUP BY 1, 2"
+        ),
+        "clp_dict_var_counts": (
+            f"SELECT var_value, count(*) AS n FROM (SELECT unnest({_ORACLE_DICTVARS}) "
+            "AS var_value FROM documents) GROUP BY 1"
+        ),
+        "clp_logtype_dict_ids": (
+            f"WITH lt AS (SELECT DISTINCT {_ORACLE_LOGTYPE} AS logtype FROM documents) "
+            "SELECT logtype, dense_rank() OVER (ORDER BY logtype) - 1 AS logtype_id FROM lt"
+        ),
+        "wildcard_search": "SELECT doc_id FROM documents WHERE text LIKE '%spark%join%'",
+        "wildcard_single_char": "SELECT doc_id FROM documents WHERE text LIKE '%fa_t%'",
+        "wildcard_ignore_case": "SELECT doc_id FROM documents WHERE text ILIKE '%SPARK%'",
+        "kql_and_range": (
+            "SELECT event_id FROM events WHERE event_type = 'error' AND value > 50"
+        ),
+        "kql_value_list": (
+            "SELECT event_id FROM events WHERE event_type = 'click' "
+            "OR event_type = 'purchase'"
+        ),
+        "kql_not_exists": (
+            "SELECT event_id FROM events WHERE NOT (event_type = 'error') "
+            "AND value IS NOT NULL"
+        ),
+        "kql_json_field": (
+            "SELECT event_type, count(*) AS n FROM events "
+            "WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50 GROUP BY 1"
+        ),
+        "ts_range_filter": (
+            "SELECT event_id FROM events WHERE ts BETWEEN TIMESTAMP '2024-01-02 00:00:00' "
+            "AND TIMESTAMP '2024-01-03 00:00:00'"
+        ),
+        "subsequence_match": (
+            "SELECT doc_id FROM documents WHERE "
+            "coalesce(list_position(string_split(text,' '), 'spark'), 0) > 0 AND "
+            "len(list_filter(string_split(text,' '), (x, i) -> x = 'join' AND "
+            "i > list_position(string_split(text,' '), 'spark'))) > 0"
+        ),
+        "projection": (
+            "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'"
+        ),
+        "count_matching": "SELECT count(*) AS cnt FROM events WHERE event_type = 'error'",
+        "count_by_time": (
+            "SELECT (epoch_ms(ts) // 60000) * 60000 AS bucket_ts, count(*) AS cnt "
+            "FROM events GROUP BY 1"
+        ),
+        "agg_min_max": (
+            "SELECT event_type, min(value) AS min_val, max(value) AS max_val "
+            "FROM events GROUP BY 1"
+        ),
+        "agg_unique": "SELECT DISTINCT event_type AS value FROM events",
+        "latest_n": (
+            "SELECT event_id FROM events ORDER BY ts DESC, event_id DESC LIMIT 100"
+        ),
+        "logtype_freq": "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+        "salted_group_count": "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+        "dict_ids_join": (
+            "WITH dim AS (SELECT event_type, dense_rank() OVER (ORDER BY event_type) - 1 "
+            "AS type_id FROM (SELECT DISTINCT event_type FROM events)) "
+            "SELECT type_id, count(*) AS n FROM events JOIN dim USING (event_type) GROUP BY 1"
+        ),
+        "dedup_exact_groups": (
+            "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "
+            "count(*) AS n_dupes FROM documents GROUP BY 1"
+        ),
+        "dedup_exact_survivors": (
+            "SELECT doc_id FROM documents WHERE doc_id IN "
+            "(SELECT min(doc_id) FROM documents GROUP BY md5(text))"
+        ),
+        "minhash_seed0": (
+            "WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, "
+            "greatest(len(w)-2, 1)), i -> array_to_string(w[i:i+2], ' '))) AS shingle FROM d) "
+            f"SELECT doc_id, min({_HASH60.format(x=chr(39) + '0|' + chr(39) + ' || shingle')}) "
+            "AS mh FROM sh GROUP BY 1"
+        ),
+        "minhash_band_candidates": (
+            "WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents "
+            "WHERE doc_id < 200), "
+            "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, "
+            "greatest(len(w)-2, 1)), i -> array_to_string(w[i:i+2], ' '))) AS shingle FROM d), "
+            "seeds AS (SELECT unnest(generate_series(0, 7)) AS seed), "
+            "mh AS (SELECT doc_id, seed, "
+            f"min({_HASH60.format(x='seed::VARCHAR || ' + chr(39) + '|' + chr(39) + ' || shingle')}) AS mh "
+            "FROM sh CROSS JOIN seeds GROUP BY 1, 2), "
+            "sig AS (SELECT doc_id, array_agg(mh ORDER BY seed) AS sig FROM mh GROUP BY 1), "
+            "bands AS (SELECT doc_id, b, md5(b::VARCHAR || ',' || "
+            "array_to_string(sig[b*2+1:b*2+2], ',')) AS band_key "
+            "FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)) "
+            "SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a "
+            "JOIN bands c ON a.b = c.b AND a.band_key = c.band_key "
+            "WHERE a.doc_id < c.doc_id"
+        ),
+        "ngram_jaccard": (
+            "WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents "
+            "WHERE doc_id < 100), "
+            "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, "
+            "greatest(len(w)-2, 1)), i -> array_to_string(w[i:i+2], ' '))) AS shingle FROM d), "
+            "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n FROM sh a "
+            "JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, round(n::DOUBLE / (sa.sz + sb.sz - n), 6) AS jaccard "
+            "FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
+            "WHERE n::DOUBLE / (sa.sz + sb.sz - n) >= 0.015"
+        ),
+        "simhash": (
+            "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+            "FROM documents WHERE doc_id < 100), "
+            f"h AS (SELECT doc_id, {_HASH60.format(x='w')} AS h FROM words WHERE w <> ''), "
+            "bits AS (SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s FROM h "
+            "CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) GROUP BY 1, 2) "
+            "SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) "
+            "AS simhash FROM bits GROUP BY 1"
+        ),
+        "embedding_threshold": (
+            "SELECT vec_id FROM embeddings WHERE embedding[1]::DOUBLE / "
+            "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) > 0.30"
+        ),
+        "lang_id": (
+            "WITH s AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), "
+            f"r AS (SELECT doc_id, "
+            f"len(list_filter(w, x -> x IN ({en})))::DOUBLE / greatest(len(w), 1) AS en, "
+            f"len(list_filter(w, x -> x IN ({de})))::DOUBLE / greatest(len(w), 1) AS de, "
+            f"len(list_filter(w, x -> x IN ({fr})))::DOUBLE / greatest(len(w), 1) AS fr "
+            "FROM s) SELECT doc_id, CASE WHEN greatest(en, de, fr) <= 0.0 THEN 'und' "
+            "WHEN en = greatest(en, de, fr) THEN 'en' "
+            "WHEN de = greatest(en, de, fr) THEN 'de' ELSE 'fr' END AS lang_guess FROM r"
+        ),
+        "quality_score": (
+            "WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents), "
+            f"r AS (SELECT doc_id, text, "
+            f"len(list_filter(list_transform(w, x -> lower(x)), x -> x IN ({en})))::DOUBLE "
+            "/ greatest(len(w), 1) AS swr, "
+            "list_sum(list_transform(w, x -> length(x)))::DOUBLE / greatest(len(w), 1) AS mwl, "
+            "(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / "
+            "greatest(length(text), 1) AS pr FROM s) "
+            "SELECT doc_id, ((CASE WHEN length(text) BETWEEN 20 AND 10000 THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN swr >= 0.05 THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN pr <= 0.2 THEN 1 ELSE 0 END)) / 4.0 AS q FROM r"
+        ),
+        "token_counts": (
+            "SELECT source, sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) "
+            "AS total_words, "
+            f"sum(len(regexp_extract_all(text, '{bpe_re}'))) AS total_bpe "
+            "FROM documents GROUP BY 1"
+        ),
+        "doc_fingerprints": (
+            "SELECT doc_id, "
+            + _HASH60.format(x="trim(regexp_replace(text, '\\s+', ' ', 'g'))")
+            + " AS fp FROM documents"
+        ),
+        "multimodal_bytes": (
+            "SELECT CAST(doc_id AS VARCHAR) AS media_id, "
+            "octet_length(encode(text)) AS byte_len, md5(text) AS content_hash FROM documents"
+        ),
+        # embedding_ann_lsh: approximate bucketed ANN — intentionally no SQL oracle
+    }

@@ -1,0 +1,184 @@
+"""Benchmark harness.
+
+Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "pipeline_rows_per_sec": ...}
+
+--scaling mode: runs the encode pipeline at local[8] and local[32] on the
+same input (the sandbox proxy for N vs 4N executors) and writes throughput +
+scaling efficiency into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+
+def _sf_of(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base.replace("sf", "") if base.startswith("sf") else base
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    from clp_spark.plans.pipeline import session_defaults
+
+    return (
+        session_defaults(
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("clp-spark-bench")
+            .config("spark.sql.shuffle.partitions", str(cpus))
+            .config("spark.driver.memory", "24g")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+        ).getOrCreate()
+    )
+
+
+def _materialize(df) -> int:
+    """Fully execute the plan without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def pipeline_bench(spark, sf: str) -> tuple[float, int]:
+    """End-to-end parse+encode+route-key+aggregate throughput over the
+    synthetic (doc_id, tokens, n_tok, source) sequences table."""
+    import pyspark.sql.functions as F
+
+    from clp_spark.functions.encode_kernel import clp_encode_udf
+    from clp_spark.plans.pipeline import make_detokenize_udf
+    from clp_spark.sources.synth import ensure_sequences
+
+    seq_path, vocab_path = ensure_sequences(os.path.join(_REPO, "data"), sf)
+    vocab = [r["text"] for r in spark.read.parquet(vocab_path).orderBy("token_id").collect()]
+    seq = spark.read.parquet(seq_path)
+    n_rows = seq.count()
+    detok = make_detokenize_udf(vocab)
+    encode = clp_encode_udf()
+    t0 = time.time()
+    out = (
+        seq.withColumn("message", detok("tokens"))
+        .withColumn("enc", encode("message"))
+        .select("doc_id", "source", "enc.logtype", "enc.encoded_vars", "enc.dict_vars")
+        .groupBy("source", "logtype")
+        .agg(F.count("*").alias("n"))
+    )
+    _materialize(out)
+    return time.time() - t0, n_rows
+
+
+HEADLINE = [
+    "clp_encode_route_agg",
+    "kql_and_range",
+    "count_by_time",
+    "dict_ids_join",
+    "latest_n",
+    "dedup_exact_groups",
+    "minhash_seed0",
+    "simhash",
+    "embedding_threshold",
+    "token_counts",
+    "subsequence_match",
+]
+
+
+def run_bench(sf_dir: str, cpus: int) -> dict:
+    import __spark_entry__ as entry_mod
+
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    # warm the JVM + python workers
+    spark.range(1000).count()
+    for name in HEADLINE:
+        t0 = time.time()
+        _materialize(queries[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+    pipe_s, pipe_rows = pipeline_bench(spark, _sf_of(sf_dir))
+    timings["pipeline_encode_route_agg"] = round(pipe_s, 3)
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "cpus": cpus,
+        "pipeline_rows": pipe_rows,
+        "pipeline_rows_per_sec": round(pipe_rows / pipe_s, 1),
+    }
+    spark.stop()
+    return result
+
+
+def run_scaling(sf_dir: str) -> None:
+    """local[8] vs local[32] on identical input → BENCH.md (N vs 4N proxy)."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CPUS"] = str(cpus)
+        env["SPARK_GRAFT_SF_DIR"] = sf_dir
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pipeline-only"],
+            capture_output=True, text=True, env=env, cwd=_REPO,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    r8, r32 = results[8], results[32]
+    eff = r32["pipeline_rows_per_sec"] / (4 * r8["pipeline_rows_per_sec"])
+    with open(os.path.join(_REPO, "BENCH.md"), "w") as f:
+        f.write(
+            "# BENCH — scaling evidence (sandbox proxy for N vs 4N executors)\n\n"
+            "Same job (parse+encode+route-key+aggregate over the synthetic\n"
+            "sequences table), same input, two parallelism levels.\n\n"
+            "| parallelism | rows | wall (s) | rows/sec |\n|---|---|---|---|\n"
+            f"| local[8]  | {r8['pipeline_rows']} | {r8['pipeline_sec']} | {r8['pipeline_rows_per_sec']} |\n"
+            f"| local[32] | {r32['pipeline_rows']} | {r32['pipeline_sec']} | {r32['pipeline_rows_per_sec']} |\n\n"
+            f"**Scaling efficiency** = throughput(32) / (4 x throughput(8)) = "
+            f"**{eff:.3f}** (target >= 0.8)\n"
+        )
+    print(json.dumps({"scaling_efficiency": round(eff, 3),
+                      "rows_per_sec_8": r8["pipeline_rows_per_sec"],
+                      "rows_per_sec_32": r32["pipeline_rows_per_sec"]}))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--pipeline-only", action="store_true")
+    args = ap.parse_args()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if args.scaling:
+        run_scaling(sf_dir)
+        return
+    if args.pipeline_only:
+        spark = make_spark(cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(1000).count()
+        pipe_s, pipe_rows = pipeline_bench(spark, _sf_of(sf_dir))
+        print(json.dumps({
+            "pipeline_sec": round(pipe_s, 3),
+            "pipeline_rows": pipe_rows,
+            "pipeline_rows_per_sec": round(pipe_rows / pipe_s, 1),
+            "cpus": cpus,
+        }))
+        spark.stop()
+        return
+    print(json.dumps(run_bench(sf_dir, cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, fingerprinting. Pure built-in pyspark.sql.functions — JVM-side,
+whole-stage-codegen friendly; every formula is also expressible in ANSI SQL so
+the DuckDB oracle can cross-check exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this",
+]
+DE_STOPWORDS = ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"]
+FR_STOPWORDS = ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"]
+
+# BPE-ish token regex: letter runs, digit runs, or single non-alnum-non-space
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(col: Column) -> Column:
+    return F.filter(F.split(col, r"\s+"), lambda w: w != "")
+
+
+def word_count(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(BPE_ISH_RE))
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or EN_STOPWORDS
+    ws = words(F.lower(col))
+    hits = F.size(F.filter(ws, lambda w: w.isin(sw)))
+    return hits / F.greatest(F.size(ws), F.lit(1))
+
+
+def punct_ratio(col: Column) -> Column:
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return n_punct / F.greatest(F.length(col), F.lit(1))
+
+
+def mean_word_length(col: Column) -> Column:
+    ws = words(col)
+    total = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    return total / F.greatest(F.size(ws), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic [0,1] quality: length band + stopword presence + sane word
+    length + low punctuation. Deterministic, SQL-replicable."""
+    length_ok = (F.length(col) >= 20) & (F.length(col) <= 10000)
+    sw_ok = stopword_ratio(col) >= 0.05
+    mwl = mean_word_length(col)
+    mwl_ok = (mwl >= 2.0) & (mwl <= 12.0)
+    punct_ok = punct_ratio(col) <= 0.2
+    score = (
+        length_ok.cast("int") + sw_ok.cast("int") + mwl_ok.cast("int")
+        + punct_ok.cast("int")
+    ) / F.lit(4.0)
+    return score
+
+
+def lang_id(col: Column) -> Column:
+    """n-gram/stopword heuristic language id over {en, de, fr}; 'und' if no hits."""
+    en = stopword_ratio(col, EN_STOPWORDS)
+    de = stopword_ratio(col, DE_STOPWORDS)
+    fr = stopword_ratio(col, FR_STOPWORDS)
+    best = F.greatest(en, de, fr)
+    return (
+        F.when(best <= 0.0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(de == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """60-bit content fingerprint over whitespace-normalized text
+    (md5-derived — replicable in DuckDB)."""
+    normalized = F.trim(F.regexp_replace(col, r"\s+", " "))
+    return F.conv(F.substring(F.md5(normalized), 1, 15), 16, 10).cast("long")

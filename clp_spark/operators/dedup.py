@@ -1,0 +1,185 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hash functions are derived from md5 so results are engine-independent
+(replicable in the DuckDB oracle): h(s) = int(md5(s)[:15], 16) — a 60-bit
+deterministic hash. Everything is DataFrame ops; no Python UDFs.
+
+Scale notes: shingle explosion is the dominant cost; shingles are distinct-ed
+per doc before the minhash cross, bands bucket via a single groupBy, and the
+candidate self-join keys on (band, band_hash) — the classic LSH join, which
+AQE skew-splits if a bucket is hot. Exact dedup is a single hash groupBy with
+map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_hash60(col: Column) -> Column:
+    """Deterministic 60-bit int hash, replicable as
+    DuckDB: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def seeded_hash60(col: Column, seed: int) -> Column:
+    return md5_hash60(F.concat(F.lit(str(seed)), F.lit("|"), col))
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(content_hash, keep_id, n_dupes): one survivor (min id) per exact text."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Survivor rows only (min id per exact content hash)."""
+    keep = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) — distinct word n-grams per document (whitespace words)."""
+    words = F.split(F.col(text_col), r"\s+")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """(id, sig: array<long>) — minhash signature over word shingles."""
+    spark = df.sparkSession
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    seeds = spark.range(num_hashes).select(F.col("id").cast("int").alias("seed"))
+    hashed = sh.join(F.broadcast(seeds)).select(
+        F.col(id_col),
+        "seed",
+        md5_hash60(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))).alias(
+            "h"
+        ),
+    )
+    per_seed = hashed.groupBy(id_col, "seed").agg(F.min("h").alias("mh"))
+    return (
+        per_seed.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("_sm")
+        )
+        .select(F.col(id_col), F.expr("transform(_sm, x -> x.mh)").alias("sig"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id_a, id_b) candidate near-duplicate pairs via banded minhash-LSH."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            b.cast("string"),
+                            F.array_join(
+                                F.transform(
+                                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            ),
+                        )
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(F.col(id_col), F.col("bk.band"), F.col("bk.band_key"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) exact n-gram Jaccard over word shingles ≥ threshold."""
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """(id, simhash) — bitwise-majority fingerprint over word hashes.
+
+    Default 16 bits keeps the bit-explode fan-out small; each word contributes
+    ±1 per bit position, positive sum → bit set.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
+    ).where(F.col("w") != "")
+    hashed = words.select(F.col(id_col), md5_hash60(F.col("w")).alias("h"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    contrib = hashed.select(F.col(id_col), bit, F.col("h")).select(
+        F.col(id_col),
+        "b",
+        (F.expr("shiftright(h, b)").bitwiseAND(F.lit(1)) * 2 - 1).alias("c"),
+    )
+    per_bit = contrib.groupBy(id_col, "b").agg(F.sum("c").alias("s"))
+    return (
+        per_bit.groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)"))
+                .otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )

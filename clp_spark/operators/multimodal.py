@@ -1,0 +1,129 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns with
+typed metadata, processed via Arrow-batched mapInPandas.
+
+The Spark-side contract (schema, partitioning, UDF signature, batch shape) is
+real and tested; the actual media decode is stubbed — the decode libraries
+aren't in this container — behind ``decoder=`` hooks that either raise
+NotImplementedError (real path) or produce deterministic fake features.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),  # opaque encoded bytes
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("byte_len", LongType(), False),
+        StructField("content_hash", StringType(), False),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def real_decode(payload: bytes, kind: str) -> np.ndarray:  # pragma: no cover
+    """Real media decode — requires PIL/libav etc., not present here."""
+    raise NotImplementedError(
+        "media decode requires image/audio libraries not present in this "
+        "environment; use fake_decode for the deterministic test path"
+    )
+
+
+def fake_decode(payload: bytes, kind: str, dim: int = 8) -> np.ndarray:
+    """Deterministic fake feature: seeded by content hash → stable across runs."""
+    import hashlib
+
+    h = hashlib.md5(payload or b"").digest()
+    seed = int.from_bytes(h[:8], "little", signed=False) % (2**32)
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+def extract_features(
+    media: DataFrame, decoder=fake_decode, batch_dim: int = 8
+) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Arrow-batched: each batch arrives as a pandas DataFrame; the decode hook is
+    the only per-item work (vectorized in the real implementation via batched
+    decode libraries).
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            feats = [
+                None
+                if p is None
+                else decoder(bytes(p), k, batch_dim).tolist()
+                for p, k in zip(payloads, pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "byte_len": [0 if p is None else len(p) for p in payloads],
+                    "content_hash": [
+                        hashlib.md5(b"" if p is None else bytes(p)).hexdigest()
+                        for p in payloads
+                    ],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: one row per planned frame timestamp —
+    pure DataFrame math (the decode of each frame is the stubbed step)."""
+    return media.where(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Typed-metadata aggregation: per kind, count/bytes/dimensions."""
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.max("width").alias("max_width"),
+        F.max("height").alias("max_height"),
+    )

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine is the exact baseline (JVM-side zip_with/aggregate — no
+Python in the hot path); the scale path buckets vectors by deterministic
+random-hyperplane signs (LSH) so the query only scans its bucket, then
+reranks exactly. Hyperplanes are seeded numpy — reproducible everywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_product(vec_col: Column, query: list[float]) -> Column:
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return F.aggregate(
+        F.zip_with(vec_col, q, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(vec_col: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_similarity(vec_col: Column, query: list[float]) -> Column:
+    qnorm = float(np.sqrt(np.sum(np.asarray(query, dtype=np.float64) ** 2)))
+    return dot_product(vec_col, query) / (l2_norm(vec_col) * F.lit(qnorm))
+
+
+def brute_force_topk(
+    df: DataFrame, vec_col: str, query: list[float], k: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k by cosine — TakeOrderedAndProject, no full sort at scale."""
+    scored = df.select(
+        F.col(id_col), cosine_similarity(F.col(vec_col), query).alias("cos_sim")
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def cosine_above(
+    df: DataFrame, vec_col: str, query: list[float], threshold: float, id_col: str = "vec_id"
+) -> DataFrame:
+    scored = df.select(
+        F.col(id_col), cosine_similarity(F.col(vec_col), query).alias("cos_sim")
+    )
+    return scored.where(F.col("cos_sim") > threshold)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_col(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id under fixed random hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: scan only the query's hyperplane bucket, exact rerank.
+
+    At scale the bucket column is precomputed and the table is partitioned /
+    clustered by it, so the scan prunes to ~1/2^n_planes of the data.
+    """
+    planes = _hyperplanes(len(query), n_planes, seed)
+    qvec = np.asarray(query, dtype=np.float64)
+    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qvec) > 0))
+    bucketed = df.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
+    cand = bucketed.where(F.col("_bucket") == qbucket)
+    return brute_force_topk(cand, vec_col, query, k, id_col)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """(id_a, id_b, cos_sim) near-duplicate pairs: LSH-bucket self-join, exact
+    cosine rerank within buckets (embedding-cosine near-dup path)."""
+    first = df.select(F.col(vec_col)).first()
+    if first is None:
+        return df.sparkSession.createDataFrame([], "id_a long, id_b long, cos_sim double")
+    dim = len(first[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket_col(F.col(vec_col), planes).alias("_bucket"),
+        l2_norm(F.col(vec_col)).alias("_norm"),
+    )
+    a = bucketed.select(
+        F.col("_bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("_norm").alias("na"),
+    )
+    b = bucketed.select(
+        F.col("_bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_norm").alias("nb"),
+    )
+    pairs = a.join(b, "_bucket").where(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.withColumn("cos_sim", dot / (F.col("na") * F.col("nb")))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

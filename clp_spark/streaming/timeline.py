@@ -1,0 +1,83 @@
+"""Streaming timeline aggregation — the reducer's periodic count-by-time upsert
+(reference: components/core/src/reducer/ServerContext.cpp:57,172 and
+job_orchestration/reducer/reducer.py: periodic upsert of in-progress bucket
+counts) re-expressed as Structured Streaming.
+
+readStream(source) → count per fixed time bucket → outputMode("update") →
+foreachBatch upsert into a results table. CLP's bucket formula
+(ts_ms / B) * B (aggregators.hpp:111-113) is kept on raw epoch-ms longs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def streaming_count_by_time(
+    events: DataFrame, ts_ms_col: str, bucket_ms: int, watermark_delay: str = "1 minute"
+) -> DataFrame:
+    """Streaming DF → per-bucket counts. Watermark bounds late-data state."""
+    with_ts = events.withColumn(
+        "_event_time", F.timestamp_millis(F.col(ts_ms_col).cast("long"))
+    ).withWatermark("_event_time", watermark_delay)
+    bucket = (
+        (F.col(ts_ms_col).cast("long") / F.lit(bucket_ms)).cast("long") * F.lit(bucket_ms)
+    ).alias("bucket_ts")
+    # group on both the raw bucket and an event-time window so the watermark
+    # can expire state; they are 1:1 for tumbling windows aligned to bucket_ms
+    return (
+        with_ts.groupBy(
+            F.window("_event_time", f"{bucket_ms} milliseconds").alias("_w"), bucket
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select("bucket_ts", "cnt")
+    )
+
+
+class TimelineUpserter:
+    """foreachBatch sink: upsert bucket counts into a JSON state file
+    (stand-in for CLP's MongoDB results cache — swap for a real table sink)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        state = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                state = json.load(f)
+        for r in batch_df.collect():
+            state[str(r["bucket_ts"])] = r["cnt"]
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self.path)
+
+
+def run_timeline_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    ts_ms_col: str,
+    bucket_ms: int,
+    out_path: str,
+    checkpoint_dir: str,
+):
+    """File-source streaming timeline with availableNow trigger (batch-drain).
+
+    Returns the StreamingQuery; caller awaits termination. Checkpointing makes
+    the stream resumable — the streaming twin of the batch lineage records.
+    """
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    counts = streaming_count_by_time(stream, ts_ms_col, bucket_ms)
+    return (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(TimelineUpserter(out_path))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

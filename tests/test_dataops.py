@@ -1,0 +1,255 @@
+"""Tests for training-data pipeline operators: dedup, similarity, text,
+multimodal plumbing, streaming timeline — verified against brute-force Python."""
+
+import itertools
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from clp_spark.functions.text import (
+    BPE_ISH_RE,
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    word_count,
+)
+from clp_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+from clp_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+    fake_decode,
+    frame_sample_plan,
+    media_stats,
+)
+from clp_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_above,
+    embedding_near_dup_pairs,
+    lsh_ann_topk,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox jumps over a lazy dog"),  # near dup
+    (3, "completely different content about spark partitions and shuffles"),
+    (4, "spark partitions and shuffles require careful key distribution"),
+    (5, "short"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    return spark.createDataFrame(DOCS, schema)
+
+
+class TestDedup:
+    def test_exact_dedup(self, docs):
+        got = sorted(r["doc_id"] for r in exact_dedup(docs, "doc_id", "text").collect())
+        assert got == [0, 2, 3, 4, 5]
+
+    def test_shingles_match_python(self, docs):
+        got = {
+            (r["doc_id"], r["shingle"])
+            for r in word_shingles(docs, "doc_id", "text", 3).collect()
+        }
+        expected = set()
+        for i, t in DOCS:
+            w = t.split()
+            if len(w) < 3:
+                expected.add((i, " ".join(w)))
+            else:
+                for j in range(len(w) - 2):
+                    expected.add((i, " ".join(w[j : j + 3])))
+        assert got == expected
+
+    def test_minhash_lsh_finds_near_dups(self, docs):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_candidates(docs, "doc_id", "text", 16, 4).collect()
+        }
+        assert (0, 1) in pairs  # exact dup always collides
+        assert all(a < b for a, b in pairs)
+
+    def test_ngram_jaccard_exact(self, docs):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.3).collect()
+        }
+
+        def jac(a, b):
+            def sh(t):
+                w = t.split()
+                if len(w) < 3:
+                    return {" ".join(w)}
+                return {" ".join(w[j : j + 3]) for j in range(len(w) - 2)}
+
+            sa, sb = sh(a), sh(b)
+            return len(sa & sb) / len(sa | sb)
+
+        expected = {}
+        for (i, a), (j, b) in itertools.combinations(DOCS, 2):
+            v = jac(a, b)
+            if v >= 0.3:
+                expected[(i, j)] = v
+        assert set(got) == set(expected)
+        for k in got:
+            assert got[k] == pytest.approx(expected[k])
+
+    def test_simhash_dups_equal_and_stable(self, docs):
+        fps = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+        assert fps[0] == fps[1]
+        assert 0 <= fps[0] < (1 << 16)
+        # near dup differs in few bits
+        dist = bin(fps[0] ^ fps[2]).count("1")
+        assert dist <= 8
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 16)).astype(np.float32)
+    vecs[7] = vecs[3] * 1.5  # same direction → cosine 1 with 3
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        vecs,
+    )
+
+
+class TestSimilarity:
+    def test_brute_force_topk_matches_numpy(self, embeddings):
+        df, vecs = embeddings
+        q = [float(x) for x in vecs[3]]
+        got = [r["vec_id"] for r in brute_force_topk(df, "embedding", q, 5).collect()]
+        sims = (vecs @ vecs[3]) / (
+            np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[3])
+        )
+        expected = list(np.lexsort((np.arange(40), -sims))[:5])
+        assert got == [int(x) for x in expected]
+        assert set(got[:2]) == {3, 7}
+
+    def test_cosine_above(self, embeddings):
+        df, vecs = embeddings
+        q = [float(x) for x in vecs[3]]
+        got = {r["vec_id"] for r in cosine_above(df, "embedding", q, 0.95).collect()}
+        assert got == {3, 7}
+
+    def test_lsh_ann_contains_exact_hit(self, embeddings):
+        df, vecs = embeddings
+        q = [float(x) for x in vecs[3]]
+        got = [r["vec_id"] for r in lsh_ann_topk(df, "embedding", q, 3).collect()]
+        assert 3 in got and 7 in got  # identical-direction vectors share buckets
+
+    def test_near_dup_pairs(self, embeddings):
+        df, _ = embeddings
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(df, "embedding", 0.95, "vec_id").collect()
+        }
+        assert (3, 7) in got
+
+
+class TestText:
+    def test_counts_and_lang(self, spark):
+        df = spark.createDataFrame(
+            [(0, "the cat sat on the mat, happily!"), (1, "der hund ist nicht da"),
+             (2, "xyzzy qwfp")],
+            "id long, text string",
+        )
+        out = df.select(
+            "id",
+            word_count(F.col("text")).alias("wc"),
+            bpe_ish_token_count(F.col("text")).alias("bc"),
+            lang_id(F.col("text")).alias("lang"),
+            quality_score(F.col("text")).alias("q"),
+            doc_fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+        rows = {r["id"]: r for r in out}
+        assert rows[0]["wc"] == 7
+        import re
+
+        assert rows[0]["bc"] == len(re.findall(BPE_ISH_RE, DOCS_TEXT0))
+        assert rows[0]["lang"] == "en"
+        assert rows[1]["lang"] == "de"
+        assert rows[2]["lang"] == "und"
+        assert 0.0 <= rows[2]["q"] <= rows[0]["q"] <= 1.0
+        assert rows[0]["fp"] > 0
+
+
+DOCS_TEXT0 = "the cat sat on the mat, happily!"
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [
+            ("m0", "image", b"\x89PNGfake0", "image/png", 64, 48, None),
+            ("m1", "image", b"\x89PNGfake1", "image/png", 32, 32, None),
+            ("m2", "video", b"\x00\x00vid", "video/mp4", 640, 480, 3500),
+            ("m3", "audio", None, "audio/wav", None, None, 2000),
+        ]
+        return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def test_feature_extraction_deterministic(self, media):
+        out = {r["media_id"]: r for r in extract_features(media).collect()}
+        assert out["m0"]["byte_len"] == 9
+        assert len(out["m0"]["feature"]) == 8
+        assert out["m3"]["feature"] is None or len(out["m3"]["feature"]) == 8
+        # deterministic across runs
+        again = {r["media_id"]: r for r in extract_features(media).collect()}
+        assert out["m0"]["feature"] == again["m0"]["feature"]
+        assert list(fake_decode(b"\x89PNGfake0", "image")) == list(
+            fake_decode(b"\x89PNGfake0", "image")
+        )
+
+    def test_frame_sampling(self, media):
+        frames = frame_sample_plan(media, 1000).collect()
+        assert sorted(r["frame_ts_ms"] for r in frames) == [0, 1000, 2000, 3000]
+
+    def test_media_stats(self, media):
+        stats = {r["kind"]: r for r in media_stats(media).collect()}
+        assert stats["image"]["n"] == 2
+        assert stats["image"]["total_bytes"] == 18
+
+
+class TestStreamingTimeline:
+    def test_availablenow_counts(self, spark, tmp_path):
+        from clp_spark.streaming.timeline import run_timeline_stream
+
+        schema = "event_id long, ts_ms long"
+        rows = [(i, 1_700_000_000_000 + i * 10_000) for i in range(100)]
+        df = spark.createDataFrame(rows, schema)
+        in_dir = str(tmp_path / "in")
+        df.repartition(2).write.parquet(in_dir)
+        out_path = str(tmp_path / "timeline.json")
+        q = run_timeline_stream(
+            spark, in_dir, schema, "ts_ms", 60_000, out_path,
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        with open(out_path) as f:
+            state = json.load(f)
+        # brute force
+        import collections
+
+        expected = collections.Counter((ts // 60_000) * 60_000 for _, ts in rows)
+        assert {int(k): v for k, v in state.items()} == dict(expected)

@@ -1,0 +1,77 @@
+"""Mimics the driver's correctness gate: runs every queries() entry on Spark
+and its oracle_sql() on DuckDB over the same parquet (sf0.01), compares row
+count + order-insensitive values with matched column names."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def normalize(rows, columns):
+    cols = sorted(columns)
+    out = []
+    for r in rows:
+        vals = []
+        for c in cols:
+            v = r[c] if not isinstance(r, tuple) else r[columns.index(c)]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, ddb, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [r.asDict() for r in sdf.collect()]
+    res = ddb.execute(ORACLES[name])
+    ddb_cols = [d[0] for d in res.description]
+    ddb_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(ddb_cols), f"{name}: column mismatch"
+    got = normalize(spark_rows, spark_cols)
+    exp = normalize(ddb_rows, ddb_cols)
+    assert len(got) == len(exp), f"{name}: row count {len(got)} vs {len(exp)}"
+    assert got == exp, f"{name}: value mismatch (first diff: "\
+        f"{next(((g, e) for g, e in zip(got, exp) if g != e), None)})"
+
+
+def test_every_query_runs(spark):
+    """Queries without oracles still must run and return a stable schema."""
+    for name, fn in QUERIES.items():
+        if name in ORACLES:
+            continue
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        assert n >= 0 and len(df.columns) > 0, name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+
+
+def test_math_sanity():
+    assert math.isfinite(1.0)
