@@ -1,0 +1,181 @@
+"""mapInArrow CLP encode: zero per-row Python anywhere.
+
+The pandas-UDF path pays per-row Arrow↔Python conversion for the list/string
+output columns (~10× the kernel cost). This path works on pyarrow
+RecordBatches directly: tokens arrive as a ListArray whose values/offsets are
+numpy views, the numpy state-machine kernel (encode_kernel_np.encode_core)
+produces raw columnar buffers, and the output ListArray/StringArray columns
+are built from those buffers in O(1) — no Python object per row in either
+direction. This is the hot path the 10^12-row pipeline runs on.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from clp_spark.functions.encode_kernel_np import _ranges, encode_core
+
+ENCODED_ARROW_SCHEMA_SUFFIX = (
+    "logtype string, placeholders array<int>, encoded_vars array<long>, "
+    "dict_vars array<string>"
+)
+
+
+def _string_array(data: np.ndarray, offsets: np.ndarray) -> pa.Array:
+    return pa.StringArray.from_buffers(
+        len(offsets) - 1,
+        pa.py_buffer(offsets.astype(np.int32, copy=False).tobytes()),
+        pa.py_buffer(data.tobytes()),
+    )
+
+
+def encoded_arrays_from_core(raw: dict) -> dict[str, pa.Array]:
+    """Arrow columns from encode_core's raw buffers — O(columns), not O(rows)."""
+    logtype = _string_array(raw["lt_data"], raw["lt_offsets"])
+    placeholders = pa.ListArray.from_arrays(
+        pa.array(raw["var_offsets"], type=pa.int32()),
+        pa.array(raw["codes"].astype(np.int32, copy=False)),
+    )
+    encoded_vars = pa.ListArray.from_arrays(
+        pa.array(raw["nd_offsets"], type=pa.int32()),
+        pa.array(raw["nd_values"]),
+    )
+    dict_inner = _string_array(raw["d_data"], raw["d_inner_offsets"])
+    dict_vars = pa.ListArray.from_arrays(
+        pa.array(raw["d_offsets"], type=pa.int32()), dict_inner
+    )
+    return {
+        "logtype": logtype,
+        "placeholders": placeholders,
+        "encoded_vars": encoded_vars,
+        "dict_vars": dict_vars,
+    }
+
+
+def tokens_to_buffer(
+    tokens_col: pa.Array,
+    vocab_buf: np.ndarray,
+    piece_start: np.ndarray,
+    piece_len: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fused detokenize from a ListArray of token ids → (buf, msg_start, msg_end).
+
+    Zero-copy in: the ListArray's offsets/values are numpy views.
+    """
+    col = tokens_col.combine_chunks() if isinstance(tokens_col, pa.ChunkedArray) else tokens_col
+    if isinstance(col, pa.ListArray):
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_tok = col.values.to_numpy(zero_copy_only=False).astype(np.int32)
+    else:  # LargeList
+        offsets = np.asarray(col.offsets)
+        flat_tok = np.asarray(col.values).astype(np.int32)
+    # account for a non-zero starting offset (sliced arrays)
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    flat_tok = flat_tok[lo:hi]
+    offsets = offsets - lo
+    n = len(offsets) - 1
+
+    plens = piece_len[flat_tok]
+    tok_counts = np.diff(offsets)
+    row_of_tok = np.repeat(np.arange(n, dtype=np.int32), tok_counts)
+    msg_len = np.bincount(row_of_tok, weights=plens, minlength=n).astype(np.int64)
+    tok_off = (np.cumsum(plens, dtype=np.int64) - plens).astype(np.int32)
+    tok_off += row_of_tok
+    total = int(plens.sum()) + max(n - 1, 0)
+    buf = np.zeros(max(total, 1), dtype=np.uint8)
+    char_src = np.repeat(piece_start[flat_tok], plens) + _ranges(plens)
+    char_dst = char_src + np.repeat(tok_off - piece_start[flat_tok], plens)
+    buf[char_dst] = vocab_buf[char_src]
+    buf = buf[: max(total, 1)]
+    msg_start = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        msg_start[1:] = np.cumsum(msg_len + 1)[:-1]
+    msg_end = msg_start + msg_len
+    return buf, msg_start, msg_end
+
+
+def make_detok_encode_arrow(
+    vocab_text: list[str], passthrough: list[str], tokens_col: str = "tokens"
+):
+    """mapInArrow function: RecordBatch(tokens + passthrough) →
+    RecordBatch(passthrough + encoded columns)."""
+    from clp_spark.functions.encode_kernel_np import build_vocab_buffer
+
+    vocab_buf, piece_start, piece_len = build_vocab_buffer(vocab_text)
+
+    def _fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            tokens = batch.column(tokens_col)
+            buf, msg_start, msg_end = tokens_to_buffer(
+                tokens, vocab_buf, piece_start, piece_len
+            )
+            raw = encode_core(buf, msg_start, msg_end)
+            cols = encoded_arrays_from_core(raw)
+            arrays = [batch.column(c) for c in passthrough] + list(cols.values())
+            names = passthrough + list(cols.keys())
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return _fn
+
+
+def make_encode_arrow(passthrough: list[str], message_col: str = "message"):
+    """mapInArrow function over an existing string message column."""
+
+    def _fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            col = batch.column(message_col)
+            data = col.buffers()[2]
+            offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+                col.offset : col.offset + len(col) + 1
+            ]
+            full = np.frombuffer(data, dtype=np.uint8)
+            lo = int(offs[0])
+            # build a separated buffer (tokens must not span messages):
+            # copy each message followed by one 0x00 separator
+            lens = np.diff(offs).astype(np.int64)
+            n = len(lens)
+            total = int(lens.sum()) + max(n - 1, 0)
+            buf = np.zeros(max(total, 1), dtype=np.uint8)
+            msg_start = np.zeros(n, dtype=np.int64)
+            if n > 1:
+                msg_start[1:] = np.cumsum(lens + 1)[:-1]
+            src = np.repeat(offs[:-1].astype(np.int64), lens) + _ranges(lens)
+            dst = np.repeat(msg_start, lens) + _ranges(lens)
+            buf[dst] = full[src]
+            msg_end = msg_start + lens
+            raw = encode_core(buf, msg_start, msg_end)
+            cols = encoded_arrays_from_core(raw)
+            arrays = [batch.column(c) for c in passthrough] + list(cols.values())
+            yield pa.RecordBatch.from_arrays(arrays, passthrough + list(cols.keys()))
+
+    return _fn
+
+
+def detok_encode_df(df, vocab_text: list[str], passthrough: list[str],
+                    tokens_col: str = "tokens"):
+    """DataFrame-level helper: tokens → passthrough + encoded columns.
+
+    Prunes the input to exactly (passthrough + tokens) before the Arrow
+    exchange — unused columns would otherwise pay row→Arrow conversion.
+    """
+    df = df.select(*passthrough, tokens_col)
+    schema = ", ".join(
+        f"{c} {dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields]))[c]}"
+        for c in passthrough
+    )
+    out_schema = schema + ", " + ENCODED_ARROW_SCHEMA_SUFFIX
+    fn = make_detok_encode_arrow(vocab_text, passthrough, tokens_col)
+    return df.mapInArrow(fn, out_schema)
+
+
+def encode_df(df, passthrough: list[str], message_col: str = "message"):
+    schema = ", ".join(
+        f"{c} {dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields]))[c]}"
+        for c in passthrough
+    )
+    out_schema = schema + ", " + ENCODED_ARROW_SCHEMA_SUFFIX
+    fn = make_encode_arrow(passthrough, message_col)
+    return df.mapInArrow(fn, out_schema)

@@ -192,11 +192,20 @@ def encode_batch(messages: pd.Series) -> pd.DataFrame:
     )
 
 
-def clp_encode_udf():
-    """Scalar pandas UDF: message string -> encoded struct column."""
+def clp_encode_udf(impl: str = "numpy"):
+    """Scalar pandas UDF: message string -> encoded struct column.
+
+    impl='numpy' (default) uses the fully-vectorized state-machine kernel
+    (encode_kernel_np); impl='regex' uses this module's batch-regex kernel.
+    Both are differentially tested against the oracle.
+    """
+    if impl == "numpy":
+        from clp_spark.functions.encode_kernel_np import encode_batch_np as _impl
+    else:
+        _impl = encode_batch
 
     @F.pandas_udf(ENCODED_STRUCT)
     def _encode(messages: pd.Series) -> pd.DataFrame:
-        return encode_batch(messages)
+        return _impl(messages)
 
     return _encode

@@ -1,0 +1,405 @@
+"""Fully-vectorized CLP encode kernel: a numpy character-class state machine.
+
+Same semantics as clp_spark.oracle.encoder (reference rules
+/root/reference/components/core/src/clp/ir/parsing.cpp:20-88,
+EncodedVariableInterpreter.cpp:25-143) but with *no regex and no per-row
+scanning*: the whole Arrow batch is concatenated into one uint8 buffer and
+every step — tokenization, variable classification, int/float parsing and
+bit-packing, escaping, logtype assembly — is numpy array arithmetic over that
+buffer. Per-row Python is limited to final string slicing.
+
+This is the hot path of the 10^12-row pipeline; the regex kernel
+(encode_kernel.py) is kept as an independent implementation for differential
+testing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+INT_PH = 0x11
+DICT_PH = 0x12
+FLOAT_PH = 0x13
+ESC = 0x5C  # '\'
+
+# ---- 256-entry character class tables ----
+_NONDELIM = np.zeros(256, dtype=bool)
+for _c in b"+-._\\":
+    _NONDELIM[_c] = True
+_NONDELIM[ord("0") : ord("9") + 1] = True
+_NONDELIM[ord("A") : ord("Z") + 1] = True
+_NONDELIM[ord("a") : ord("z") + 1] = True
+
+_DIGIT = np.zeros(256, dtype=bool)
+_DIGIT[ord("0") : ord("9") + 1] = True
+
+_ALPHA = np.zeros(256, dtype=bool)
+_ALPHA[ord("A") : ord("Z") + 1] = True
+_ALPHA[ord("a") : ord("z") + 1] = True
+
+_HEX = np.zeros(256, dtype=bool)
+_HEX[ord("0") : ord("9") + 1] = True
+_HEX[ord("a") : ord("f") + 1] = True
+_HEX[ord("A") : ord("F") + 1] = True
+
+_NEED_ESC = np.zeros(256, dtype=bool)
+for _c in (ESC, INT_PH, DICT_PH, FLOAT_PH):
+    _NEED_ESC[_c] = True
+
+_POW10 = np.array([10**i for i in range(19)], dtype=np.int64)
+
+_INT64_MIN_BODY = "9223372036854775808"
+_INT64_MAX_STR = "9223372036854775807"
+
+
+def _ranges(lengths: np.ndarray) -> np.ndarray:
+    """[0..l0-1, 0..l1-1, ...] for segment lengths (vectorized arange, int32)."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int32)
+    starts = (np.cumsum(lengths) - lengths).astype(np.int32)
+    out = np.arange(total, dtype=np.int32)
+    out -= np.repeat(starts, lengths.astype(np.int32))
+    return out
+
+
+def _empty_result(n: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "logtype": [""] * n,
+            "placeholders": [[]] * n,
+            "encoded_vars": [[]] * n,
+            "dict_vars": [[]] * n,
+        }
+    )
+
+
+def encode_batch_np(messages: pd.Series) -> pd.DataFrame:
+    msgs = messages.fillna("").astype(str).tolist()
+    n = len(msgs)
+    if n == 0:
+        return _empty_result(0)
+
+    msg_bytes = [m.encode("utf-8") for m in msgs]
+    lens = np.fromiter((len(b) for b in msg_bytes), dtype=np.int64, count=n)
+    # join with a 0x00 separator (a delimiter) so tokens never span messages
+    buf = np.frombuffer(b"\x00".join(msg_bytes), dtype=np.uint8)
+    if buf.size == 0:
+        return _empty_result(n)
+    msg_start = np.cumsum(lens + 1) - (lens + 1)  # start of each message
+    msg_end = msg_start + lens
+    return encode_from_buffer(buf, msg_start, msg_end)
+
+
+def detok_encode_batch(
+    token_lists: pd.Series, vocab_buf: np.ndarray, piece_start: np.ndarray,
+    piece_len: np.ndarray,
+) -> pd.DataFrame:
+    """Fused detokenize+encode: token-id arrays → encoded columns with *no*
+    intermediate Python message strings. message = ''.join(vocab[t]) is built
+    as one byte-gather over a flattened vocab buffer, then encoded in place.
+
+    vocab_buf/piece_start/piece_len come from build_vocab_buffer().
+    """
+    n = len(token_lists)
+    if n == 0:
+        return _empty_result(0)
+    tok_counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
+    if tok_counts.sum() == 0:
+        return _empty_result(n)
+    flat_tok = np.concatenate([np.asarray(t, dtype=np.int32) for t in token_lists])
+    plens = piece_len[flat_tok]
+    # bytes per message (sum of piece lengths per row)
+    row_of_tok = np.repeat(np.arange(n, dtype=np.int32), tok_counts)
+    msg_len = np.bincount(row_of_tok, weights=plens, minlength=n).astype(np.int64)
+    # output offset of each token's bytes, with a 1-byte separator per message
+    tok_off = (np.cumsum(plens, dtype=np.int64) - plens).astype(np.int32)
+    tok_off += row_of_tok  # shift by #separators before this row
+    total = int(plens.sum()) + (n - 1 if n > 0 else 0)
+    buf = np.zeros(max(total, 1), dtype=np.uint8)  # 0x00 separators by default
+    char_src = np.repeat(piece_start[flat_tok], plens) + _ranges(plens)
+    # dst differs from src by a per-token shift — one repeat instead of two
+    char_dst = char_src + np.repeat(tok_off - piece_start[flat_tok], plens)
+    buf[char_dst] = vocab_buf[char_src]
+    if total == 0:
+        return _empty_result(n)
+    buf = buf[:total]
+    msg_start = np.zeros(n, dtype=np.int64)
+    msg_start[1:] = np.cumsum(msg_len + 1)[:-1]
+    msg_end = msg_start + msg_len
+    return encode_from_buffer(buf, msg_start, msg_end)
+
+
+def build_vocab_buffer(vocab_text: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(vocab_buf, piece_start, piece_len) — flattened UTF-8 vocab for the
+    fused kernel; computed once per executor."""
+    pieces = [t.encode("utf-8") for t in vocab_text]
+    piece_len = np.fromiter((len(p) for p in pieces), dtype=np.int32, count=len(pieces))
+    vocab_buf = np.frombuffer(b"".join(pieces), dtype=np.uint8)
+    piece_start = (np.cumsum(piece_len) - piece_len).astype(np.int32)
+    return vocab_buf, piece_start, piece_len
+
+
+def encode_from_buffer(
+    buf: np.ndarray, msg_start: np.ndarray, msg_end: np.ndarray
+) -> pd.DataFrame:
+    return raw_to_pandas(encode_core(buf, msg_start, msg_end))
+
+
+def _token_spans(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    nd = _NONDELIM[buf]
+    prev_nd = np.empty_like(nd)
+    prev_nd[0] = False
+    prev_nd[1:] = nd[:-1]
+    ts = np.flatnonzero(nd & ~prev_nd).astype(np.int32)
+    next_nd = np.empty_like(nd)
+    next_nd[-1] = False
+    next_nd[:-1] = nd[1:]
+    te = (np.flatnonzero(nd & ~next_nd) + 1).astype(np.int32)
+    return ts, te
+
+
+def _classify(
+    buf: np.ndarray, ts: np.ndarray, te: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(vts, vte, codes, values): variable token spans, placeholder codes,
+    and int64 encodings for int/float variables."""
+    # ---- per-token class counts via sorted position arrays ----
+    # digits/letters/hex/dots are all non-delimiters, so they occur only
+    # inside tokens: per-token counts come from two binary searches instead of
+    # full-buffer cumulative arrays (cumsum is a scalar loop — avoid it).
+    dpos = np.flatnonzero(_DIGIT[buf]).astype(np.int32)
+    apos = np.flatnonzero(_ALPHA[buf]).astype(np.int32)
+    hpos = np.flatnonzero(_HEX[buf]).astype(np.int32)
+
+    L = te - ts
+    cnt_d_ts = np.searchsorted(dpos, ts).astype(np.int32)
+    cnt_d_te = np.searchsorted(dpos, te).astype(np.int32)
+    has_digit = cnt_d_te > cnt_d_ts
+    has_alpha = np.searchsorted(apos, te) > np.searchsorted(apos, ts)
+    all_hex = (np.searchsorted(hpos, te) - np.searchsorted(hpos, ts)) == L
+    prec_eq = np.zeros(ts.size, dtype=bool)
+    nz = ts > 0
+    prec_eq[nz] = buf[ts[nz] - 1] == ord("=")
+    is_var = has_digit | (prec_eq & has_alpha) | (all_hex & (L >= 2))
+
+    vts = ts[is_var]
+    vte = te[is_var]
+    nv = vts.size
+    codes = np.full(nv, DICT_PH, dtype=np.int16)
+    values = np.zeros(nv, dtype=np.int64)
+
+    if nv:
+        VL = vte - vts
+        first = buf[vts]
+        neg = first == ord("-")
+        body_len = (VL - neg).astype(np.int64)
+        digits_in = (cnt_d_te - cnt_d_ts)[is_var].astype(np.int64)
+        all_digits = digits_in == body_len
+
+        # ---- integer rule ----
+        lead = buf[np.minimum(vts + neg, buf.size - 1)]
+        lead_ok_pos = ~neg & _DIGIT[first] & ((VL == 1) | (first != ord("0")))
+        lead_ok_neg = neg & (VL >= 2) & (lead >= ord("1")) & (lead <= ord("9"))
+        int_shape = all_digits & (body_len >= 1) & (lead_ok_pos | lead_ok_neg)
+        int_fast = int_shape & (body_len <= 18)
+        if int_fast.any():
+            sel = np.flatnonzero(int_fast)
+            starts = vts[sel] + neg[sel]
+            blens = body_len[sel]
+            cpos = np.repeat(starts, blens) + _ranges(blens)
+            dvals = (buf[cpos].astype(np.int64)) - 48
+            exps = np.repeat(vte[sel], blens) - cpos - 1
+            contrib = dvals * _POW10[exps]
+            seg_off = np.cumsum(blens) - blens
+            sums = np.add.reduceat(contrib, seg_off)
+            sums = np.where(neg[sel], -sums, sums)
+            codes[sel] = INT_PH
+            values[sel] = sums
+        int_slow = int_shape & (body_len == 19)
+        for i in np.flatnonzero(int_slow):
+            tok = buf[vts[i] : vte[i]].tobytes().decode("ascii")
+            body = tok.lstrip("-")
+            bound = _INT64_MIN_BODY if tok[0] == "-" else _INT64_MAX_STR
+            if body <= bound:
+                codes[i] = INT_PH
+                values[i] = np.int64(int(tok)) if tok != "-" + _INT64_MIN_BODY else np.int64(
+                    -(2**63)
+                )
+        # body_len > 19 → never an int
+
+        # ---- float rule (tokens not already ints) ----
+        dotpos = np.flatnonzero(buf == ord(".")).astype(np.int32)
+        dot_lo = np.searchsorted(dotpos, vts)
+        dots_in = np.searchsorted(dotpos, vte) - dot_lo
+        not_int = codes != INT_PH
+        last_is_dot = buf[vte - 1] == ord(".")
+        float_shape = (
+            not_int
+            & (digits_in + dots_in == body_len)
+            & (dots_in == 1)
+            & ~last_is_dot
+            & (digits_in >= 1)
+            & (digits_in <= 16)
+            & (body_len >= 2)
+            & (~neg | (VL >= 2))
+        )
+        if float_shape.any():
+            sel = np.flatnonzero(float_shape)
+            starts = vts[sel] + neg[sel]
+            blens = body_len[sel]
+            # each selected token has exactly one '.': its position
+            dot_global = dotpos[dot_lo[sel]]
+            cpos = np.repeat(starts, blens) + _ranges(blens)
+            cvals = buf[cpos]
+            isdig = cvals != ord(".")
+            te_rep = np.repeat(vte[sel], blens)
+            dot_rep = np.repeat(dot_global, blens)
+            # rank of each digit from the right = chars to its right minus the
+            # dot if the dot sits to its right
+            rank = (te_rep - 1 - cpos) - (dot_rep > cpos)
+            contrib = np.where(isdig, (cvals.astype(np.int64) - 48) * _POW10[rank], 0)
+            seg_off = np.cumsum(blens) - blens
+            digits_int = np.add.reduceat(contrib, seg_off).astype(np.uint64)
+            decimal_pos = (vte[sel] - 1 - dot_global).astype(np.uint64)
+            num_digits = (blens - 1).astype(np.uint64)  # exactly one dot
+            sign = neg[sel].astype(np.uint64)
+            enc = (
+                (sign << np.uint64(63))
+                | (digits_int << np.uint64(8))
+                | ((num_digits - np.uint64(1)) << np.uint64(4))
+                | (decimal_pos - np.uint64(1))
+            )
+            codes[sel] = FLOAT_PH
+            values[sel] = enc.view(np.int64)
+
+    return vts, vte, codes, values
+
+
+def encode_core(buf: np.ndarray, msg_start: np.ndarray, msg_end: np.ndarray) -> dict:
+    """Zero-per-row encode: returns raw columnar buffers, suitable for direct
+    Arrow array construction (see arrow_kernel.py).
+
+    Keys: lt_data/lt_offsets (logtype string column), codes/var_offsets
+    (placeholders list column), nd_values/nd_offsets (encoded_vars), and
+    d_data/d_inner_offsets/d_offsets (dict_vars list<string>).
+    """
+    n = len(msg_start)
+    ts, te = _token_spans(buf)
+    if ts.size == 0:
+        vts = vte = np.zeros(0, np.int32)
+        codes = np.zeros(0, np.int16)
+        values = np.zeros(0, np.int64)
+    else:
+        vts, vte, codes, values = _classify(buf, ts, te)
+    return _raw_columns(n, buf, msg_start, msg_end, vts, vte, codes, values)
+
+
+def _raw_columns(n, buf, msg_start, msg_end, vts, vte, codes, values) -> dict:
+    # ---- logtype output construction ----
+    # in-var mask via +1/-1 diff trick
+    delta = np.zeros(buf.size + 1, dtype=np.int8)
+    np.add.at(delta, vts, 1)
+    np.add.at(delta, vte, -1)
+    in_var = np.cumsum(delta[:-1]) > 0
+
+    # separator bytes sit at msg_end[i] for i < n-1
+    sep = np.zeros(buf.size, dtype=bool)
+    if n > 1:
+        sep[msg_end[:-1]] = True
+
+    keep = ~in_var & ~sep
+    esc = keep & _NEED_ESC[buf]
+    counts = np.zeros(buf.size, dtype=np.int32)
+    counts[keep] = 1
+    counts[esc] += 1
+    counts[vts] += 1  # placeholder byte emitted at var start
+
+    prefix = np.zeros(buf.size + 1, dtype=np.int32)
+    np.cumsum(counts, dtype=np.int32, out=prefix[1:])
+    total = int(prefix[-1])
+    out = np.empty(max(total, 1), dtype=np.uint8)
+
+    keep_pos = np.flatnonzero(keep)
+    off = prefix[keep_pos]
+    esc_k = esc[keep_pos]
+    out[off + esc_k] = buf[keep_pos]
+    out[off[esc_k]] = ESC
+    out[prefix[vts]] = codes.astype(np.uint8)
+
+    # per-row logtype offsets: separators contribute nothing, so rows are
+    # contiguous in `out` — offsets come straight from the prefix array
+    lt_offsets = np.empty(n + 1, dtype=np.int32)
+    lt_offsets[:n] = prefix[msg_start]
+    lt_offsets[n] = total
+
+    # ---- per-row splits ----
+    row_of_var = np.searchsorted(msg_start, vts, side="right") - 1
+    var_offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(np.bincount(row_of_var, minlength=n), out=var_offsets[1:])
+
+    is_dict = codes == DICT_PH
+    nd_values = values[~is_dict]
+    nd_offsets = np.zeros(n + 1, dtype=np.int32)
+    d_offsets = np.zeros(n + 1, dtype=np.int32)
+    if vts.size:
+        np.cumsum(np.bincount(row_of_var[~is_dict], minlength=n), out=nd_offsets[1:])
+        np.cumsum(np.bincount(row_of_var[is_dict], minlength=n), out=d_offsets[1:])
+
+    # dict-var string column: gather the spans into one contiguous buffer
+    d_vts = vts[is_dict]
+    d_vte = vte[is_dict]
+    dl = (d_vte - d_vts).astype(np.int64)
+    d_data = buf[np.repeat(d_vts, dl) + _ranges(dl)] if d_vts.size else np.zeros(0, np.uint8)
+    d_inner_offsets = np.zeros(d_vts.size + 1, dtype=np.int32)
+    np.cumsum(dl, out=d_inner_offsets[1:])
+
+    return {
+        "n": n,
+        "lt_data": out[:total],
+        "lt_offsets": lt_offsets,
+        "codes": codes,
+        "var_offsets": var_offsets,
+        "nd_values": nd_values,
+        "nd_offsets": nd_offsets,
+        "d_data": d_data,
+        "d_inner_offsets": d_inner_offsets,
+        "d_offsets": d_offsets,
+    }
+
+
+def _assemble(
+    n: int,
+    buf: np.ndarray,
+    msg_start: np.ndarray,
+    msg_end: np.ndarray,
+    vts: np.ndarray,
+    vte: np.ndarray,
+    codes: np.ndarray,
+    values: np.ndarray,
+    dict_strs: list[str],
+) -> pd.DataFrame:
+    raw = _raw_columns(n, buf, msg_start, msg_end, vts, vte, codes, values)
+    return raw_to_pandas(raw)
+
+
+def raw_to_pandas(raw: dict) -> pd.DataFrame:
+    n = raw["n"]
+    lt_bytes = raw["lt_data"].tobytes()
+    lo = raw["lt_offsets"]
+    logtypes = [lt_bytes[lo[i]:lo[i + 1]].decode("utf-8") for i in range(n)]
+    codes_list = raw["codes"].astype(np.int32).tolist()
+    nd_list = raw["nd_values"].tolist()
+    d_bytes = raw["d_data"].tobytes()
+    dio = raw["d_inner_offsets"]
+    d_strs = [d_bytes[dio[i]:dio[i + 1]].decode("utf-8") for i in range(len(dio) - 1)]
+    vo, ndo, do = raw["var_offsets"], raw["nd_offsets"], raw["d_offsets"]
+    return pd.DataFrame(
+        {
+            "logtype": logtypes,
+            "placeholders": [codes_list[vo[i]:vo[i + 1]] for i in range(n)],
+            "encoded_vars": [nd_list[ndo[i]:ndo[i + 1]] for i in range(n)],
+            "dict_vars": [d_strs[do[i]:do[i + 1]] for i in range(n)],
+        }
+    )

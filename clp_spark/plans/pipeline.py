@@ -40,7 +40,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clp_spark.functions.encode_kernel import clp_encode_udf
 from clp_spark.operators.dictionary import (
     build_logtype_dict,
     build_var_dict,
@@ -64,6 +63,24 @@ def make_detokenize_udf(vocab_text: list[str]):
     return _detok
 
 
+def make_detok_encode_udf(vocab_text: list[str]):
+    """Fused tokens→encoded-struct UDF: detokenize + CLP-encode in one numpy
+    pass with no intermediate Python strings (encode_kernel_np.detok_encode_batch)."""
+    from clp_spark.functions.encode_kernel import ENCODED_STRUCT
+    from clp_spark.functions.encode_kernel_np import (
+        build_vocab_buffer,
+        detok_encode_batch,
+    )
+
+    vocab_buf, piece_start, piece_len = build_vocab_buffer(vocab_text)
+
+    @F.pandas_udf(ENCODED_STRUCT)
+    def _detok_encode(tokens: pd.Series) -> pd.DataFrame:
+        return detok_encode_batch(tokens, vocab_buf, piece_start, piece_len)
+
+    return _detok_encode
+
+
 def session_defaults(builder):
     """AQE + skew-join + sane shuffle sizing for this engine."""
     return (
@@ -83,30 +100,18 @@ def encode_stage(
     num_splits: int,
     lineage: LineageLog,
 ) -> None:
+    from clp_spark.functions.arrow_kernel import detok_encode_df
+
     vocab = [
         r["text"] for r in spark.read.parquet(vocab_path).orderBy("token_id").collect()
     ]
-    detok = make_detokenize_udf(vocab)
-    encode = clp_encode_udf()
     seq = spark.read.parquet(seq_path)
     for b in range(num_splits):
         if lineage.is_done("encode", b):
             continue
         t0 = time.time()
         split_df = seq.where(F.pmod(F.xxhash64("doc_id"), F.lit(num_splits)) == b)
-        encoded = (
-            split_df.withColumn("message", detok("tokens"))
-            .withColumn("enc", encode("message"))
-            .select(
-                "doc_id",
-                "source",
-                "n_tok",
-                F.col("enc.logtype").alias("logtype"),
-                F.col("enc.placeholders").alias("placeholders"),
-                F.col("enc.encoded_vars").alias("encoded_vars"),
-                F.col("enc.dict_vars").alias("dict_vars"),
-            )
-        )
+        encoded = detok_encode_df(split_df, vocab, ["doc_id", "source", "n_tok"])
         path = f"{out_dir}/encoded/split={b}"
         encoded.write.mode("overwrite").parquet(path)
         n = spark.read.parquet(path).count()

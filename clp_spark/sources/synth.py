@@ -90,32 +90,87 @@ def _zipf_probs(n: int, s: float) -> np.ndarray:
     return p / p.sum()
 
 
-def generate_sequences(n_rows: int, seed: int = SEED) -> pd.DataFrame:
-    """Deterministic (doc_id, tokens, n_tok, source) rows.
+N_TEMPLATES = 256
 
-    Token ids are Zipfian (s≈1.2) over a fixed permutation of the vocab so the
-    hot tokens mix constants and variables; sources are Zipfian over 8 sinks
-    (hot sink ≈ 40% of rows) — realistic skew per FIXTURES.md §1.
+
+def _vocab_classes(vocab: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(const_ids, var_ids, space_id): crude split of vocab pieces into
+    constant-ish text and variable-shaped fills, for template construction."""
+    text = vocab["text"].tolist()
+    const_ids, var_ids = [], []
+    space_id = text.index(" ")
+    for i, t in enumerate(text):
+        has_digit = any(c.isdigit() for c in t)
+        if has_digit or "=" in t or "\\" in t or "\x11" in t or "\x12" in t or "\x13" in t:
+            var_ids.append(i)
+        elif t.strip() and t != " ":
+            const_ids.append(i)
+    return (
+        np.array(const_ids, dtype=np.int32),
+        np.array(var_ids, dtype=np.int32),
+        np.int32(space_id),
+    )
+
+
+def generate_sequences(n_rows: int, seed: int = SEED) -> pd.DataFrame:
+    """Deterministic (doc_id, tokens, n_tok, source) rows, template-based.
+
+    Real log data is highly templated: a bounded set of message skeletons with
+    variable fills (the premise of CLP's logtype dictionary). Rows draw a
+    template Zipfian(s≈1.2) over N_TEMPLATES skeletons (3-24 constant pieces +
+    1-6 variable slots), and each slot draws a variable-shaped piece Zipfian
+    over the variable vocab — so logtypes, variables, AND sources
+    (8 sinks, hot ≈ 40%) are all realistically skewed per FIXTURES.md §1.
     """
     rng = np.random.default_rng(seed)
-    tok_perm = rng.permutation(VOCAB_SIZE).astype(np.int32)
-    tok_probs = _zipf_probs(VOCAB_SIZE, 1.2)
+    vocab = build_vocab()
+    const_ids, var_ids, space_id = _vocab_classes(vocab)
 
-    lengths = rng.integers(3, 65, size=n_rows)
-    total = int(lengths.sum())
-    ranks = rng.choice(VOCAB_SIZE, size=total, p=tok_probs)
-    flat_tokens = tok_perm[ranks]
-    bounds = np.cumsum(lengths)[:-1]
-    tokens = np.split(flat_tokens, bounds)
+    # build templates: alternating const piece + space, with var slots (-1)
+    templates: list[np.ndarray] = []
+    for _ in range(N_TEMPLATES):
+        n_pieces = int(rng.integers(3, 25))
+        n_slots = int(rng.integers(1, 7))
+        slot_pos = set(rng.choice(n_pieces, size=min(n_slots, n_pieces), replace=False))
+        toks: list[int] = []
+        for j in range(n_pieces):
+            if j:
+                toks.append(int(space_id))
+            if j in slot_pos:
+                toks.append(-1)
+            else:
+                toks.append(int(rng.choice(const_ids)))
+        templates.append(np.array(toks, dtype=np.int32))
 
+    tmpl_probs = _zipf_probs(N_TEMPLATES, 1.2)
+    var_probs = _zipf_probs(len(var_ids), 1.2)
+    var_perm = rng.permutation(len(var_ids))
+
+    tids = rng.choice(N_TEMPLATES, size=n_rows, p=tmpl_probs)
+    tokens: list[list[int]] = [None] * n_rows  # type: ignore[list-item]
+    for t in range(N_TEMPLATES):
+        rows = np.flatnonzero(tids == t)
+        if rows.size == 0:
+            continue
+        tmpl = templates[t]
+        slots = np.flatnonzero(tmpl == -1)
+        mat = np.tile(tmpl, (rows.size, 1))
+        if slots.size:
+            draws = var_ids[var_perm[rng.choice(len(var_ids), size=(rows.size, slots.size),
+                                                p=var_probs)]]
+            mat[:, slots] = draws
+        for k, r in enumerate(rows):
+            tokens[r] = mat[k].tolist()
+
+    lengths = np.fromiter((len(t) for t in tokens), dtype=np.int32, count=n_rows)
     src_probs = _zipf_probs(N_SOURCES, 1.3)
     src_idx = rng.choice(N_SOURCES, size=n_rows, p=src_probs)
 
     return pd.DataFrame(
         {
             "doc_id": [f"doc-{i:010d}" for i in range(n_rows)],
-            "tokens": [t.tolist() for t in tokens],
-            "n_tok": lengths.astype(np.int32),
+            "tokens": tokens,
+            "n_tok": lengths,
             "source": pd.Series([f"app-{k}" for k in src_idx], dtype=object),
         }
     )
@@ -133,13 +188,29 @@ def detokenize_batch(token_lists: pd.Series, vocab_text: np.ndarray) -> pd.Serie
 _SF_ROWS = {"0.001": 6_000, "0.01": 60_000, "0.1": 600_000}
 
 
+N_PART_FILES = 16
+
+
 def ensure_sequences(data_dir: str, sf: str) -> tuple[str, str]:
-    """Write (once) and return paths of the sequences+vocab parquet for a scale factor."""
+    """Write (once) and return paths of the sequences+vocab parquet for a
+    scale factor. The sequences table is a directory of N_PART_FILES part
+    files (small row groups) so scans parallelize and executors can own
+    disjoint file subsets — the layout of a real distributed input."""
     os.makedirs(data_dir, exist_ok=True)
-    seq_path = os.path.join(data_dir, f"sequences_sf{sf}.parquet")
+    seq_dir = os.path.join(data_dir, f"sequences_sf{sf}")
     vocab_path = os.path.join(data_dir, "vocab.parquet")
     if not os.path.exists(vocab_path):
         build_vocab().to_parquet(vocab_path, index=False)
-    if not os.path.exists(seq_path):
-        generate_sequences(_SF_ROWS[sf]).to_parquet(seq_path, index=False)
-    return seq_path, vocab_path
+    done_marker = os.path.join(seq_dir, "_SUCCESS")
+    if not os.path.exists(done_marker):
+        os.makedirs(seq_dir, exist_ok=True)
+        df = generate_sequences(_SF_ROWS[sf])
+        per = (len(df) + N_PART_FILES - 1) // N_PART_FILES
+        for i in range(N_PART_FILES):
+            part = df.iloc[i * per : (i + 1) * per]
+            part.to_parquet(
+                os.path.join(seq_dir, f"part-{i:04d}.parquet"),
+                index=False, row_group_size=10_000,
+            )
+        open(done_marker, "w").close()
+    return seq_dir, vocab_path

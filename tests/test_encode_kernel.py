@@ -1,11 +1,15 @@
 """Parity tests: vectorized encode kernel vs the pure-Python oracle."""
 
 import pandas as pd
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from clp_spark.functions.encode_kernel import encode_batch
+from clp_spark.functions.encode_kernel import encode_batch as encode_batch_regex
+from clp_spark.functions.encode_kernel_np import encode_batch_np
 from clp_spark.oracle import decode_message, encode_message
+
+encode_batch = encode_batch_regex  # default for module-level helpers
 
 FIXTURE_MESSAGES = [
     "",
@@ -28,24 +32,30 @@ FIXTURE_MESSAGES = [
 ]
 
 
-def assert_batch_matches_oracle(messages):
-    out = encode_batch(pd.Series(messages, dtype=object))
+KERNELS = {"regex": encode_batch_regex, "numpy": encode_batch_np}
+
+
+def assert_batch_matches_oracle(messages, kernel=encode_batch_regex):
+    out = kernel(pd.Series(messages, dtype=object))
     for i, msg in enumerate(messages):
         exp = encode_message(msg)
         assert out["logtype"][i] == exp.logtype, f"logtype mismatch for {msg!r}"
         assert list(out["placeholders"][i]) == exp.placeholders, f"placeholders for {msg!r}"
-        assert list(out["encoded_vars"][i]) == exp.encoded_vars, f"encoded_vars for {msg!r}"
+        assert [int(x) for x in out["encoded_vars"][i]] == exp.encoded_vars, (
+            f"encoded_vars for {msg!r}"
+        )
         assert list(out["dict_vars"][i]) == exp.dict_vars, f"dict_vars for {msg!r}"
         # and the batch output round-trips through the oracle decoder
         assert (
-            decode_message(out["logtype"][i], list(out["encoded_vars"][i]),
+            decode_message(out["logtype"][i], [int(x) for x in out["encoded_vars"][i]],
                            list(out["dict_vars"][i]))
             == msg
         )
 
 
-def test_fixture_messages():
-    assert_batch_matches_oracle(FIXTURE_MESSAGES)
+@pytest.mark.parametrize("kernel", list(KERNELS), ids=list(KERNELS))
+def test_fixture_messages(kernel):
+    assert_batch_matches_oracle(FIXTURE_MESSAGES, KERNELS[kernel])
 
 
 # alphabet biased toward the interesting characters
@@ -57,7 +67,8 @@ _ALPHABET = st.sampled_from(
 @settings(max_examples=300, deadline=None)
 @given(st.lists(st.text(_ALPHABET, min_size=0, max_size=60), min_size=1, max_size=20))
 def test_fuzz_parity(messages):
-    assert_batch_matches_oracle(messages)
+    assert_batch_matches_oracle(messages, encode_batch_regex)
+    assert_batch_matches_oracle(messages, encode_batch_np)
 
 
 @settings(max_examples=100, deadline=None)
@@ -73,4 +84,5 @@ def test_fuzz_parity(messages):
     )
 )
 def test_fuzz_numeric_tokens(tokens):
-    assert_batch_matches_oracle([" ".join(tokens)])
+    assert_batch_matches_oracle([" ".join(tokens)], encode_batch_regex)
+    assert_batch_matches_oracle([" ".join(tokens)], encode_batch_np)
