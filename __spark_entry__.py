@@ -383,6 +383,75 @@ def q_multimodal_bytes(spark, sf_dir):
     return extract_features(media).select("media_id", "byte_len", "content_hash")
 
 
+def q_clp_decode_roundtrip(spark, sf_dir):
+    """Encode → decode-join reconstruction must reproduce the original text."""
+    _ensure_workers_have_package(spark)
+    from clp_spark.functions.encode_kernel import clp_encode_udf
+    from clp_spark.operators.decode import reconstruct_messages
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = clp_encode_udf()
+    encoded = docs.withColumn("enc", enc("text")).select(
+        "doc_id",
+        F.col("enc.logtype").alias("logtype"),
+        F.col("enc.encoded_vars").alias("encoded_vars"),
+        F.col("enc.dict_vars").alias("dict_vars"),
+    )
+    return reconstruct_messages(encoded).select("doc_id", "message")
+
+
+def q_column_stats(spark, sf_dir):
+    from clp_spark.operators.indexer import table_column_stats
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    return table_column_stats(orders, "orders")
+
+
+def _lines_df(spark, sf_dir):
+    """Deterministic raw-log lines derived from events (multi-line corpus)."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    has_ts = F.pmod("event_id", F.lit(7)) != 3
+    line = F.when(
+        has_ts,
+        F.concat(
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss"),
+            F.lit(" "),
+            F.col("event_type"),
+        ),
+    ).otherwise(F.concat(F.lit("  cont "), F.col("event_type")))
+    return ev.select(
+        F.pmod("user_id", F.lit(4)).cast("string").alias("file_id"),
+        F.col("event_id").alias("line_no"),
+        line.alias("line"),
+    )
+
+
+def q_multiline_assembly(spark, sf_dir):
+    from clp_spark.operators.messages import assemble_multiline
+
+    return assemble_multiline(_lines_df(spark, sf_dir))
+
+
+def q_ts_pattern_parse(spark, sf_dir):
+    """Round-trip: format events.ts with a known pattern, re-parse with the
+    CLP pattern matcher, compare epoch ms."""
+    from clp_spark.functions.timestamps import parse_timestamp_ms
+
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss,SSS"),
+        F.lit(" "),
+        F.col("event_type"),
+    )
+    return ev.select(
+        "event_id", parse_timestamp_ms(line).alias("ts_ms")
+    )
+
+
 # --------------------------------------------------------------- contract
 
 _HASH60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
@@ -430,6 +499,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_bytes": q_multimodal_bytes,
+        "clp_decode_roundtrip": q_clp_decode_roundtrip,
+        "column_stats": q_column_stats,
+        "multiline_assembly": q_multiline_assembly,
+        "ts_pattern_parse": q_ts_pattern_parse,
     }
 
 
@@ -604,6 +677,50 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_bytes": (
             "SELECT CAST(doc_id AS VARCHAR) AS media_id, "
             "octet_length(encode(text)) AS byte_len, md5(text) AS content_hash FROM documents"
+        ),
+        "clp_decode_roundtrip": (
+            "SELECT doc_id, text AS message FROM documents"
+        ),
+        "column_stats": (
+            "SELECT 'orders' AS table_name, c.column_name, c.column_type, "
+            "s.n_rows, s.n_nonnull, s.n_distinct, s.min_value, s.max_value FROM ("
+            " SELECT 'o_orderkey' AS column_name, 'bigint' AS column_type"
+            " UNION ALL SELECT 'o_custkey', 'bigint'"
+            " UNION ALL SELECT 'o_orderstatus', 'string'"
+            " UNION ALL SELECT 'o_orderpriority', 'string') c JOIN ("
+            " SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,"
+            "  count(o_orderkey) AS n_nonnull, count(DISTINCT o_orderkey) AS n_distinct,"
+            "  CAST(min(o_orderkey) AS VARCHAR) AS min_value,"
+            "  CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM orders"
+            " UNION ALL SELECT 'o_custkey', count(*), count(o_custkey),"
+            "  count(DISTINCT o_custkey), CAST(min(o_custkey) AS VARCHAR),"
+            "  CAST(max(o_custkey) AS VARCHAR) FROM orders"
+            " UNION ALL SELECT 'o_orderstatus', count(*), count(o_orderstatus),"
+            "  count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)"
+            "  FROM orders"
+            " UNION ALL SELECT 'o_orderpriority', count(*), count(o_orderpriority),"
+            "  count(DISTINCT o_orderpriority), min(o_orderpriority),"
+            "  max(o_orderpriority) FROM orders) s USING (column_name)"
+        ),
+        "multiline_assembly": (
+            "WITH lines AS (SELECT CAST(user_id % 4 AS VARCHAR) AS file_id,"
+            " event_id AS line_no, (event_id % 7 <> 3) AS has_ts,"
+            " CASE WHEN event_id % 7 <> 3 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')"
+            "  || ' ' || event_type ELSE '  cont ' || event_type END AS line,"
+            " CASE WHEN event_id % 7 <> 3 THEN ' ' || event_type"
+            "  ELSE '  cont ' || event_type END AS body,"
+            " CASE WHEN event_id % 7 <> 3 THEN epoch_ms(date_trunc('second', ts))"
+            "  END AS line_ts FROM events),"
+            " numbered AS (SELECT *, sum(CASE WHEN has_ts THEN 1 ELSE 0 END)"
+            "  OVER (PARTITION BY file_id ORDER BY line_no"
+            "  ROWS UNBOUNDED PRECEDING) AS msg_ix FROM lines) "
+            "SELECT file_id, msg_ix, max(line_ts) AS ts_ms,"
+            " string_agg(body, chr(10) ORDER BY line_no) AS message "
+            "FROM numbered GROUP BY 1, 2"
+        ),
+        "ts_pattern_parse": (
+            "SELECT event_id, epoch_ms(date_trunc('millisecond', ts)) AS ts_ms "
+            "FROM events"
         ),
         # embedding_ann_lsh: approximate bucketed ANN — intentionally no SQL oracle
     }

@@ -1,0 +1,115 @@
+"""Timestamp pattern detection + parse → epoch ms (raw long, CLP-style).
+
+CLP tries a fixed ordered pattern list against the start of each line and
+locks the first match per file (reference:
+components/core/src/clp/TimestampPattern.cpp:124-190,
+MessageParser.cpp:95-164). We implement the most common subset as
+JVM-side regexp_extract + to_timestamp expressions (whole-stage-codegen
+friendly) — the '%3' millisecond digits become .SSS.
+
+Timestamps stay epoch-ms int64 (reference Defs.h:10) — CLP compares raw ms;
+TimestampType is derived only where a window needs it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class TsPattern:
+    name: str
+    regex: str          # must capture the timestamp as group 1
+    java_format: str    # to_timestamp format for the captured group
+    num_leading_spaces: int = 0
+
+
+# ordered like the reference list: most specific (with millis) first
+KNOWN_PATTERNS: list[TsPattern] = [
+    TsPattern(
+        "iso_T_dot_ms",
+        r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3})",
+        "yyyy-MM-dd'T'HH:mm:ss.SSS",
+    ),
+    TsPattern(
+        "iso_T_comma_ms",
+        r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}),(\d{3})",
+        "yyyy-MM-dd'T'HH:mm:ss,SSS",
+    ),
+    TsPattern(
+        "iso_space_dot_ms",
+        r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3})",
+        "yyyy-MM-dd HH:mm:ss.SSS",
+    ),
+    TsPattern(
+        "iso_space_comma_ms",
+        r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3})",
+        "yyyy-MM-dd HH:mm:ss,SSS",
+    ),
+    TsPattern(
+        "bracketed_comma_ms",
+        r"^\[(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3})\]",
+        "yyyy-MM-dd HH:mm:ss,SSS",
+    ),
+    TsPattern(
+        "iso_T_sec",
+        r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})",
+        "yyyy-MM-dd'T'HH:mm:ss",
+    ),
+    TsPattern(
+        "iso_space_sec",
+        r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})",
+        "yyyy-MM-dd HH:mm:ss",
+    ),
+    TsPattern(
+        "slash_space_sec",
+        r"^(\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2})",
+        "yyyy/MM/dd HH:mm:ss",
+    ),
+]
+
+_COMMA_FIX = {"iso_T_comma_ms", "iso_space_comma_ms", "bracketed_comma_ms"}
+
+
+def _parse_one(line: Column, p: TsPattern) -> Column:
+    captured = F.regexp_extract(line, p.regex, 1)
+    if p.name in _COMMA_FIX:
+        # Java format strings treat ',' oddly across versions; normalize to '.'
+        captured = F.regexp_replace(captured, ",", ".")
+        fmt = p.java_format.replace(",SSS", ".SSS")
+    else:
+        fmt = p.java_format
+    ts = F.to_timestamp(captured, fmt)
+    return F.when(captured != "", F.unix_millis(ts)).otherwise(F.lit(None))
+
+
+def parse_timestamp_ms(line: Column) -> Column:
+    """Epoch-ms of the first matching known pattern, else NULL (no timestamp)."""
+    out = F.lit(None).cast("long")
+    for p in reversed(KNOWN_PATTERNS):
+        out = F.coalesce(_parse_one(line, p), out)
+    return out
+
+
+def detect_pattern(line: Column) -> Column:
+    """Name of the first matching pattern, else NULL — CLP locks this per file."""
+    out = F.lit(None).cast("string")
+    for p in reversed(KNOWN_PATTERNS):
+        out = F.when(
+            F.regexp_extract(line, p.regex, 1) != "", F.lit(p.name)
+        ).otherwise(out)
+    return out
+
+
+def strip_timestamp(line: Column) -> Column:
+    """Line content after the matched timestamp (the message body CLP encodes)."""
+    out = line
+    for p in reversed(KNOWN_PATTERNS):  # earlier patterns take priority
+        out = F.when(
+            F.regexp_extract(line, p.regex, 1) != "",
+            F.regexp_replace(line, p.regex, ""),
+        ).otherwise(out)
+    return out

@@ -1,0 +1,67 @@
+"""Decompression: reconstruct original messages from encoded rows.
+
+CLP's `x` / JSON-constructor path (reference:
+components/core/src/clp/clp/FileDecompressor.cpp,
+EncodedVariableInterpreter::decode_variables_into_message
+EncodedVariableInterpreter.hpp:510-579): walk the logtype, substituting each
+placeholder with the next variable (int → digits, float → bit-unpacked
+digits, dict id → dictionary string), honoring '\\' escapes.
+
+Spark shape: the *decode join* — events ⋈ logtype_dict (broadcast) for the
+template, dict variables either stored inline (our sinks keep dict_vars
+strings) or joined from var_dict by id. The string assembly itself is a
+vectorized Arrow batch kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clp_spark.oracle.encoder import decode_message
+
+
+def make_decode_udf():
+    """(logtype, encoded_vars, dict_vars) -> message (Arrow-batched)."""
+
+    @F.pandas_udf("string")
+    def _decode(logtype: pd.Series, encoded_vars: pd.Series, dict_vars: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                decode_message(lt, [int(x) for x in ev], list(dv))
+                for lt, ev, dv in zip(logtype, encoded_vars, dict_vars)
+            ],
+            index=logtype.index,
+            dtype=object,
+        )
+
+    return _decode
+
+
+def reconstruct_messages(
+    sinks: DataFrame, logtype_dict: DataFrame | None = None
+) -> DataFrame:
+    """Add a ``message`` column reconstructing the original text.
+
+    If the rows carry ``logtype_id`` instead of ``logtype``, pass the
+    dictionary for a broadcast decode join.
+    """
+    df = sinks
+    if "logtype" not in df.columns:
+        if logtype_dict is None:
+            raise ValueError("rows lack a logtype column and no dictionary given")
+        df = df.join(
+            F.broadcast(logtype_dict.select("logtype_id", "logtype")), "logtype_id"
+        )
+    decode = make_decode_udf()
+    return df.withColumn(
+        "message", decode(F.col("logtype"), F.col("encoded_vars"), F.col("dict_vars"))
+    )
+
+
+def reconstruct_in_order(sinks: DataFrame, order_col: str = "log_event_idx") -> DataFrame:
+    """Ordered reconstruction (reference: clp-s delta-encoded log_event_idx,
+    clp_s/archive_constants.hpp:31) — sort by the preserved event index."""
+    return reconstruct_messages(sinks).orderBy(order_col)

@@ -1,0 +1,50 @@
+"""Archive indexer: per-table column name/type/stats records for external SQL
+engines (reference: clp_s/indexer/IndexManager.hpp:14-27 writes column
+metadata to MySQL so Presto can plan over archives).
+
+Spark shape: a single-pass aggregate producing one row per column — with
+Iceberg/HMS this is catalog metadata for free; we materialize it as a stats
+table for parity and for file-skipping planners.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType, StringType, TimestampType
+
+
+def table_column_stats(df: DataFrame, table_name: str) -> DataFrame:
+    """(table_name, column_name, column_type, n_rows, n_nonnull, n_distinct,
+    min_value, max_value) — min/max stringified for a uniform schema."""
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (NumericType, StringType, TimestampType)):
+            c = f.name
+            cols.append((c, f.dataType.simpleString()))
+            aggs.append(F.count(c).alias(f"_nn_{c}"))
+            aggs.append(F.countDistinct(c).alias(f"_nd_{c}"))
+            aggs.append(F.min(c).cast("string").alias(f"_min_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"_max_{c}"))
+    row = df.agg(*aggs)
+    spark = df.sparkSession
+    r = row.collect()[0]
+    out = [
+        (
+            table_name,
+            c,
+            t,
+            int(r["_n_rows"]),
+            int(r[f"_nn_{c}"]),
+            int(r[f"_nd_{c}"]),
+            r[f"_min_{c}"],
+            r[f"_max_{c}"],
+        )
+        for c, t in cols
+    ]
+    return spark.createDataFrame(
+        out,
+        "table_name string, column_name string, column_type string, n_rows long, "
+        "n_nonnull long, n_distinct long, min_value string, max_value string",
+    )

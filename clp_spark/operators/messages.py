@@ -1,0 +1,62 @@
+"""Multi-line message assembly (reference MessageParser.cpp:95-164): a line
+with a parseable timestamp starts a new message; following lines without one
+are continuations appended to it.
+
+Spark shape: a running count of timestamped lines within each file (window
+ordered by line number) is the message id — pure window functions, no UDF.
+At scale the window partitions by file_id, so work distributes across files;
+a single pathological multi-GB file is CLP's limit too (it splits files —
+FileCompressor.cpp:275-293 — which maps to re-chunking the input upstream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from clp_spark.functions.timestamps import parse_timestamp_ms, strip_timestamp
+
+
+def assemble_multiline(
+    lines: DataFrame,
+    file_col: str = "file_id",
+    lineno_col: str = "line_no",
+    line_col: str = "line",
+) -> DataFrame:
+    """lines(file, line_no, line) → messages(file, msg_ix, ts_ms, message).
+
+    message = timestamped head line + '\\n'-joined continuation lines;
+    leading non-timestamped lines (before any timestamp) form message 0 with
+    NULL ts, matching the reference's treatment of preamble text.
+    """
+    ts_ms = parse_timestamp_ms(F.col(line_col))
+    with_ts = lines.withColumn("_ts_ms", ts_ms).withColumn(
+        "_has_ts", F.col("_ts_ms").isNotNull()
+    )
+    w = (
+        Window.partitionBy(file_col)
+        .orderBy(lineno_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    msg_ix = F.sum(F.col("_has_ts").cast("int")).over(w)
+    body = F.when(
+        F.col("_has_ts"), strip_timestamp(F.col(line_col))
+    ).otherwise(F.col(line_col))
+    numbered = with_ts.withColumn("_msg_ix", msg_ix).withColumn("_body", body)
+    return (
+        numbered.groupBy(file_col, "_msg_ix")
+        .agg(
+            F.max("_ts_ms").alias("ts_ms"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(lineno_col).alias("l"),
+                                                F.col("_body").alias("b")))
+                    ),
+                    lambda x: x["b"],
+                ),
+                "\n",
+            ).alias("message"),
+        )
+        .withColumnRenamed("_msg_ix", "msg_ix")
+    )

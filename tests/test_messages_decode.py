@@ -1,0 +1,119 @@
+"""Tests: timestamp parsing, multi-line assembly, decode join, indexer."""
+
+from datetime import datetime, timezone
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from clp_spark.functions.encode_kernel import encode_batch
+from clp_spark.operators.decode import reconstruct_messages
+from clp_spark.operators.indexer import table_column_stats
+from clp_spark.operators.messages import assemble_multiline
+
+
+def ms(s: str) -> int:
+    fmt = "%Y-%m-%d %H:%M:%S,%f" if "," in s else "%Y-%m-%d %H:%M:%S"
+    return int(datetime.strptime(s, fmt).replace(tzinfo=timezone.utc).timestamp() * 1000)
+
+
+class TestTimestamps:
+    def test_known_patterns(self, spark):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        from clp_spark.functions.timestamps import detect_pattern, parse_timestamp_ms
+
+        rows = [
+            ("2016-05-08 07:34:05,251 INFO hello", "iso_space_comma_ms",
+             ms("2016-05-08 07:34:05,251000")),
+            ("2016-05-08T07:34:05.251 x", "iso_T_dot_ms", ms("2016-05-08 07:34:05,251000")),
+            ("[2015-01-31 15:50:45,085] y", "bracketed_comma_ms",
+             ms("2015-01-31 15:50:45,085000")),
+            ("2015-01-31 15:50:45 z", "iso_space_sec", ms("2015-01-31 15:50:45")),
+            ("2015/01/31 15:50:45 w", "slash_space_sec", ms("2015-01-31 15:50:45")),
+            ("no timestamp here", None, None),
+        ]
+        df = spark.createDataFrame([(r[0],) for r in rows], "line string")
+        got = df.select(
+            "line",
+            detect_pattern(F.col("line")).alias("pat"),
+            parse_timestamp_ms(F.col("line")).alias("ts"),
+        ).collect()
+        for g, (line, pat, expected_ms) in zip(got, rows):
+            assert g["pat"] == pat, line
+            assert g["ts"] == expected_ms, line
+
+
+class TestMultiline:
+    def test_assembly(self, spark):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        lines = [
+            ("f1", 0, "preamble without ts"),
+            ("f1", 1, "2016-05-08 07:34:05,251 event one"),
+            ("f1", 2, "  continuation A"),
+            ("f1", 3, "  continuation B"),
+            ("f1", 4, "2016-05-08 07:34:06,000 event two"),
+            ("f2", 0, "2016-05-08 08:00:00,000 other file"),
+        ]
+        df = spark.createDataFrame(lines, "file_id string, line_no long, line string")
+        out = {
+            (r["file_id"], r["msg_ix"]): r
+            for r in assemble_multiline(df).collect()
+        }
+        assert out[("f1", 0)]["message"] == "preamble without ts"
+        assert out[("f1", 0)]["ts_ms"] is None
+        assert out[("f1", 1)]["message"] == " event one\n  continuation A\n  continuation B"
+        assert out[("f1", 1)]["ts_ms"] == ms("2016-05-08 07:34:05,251000")
+        assert out[("f1", 2)]["message"] == " event two"
+        assert out[("f2", 1)]["message"] == " other file"
+
+
+class TestDecodeJoin:
+    def test_reconstruct_roundtrip(self, spark):
+        msgs = [
+            "Task 17 failed on node-3 at 0.335 s",
+            "plain text only",
+            "hex deadBEEF and big 10000000000000000000",
+        ]
+        enc = encode_batch(pd.Series(msgs, dtype=object))
+        rows = [
+            (str(i), enc["logtype"][i], list(enc["encoded_vars"][i]),
+             list(enc["dict_vars"][i]))
+            for i in range(len(msgs))
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id string, logtype string, encoded_vars array<long>, "
+                  "dict_vars array<string>"
+        )
+        got = {r["doc_id"]: r["message"] for r in reconstruct_messages(df).collect()}
+        for i, m in enumerate(msgs):
+            assert got[str(i)] == m
+
+    def test_reconstruct_via_dict_join(self, spark):
+        msgs = ["a 1", "a 2", "b 9"]
+        enc = encode_batch(pd.Series(msgs, dtype=object))
+        lts = sorted(set(enc["logtype"]))
+        lt_id = {lt: i for i, lt in enumerate(lts)}
+        rows = [
+            (str(i), lt_id[enc["logtype"][i]], list(enc["encoded_vars"][i]),
+             list(enc["dict_vars"][i]))
+            for i in range(len(msgs))
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id string, logtype_id long, encoded_vars array<long>, "
+                  "dict_vars array<string>"
+        )
+        ltd = spark.createDataFrame(list(lt_id.items()), "logtype string, logtype_id long")
+        got = {r["doc_id"]: r["message"]
+               for r in reconstruct_messages(df, ltd).collect()}
+        assert got == {str(i): m for i, m in enumerate(msgs)}
+
+
+class TestIndexer:
+    def test_column_stats(self, spark):
+        df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        stats = {r["column_name"]: r for r in
+                 table_column_stats(df, "orders").collect()}
+        assert stats["o_orderkey"]["n_rows"] == df.count()
+        assert stats["o_orderkey"]["n_distinct"] == df.count()
+        assert int(stats["o_orderkey"]["min_value"]) == 0
+        assert stats["o_orderstatus"]["column_type"] == "string"
