@@ -452,6 +452,21 @@ def q_ts_pattern_parse(spark, sf_dir):
     )
 
 
+def q_json_schema_route(spark, sf_dir):
+    """clp-s dynamic-schema grouping: records keyed by their typed leaf set."""
+    _ensure_workers_have_package(spark)
+    from clp_spark.operators.json_schema import schema_map, with_schema_id
+
+    ev = _t(spark, sf_dir, "events")
+    raw = F.when(
+        F.col("event_type") == "error",
+        F.concat(F.lit('{"k": '), F.get_json_object("props", "$.k"),
+                 F.lit(', "sev": "high err"}')),
+    ).otherwise(F.col("props"))
+    df = ev.select(raw.alias("raw"))
+    return schema_map(with_schema_id(df)).select("schema_sig", "n_records")
+
+
 # --------------------------------------------------------------- contract
 
 _HASH60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
@@ -503,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_stats": q_column_stats,
         "multiline_assembly": q_multiline_assembly,
         "ts_pattern_parse": q_ts_pattern_parse,
+        "json_schema_route": q_json_schema_route,
     }
 
 
@@ -721,6 +737,11 @@ def oracle_sql() -> dict[str, str]:
         "ts_pattern_parse": (
             "SELECT event_id, epoch_ms(date_trunc('millisecond', ts)) AS ts_ms "
             "FROM events"
+        ),
+        "json_schema_route": (
+            "SELECT CASE WHEN event_type = 'error' THEN 'k:int,sev:clpstring' "
+            "ELSE 'k:int' END AS schema_sig, count(*) AS n_records "
+            "FROM events GROUP BY 1"
         ),
         # embedding_ann_lsh: approximate bucketed ANN — intentionally no SQL oracle
     }

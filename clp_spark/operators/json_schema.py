@@ -1,0 +1,95 @@
+"""clp-s-style dynamic JSON schema handling: group records by the exact set
+of typed leaf paths ("schema"), assign schema ids, and route per-schema.
+
+Reference: clp-s merges every record's parse tree into an MPT
+(clp_s/SchemaTree.hpp:33-49), keys each record by its leaf-node set
+(clp_s/Schema.hpp:24-51, SchemaMap.hpp:10) and appends it to that schema's
+columnar table (ArchiveWriter.cpp:258-266). Type mapping below follows the
+reference: int / float / bool / null; strings split into VarString (no space)
+vs ClpString (contains a space — JsonParser.cpp:303-311); arrays are
+UnstructuredArray (serialized text); nested objects recurse.
+
+Spark shape: leaf-path extraction is an Arrow-batched UDF (ingest-side, like
+the encode kernel); schema_id is a deterministic hash of the sorted leaf set;
+routing is a partitioned write on schema_id — per-schema tables = partition
+pruning at query time.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def leaf_paths(obj, prefix: str = "") -> list[str]:
+    """Sorted 'path:type' leaf descriptors of one parsed JSON record."""
+    out: list[str] = []
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if not node:
+                out.append(f"{path}:emptyobj" if path else ":emptyobj")
+                return
+            for k, v in node.items():
+                walk(v, f"{path}.{k}" if path else k)
+        elif isinstance(node, list):
+            out.append(f"{path}:array")
+        elif isinstance(node, bool):
+            out.append(f"{path}:bool")
+        elif isinstance(node, int):
+            out.append(f"{path}:int")
+        elif isinstance(node, float):
+            out.append(f"{path}:float")
+        elif isinstance(node, str):
+            kind = "clpstring" if " " in node else "varstring"
+            out.append(f"{path}:{kind}")
+        elif node is None:
+            out.append(f"{path}:null")
+
+    walk(obj, prefix)
+    return sorted(out)
+
+
+def make_schema_udf():
+    """raw JSON string -> struct(schema_sig: string, schema_id: string)."""
+
+    @F.pandas_udf("schema_sig string, schema_id string")
+    def _schema(raw: pd.Series) -> pd.DataFrame:
+        import hashlib
+
+        sigs = []
+        for s in raw:
+            try:
+                sig = ",".join(leaf_paths(json.loads(s)))
+            except (json.JSONDecodeError, TypeError):
+                sig = "<invalid>"
+            sigs.append(sig)
+        ids = [hashlib.md5(s.encode()).hexdigest()[:16] for s in sigs]
+        return pd.DataFrame({"schema_sig": sigs, "schema_id": ids})
+
+    return _schema
+
+
+def with_schema_id(df: DataFrame, raw_col: str = "raw") -> DataFrame:
+    udf = make_schema_udf()
+    return df.withColumn("_s", udf(F.col(raw_col))).select(
+        "*", F.col("_s.schema_sig").alias("schema_sig"),
+        F.col("_s.schema_id").alias("schema_id")
+    ).drop("_s")
+
+
+def schema_map(df_with_ids: DataFrame) -> DataFrame:
+    """(schema_id, schema_sig, n_records) — the SchemaMap + occurrence counts."""
+    return (
+        df_with_ids.groupBy("schema_id", "schema_sig")
+        .agg(F.count("*").alias("n_records"))
+    )
+
+
+def route_by_schema(df_with_ids: DataFrame, out_dir: str) -> None:
+    """Per-schema tables: partitioned write on schema_id (the clp-s ERT
+    fan-out); query-time schema pruning = partition pruning."""
+    df_with_ids.write.mode("overwrite").partitionBy("schema_id").parquet(out_dir)

@@ -48,6 +48,36 @@ from clp_spark.operators.dictionary import (
 from clp_spark.plans.lineage import LineageLog
 
 
+def _dir_bytes(path: str) -> int:
+    """Compression/size stats per sink (reference ArchiveStats,
+    compression_task.py:98-144) — O(files), not O(rows)."""
+    import os
+
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def glt_route(encoded: DataFrame, out_dir: str, num_buckets: int = 16) -> None:
+    """GLT-style per-logtype routing (reference
+    glt/streaming_archive/writer/LogtypeTable.hpp:13-18): rows grouped by
+    logtype into per-logtype tables. With Zipf-skewed logtypes a plain
+    partitionBy(logtype_id) would create one giant and many tiny partitions,
+    so we bucket the id (the GLT 'combined table' for small logtypes —
+    GLTSegment.hpp:104-109 — is the bucket; AQE coalesces small writes)."""
+    (
+        encoded.withColumn(
+            "lt_bucket", F.pmod(F.xxhash64("logtype"), F.lit(num_buckets))
+        )
+        .repartition(F.col("lt_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("lt_bucket")
+        .parquet(out_dir)
+    )
+
+
 def make_detokenize_udf(vocab_text: list[str]):
     """tokens array<int32> -> message string; vocab captured once per executor."""
     vocab_arr = np.asarray(vocab_text, dtype=object)
@@ -115,7 +145,10 @@ def encode_stage(
         path = f"{out_dir}/encoded/split={b}"
         encoded.write.mode("overwrite").parquet(path)
         n = spark.read.parquet(path).count()
-        lineage.record("encode", b, rows=n, wall_s=time.time() - t0, path=path)
+        lineage.record(
+            "encode", b, rows=n, wall_s=time.time() - t0, path=path,
+            output_bytes=_dir_bytes(path),
+        )
 
 
 def dicts_stage(spark: SparkSession, out_dir: str, lineage: LineageLog) -> None:
@@ -163,7 +196,7 @@ def route_stage(
         }
         lineage.record(
             "route", b, rows=sum(per_source.values()), per_source=per_source,
-            wall_s=time.time() - t0, path=path,
+            wall_s=time.time() - t0, path=path, output_bytes=_dir_bytes(path),
         )
 
 

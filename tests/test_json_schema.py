@@ -1,0 +1,81 @@
+"""clp-s schema-tree tests: JSONL corpus mirroring the reference fixture
+(clp_s/tests/test_log_files/test_search.jsonl shapes, FIXTURES.md §4)."""
+
+import json
+
+import pytest
+
+from clp_spark.operators.json_schema import leaf_paths, schema_map, with_schema_id
+
+JSONL = [
+    '{"idx": 0, "a": "clp string"}',
+    '{"idx": 1, "msg": "Msg 1: \\"Abc123\\""}',
+    '{"idx": 2, "msg": "Msg 2"}',
+    '{"idx": 3, "arr": [{"a": 999}, {"b": 1001}]}',
+    '{"idx": 4, "arr": {"a": 999, "b": 1001}}',
+    '{"idx": 5, "var_string": "a", "clp_string": "a b", "float": 1.1, "int": 1,'
+    ' "bool": true, "array": [], "object": {}}',
+    '{"idx": 6, "nil": null}',
+    '{"idx": 7, "a": "varstring"}',
+    '{"idx": 8, "a": "two words"}',
+    "not json at all",
+]
+
+
+class TestLeafPaths:
+    def test_type_mapping(self):
+        lp = leaf_paths(json.loads(JSONL[5]))
+        assert lp == sorted(
+            [
+                "idx:int",
+                "var_string:varstring",
+                "clp_string:clpstring",
+                "float:float",
+                "int:int",
+                "bool:bool",
+                "array:array",
+                "object:emptyobj",
+            ]
+        )
+
+    def test_nested_and_array(self):
+        assert leaf_paths(json.loads(JSONL[4])) == ["arr.a:int", "arr.b:int", "idx:int"]
+        assert leaf_paths(json.loads(JSONL[3])) == ["arr:array", "idx:int"]
+
+    def test_string_kind_by_space(self):
+        # JsonParser.cpp:303-311 — contains-space → ClpString else VarString
+        assert leaf_paths({"a": "one"}) == ["a:varstring"]
+        assert leaf_paths({"a": "one two"}) == ["a:clpstring"]
+
+
+class TestSchemaRouting:
+    @pytest.fixture(scope="class")
+    def routed(self, spark):
+        df = spark.createDataFrame([(s,) for s in JSONL], "raw string")
+        return with_schema_id(df)
+
+    def test_same_shape_same_id(self, routed):
+        rows = routed.collect()
+        by_raw = {r["raw"]: r["schema_id"] for r in rows}
+        # idx 0 and idx 7/8: {"idx": int, "a": string} — but string KIND differs
+        assert by_raw[JSONL[0]] != by_raw[JSONL[7]]  # clpstring vs varstring
+        assert by_raw[JSONL[7]] != by_raw[JSONL[8]]
+        assert by_raw[JSONL[1]] == by_raw[JSONL[1]]
+        # msg 1 (clpstring) vs msg 2 "Msg 2" (clpstring, same shape) share ids
+        assert by_raw[JSONL[1]] == by_raw[JSONL[2]]
+
+    def test_schema_map_counts(self, routed):
+        m = {r["schema_sig"]: r["n_records"] for r in schema_map(routed).collect()}
+        assert m["<invalid>"] == 1
+        assert sum(m.values()) == len(JSONL)
+
+    def test_route_partitioning(self, routed, tmp_path):
+        from clp_spark.operators.json_schema import route_by_schema
+
+        out = str(tmp_path / "schemas")
+        route_by_schema(routed, out)
+        import os
+
+        parts = [d for d in os.listdir(out) if d.startswith("schema_id=")]
+        n_ids = routed.select("schema_id").distinct().count()
+        assert len(parts) == n_ids

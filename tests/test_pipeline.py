@@ -6,6 +6,7 @@ import shutil
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from clp_spark.oracle import decode_message, encode_message
 from clp_spark.plans.lineage import LineageLog
@@ -120,6 +121,29 @@ class TestPipelineParity:
             vals = [r[vcol] for r in rows]
             assert ids == list(range(len(ids)))
             assert vals == sorted(vals)
+
+
+class TestGltRoute:
+    def test_bucketed_layout_and_completeness(self, spark, pipeline_out, tmp_path):
+        import os
+
+        from clp_spark.plans.pipeline import glt_route
+
+        encoded = spark.read.parquet(f"{pipeline_out}/encoded")
+        out = str(tmp_path / "glt")
+        glt_route(encoded, out, num_buckets=8)
+        parts = [d for d in os.listdir(out) if d.startswith("lt_bucket=")]
+        assert 1 <= len(parts) <= 8
+        assert spark.read.parquet(out).count() == N_ROWS
+        # same logtype always lands in the same bucket
+        df = spark.read.option("basePath", out).parquet(out)
+        multi = (
+            df.groupBy("logtype")
+            .agg(F.countDistinct("lt_bucket").alias("nb"))
+            .where(F.col("nb") > 1)
+            .count()
+        )
+        assert multi == 0
 
 
 class TestResume:

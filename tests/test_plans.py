@@ -1,0 +1,77 @@
+"""Physical-plan assertions: the optimizations we claim must appear in the
+actual Catalyst plans — broadcast hash joins for dict enrich, parquet filter
+pushdown, two-phase (partial/final) aggregation, JVM-only predicates."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from clp_spark.operators.dictionary import assign_sorted_ids, enrich_with_logtype_ids
+from clp_spark.operators.kql import compile_kql
+from clp_spark.operators.subseq import contains_ordered_subsequence
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+
+class TestPlanShapes:
+    def test_dict_enrich_is_broadcast_join(self, spark, events):
+        dict_df = assign_sorted_ids(events.select("event_type"), "event_type", "type_id")
+        joined = events.join(F.broadcast(dict_df), "event_type")
+        assert "BroadcastHashJoin" in plan_of(joined)
+
+    def test_logtype_enrich_broadcast(self, spark):
+        from clp_spark.functions.encode_kernel import encode_batch
+        import pandas as pd
+
+        enc = encode_batch(pd.Series(["a 1", "b 2"], dtype=object))
+        sinks = spark.createDataFrame(
+            [(enc["logtype"][i],) for i in range(2)], "logtype string"
+        )
+        lt = spark.createDataFrame(
+            [(enc["logtype"][i], i) for i in range(2)], "logtype string, logtype_id long"
+        )
+        assert "BroadcastHashJoin" in plan_of(enrich_with_logtype_ids(sinks, lt))
+
+    def test_parquet_filter_pushdown(self, spark, events):
+        q = events.where(F.col("event_type") == "error").select("event_id")
+        plan = plan_of(q)
+        assert "PushedFilters" in plan
+        assert "EqualTo(event_type,error)" in plan or "event_type" in plan.split(
+            "PushedFilters"
+        )[1].splitlines()[0]
+
+    def test_column_pruning(self, spark, events):
+        q = events.where(F.col("event_type") == "error").select("event_id")
+        plan = plan_of(q)
+        read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+        assert "event_id" in read_schema
+        assert "props" not in read_schema  # unused column must not be read
+
+    def test_groupby_is_two_phase(self, spark, events):
+        q = events.groupBy("event_type").agg(F.count("*").alias("n"))
+        plan = plan_of(q)
+        assert plan.count("HashAggregate") >= 2  # partial (map-side) + final
+
+    def test_kql_predicate_is_jvm_only(self, spark, events):
+        pred = compile_kql(events, "event_type: error AND value > 50")
+        plan = plan_of(events.where(pred))
+        assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+
+    def test_subsequence_predicate_is_jvm_only(self, spark):
+        df = spark.range(1).select(F.split(F.lit("a,b,c"), ",").alias("arr"))
+        q = df.where(contains_ordered_subsequence(F.col("arr"), ["a", "c"]))
+        assert "Python" not in plan_of(q)
+
+    def test_takeordered_for_latest_n(self, spark, events):
+        from clp_spark.operators.aggregate import latest_n
+
+        q = latest_n(events, F.col("ts"), 10, F.col("event_id"))
+        assert "TakeOrderedAndProject" in plan_of(q)  # no full sort
