@@ -66,16 +66,53 @@ def _readable_logtype(col):
     return out
 
 
+def _rich_message_col():
+    """A realistic log message built from documents columns — identical SQL
+    construction exists in _ORACLE_MSG, so every encode query has an exact
+    oracle. Covers int vars, float vars, digit-bearing dict vars, and
+    hex-rule dict vars."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" req "), (F.col("doc_id") * 37).cast("string"),
+        F.lit(" took 0."), F.col("n_chars").cast("string"),
+        F.lit(" s at node-"), F.pmod("doc_id", F.lit(7)).cast("string"),
+        F.lit(" hash "), F.substring(F.md5("text"), 1, 8),
+    )
+
+
+_ORACLE_MSG = (
+    "text || ' req ' || CAST(doc_id * 37 AS VARCHAR) || ' took 0.' || "
+    "CAST(n_chars AS VARCHAR) || ' s at node-' || CAST(doc_id % 7 AS VARCHAR) || "
+    "' hash ' || substr(md5(text), 1, 8)"
+)
+
+# word → variable classification for the constructed corpus (single-space
+# separated, no escapes/'='/zero-padded ints beyond the rules below)
+_ORACLE_WORD_CASE = (
+    "CASE WHEN regexp_matches(w, '^(0|[1-9][0-9]*)$') THEN '<I>' "
+    "WHEN regexp_matches(w, '^0\\.[0-9]+$') THEN '<F>' "
+    "WHEN regexp_matches(w, '[0-9]') OR regexp_matches(w, '^[a-f0-9]{2,}$') "
+    "THEN '<D>' ELSE w END"
+)
+_ORACLE_IS_DICTVAR = (
+    "(regexp_matches(w, '[0-9]') OR regexp_matches(w, '^[a-f0-9]{2,}$')) "
+    "AND NOT regexp_matches(w, '^(0|[1-9][0-9]*)$') "
+    "AND NOT regexp_matches(w, '^0\\.[0-9]+$')"
+)
+
+
 def _encoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_workers_have_package(spark)
     from clp_spark.functions.encode_kernel import clp_encode_udf
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").withColumn("message", _rich_message_col())
     enc = clp_encode_udf()
-    return docs.withColumn("enc", enc("text")).select(
+    return docs.withColumn("enc", enc("message")).select(
         "doc_id",
         "source",
         F.col("enc.logtype").alias("raw_logtype"),
+        F.col("enc.placeholders").alias("placeholders"),
+        F.col("enc.encoded_vars").alias("encoded_vars"),
         F.col("enc.dict_vars").alias("dict_vars"),
     )
 
@@ -113,15 +150,39 @@ def q_clp_logtype_dict_ids(spark, sf_dir):
     return assign_sorted_ids(enc, "logtype", "logtype_id")
 
 
-# oracle fragment: CLP tokenizer over strictly-[a-z ] text — the only variable
-# rule that can fire is the multi-digit-hex rule (^[a-f]{2,}$)
 _ORACLE_LOGTYPE = (
-    "array_to_string(list_transform(string_split(text, ' '), "
-    "w -> CASE WHEN regexp_matches(w, '^[a-f]{2,}$') THEN '<D>' ELSE w END), ' ')"
+    f"array_to_string(list_transform(string_split({_ORACLE_MSG}, ' '), "
+    f"w -> {_ORACLE_WORD_CASE}), ' ')"
 )
 _ORACLE_DICTVARS = (
-    "list_filter(string_split(text, ' '), w -> regexp_matches(w, '^[a-f]{2,}$'))"
+    f"list_filter(string_split({_ORACLE_MSG}, ' '), w -> {_ORACLE_IS_DICTVAR})"
 )
+
+
+def q_clp_int_var_sum(spark, sf_dir):
+    """Value-level check of int-variable encoding: sum of all int vars per doc."""
+    enc = _encoded_docs(spark, sf_dir)
+    nondict_kinds = F.filter("placeholders", lambda p: p != F.lit(0x12))
+    pairs = F.arrays_zip(nondict_kinds.alias("k"), F.col("encoded_vars").alias("v"))
+    s = F.aggregate(
+        pairs,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.when(x["k"] == 0x11, acc + x["v"]).otherwise(acc),
+    )
+    return enc.select("doc_id", s.alias("int_sum"))
+
+
+def q_clp_float_encodings(spark, sf_dir):
+    """Bit-level check of the float pack: the constructed corpus has exactly
+    one float var per message ('0.<n_chars>'); its packed int64 must equal the
+    reference formula computed in SQL."""
+    enc = _encoded_docs(spark, sf_dir)
+    nondict_kinds = F.filter("placeholders", lambda p: p != F.lit(0x12))
+    pairs = F.arrays_zip(nondict_kinds.alias("k"), F.col("encoded_vars").alias("v"))
+    floats = F.filter(pairs, lambda x: x["k"] == 0x13)
+    return enc.select(
+        "doc_id", F.element_at(floats, 1)["v"].alias("float_enc")
+    )
 
 
 # ----------------------------------------------------------- search / filter
@@ -389,9 +450,9 @@ def q_clp_decode_roundtrip(spark, sf_dir):
     from clp_spark.functions.encode_kernel import clp_encode_udf
     from clp_spark.operators.decode import reconstruct_messages
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").withColumn("message", _rich_message_col())
     enc = clp_encode_udf()
-    encoded = docs.withColumn("enc", enc("text")).select(
+    encoded = docs.withColumn("enc", enc("message")).select(
         "doc_id",
         F.col("enc.logtype").alias("logtype"),
         F.col("enc.encoded_vars").alias("encoded_vars"),
@@ -467,6 +528,82 @@ def q_json_schema_route(spark, sf_dir):
     return schema_map(with_schema_id(df)).select("schema_sig", "n_records")
 
 
+def _build_archive(spark, sf_dir):
+    """Encode documents into an in-memory archive (sinks + dictionaries)."""
+    _ensure_workers_have_package(spark)
+    from clp_spark.functions.encode_kernel import clp_encode_udf
+    from clp_spark.operators.dictionary import assign_sorted_ids
+
+    docs = _t(spark, sf_dir, "documents").withColumn("message", _rich_message_col())
+    enc = clp_encode_udf()
+    encoded = docs.withColumn("enc", enc("message")).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "source",
+        F.col("enc.logtype").alias("logtype"),
+        F.col("enc.placeholders").alias("placeholders"),
+        F.col("enc.encoded_vars").alias("encoded_vars"),
+        F.col("enc.dict_vars").alias("dict_vars"),
+    )
+    encoded = encoded.persist()
+    logtype_dict = assign_sorted_ids(
+        encoded.select("logtype"), "logtype", "logtype_id"
+    )
+    var_dict = assign_sorted_ids(
+        encoded.select(F.explode("dict_vars").alias("var_value")), "var_value", "var_id"
+    )
+    sinks = encoded.join(F.broadcast(logtype_dict), "logtype")
+    return sinks, logtype_dict, var_dict
+
+
+def q_clp_archive_search(spark, sf_dir):
+    """Full CLP text-search lifecycle over the encoded archive: compile →
+    dictionary probe → candidate filter → decode → final wildcard verify.
+    For this corpus the heuristic is exact, so the oracle is a LIKE scan of
+    the original text."""
+    from clp_spark.operators.search import search_archive
+
+    sinks, lt, vd = _build_archive(spark, sf_dir)
+    out = search_archive(sinks, lt, vd, "*fast*scan*")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "message")
+
+
+def q_clp_archive_search_var(spark, sf_dir):
+    """Search with a variable-shaped token (hex rule → dictionary probe)."""
+    from clp_spark.operators.search import search_archive
+
+    sinks, lt, vd = _build_archive(spark, sf_dir)
+    out = search_archive(sinks, lt, vd, "* node-3 *")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def q_streaming_count_by_time(spark, sf_dir):
+    """Structured-Streaming timeline (update-mode upsert, availableNow) —
+    results must equal the batch bucket counts."""
+    import json as _json
+    import tempfile
+
+    from clp_spark.streaming.timeline import run_timeline_stream
+
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+    )
+    workdir = tempfile.mkdtemp(prefix="clp_stream_")
+    in_dir = f"{workdir}/in"
+    ev.write.mode("overwrite").parquet(in_dir)
+    out_path = f"{workdir}/timeline.json"
+    q = run_timeline_stream(
+        spark, in_dir, "event_id long, ts_ms long", "ts_ms", 60_000,
+        out_path, f"{workdir}/ckpt",
+    )
+    q.awaitTermination(300)
+    with open(out_path) as f:
+        state = _json.load(f)
+    return spark.createDataFrame(
+        [(int(k), int(v)) for k, v in state.items()], "bucket_ts long, cnt long"
+    )
+
+
 # --------------------------------------------------------------- contract
 
 _HASH60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
@@ -519,6 +656,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline_assembly": q_multiline_assembly,
         "ts_pattern_parse": q_ts_pattern_parse,
         "json_schema_route": q_json_schema_route,
+        "clp_archive_search": q_clp_archive_search,
+        "clp_archive_search_var": q_clp_archive_search_var,
+        "streaming_count_by_time": q_streaming_count_by_time,
+        "clp_int_var_sum": q_clp_int_var_sum,
+        "clp_float_encodings": q_clp_float_encodings,
     }
 
 
@@ -695,7 +837,18 @@ def oracle_sql() -> dict[str, str]:
             "octet_length(encode(text)) AS byte_len, md5(text) AS content_hash FROM documents"
         ),
         "clp_decode_roundtrip": (
-            "SELECT doc_id, text AS message FROM documents"
+            f"SELECT doc_id, {_ORACLE_MSG} AS message FROM documents"
+        ),
+        "clp_int_var_sum": (
+            f"SELECT doc_id, coalesce(list_sum(list_transform(list_filter("
+            f"string_split({_ORACLE_MSG}, ' '), "
+            "w -> regexp_matches(w, '^(0|[1-9][0-9]*)$')), "
+            "w -> CAST(w AS BIGINT))), 0) AS int_sum FROM documents"
+        ),
+        "clp_float_encodings": (
+            "SELECT doc_id, (CAST(replace(fw, '.', '') AS BIGINT) * 256 + "
+            "(length(fw) - 2) * 16 + (length(fw) - strpos(fw, '.') - 1)) AS float_enc "
+            "FROM (SELECT doc_id, '0.' || CAST(n_chars AS VARCHAR) AS fw FROM documents)"
         ),
         "column_stats": (
             "SELECT 'orders' AS table_name, c.column_name, c.column_type, "
@@ -741,6 +894,17 @@ def oracle_sql() -> dict[str, str]:
         "json_schema_route": (
             "SELECT CASE WHEN event_type = 'error' THEN 'k:int,sev:clpstring' "
             "ELSE 'k:int' END AS schema_sig, count(*) AS n_records "
+            "FROM events GROUP BY 1"
+        ),
+        "clp_archive_search": (
+            f"SELECT doc_id, {_ORACLE_MSG} AS message FROM documents "
+            f"WHERE {_ORACLE_MSG} LIKE '%fast%scan%'"
+        ),
+        "clp_archive_search_var": (
+            f"SELECT doc_id FROM documents WHERE {_ORACLE_MSG} LIKE '% node-3 %'"
+        ),
+        "streaming_count_by_time": (
+            "SELECT (epoch_ms(ts) // 60000) * 60000 AS bucket_ts, count(*) AS cnt "
             "FROM events GROUP BY 1"
         ),
         # embedding_ann_lsh: approximate bucketed ANN — intentionally no SQL oracle

@@ -39,6 +39,13 @@ def assign_sorted_ids(
     try:
         counts = {r["_pid"]: r["cnt"] for r in
                   with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+        if not counts:  # empty input → empty dictionary with the right schema
+            spark = values.sparkSession
+            vtype = dict(zip(values.columns,
+                             [f.dataType.simpleString() for f in values.schema.fields]))
+            return spark.createDataFrame(
+                [], f"{value_col} {vtype[value_col]}, {id_col} long"
+            )
         offsets = {}
         acc = 0
         for pid in sorted(counts):

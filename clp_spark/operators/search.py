@@ -460,7 +460,10 @@ def search_archive(
 
     compiled = compile_query(query, logtype_dict, var_dict, ignore_case)
     if compiled == MATCH_ALL:
-        return with_lt.select("doc_id", "source", "logtype_id", message.alias("message"))
+        # no subquery can narrow the scan (reference: SupercedesAllSubQueries)
+        # → full scan, decode, and verify the original query per message
+        out = with_lt.select("doc_id", "source", "logtype_id", message.alias("message"))
+        return out.where(wildcard_match(F.col("message"), query, ignore_case))
     if not compiled:
         return (
             with_lt.select("doc_id", "source", "logtype_id", message.alias("message"))
