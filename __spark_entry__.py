@@ -240,6 +240,31 @@ def q_kql_json_field(spark, sf_dir):
     )
 
 
+def q_kql_nested(spark, sf_dir):
+    """Nested-object KQL (`parent: {child op v}` — reference Kql.g4 nested
+    queries) over a from_json-parsed struct column."""
+    from clp_spark.operators.kql import kql_filter
+
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("props", F.from_json("props", "struct<k:int>"))
+    return kql_filter(parsed, "props: {k >= 90} AND event_type: click").select(
+        "event_id"
+    )
+
+
+def q_glt_bucket_counts(spark, sf_dir):
+    """GLT per-logtype routing key (bucketed) + per-bucket row counts."""
+    from clp_spark.plans.pipeline import glt_bucket
+
+    enc = _encoded_docs(spark, sf_dir)
+    return (
+        enc.groupBy(
+            glt_bucket(_readable_logtype(F.col("raw_logtype")), 8).alias("lt_bucket")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_ts_range_filter(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.where(
@@ -345,13 +370,10 @@ def q_dedup_exact_survivors(spark, sf_dir):
 
 
 def q_minhash_seed0(spark, sf_dir):
-    from clp_spark.operators.dedup import seeded_hash60, word_shingles
+    from clp_spark.operators.dedup import minhash_min
 
     docs = _t(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", 3)
-    return sh.groupBy("doc_id").agg(
-        F.min(seeded_hash60(F.col("shingle"), 0)).alias("mh")
-    )
+    return minhash_min(docs, "doc_id", "text", seed=0, shingle_n=3)
 
 
 def q_minhash_band_candidates(spark, sf_dir):
@@ -384,6 +406,15 @@ def q_embedding_threshold(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_above(emb, "embedding", _QUERY_VEC, 0.30).select("vec_id")
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Exact brute-force cosine top-k — the ANN baseline (TakeOrderedAndProject)."""
+    from clp_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb, "embedding", _QUERY_VEC, 10)
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 def q_embedding_ann_lsh(spark, sf_dir):
@@ -645,7 +676,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "embedding_threshold": q_embedding_threshold,
+        "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
+        "kql_nested": q_kql_nested,
+        "glt_bucket_counts": q_glt_bucket_counts,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -797,6 +831,23 @@ def oracle_sql() -> dict[str, str]:
         "embedding_threshold": (
             "SELECT vec_id FROM embeddings WHERE embedding[1]::DOUBLE / "
             "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) > 0.30"
+        ),
+        "embedding_topk": (
+            "SELECT vec_id, round(embedding[1]::DOUBLE / "
+            "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6) "
+            "AS cos_sim FROM embeddings "
+            "ORDER BY embedding[1]::DOUBLE / "
+            "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) DESC, "
+            "vec_id LIMIT 10"
+        ),
+        "kql_nested": (
+            "SELECT event_id FROM events WHERE "
+            "CAST(json_extract_string(props, '$.k') AS INT) >= 90 "
+            "AND event_type = 'click'"
+        ),
+        "glt_bucket_counts": (
+            f"SELECT CAST('0x' || substr(md5({_ORACLE_LOGTYPE}), 1, 15) AS BIGINT) % 8 "
+            "AS lt_bucket, count(*) AS n FROM documents GROUP BY 1"
         ),
         "lang_id": (
             "WITH s AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), "

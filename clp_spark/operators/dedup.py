@@ -43,42 +43,66 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keep, id_col, "left_semi")
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) — distinct word n-grams per document (whitespace words)."""
-    words = F.split(F.col(text_col), r"\s+")
+def shingle_array(text_col: Column, n: int = 3) -> Column:
+    """array<string> of word n-grams (whitespace words; ≥1 shingle per doc)."""
+    words = F.split(text_col, r"\s+")
     k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
-    shingles = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), k - 1),
         lambda i: F.array_join(F.slice(words, i + 1, n), " "),
     )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) — distinct word n-grams per document (whitespace words)."""
     return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        df.select(F.col(id_col), F.explode(shingle_array(F.col(text_col), n)).alias("shingle"))
         .distinct()
     )
+
+
+def minhash_min(df: DataFrame, id_col: str, text_col: str, seed: int = 0,
+                shingle_n: int = 3) -> DataFrame:
+    """(id, mh) — single-seed minhash, computed per row with no shuffle.
+
+    Documents are one row per id, so min-over-shingles is an array_min over
+    the row's own shingle array — the whole query is a scan + project
+    (WholeStageCodegen, no explode, no groupBy). At 100 TB this is the
+    difference between a map-only job and a rows×shingles shuffle.
+    """
+    h = F.array_min(
+        F.transform(
+            shingle_array(F.col(text_col), shingle_n),
+            lambda s: md5_hash60(F.concat(F.lit(f"{seed}|"), s)),
+        )
+    )
+    return df.select(F.col(id_col), h.alias("mh"))
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, sig: array<long>) — minhash signature over word shingles."""
-    spark = df.sparkSession
-    sh = word_shingles(df, id_col, text_col, shingle_n)
-    seeds = spark.range(num_hashes).select(F.col("id").cast("int").alias("seed"))
-    hashed = sh.join(F.broadcast(seeds)).select(
-        F.col(id_col),
-        "seed",
-        md5_hash60(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))).alias(
-            "h"
+    """(id, sig: array<long>) — minhash signature over word shingles.
+
+    Computed per row (one row per document id): for each seed, array_min of
+    the seeded hashes of the row's shingle array. Map-only — no explode, no
+    per-(doc,seed) shuffle; duplicate shingles don't affect the min.
+    """
+    with_sh = df.select(
+        F.col(id_col), shingle_array(F.col(text_col), shingle_n).alias("_sh")
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(
+                F.col("_sh"),
+                lambda s: md5_hash60(
+                    F.concat(seed.cast("string"), F.lit("|"), s)
+                ),
+            )
         ),
     )
-    per_seed = hashed.groupBy(id_col, "seed").agg(F.min("h").alias("mh"))
-    return (
-        per_seed.groupBy(id_col)
-        .agg(
-            F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("_sm")
-        )
-        .select(F.col(id_col), F.expr("transform(_sm, x -> x.mh)").alias("sig"))
-    )
+    return with_sh.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -160,26 +184,28 @@ def ngram_jaccard_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """(id, simhash) — bitwise-majority fingerprint over word hashes.
 
-    Default 16 bits keeps the bit-explode fan-out small; each word contributes
-    ±1 per bit position, positive sum → bit set.
+    Each word contributes ±1 per bit position; positive sum → bit set.
+    Computed per row (one row per id): a single-pass array aggregate keeps
+    per-bit counters in an array accumulator — map-only, no words×bits
+    explode, no shuffle.
     """
-    words = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
-    ).where(F.col("w") != "")
-    hashed = words.select(F.col(id_col), md5_hash60(F.col("w")).alias("h"))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    contrib = hashed.select(F.col(id_col), bit, F.col("h")).select(
+    hashed = df.select(
         F.col(id_col),
-        "b",
-        (F.expr("shiftright(h, b)").bitwiseAND(F.lit(1)) * 2 - 1).alias("c"),
+        F.transform(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != ""),
+            lambda w: md5_hash60(w),
+        ).alias("_hs"),
     )
-    per_bit = contrib.groupBy(id_col, "b").agg(F.sum("c").alias("s"))
-    return (
-        per_bit.groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)"))
-                .otherwise(F.lit(0))
-            ).alias("simhash")
-        )
+    counts = F.expr(
+        f"aggregate(_hs, array_repeat(cast(0 as bigint), {bits}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {bits - 1}), "
+        f"(a, b) -> a + (cast(shiftright(h, b) & 1 as bigint) * 2 - 1)))"
+    )
+    sim = F.expr(
+        f"aggregate(zip_with(_counts, sequence(0, {bits - 1}), "
+        f"(s, b) -> if(s > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))), "
+        f"cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    return hashed.select(F.col(id_col), counts.alias("_counts")).select(
+        F.col(id_col), sim.alias("simhash")
     )

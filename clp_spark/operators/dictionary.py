@@ -20,15 +20,46 @@ from pyspark.sql import functions as F
 
 
 def assign_sorted_ids(
-    values: DataFrame, value_col: str, id_col: str, num_partitions: int | None = None
+    values: DataFrame, value_col: str, id_col: str, num_partitions: int | None = None,
+    small_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Dense deterministic ids 0..n-1 by global sorted order of distinct values.
 
-    Parallel three-step: range-partition distinct values, row_number within
-    each (sorted) partition, then add per-partition base offsets (a tiny
-    driver-side map — O(partitions), not O(rows)).
+    Small dictionaries (≤ ``small_threshold`` distinct values — the common
+    case: logtype dictionaries are bounded by template count, not row count)
+    rank in a single partition: one distinct shuffle, one tiny sort, two jobs.
+
+    Large dictionaries use the parallel three-step: range-partition distinct
+    values, row_number within each (sorted) partition, then add per-partition
+    base offsets (a tiny driver-side map — O(partitions), not O(rows)).
     """
     distinct = values.select(value_col).distinct()
+    distinct.persist()
+    try:
+        n_distinct = distinct.count()
+        if n_distinct == 0:  # empty input → empty dictionary with right schema
+            spark = values.sparkSession
+            vtype = dict(zip(values.columns,
+                             [f.dataType.simpleString() for f in values.schema.fields]))
+            return spark.createDataFrame(
+                [], f"{value_col} {vtype[value_col]}, {id_col} long"
+            )
+        if not num_partitions and n_distinct <= small_threshold:
+            w = Window.orderBy(value_col)
+            out = distinct.coalesce(1).withColumn(
+                id_col, (F.row_number().over(w) - F.lit(1)).cast("long")
+            )
+            return out.localCheckpoint(eager=True)
+        return _assign_sorted_ids_distributed(
+            distinct, value_col, id_col, num_partitions
+        )
+    finally:
+        distinct.unpersist()
+
+
+def _assign_sorted_ids_distributed(
+    distinct: DataFrame, value_col: str, id_col: str, num_partitions: int | None
+) -> DataFrame:
     if num_partitions:
         parts = distinct.repartitionByRange(num_partitions, F.col(value_col))
     else:
@@ -39,19 +70,12 @@ def assign_sorted_ids(
     try:
         counts = {r["_pid"]: r["cnt"] for r in
                   with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-        if not counts:  # empty input → empty dictionary with the right schema
-            spark = values.sparkSession
-            vtype = dict(zip(values.columns,
-                             [f.dataType.simpleString() for f in values.schema.fields]))
-            return spark.createDataFrame(
-                [], f"{value_col} {vtype[value_col]}, {id_col} long"
-            )
         offsets = {}
         acc = 0
         for pid in sorted(counts):
             offsets[pid] = acc
             acc += counts[pid]
-        spark = values.sparkSession
+        spark = distinct.sparkSession
         offsets_df = spark.createDataFrame(
             [(int(pid), int(off)) for pid, off in offsets.items()], ["_pid", "_off"]
         )

@@ -60,6 +60,13 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def glt_bucket(logtype_col, num_buckets: int):
+    """Portable logtype→bucket id (md5-derived 60-bit hash mod buckets;
+    replicable in any engine: CAST('0x'||substr(md5(x),1,15) AS BIGINT) % n)."""
+    h = F.conv(F.substring(F.md5(logtype_col), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(num_buckets))
+
+
 def glt_route(encoded: DataFrame, out_dir: str, num_buckets: int = 16) -> None:
     """GLT-style per-logtype routing (reference
     glt/streaming_archive/writer/LogtypeTable.hpp:13-18): rows grouped by
@@ -69,7 +76,7 @@ def glt_route(encoded: DataFrame, out_dir: str, num_buckets: int = 16) -> None:
     GLTSegment.hpp:104-109 — is the bucket; AQE coalesces small writes)."""
     (
         encoded.withColumn(
-            "lt_bucket", F.pmod(F.xxhash64("logtype"), F.lit(num_buckets))
+            "lt_bucket", glt_bucket(F.col("logtype"), num_buckets)
         )
         .repartition(F.col("lt_bucket"))
         .write.mode("overwrite")
