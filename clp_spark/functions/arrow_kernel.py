@@ -55,15 +55,22 @@ def encoded_arrays_from_core(raw: dict) -> dict[str, pa.Array]:
     }
 
 
+def vocab_pieces_with_sep(vocab_text: list[str]) -> pa.Array:
+    """BinaryArray of vocab pieces plus a trailing 1-byte 0x00 separator piece
+    (index = len(vocab)); computed once per executor for tokens_to_buffer."""
+    pieces = [t.encode("utf-8") for t in vocab_text] + [b"\x00"]
+    return pa.array(pieces, type=pa.binary())
+
+
 def tokens_to_buffer(
-    tokens_col: pa.Array,
-    vocab_buf: np.ndarray,
-    piece_start: np.ndarray,
-    piece_len: np.ndarray,
+    tokens_col: pa.Array, vocab_pieces: pa.Array
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Fused detokenize from a ListArray of token ids → (buf, msg_start, msg_end).
 
-    Zero-copy in: the ListArray's offsets/values are numpy views.
+    The byte concatenation happens inside one Arrow C++ ``take``: a separator
+    *token* (vocab index V, a 1-byte 0x00 piece) is spliced between messages —
+    an O(tokens) int32 scatter — and the take result's value buffer IS the
+    separated message buffer. No O(chars) numpy temporaries.
     """
     col = tokens_col.combine_chunks() if isinstance(tokens_col, pa.ChunkedArray) else tokens_col
     if isinstance(col, pa.ListArray):
@@ -77,23 +84,35 @@ def tokens_to_buffer(
     flat_tok = flat_tok[lo:hi]
     offsets = offsets - lo
     n = len(offsets) - 1
+    t = len(flat_tok)
+    sep_id = len(vocab_pieces) - 1
+    if n == 0 or t == 0:
+        return (
+            np.zeros(1, dtype=np.uint8),
+            np.zeros(n, dtype=np.int64),
+            np.zeros(n, dtype=np.int64),
+        )
 
-    plens = piece_len[flat_tok]
     tok_counts = np.diff(offsets)
     row_of_tok = np.repeat(np.arange(n, dtype=np.int32), tok_counts)
-    msg_len = np.bincount(row_of_tok, weights=plens, minlength=n).astype(np.int64)
-    tok_off = (np.cumsum(plens, dtype=np.int64) - plens).astype(np.int32)
-    tok_off += row_of_tok
-    total = int(plens.sum()) + max(n - 1, 0)
-    buf = np.zeros(max(total, 1), dtype=np.uint8)
-    char_src = np.repeat(piece_start[flat_tok], plens) + _ranges(plens)
-    char_dst = char_src + np.repeat(tok_off - piece_start[flat_tok], plens)
-    buf[char_dst] = vocab_buf[char_src]
-    buf = buf[: max(total, 1)]
-    msg_start = np.zeros(n, dtype=np.int64)
-    if n > 1:
-        msg_start[1:] = np.cumsum(msg_len + 1)[:-1]
-    msg_end = msg_start + msg_len
+    # token stream with a separator token between consecutive messages
+    new_flat = np.full(t + max(n - 1, 0), sep_id, dtype=np.int32)
+    new_flat[np.arange(t, dtype=np.int64) + row_of_tok] = flat_tok
+    pieces = pa.compute.take(vocab_pieces, pa.array(new_flat, type=pa.int32()))
+    piece_offs = np.frombuffer(pieces.buffers()[1], dtype=np.int32)[
+        pieces.offset : pieces.offset + len(pieces) + 1
+    ].astype(np.int64)
+    total = int(piece_offs[-1] - piece_offs[0])
+    buf = np.frombuffer(pieces.buffers()[2], dtype=np.uint8)[
+        piece_offs[0] : piece_offs[-1]
+    ]
+    if total == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+    # message i spans new-token indices [offsets[i]+i, offsets[i+1]+i)
+    row_ix = np.arange(n, dtype=np.int64)
+    base = piece_offs[0]
+    msg_start = piece_offs[np.minimum(offsets[:-1] + row_ix, t + max(n - 1, 0))] - base
+    msg_end = piece_offs[offsets[1:] + row_ix] - base
     return buf, msg_start, msg_end
 
 
@@ -102,16 +121,12 @@ def make_detok_encode_arrow(
 ):
     """mapInArrow function: RecordBatch(tokens + passthrough) →
     RecordBatch(passthrough + encoded columns)."""
-    from clp_spark.functions.encode_kernel_np import build_vocab_buffer
-
-    vocab_buf, piece_start, piece_len = build_vocab_buffer(vocab_text)
+    vocab_pieces = vocab_pieces_with_sep(vocab_text)
 
     def _fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             tokens = batch.column(tokens_col)
-            buf, msg_start, msg_end = tokens_to_buffer(
-                tokens, vocab_buf, piece_start, piece_len
-            )
+            buf, msg_start, msg_end = tokens_to_buffer(tokens, vocab_pieces)
             raw = encode_core(buf, msg_start, msg_end)
             cols = encoded_arrays_from_core(raw)
             arrays = [batch.column(c) for c in passthrough] + list(cols.values())

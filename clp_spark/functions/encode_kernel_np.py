@@ -165,20 +165,20 @@ def _classify(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """(vts, vte, codes, values): variable token spans, placeholder codes,
     and int64 encodings for int/float variables."""
-    # ---- per-token class counts via sorted position arrays ----
-    # digits/letters/hex/dots are all non-delimiters, so they occur only
-    # inside tokens: per-token counts come from two binary searches instead of
-    # full-buffer cumulative arrays (cumsum is a scalar loop — avoid it).
-    dpos = np.flatnonzero(_DIGIT[buf]).astype(np.int32)
-    apos = np.flatnonzero(_ALPHA[buf]).astype(np.int32)
-    hpos = np.flatnonzero(_HEX[buf]).astype(np.int32)
-
+    # ---- per-token class counts: one cumsum per class + two gathers ----
+    # count in [ts, te) = c[te-1] - (c[ts] - mask[ts]); cheaper than sorted
+    # position arrays + binary searches at these densities.
     L = te - ts
-    cnt_d_ts = np.searchsorted(dpos, ts).astype(np.int32)
-    cnt_d_te = np.searchsorted(dpos, te).astype(np.int32)
-    has_digit = cnt_d_te > cnt_d_ts
-    has_alpha = np.searchsorted(apos, te) > np.searchsorted(apos, ts)
-    all_hex = (np.searchsorted(hpos, te) - np.searchsorted(hpos, ts)) == L
+    dmask = _DIGIT[buf]
+    cd = np.cumsum(dmask, dtype=np.int32)
+    cnt_d = cd[te - 1] - cd[ts] + dmask[ts]
+    has_digit = cnt_d > 0
+    amask = _ALPHA[buf]
+    ca = np.cumsum(amask, dtype=np.int32)
+    has_alpha = (ca[te - 1] - ca[ts] + amask[ts]) > 0
+    hmask = _HEX[buf]
+    ch = np.cumsum(hmask, dtype=np.int32)
+    all_hex = (ch[te - 1] - ch[ts] + hmask[ts]) == L
     prec_eq = np.zeros(ts.size, dtype=bool)
     nz = ts > 0
     prec_eq[nz] = buf[ts[nz] - 1] == ord("=")
@@ -195,7 +195,7 @@ def _classify(
         first = buf[vts]
         neg = first == ord("-")
         body_len = (VL - neg).astype(np.int64)
-        digits_in = (cnt_d_te - cnt_d_ts)[is_var].astype(np.int64)
+        digits_in = cnt_d[is_var].astype(np.int64)
         all_digits = digits_in == body_len
 
         # ---- integer rule ----
@@ -298,10 +298,12 @@ def encode_core(buf: np.ndarray, msg_start: np.ndarray, msg_end: np.ndarray) -> 
 
 def _raw_columns(n, buf, msg_start, msg_end, vts, vte, codes, values) -> dict:
     # ---- logtype output construction ----
-    # in-var mask via +1/-1 diff trick
+    # in-var mask via +1/-1 diff trick; var starts/ends are all distinct
+    # positions (a token's end char is a delimiter, never another token's
+    # start), so plain fancy assignment replaces the much slower np.add.at
     delta = np.zeros(buf.size + 1, dtype=np.int8)
-    np.add.at(delta, vts, 1)
-    np.add.at(delta, vte, -1)
+    delta[vts] = 1
+    delta[vte] = -1
     in_var = np.cumsum(delta[:-1]) > 0
 
     # separator bytes sit at msg_end[i] for i < n-1
