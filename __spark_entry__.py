@@ -252,6 +252,16 @@ def q_kql_nested(spark, sf_dir):
     )
 
 
+def q_kql_wildcard_column(spark, sf_dir):
+    """Wildcard *column* descriptors (reference SchemaMatch.cpp wildcard path
+    segments): `props.*` resolves to every leaf under props at compile time."""
+    from clp_spark.operators.kql import kql_filter
+
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("props", F.from_json("props", "struct<k:int>"))
+    return kql_filter(parsed, "props.*: 95").select("event_id")
+
+
 def q_glt_bucket_counts(spark, sf_dir):
     """GLT per-logtype routing key (bucketed) + per-bucket row counts."""
     from clp_spark.plans.pipeline import glt_bucket
@@ -679,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "kql_nested": q_kql_nested,
+        "kql_wildcard_column": q_kql_wildcard_column,
         "glt_bucket_counts": q_glt_bucket_counts,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -844,6 +855,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id FROM events WHERE "
             "CAST(json_extract_string(props, '$.k') AS INT) >= 90 "
             "AND event_type = 'click'"
+        ),
+        "kql_wildcard_column": (
+            "SELECT event_id FROM events WHERE "
+            "CAST(json_extract_string(props, '$.k') AS INT) = 95"
         ),
         "glt_bucket_counts": (
             f"SELECT CAST('0x' || substr(md5({_ORACLE_LOGTYPE}), 1, 15) AS BIGINT) % 8 "

@@ -193,7 +193,7 @@ def run_scaling(sf_dir: str) -> None:
             "load degrades sharply; beyond ~16 threads every workload on this\n"
             "host stops scaling regardless of implementation. At larger core\n"
             "counts the best single-JVM configuration measured here is\n"
-            "local[32] with spark.task.cpus=2 (~390-410k rows/s end-to-end).\n"
+            "local[32] with spark.task.cpus=2 (~450k rows/s end-to-end).\n"
             "At real cluster scale the same plan shards by input files per\n"
             "executor (see clp_spark/plans/pipeline.py scale notes).\n"
         )
