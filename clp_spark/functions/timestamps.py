@@ -3,9 +3,14 @@
 CLP tries a fixed ordered pattern list against the start of each line and
 locks the first match per file (reference:
 components/core/src/clp/TimestampPattern.cpp:124-190,
-MessageParser.cpp:95-164). We implement the most common subset as
-JVM-side regexp_extract + to_timestamp expressions (whole-stage-codegen
-friendly) — the '%3' millisecond digits become .SSS.
+MessageParser.cpp:95-164). The full reference list is implemented here as
+JVM-side regexp_extract + try_to_timestamp expressions (whole-stage-codegen
+friendly) — the '%3' millisecond digits become .SSS, and the reference's
+"number of leading space-separated tokens before the timestamp" becomes a
+`(?:\\S+\\s+){N}` prefix group.
+
+try_to_timestamp (not to_timestamp) everywhere: under ANSI mode a
+non-matching capture must fall through to the next pattern, never raise.
 
 Timestamps stay epoch-ms int64 (reference Defs.h:10) — CLP compares raw ms;
 TimestampType is derived only where a window needs it.
@@ -22,76 +27,88 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class TsPattern:
     name: str
-    regex: str          # must capture the timestamp as group 1
-    java_format: str    # to_timestamp format for the captured group
-    num_leading_spaces: int = 0
+    body: str            # regex after the leading tokens; EXACTLY one capture group (the timestamp)
+    fmt: str             # try_to_timestamp format for the (normalized) capture
+    leading_tokens: int = 0   # reference TimestampPattern num_spaces_before_ts
+    comma_ms: bool = False    # normalize ',' → '.' before parsing
+    squash_ws: bool = False   # normalize runs of spaces → one (for %e/%k/%l)
+
+    @property
+    def regex(self) -> str:
+        return rf"^((?:\S+\s+){{{self.leading_tokens}}})" + self.body
 
 
-# ordered like the reference list: most specific (with millis) first
+_ISO = r"\d{4}-\d{2}-\d{2}"
+_SLASH = r"\d{4}/\d{2}/\d{2}"
+_HMS = r"\d{2}:\d{2}:\d{2}"
+_MON = r"[A-Z][a-z]{2}"
+
+# Reference order (TimestampPattern.cpp:124-190): millisecond patterns first,
+# then second-resolution, then the imprecise year-less ones.
 KNOWN_PATTERNS: list[TsPattern] = [
-    TsPattern(
-        "iso_T_dot_ms",
-        r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3})",
-        "yyyy-MM-dd'T'HH:mm:ss.SSS",
-    ),
-    TsPattern(
-        "iso_T_comma_ms",
-        r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}),(\d{3})",
-        "yyyy-MM-dd'T'HH:mm:ss,SSS",
-    ),
-    TsPattern(
-        "iso_space_dot_ms",
-        r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3})",
-        "yyyy-MM-dd HH:mm:ss.SSS",
-    ),
-    TsPattern(
-        "iso_space_comma_ms",
-        r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3})",
-        "yyyy-MM-dd HH:mm:ss,SSS",
-    ),
-    TsPattern(
-        "bracketed_comma_ms",
-        r"^\[(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3})\]",
-        "yyyy-MM-dd HH:mm:ss,SSS",
-    ),
-    TsPattern(
-        "iso_T_sec",
-        r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})",
-        "yyyy-MM-dd'T'HH:mm:ss",
-    ),
-    TsPattern(
-        "iso_space_sec",
-        r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})",
-        "yyyy-MM-dd HH:mm:ss",
-    ),
-    TsPattern(
-        "slash_space_sec",
-        r"^(\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2})",
-        "yyyy/MM/dd HH:mm:ss",
-    ),
+    TsPattern("iso_T_dot_ms", rf"({_ISO}T{_HMS}\.\d{{3}})", "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+    TsPattern("iso_T_comma_ms", rf"({_ISO}T{_HMS},\d{{3}})", "yyyy-MM-dd'T'HH:mm:ss.SSS", comma_ms=True),
+    TsPattern("iso_space_dot_ms", rf"({_ISO} {_HMS}\.\d{{3}})", "yyyy-MM-dd HH:mm:ss.SSS"),
+    TsPattern("iso_space_comma_ms", rf"({_ISO} {_HMS},\d{{3}})", "yyyy-MM-dd HH:mm:ss.SSS", comma_ms=True),
+    TsPattern("slash_T_dot_ms", rf"({_SLASH}T{_HMS}\.\d{{3}})", "yyyy/MM/dd'T'HH:mm:ss.SSS"),
+    TsPattern("slash_T_comma_ms", rf"({_SLASH}T{_HMS},\d{{3}})", "yyyy/MM/dd'T'HH:mm:ss.SSS", comma_ms=True),
+    TsPattern("slash_space_dot_ms", rf"({_SLASH} {_HMS}\.\d{{3}})", "yyyy/MM/dd HH:mm:ss.SSS"),
+    TsPattern("slash_space_comma_ms", rf"({_SLASH} {_HMS},\d{{3}})", "yyyy/MM/dd HH:mm:ss.SSS", comma_ms=True),
+    TsPattern("bracketed_comma_ms", rf"\[({_ISO} {_HMS},\d{{3}})\]", "yyyy-MM-dd HH:mm:ss.SSS", comma_ms=True),
+    TsPattern("two_tok_comma_ms", rf"({_ISO} {_HMS},\d{{3}})", "yyyy-MM-dd HH:mm:ss.SSS",
+              leading_tokens=2, comma_ms=True),
+    TsPattern("angle_colon_ms", rf"<<<({_ISO} {_HMS}:\d{{3}})", "yyyy-MM-dd HH:mm:ss:SSS"),
+    TsPattern("day_monname_comma_ms", rf"(\d{{2}} {_MON} \d{{4}} {_HMS},\d{{3}})",
+              "dd MMM yyyy HH:mm:ss.SSS", comma_ms=True),
+    TsPattern("iso_T_sec", rf"({_ISO}T{_HMS})", "yyyy-MM-dd'T'HH:mm:ss"),
+    TsPattern("iso_space_sec", rf"({_ISO} {_HMS})", "yyyy-MM-dd HH:mm:ss"),
+    TsPattern("slash_T_sec", rf"({_SLASH}T{_HMS})", "yyyy/MM/dd'T'HH:mm:ss"),
+    TsPattern("slash_space_sec", rf"({_SLASH} {_HMS})", "yyyy/MM/dd HH:mm:ss"),
+    TsPattern("bracket_iso_T_sec", rf"\[({_ISO}T{_HMS})", "yyyy-MM-dd'T'HH:mm:ss"),
+    TsPattern("bracket_compact", rf"\[(\d{{8}}-{_HMS})\]", "yyyyMMdd-HH:mm:ss"),
+    TsPattern("start_date", rf"({_ISO}\s{{2}}{_HMS})", "yyyy-MM-dd HH:mm:ss",
+              leading_tokens=1, squash_ws=True),
+    TsPattern("two_digit_year", rf"(\d{{2}}/\d{{2}}/\d{{2}} {_HMS})", "yy/MM/dd HH:mm:ss"),
+    TsPattern("compact_2dy", rf"(\d{{6}}\s+\d{{1,2}}:\d{{2}}:\d{{2}})", "yyMMdd H:mm:ss",
+              squash_ws=True),
+    TsPattern("monname_ampm", rf"({_MON} \d{{2}}, \d{{4}}\s+\d{{1,2}}:\d{{2}}:\d{{2}} [AP]M)",
+              "MMM dd, yyyy h:mm:ss a", squash_ws=True),
+    TsPattern("full_month_hm", r"([A-Z][a-z]+ \d{2}, \d{4} \d{2}:\d{2})", "MMMM dd, yyyy HH:mm"),
+    TsPattern("apache_1tok", rf"\[(\d{{2}}/{_MON}/\d{{4}}:{_HMS})", "dd/MMM/yyyy:HH:mm:ss",
+              leading_tokens=1),
+    TsPattern("apache_3tok", rf"\[(\d{{2}}/{_MON}/\d{{4}}:{_HMS})", "dd/MMM/yyyy:HH:mm:ss",
+              leading_tokens=3),
+    TsPattern("apache_3tok_numeric", rf"\[(\d{{2}}/\d{{2}}/\d{{4}}:{_HMS})", "dd/MM/yyyy:HH:mm:ss",
+              leading_tokens=3),
+    TsPattern("rails_6tok", rf"({_ISO} {_HMS})", "yyyy-MM-dd HH:mm:ss", leading_tokens=6),
+    TsPattern("one_tok_iso", rf"({_ISO} {_HMS})", "yyyy-MM-dd HH:mm:ss", leading_tokens=1),
+    # Spark >=3 forbids 'EEE' in parse patterns; the weekday is matched by the
+    # regex (so strip removes it) but excluded from the parsed capture
+    TsPattern("apport_4tok", rf"{_MON} ({_MON}\s+\d{{1,2}} {_HMS} \d{{4}})",
+              "MMM d HH:mm:ss yyyy", leading_tokens=4, squash_ws=True),
+    TsPattern("weekday", rf"{_MON} ({_MON}\s+\d{{1,2}} {_HMS} \d{{4}})",
+              "MMM d HH:mm:ss yyyy", squash_ws=True),
+    # reference-marked imprecise (no year → epoch year); kept for parity
+    TsPattern("syslog_noyear", rf"({_MON}\s+\d{{1,2}} {_HMS})", "MMM d HH:mm:ss",
+              squash_ws=True),
+    TsPattern("monthday_ms_noyear", rf"(\d{{2}}-\d{{2}} {_HMS}\.\d{{3}})", "MM-dd HH:mm:ss.SSS"),
 ]
-
-_COMMA_FIX = {"iso_T_comma_ms", "iso_space_comma_ms", "bracketed_comma_ms"}
 
 
 def _parse_one(line: Column, p: TsPattern) -> Column:
-    captured = F.regexp_extract(line, p.regex, 1)
-    if p.name in _COMMA_FIX:
-        # Java format strings treat ',' oddly across versions; normalize to '.'
+    captured = F.regexp_extract(line, p.regex, 2)
+    if p.comma_ms:
         captured = F.regexp_replace(captured, ",", ".")
-        fmt = p.java_format.replace(",SSS", ".SSS")
-    else:
-        fmt = p.java_format
-    ts = F.to_timestamp(captured, fmt)
+    if p.squash_ws:
+        captured = F.regexp_replace(captured, r"\s+", " ")
+    ts = F.try_to_timestamp(captured, F.lit(p.fmt))
     return F.when(captured != "", F.unix_millis(ts)).otherwise(F.lit(None))
 
 
 def parse_timestamp_ms(line: Column) -> Column:
     """Epoch-ms of the first matching known pattern, else NULL (no timestamp)."""
-    out = F.lit(None).cast("long")
-    for p in reversed(KNOWN_PATTERNS):
-        out = F.coalesce(_parse_one(line, p), out)
-    return out
+    return F.coalesce(*[_parse_one(line, p) for p in KNOWN_PATTERNS],
+                      F.lit(None).cast("long"))
 
 
 def detect_pattern(line: Column) -> Column:
@@ -99,17 +116,18 @@ def detect_pattern(line: Column) -> Column:
     out = F.lit(None).cast("string")
     for p in reversed(KNOWN_PATTERNS):
         out = F.when(
-            F.regexp_extract(line, p.regex, 1) != "", F.lit(p.name)
+            F.regexp_extract(line, p.regex, 2) != "", F.lit(p.name)
         ).otherwise(out)
     return out
 
 
 def strip_timestamp(line: Column) -> Column:
-    """Line content after the matched timestamp (the message body CLP encodes)."""
+    """Line content after the matched timestamp, keeping any leading tokens
+    (the message body CLP encodes)."""
     out = line
     for p in reversed(KNOWN_PATTERNS):  # earlier patterns take priority
         out = F.when(
-            F.regexp_extract(line, p.regex, 1) != "",
-            F.regexp_replace(line, p.regex, ""),
+            F.regexp_extract(line, p.regex, 2) != "",
+            F.regexp_replace(line, p.regex, "$1"),
         ).otherwise(out)
     return out

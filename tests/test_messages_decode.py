@@ -42,6 +42,51 @@ class TestTimestamps:
             assert g["pat"] == pat, line
             assert g["ts"] == expected_ms, line
 
+    def test_full_reference_pattern_list(self, spark):
+        """One example per reference pattern (TimestampPattern.cpp:124-190);
+        expected epoch-ms computed independently with datetime."""
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        from clp_spark.functions.timestamps import detect_pattern, parse_timestamp_ms
+
+        def utc(*a):
+            return int(datetime(*a, tzinfo=timezone.utc).timestamp() * 1000)
+
+        cases = [
+            ("2015-01-31T15:50:45.392 m", "iso_T_dot_ms", utc(2015, 1, 31, 15, 50, 45, 392000)),
+            ("2015-01-31T15:50:45,392 m", "iso_T_comma_ms", utc(2015, 1, 31, 15, 50, 45, 392000)),
+            ("2015/01/31T15:50:45.123 m", "slash_T_dot_ms", utc(2015, 1, 31, 15, 50, 45, 123000)),
+            ("2015/01/31 15:50:45,123 m", "slash_space_comma_ms", utc(2015, 1, 31, 15, 50, 45, 123000)),
+            ("INFO [main] 2015-01-31 15:50:45,085 m", "two_tok_comma_ms", utc(2015, 1, 31, 15, 50, 45, 85000)),
+            ("<<<2016-11-10 03:02:29:936 m", "angle_colon_ms", utc(2016, 11, 10, 3, 2, 29, 936000)),
+            ("01 Jan 2016 15:50:17,085 m", "day_monname_comma_ms", utc(2016, 1, 1, 15, 50, 17, 85000)),
+            ("2015/01/31T15:50:45 m", "slash_T_sec", utc(2015, 1, 31, 15, 50, 45)),
+            ("[2015-01-31T15:50:45 m", "bracket_iso_T_sec", utc(2015, 1, 31, 15, 50, 45)),
+            ("[20170106-16:56:41] m", "bracket_compact", utc(2017, 1, 6, 16, 56, 41)),
+            ("Start-Date: 2015-01-31  15:50:45 m", "start_date", utc(2015, 1, 31, 15, 50, 45)),
+            ("15/01/31 15:50:45 m", "two_digit_year", utc(2015, 1, 31, 15, 50, 45)),
+            ("150131  9:50:45 m", "compact_2dy", utc(2015, 1, 31, 9, 50, 45)),
+            ("Jan 01, 2016 3:50:17 PM m", "monname_ampm", utc(2016, 1, 1, 15, 50, 17)),
+            ("January 31, 2015 15:50 m", "full_month_hm", utc(2015, 1, 31, 15, 50)),
+            ("E [31/Jan/2015:15:50:45 m", "apache_1tok", utc(2015, 1, 31, 15, 50, 45)),
+            ("localhost - - [01/Jan/2016:15:50:17 m", "apache_3tok", utc(2016, 1, 1, 15, 50, 17)),
+            ("192.168.4.5 - - [01/01/2016:15:50:17 m", "apache_3tok_numeric", utc(2016, 1, 1, 15, 50, 17)),
+            ('Started POST "/a" for 127.0.0.1 at 2017-06-18 00:20:44 m', "rails_6tok", utc(2017, 6, 18, 0, 20, 44)),
+            ("update-alternatives 2015-01-31 15:50:45 m", "one_tok_iso", utc(2015, 1, 31, 15, 50, 45)),
+            ("ERROR: apport (pid 4557) Sun Jan  1 15:50:45 2015 m", "apport_4tok", utc(2015, 1, 1, 15, 50, 45)),
+            ("Sun Jan  1 15:50:45 2015 m", "weekday", utc(2015, 1, 1, 15, 50, 45)),
+            ("Jan 21 11:56:42 m", "syslog_noyear", utc(1970, 1, 21, 11, 56, 42)),
+            ("01-21 11:56:42.392 m", "monthday_ms_noyear", utc(1970, 1, 21, 11, 56, 42, 392000)),
+        ]
+        df = spark.createDataFrame([(c[0],) for c in cases], "line string")
+        got = df.select(
+            "line",
+            detect_pattern(F.col("line")).alias("pat"),
+            parse_timestamp_ms(F.col("line")).alias("ts"),
+        ).collect()
+        for g, (line, pat, expected_ms) in zip(got, cases):
+            assert g["pat"] == pat, (line, g["pat"])
+            assert g["ts"] == expected_ms, (line, g["ts"], expected_ms)
+
 
 class TestMultiline:
     def test_assembly(self, spark):
