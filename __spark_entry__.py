@@ -275,6 +275,27 @@ def q_glt_bucket_counts(spark, sf_dir):
     )
 
 
+_LOG_LEVELS = ["DEBUG", "INFO", "WARN", "ERROR"]
+
+
+def q_log_level_filter(spark, sf_dir):
+    """Log-level filter (reference README.md:64-68 — log-viewer verbosity
+    threshold; level parsed at ingest): embed a level token in the message,
+    re-extract it as an ordinal, keep level >= WARN."""
+    docs = _t(spark, sf_dir, "documents")
+    lv_arr = F.array(*[F.lit(x) for x in _LOG_LEVELS])
+    msg = F.concat(
+        F.element_at(lv_arr, (F.pmod("doc_id", F.lit(4)) + 1).cast("int")),
+        F.lit(" "),
+        F.col("text"),
+    )
+    level_id = F.array_position(lv_arr, F.regexp_extract(msg, r"^(\w+) ", 1))
+    return (
+        docs.select(F.col("doc_id"), level_id.alias("level_id"))
+        .where(F.col("level_id") >= 3)
+    )
+
+
 def q_ts_range_filter(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.where(
@@ -669,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_not_exists": q_kql_not_exists,
         "kql_json_field": q_kql_json_field,
         "ts_range_filter": q_ts_range_filter,
+        "log_level_filter": q_log_level_filter,
         "subsequence_match": q_subsequence_match,
         "projection": q_projection,
         "count_matching": q_count_matching,
@@ -756,6 +778,10 @@ def oracle_sql() -> dict[str, str]:
         "ts_range_filter": (
             "SELECT event_id FROM events WHERE ts BETWEEN TIMESTAMP '2024-01-02 00:00:00' "
             "AND TIMESTAMP '2024-01-03 00:00:00'"
+        ),
+        "log_level_filter": (
+            "SELECT doc_id, (doc_id % 4) + 1 AS level_id FROM documents "
+            "WHERE (doc_id % 4) + 1 >= 3"
         ),
         "subsequence_match": (
             "SELECT doc_id FROM documents WHERE "

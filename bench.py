@@ -153,7 +153,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     return result
 
 
-def _pinned_run(cores: str, cpus: int, sf_dir: str, amplify: int = 2) -> dict:
+def _pinned_run(cores: str, cpus: int, sf_dir: str, amplify: int = 6) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
