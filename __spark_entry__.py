@@ -319,6 +319,29 @@ def q_projection(spark, sf_dir):
     )
 
 
+def q_metadata_prefilter(spark, sf_dir):
+    """Range-index metadata filter (reference EvaluateRangeIndexFilters /
+    $_filename namespace): resolve a metadata-column predicate before the
+    scan — on a partitioned layout this prunes whole partitions."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("source") == "src3")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+    )
+
+
+def q_sql_surface(spark, sf_dir):
+    """Spark SQL as the engine's SQL surface (reference: clp_s SQL grammar is
+    a stub; SQL analytics are delegated to Presto via the indexer —
+    IndexManager.hpp:14-27. Here the same catalog is queryable directly)."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        "SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value "
+        "FROM events_v WHERE value > 10 GROUP BY event_type"
+    )
+
+
 # ------------------------------------------------------------- aggregations
 
 
@@ -693,6 +716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_level_filter": q_log_level_filter,
         "subsequence_match": q_subsequence_match,
         "projection": q_projection,
+        "metadata_prefilter": q_metadata_prefilter,
+        "sql_surface": q_sql_surface,
         "count_matching": q_count_matching,
         "count_by_time": q_count_by_time,
         "agg_min_max": q_agg_min_max,
@@ -791,6 +816,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "projection": (
             "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'"
+        ),
+        "metadata_prefilter": (
+            "SELECT lang, count(*) AS n, sum(n_chars) AS chars FROM documents "
+            "WHERE source = 'src3' GROUP BY lang"
+        ),
+        "sql_surface": (
+            "SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value "
+            "FROM events WHERE value > 10 GROUP BY event_type"
         ),
         "count_matching": "SELECT count(*) AS cnt FROM events WHERE event_type = 'error'",
         "count_by_time": (
