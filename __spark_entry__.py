@@ -103,17 +103,19 @@ _ORACLE_IS_DICTVAR = (
 
 def _encoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_workers_have_package(spark)
-    from clp_spark.functions.encode_kernel import clp_encode_udf
+    from clp_spark.functions.arrow_kernel import encode_df
 
     docs = _t(spark, sf_dir, "documents").withColumn("message", _rich_message_col())
-    enc = clp_encode_udf()
-    return docs.withColumn("enc", enc("message")).select(
+    enc = encode_df(
+        docs.select("doc_id", "source", "message"), ["doc_id", "source"], "message"
+    )
+    return enc.select(
         "doc_id",
         "source",
-        F.col("enc.logtype").alias("raw_logtype"),
-        F.col("enc.placeholders").alias("placeholders"),
-        F.col("enc.encoded_vars").alias("encoded_vars"),
-        F.col("enc.dict_vars").alias("dict_vars"),
+        F.col("logtype").alias("raw_logtype"),
+        "placeholders",
+        "encoded_vars",
+        "dict_vars",
     )
 
 

@@ -130,8 +130,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
-    # warm the JVM + python workers
+    # warm the JVM + python workers (Arrow-UDF workers only start on first use)
     spark.range(1000).count()
+    _materialize(queries["clp_logtype_extract"](spark, sf_dir))
     for name in HEADLINE:
         t0 = time.time()
         _materialize(queries[name](spark, sf_dir))

@@ -44,7 +44,11 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_array(text_col: Column, n: int = 3) -> Column:
-    """array<string> of word n-grams (whitespace words; ≥1 shingle per doc)."""
+    """array<string> of word n-grams (whitespace words; ≥1 shingle per doc).
+
+    NOTE: embeds the split() inside every per-element lambda evaluation —
+    fine for one-off expressions, but hot paths should use
+    ``with_shingle_array`` (split materialized once per row)."""
     words = F.split(text_col, r"\s+")
     k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
     return F.transform(
@@ -53,10 +57,28 @@ def shingle_array(text_col: Column, n: int = 3) -> Column:
     )
 
 
+def with_shingle_array(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, out_col: str = "_sh"
+) -> DataFrame:
+    """(id, out_col: array<string>) — words split once per row in its own
+    projection so the per-shingle slice reads a materialized array instead of
+    re-running the regex split per element (O(words) vs O(words^2) chars)."""
+    words = df.select(
+        F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_w")
+    )
+    k = F.greatest(F.size("_w") - F.lit(n - 1), F.lit(1))
+    sh = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.array_join(F.slice(F.col("_w"), i + 1, n), " "),
+    )
+    return words.select(F.col(id_col), sh.alias(out_col))
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) — distinct word n-grams per document (whitespace words)."""
+    sh = with_shingle_array(df, id_col, text_col, n)
     return (
-        df.select(F.col(id_col), F.explode(shingle_array(F.col(text_col), n)).alias("shingle"))
+        sh.select(F.col(id_col), F.explode("_sh").alias("shingle"))
         .distinct()
     )
 
@@ -70,13 +92,14 @@ def minhash_min(df: DataFrame, id_col: str, text_col: str, seed: int = 0,
     (WholeStageCodegen, no explode, no groupBy). At 100 TB this is the
     difference between a map-only job and a rows×shingles shuffle.
     """
+    sh = with_shingle_array(df, id_col, text_col, shingle_n)
     h = F.array_min(
         F.transform(
-            shingle_array(F.col(text_col), shingle_n),
+            F.col("_sh"),
             lambda s: md5_hash60(F.concat(F.lit(f"{seed}|"), s)),
         )
     )
-    return df.select(F.col(id_col), h.alias("mh"))
+    return sh.select(F.col(id_col), h.alias("mh"))
 
 
 def minhash_signatures(
@@ -88,9 +111,7 @@ def minhash_signatures(
     the seeded hashes of the row's shingle array. Map-only — no explode, no
     per-(doc,seed) shuffle; duplicate shingles don't affect the min.
     """
-    with_sh = df.select(
-        F.col(id_col), shingle_array(F.col(text_col), shingle_n).alias("_sh")
-    )
+    with_sh = with_shingle_array(df, id_col, text_col, shingle_n)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda seed: F.array_min(
