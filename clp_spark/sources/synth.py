@@ -185,7 +185,7 @@ def detokenize_batch(token_lists: pd.Series, vocab_text: np.ndarray) -> pd.Serie
     )
 
 
-_SF_ROWS = {"0.001": 6_000, "0.01": 60_000, "0.1": 600_000}
+_SF_ROWS = {"0.001": 6_000, "0.01": 60_000, "0.1": 600_000, "1": 6_000_000}
 
 
 N_PART_FILES = 16
