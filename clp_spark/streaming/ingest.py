@@ -1,0 +1,82 @@
+"""Streaming CLP encode ingest — the "real-time compression" path.
+
+CLP's logging libraries stream IR to disk and archives are built from the
+stream as it lands (reference: README.md:51-60, clp/ffi/ir_stream/Serializer);
+the Spark-native twin is a file-source Structured Stream over the sequences
+directory: each micro-batch runs the same zero-per-row mapInArrow
+detok+encode kernel as the batch pipeline and appends to a per-source
+partitioned encoded sink.
+
+Exactly-once on retry: every micro-batch writes to its own
+``out_dir/ingest_batch=<id>`` path with mode=overwrite — Spark re-runs a
+failed batch under the same batch id, so a crash mid-write is repaired, never
+duplicated (the streaming twin of the batch pipeline's idempotent
+whole-path-overwrite splits). A per-batch metrics record (rows, wall s) is
+written alongside, mirroring plans/lineage.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+SEQ_SCHEMA = "doc_id string, tokens array<long>, n_tok int, source string"
+
+
+class EncodeBatchWriter:
+    """foreachBatch: encode the micro-batch and write it idempotently."""
+
+    def __init__(self, vocab_text: list[str], out_dir: str):
+        self.vocab_text = vocab_text
+        self.out_dir = out_dir
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from clp_spark.functions.arrow_kernel import detok_encode_df
+
+        t0 = time.time()
+        encoded = detok_encode_df(
+            batch_df, self.vocab_text, ["doc_id", "source", "n_tok"]
+        )
+        path = os.path.join(self.out_dir, f"ingest_batch={batch_id}")
+        (
+            encoded.write.mode("overwrite")
+            .partitionBy("source")
+            .parquet(path)
+        )
+        spark = batch_df.sparkSession
+        n = spark.read.parquet(path).count()
+        metrics_dir = os.path.join(self.out_dir, "_ingest_metrics")
+        os.makedirs(metrics_dir, exist_ok=True)
+        rec = {"batch_id": batch_id, "rows": n, "wall_s": time.time() - t0,
+               "path": path}
+        tmp = os.path.join(metrics_dir, f"batch{batch_id:06d}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, tmp[:-4])
+
+
+def run_ingest_stream(
+    spark: SparkSession,
+    input_dir: str,
+    vocab_text: list[str],
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """availableNow file-source stream: drains all unprocessed input files
+    through the encode kernel, then stops. Re-invoking with the same
+    checkpoint processes only files that arrived since — streaming resume,
+    the twin of the batch pipeline's lineage-skip."""
+    reader = spark.readStream.schema(SEQ_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
+    return (
+        stream.writeStream.foreachBatch(EncodeBatchWriter(vocab_text, out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

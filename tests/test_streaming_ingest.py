@@ -1,0 +1,68 @@
+"""Streaming encode ingest: drain, resume, no duplicates, metrics records."""
+
+import glob
+import json
+import os
+import shutil
+
+from clp_spark.sources.synth import ensure_sequences
+from clp_spark.streaming.ingest import run_ingest_stream
+
+
+def _metrics(out_dir):
+    return [
+        json.load(open(p))
+        for p in sorted(glob.glob(os.path.join(out_dir, "_ingest_metrics", "*.json")))
+    ]
+
+
+class TestStreamingIngest:
+    def test_drain_resume_no_dupes(self, spark, tmp_path):
+        seq_path, vocab_path = ensure_sequences(str(tmp_path / "data"), "0.001")
+        vocab = [
+            r["text"]
+            for r in spark.read.parquet(vocab_path).orderBy("token_id").collect()
+        ]
+        parts = sorted(glob.glob(os.path.join(seq_path, "part-*.parquet")))
+        assert len(parts) >= 4
+        in_dir = tmp_path / "incoming"
+        in_dir.mkdir()
+        half = len(parts) // 2
+        for p in parts[:half]:
+            shutil.copy(p, in_dir)
+
+        out = str(tmp_path / "encoded")
+        ckpt = str(tmp_path / "ckpt")
+        q = run_ingest_stream(spark, str(in_dir), vocab, out, ckpt)
+        q.awaitTermination(300)
+
+        first = spark.read.option("basePath", out).parquet(
+            os.path.join(out, "ingest_batch=*")
+        )
+        n_first = first.count()
+        exp_first = sum(
+            spark.read.parquet(p).count() for p in parts[:half]
+        )
+        assert n_first == exp_first > 0
+        assert set(first.columns) >= {
+            "doc_id", "source", "n_tok", "logtype", "placeholders",
+            "encoded_vars", "dict_vars",
+        }
+        m1 = _metrics(out)
+        assert sum(r["rows"] for r in m1) == exp_first
+
+        # late-arriving files: same checkpoint → only new files processed
+        for p in parts[half:]:
+            shutil.copy(p, in_dir)
+        q2 = run_ingest_stream(spark, str(in_dir), vocab, out, ckpt)
+        q2.awaitTermination(300)
+
+        all_rows = spark.read.option("basePath", out).parquet(
+            os.path.join(out, "ingest_batch=*")
+        )
+        total_in = sum(spark.read.parquet(p).count() for p in parts)
+        assert all_rows.count() == total_in
+        # no duplicate docs across batches
+        assert all_rows.select("doc_id").distinct().count() == total_in
+        # encode really ran: every row has a logtype
+        assert all_rows.where("logtype IS NULL OR logtype = ''").count() == 0
