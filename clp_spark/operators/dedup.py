@@ -43,20 +43,6 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keep, id_col, "left_semi")
 
 
-def shingle_array(text_col: Column, n: int = 3) -> Column:
-    """array<string> of word n-grams (whitespace words; ≥1 shingle per doc).
-
-    NOTE: embeds the split() inside every per-element lambda evaluation —
-    fine for one-off expressions, but hot paths should use
-    ``with_shingle_array`` (split materialized once per row)."""
-    words = F.split(text_col, r"\s+")
-    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-    )
-
-
 def with_shingle_array(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, out_col: str = "_sh"
 ) -> DataFrame:
@@ -216,7 +202,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
             F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != ""),
             lambda w: md5_hash60(w),
         ).alias("_hs"),
-    )
+    ).where(F.size("_hs") > 0)  # wordless docs have no fingerprint (matches oracle)
     counts = F.expr(
         f"aggregate(_hs, array_repeat(cast(0 as bigint), {bits}), "
         f"(acc, h) -> zip_with(acc, sequence(0, {bits - 1}), "

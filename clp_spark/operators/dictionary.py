@@ -8,9 +8,11 @@ ids as the *dense rank in global sorted value order* (CLP itself persists its
 dictionaries value-sorted — DictionaryWriter). Invariants that matter for
 parity (token-array equality, counts) never depend on the numeric id.
 
-Scale design: no single-partition window. ``assign_sorted_ids`` range-
-partitions the distinct values, ranks *within* each partition in parallel, and
-adds per-partition offsets collected at the driver (O(#partitions) rows).
+Scale design: a single-partition window only ever sees the *distinct* value
+set, never O(rows) data — small dictionaries (≤1M distinct, the common case
+for logtypes) rank in one tiny sorted partition; larger ones range-partition
+the distinct values, rank *within* each partition in parallel, and add
+per-partition offsets collected at the driver (O(#partitions) rows).
 """
 
 from __future__ import annotations
@@ -34,31 +36,38 @@ def assign_sorted_ids(
     base offsets (a tiny driver-side map — O(partitions), not O(rows)).
     """
     distinct = values.select(value_col).distinct()
+    if num_partitions:  # caller forced the distributed path: no sizing pass
+        return _assign_sorted_ids_distributed(
+            values, distinct, value_col, id_col, num_partitions
+        )
     distinct.persist()
     try:
         n_distinct = distinct.count()
-        if n_distinct == 0:  # empty input → empty dictionary with right schema
-            spark = values.sparkSession
-            vtype = dict(zip(values.columns,
-                             [f.dataType.simpleString() for f in values.schema.fields]))
-            return spark.createDataFrame(
-                [], f"{value_col} {vtype[value_col]}, {id_col} long"
-            )
-        if not num_partitions and n_distinct <= small_threshold:
+        if n_distinct == 0:
+            return _empty_dict(values, value_col, id_col)
+        if n_distinct <= small_threshold:
             w = Window.orderBy(value_col)
             out = distinct.coalesce(1).withColumn(
                 id_col, (F.row_number().over(w) - F.lit(1)).cast("long")
             )
             return out.localCheckpoint(eager=True)
         return _assign_sorted_ids_distributed(
-            distinct, value_col, id_col, num_partitions
+            values, distinct, value_col, id_col, None
         )
     finally:
         distinct.unpersist()
 
 
+def _empty_dict(values: DataFrame, value_col: str, id_col: str) -> DataFrame:
+    spark = values.sparkSession
+    vtype = dict(zip(values.columns,
+                     [f.dataType.simpleString() for f in values.schema.fields]))
+    return spark.createDataFrame([], f"{value_col} {vtype[value_col]}, {id_col} long")
+
+
 def _assign_sorted_ids_distributed(
-    distinct: DataFrame, value_col: str, id_col: str, num_partitions: int | None
+    values: DataFrame, distinct: DataFrame, value_col: str, id_col: str,
+    num_partitions: int | None,
 ) -> DataFrame:
     if num_partitions:
         parts = distinct.repartitionByRange(num_partitions, F.col(value_col))
@@ -70,6 +79,8 @@ def _assign_sorted_ids_distributed(
     try:
         counts = {r["_pid"]: r["cnt"] for r in
                   with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+        if not counts:  # empty input → empty dictionary with the right schema
+            return _empty_dict(values, value_col, id_col)
         offsets = {}
         acc = 0
         for pid in sorted(counts):

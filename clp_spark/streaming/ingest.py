@@ -37,17 +37,20 @@ class EncodeBatchWriter:
         from clp_spark.functions.arrow_kernel import detok_encode_df
 
         t0 = time.time()
-        encoded = detok_encode_df(
-            batch_df, self.vocab_text, ["doc_id", "source", "n_tok"]
-        )
+        # count the input, not a read-back of the sink: encode is 1:1 and an
+        # all-empty micro-batch writes no part files (read-back would raise
+        # UNABLE_TO_INFER_SCHEMA and kill the stream)
+        n = batch_df.count()
         path = os.path.join(self.out_dir, f"ingest_batch={batch_id}")
-        (
-            encoded.write.mode("overwrite")
-            .partitionBy("source")
-            .parquet(path)
-        )
-        spark = batch_df.sparkSession
-        n = spark.read.parquet(path).count()
+        if n > 0:
+            encoded = detok_encode_df(
+                batch_df, self.vocab_text, ["doc_id", "source", "n_tok"]
+            )
+            (
+                encoded.write.mode("overwrite")
+                .partitionBy("source")
+                .parquet(path)
+            )
         metrics_dir = os.path.join(self.out_dir, "_ingest_metrics")
         os.makedirs(metrics_dir, exist_ok=True)
         rec = {"batch_id": batch_id, "rows": n, "wall_s": time.time() - t0,

@@ -122,6 +122,15 @@ class TestDedup:
         dist = bin(fps[0] ^ fps[2]).count("1")
         assert dist <= 8
 
+    def test_simhash_drops_wordless_docs(self, spark):
+        """Empty/whitespace-only docs have no fingerprint — same as the
+        explode-based formulation and the DuckDB oracle (w <> '' filter)."""
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, ""), (3, "   ")], "doc_id long, text string"
+        )
+        ids = {r["doc_id"] for r in simhash(df, "doc_id", "text").collect()}
+        assert ids == {1}
+
 
 @pytest.fixture(scope="module")
 def embeddings(spark):

@@ -66,3 +66,24 @@ class TestStreamingIngest:
         assert all_rows.select("doc_id").distinct().count() == total_in
         # encode really ran: every row has a logtype
         assert all_rows.where("logtype IS NULL OR logtype = ''").count() == 0
+
+        # a zero-row input file must not kill the stream (empty micro-batch)
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        empty = pa.Table.from_pandas(
+            pd.DataFrame({"doc_id": pd.Series([], dtype=object),
+                          "tokens": pd.Series([], dtype=object),
+                          "n_tok": pd.Series([], dtype="int32"),
+                          "source": pd.Series([], dtype=object)}),
+            preserve_index=False,
+        )
+        pq.write_table(empty, str(in_dir / "part-empty.parquet"))
+        q3 = run_ingest_stream(spark, str(in_dir), vocab, out, ckpt)
+        q3.awaitTermination(300)
+        assert q3.exception() is None
+        final = spark.read.option("basePath", out).parquet(
+            os.path.join(out, "ingest_batch=*")
+        )
+        assert final.count() == total_in
