@@ -5,8 +5,9 @@ queries()      — one entry per implemented operator (SURVEY.md §2 + training-
                  data ops); each callable takes (spark, sf_dir) → DataFrame.
 oracle_sql()   — DuckDB-equivalent ANSI SQL per query (pre-registered views:
                  region nation customer supplier part orders lineitem events
-                 documents embeddings). Omitted only for ops whose semantics
-                 aren't SQL-expressible (LSH-ANN bucketing internals).
+                 documents embeddings). Every query has an oracle — even the
+                 'approximate' LSH-ANN path is deterministic (seeded
+                 hyperplanes), so its buckets are reproduced as SQL literals.
 """
 
 from __future__ import annotations
@@ -1034,5 +1035,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (epoch_ms(ts) // 60000) * 60000 AS bucket_ts, count(*) AS cnt "
             "FROM events GROUP BY 1"
         ),
-        # embedding_ann_lsh: approximate bucketed ANN — intentionally no SQL oracle
+        "embedding_ann_lsh": _ann_lsh_oracle_sql(),
     }
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """The LSH bucketing is fully deterministic (seeded hyperplanes), so even
+    the 'approximate' ANN path has an exact SQL oracle: inline the plane
+    vectors as literals, recompute the sign-bit bucket, filter to the query
+    vector's bucket, exact-cosine top-k with the same (sim desc, id) order."""
+    from clp_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(len(_QUERY_VEC), 4, seed=7)
+    # query vector is e1 → dot(q, plane) = plane[0]
+    qbucket = sum((1 << i) for i, p in enumerate(planes) if float(p[0]) > 0)
+    terms = []
+    for i, p in enumerate(planes):
+        vec = "[" + ",".join(repr(float(x)) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"CAST({vec} AS DOUBLE[])) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return (
+        f"SELECT vec_id FROM embeddings WHERE ({bucket}) = {qbucket} "
+        "ORDER BY embedding[1]::DOUBLE / "
+        "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) "
+        "DESC, vec_id LIMIT 10"
+    )
