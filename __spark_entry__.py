@@ -143,6 +143,23 @@ def q_clp_dict_var_counts(spark, sf_dir):
     )
 
 
+def q_dict_var_ids_attach(spark, sf_dir):
+    """Aligned dict-var id arrays (CLP stores var *ids* in encoded rows —
+    VariableDictionaryWriter insert-or-get): build the var dictionary with
+    deterministic sorted ids, attach per-row id arrays aligned with
+    dict_vars, emit exploded (doc_id, pos, var_id)."""
+    from clp_spark.operators.dictionary import assign_sorted_ids, attach_dict_var_ids
+
+    enc = _encoded_docs(spark, sf_dir).where(F.col("doc_id") < 50)
+    var_dict = assign_sorted_ids(
+        enc.select(F.explode("dict_vars").alias("var_value")), "var_value", "var_id"
+    )
+    out = attach_dict_var_ids(enc, var_dict, ["doc_id"])
+    return out.select(
+        "doc_id", F.posexplode("dict_var_ids").alias("pos", "var_id")
+    )
+
+
 def q_clp_logtype_dict_ids(spark, sf_dir):
     """Deterministic sorted dense dictionary ids (distributed rank path)."""
     from clp_spark.operators.dictionary import assign_sorted_ids
@@ -708,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clp_encode_route_agg": q_clp_encode_route_agg,
         "clp_dict_var_counts": q_clp_dict_var_counts,
         "clp_logtype_dict_ids": q_clp_logtype_dict_ids,
+        "dict_var_ids_attach": q_dict_var_ids_attach,
         "wildcard_search": q_wildcard_search,
         "wildcard_single_char": q_wildcard_single_char,
         "wildcard_ignore_case": q_wildcard_ignore_case,
@@ -784,6 +802,14 @@ def oracle_sql() -> dict[str, str]:
         "clp_logtype_dict_ids": (
             f"WITH lt AS (SELECT DISTINCT {_ORACLE_LOGTYPE} AS logtype FROM documents) "
             "SELECT logtype, dense_rank() OVER (ORDER BY logtype) - 1 AS logtype_id FROM lt"
+        ),
+        "dict_var_ids_attach": (
+            f"WITH dv AS (SELECT doc_id, unnest({_ORACLE_DICTVARS}) AS var_value, "
+            f"generate_subscripts({_ORACLE_DICTVARS}, 1) - 1 AS pos "
+            "FROM documents WHERE doc_id < 50), "
+            "vdi AS (SELECT var_value, dense_rank() OVER (ORDER BY var_value) - 1 "
+            "AS var_id FROM (SELECT DISTINCT var_value FROM dv)) "
+            "SELECT doc_id, pos, var_id FROM dv JOIN vdi USING (var_value)"
         ),
         "wildcard_search": "SELECT doc_id FROM documents WHERE text LIKE '%spark%join%'",
         "wildcard_single_char": "SELECT doc_id FROM documents WHERE text LIKE '%fa_t%'",

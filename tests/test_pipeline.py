@@ -170,3 +170,38 @@ class TestResume:
         lineage = LineageLog(out)
         total = sum(r["rows"] for r in lineage.read_all() if r["stage"] == "encode")
         assert total == N_ROWS
+
+
+class TestAttachDictVarIds:
+    def test_broadcast_and_shuffle_paths_agree(self, spark):
+        """attach_dict_var_ids: aligned id arrays; the broadcast path and the
+        large-dictionary shuffle path must produce identical results, and the
+        physical plans must actually use the intended join strategies."""
+        from pyspark.sql import functions as F
+
+        from clp_spark.operators.dictionary import (
+            assign_sorted_ids,
+            attach_dict_var_ids,
+        )
+
+        rows = [
+            (1, ["alpha1", "beta2"]),
+            (2, ["beta2"]),
+            (3, []),
+            (4, ["gamma3", "alpha1", "gamma3"]),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, dict_vars array<string>")
+        var_dict = assign_sorted_ids(
+            df.select(F.explode("dict_vars").alias("var_value")), "var_value", "var_id"
+        )
+        # sorted dense ids: alpha1=0, beta2=1, gamma3=2
+        b = attach_dict_var_ids(df, var_dict, ["doc_id"], broadcast=True)
+        s = attach_dict_var_ids(df, var_dict, ["doc_id"], broadcast=False)
+        expect = {1: [0, 1], 2: [1], 3: [], 4: [2, 0, 2]}
+        for out in (b, s):
+            got = {r["doc_id"]: r["dict_var_ids"] for r in out.collect()}
+            assert got == expect
+        assert "BroadcastHashJoin" in b._jdf.queryExecution().executedPlan().toString()
+        # the shuffle path plans a shuffle join for the dictionary lookup
+        splan = s._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in splan or "ShuffledHashJoin" in splan
