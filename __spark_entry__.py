@@ -143,6 +143,35 @@ def q_clp_dict_var_counts(spark, sf_dir):
     )
 
 
+def q_formatted_float_roundtrip(spark, sf_dir):
+    """clp-s FormattedFloat (reference FloatFormatEncoding.cpp): store
+    (double, 16-bit format), regenerate the exact original string. The oracle
+    asserts restored == formatted for printf-shaped corpus strings."""
+    from clp_spark.functions.formatted_float import (
+        formatted_float_encode_udf,
+        formatted_float_restore_udf,
+    )
+
+    _ensure_workers_have_package(spark)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    v = F.col("doc_id") * 37 + F.col("n_chars") / 8.0  # exact binary decimals
+    m = F.pmod("doc_id", F.lit(4))
+    fstr = (
+        F.when(m == 0, F.format_string("%.12e", v))
+        .when(m == 1, F.format_string("%.12E", v))
+        .when(m == 2, F.format_string("%f", v))
+        .otherwise(F.format_string("%.12e", -v))
+    )
+    enc = formatted_float_encode_udf()
+    res = formatted_float_restore_udf()
+    out = docs.select("doc_id", fstr.alias("formatted"))
+    return out.select(
+        "doc_id",
+        "formatted",
+        res(F.col("formatted").cast("double"), enc("formatted")).alias("restored"),
+    )
+
+
 def q_dict_var_ids_attach(spark, sf_dir):
     """Aligned dict-var id arrays (CLP stores var *ids* in encoded rows —
     VariableDictionaryWriter insert-or-get): build the var dictionary with
@@ -726,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clp_dict_var_counts": q_clp_dict_var_counts,
         "clp_logtype_dict_ids": q_clp_logtype_dict_ids,
         "dict_var_ids_attach": q_dict_var_ids_attach,
+        "formatted_float_roundtrip": q_formatted_float_roundtrip,
         "wildcard_search": q_wildcard_search,
         "wildcard_single_char": q_wildcard_single_char,
         "wildcard_ignore_case": q_wildcard_ignore_case,
@@ -802,6 +832,14 @@ def oracle_sql() -> dict[str, str]:
         "clp_logtype_dict_ids": (
             f"WITH lt AS (SELECT DISTINCT {_ORACLE_LOGTYPE} AS logtype FROM documents) "
             "SELECT logtype, dense_rank() OVER (ORDER BY logtype) - 1 AS logtype_id FROM lt"
+        ),
+        "formatted_float_roundtrip": (
+            "SELECT doc_id, fstr AS formatted, fstr AS restored FROM ("
+            "SELECT doc_id, CASE CAST(doc_id % 4 AS INT) "
+            "WHEN 0 THEN printf('%.12e', v) WHEN 1 THEN printf('%.12E', v) "
+            "WHEN 2 THEN printf('%f', v) ELSE printf('%.12e', -v) END AS fstr "
+            "FROM (SELECT doc_id, doc_id * 37 + n_chars / 8.0 AS v "
+            "FROM documents WHERE doc_id < 200))"
         ),
         "dict_var_ids_attach": (
             f"WITH dv AS (SELECT doc_id, unnest({_ORACLE_DICTVARS}) AS var_value, "

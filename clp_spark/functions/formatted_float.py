@@ -1,0 +1,222 @@
+"""clp-s FormattedFloat: retain the exact textual format of a float.
+
+Port of the reference scheme (components/core/src/clp_s/FloatFormatEncoding.cpp:
+get_float_encoding :139-264, restore_encoded_float :266-333, 16-bit descriptor
+layout FloatFormatEncoding.hpp:17-44): a float value is stored as (double,
+format) where the format packs — scientific-notation marker + E/e case
+(bits 14-15), exponent sign presence (bits 12-13), exponent digit count - 1
+(bits 10-11), significant digit count - 1 (bits 5-9) — enough to regenerate
+the original string byte-for-byte, including trailing zeros, exponent padding
+and sign style.
+
+Spark surface: `formatted_float_encode_udf` / `formatted_float_restore_udf`
+(Arrow-batched pandas UDFs; the string-format work is pandas-level batch code,
+the same dispensation SURVEY §1.3 gives the tokenizer). Engine storage is the
+(DoubleType, IntegerType) pair — a plain columnar encoding.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+# 16-bit descriptor layout (FloatFormatEncoding.hpp:17-44)
+SCI_FLAG_POS = 14
+SCI_ENABLED = 0b01 << SCI_FLAG_POS
+SCI_LOWER_E = 0b01 << SCI_FLAG_POS
+SCI_UPPER_E = 0b11 << SCI_FLAG_POS
+SCI_MASK = 0b11 << SCI_FLAG_POS
+
+EXP_SIGN_POS = 12
+EXP_SIGN_EMPTY = 0b00 << EXP_SIGN_POS
+EXP_SIGN_PLUS = 0b01 << EXP_SIGN_POS
+EXP_SIGN_MINUS = 0b10 << EXP_SIGN_POS
+EXP_SIGN_MASK = 0b11 << EXP_SIGN_POS
+
+NUM_EXP_DIGITS_POS = 10
+NUM_EXP_DIGITS_MASK = 0b11 << NUM_EXP_DIGITS_POS
+
+NUM_SIG_DIGITS_POS = 5
+NUM_SIG_DIGITS_MASK = 0b1_1111 << NUM_SIG_DIGITS_POS
+MAX_SIG_DIGITS = 17
+
+
+def get_float_encoding(s: str) -> int | None:
+    """16-bit format of ``s``, or None if the string isn't representable
+    (reference returns std::errc::protocol_not_supported)."""
+    if not s:
+        return None
+    fmt = 0
+    first_digit = 1 if s[0] == "-" else 0
+    if s[0] == "+":
+        return None
+    if len(s) <= first_digit:
+        return None
+    dot_pos = s.find(".")
+
+    exp_pos = _find_first_of(s, "Ee")
+    if exp_pos != -1:
+        # scientific: exactly one digit before the decimal point
+        if dot_pos != -1 and (first_digit + 1) != dot_pos:
+            return None
+        # (reference FloatFormatEncoding.cpp:164 compares '0' with the
+        # *position*, so its is_zero check never fires; replicated by
+        # omission for behavioral parity)
+        # exponent must be followed by an integer
+        if not (
+            (exp_pos + 1 < len(s) and s[exp_pos + 1].isdigit())
+            or (
+                exp_pos + 2 < len(s)
+                and s[exp_pos + 1] in "+-"
+                and s[exp_pos + 2].isdigit()
+            )
+        ):
+            return None
+        fmt |= SCI_UPPER_E if s[exp_pos] == "E" else SCI_LOWER_E
+        if s[exp_pos + 1] == "+":
+            fmt |= EXP_SIGN_PLUS
+        elif s[exp_pos + 1] == "-":
+            fmt |= EXP_SIGN_MINUS
+        num_exp_digits = len(s) - exp_pos - 1
+        if not s[exp_pos + 1].isdigit():
+            if num_exp_digits == 0:
+                return None
+            num_exp_digits -= 1
+        if num_exp_digits <= 0 or num_exp_digits > 4:
+            return None
+        fmt |= (num_exp_digits - 1) << NUM_EXP_DIGITS_POS
+    else:
+        exp_pos = len(s)
+
+    # first significant (non-zero) digit position
+    first_non_zero = first_digit
+    if s[first_non_zero] == "0":
+        # prefix zeros of the form 0N.Y are unsupported
+        if first_non_zero + 1 < len(s) and s[first_non_zero + 1].isdigit():
+            return None
+        if dot_pos != -1:
+            for i in range(dot_pos + 1, exp_pos):
+                if s[i] != "0":
+                    first_non_zero = i
+                    break
+
+    num_sig = exp_pos - first_non_zero
+    if dot_pos != -1 and first_non_zero < dot_pos:
+        num_sig -= 1
+    if num_sig <= 0 or num_sig > MAX_SIG_DIGITS:
+        return None
+    fmt |= (num_sig - 1) << NUM_SIG_DIGITS_POS
+    return fmt
+
+
+def restore_encoded_float(value: float, fmt: int) -> str | None:
+    """Regenerate the original string from (double, format); None on a
+    malformed descriptor (reference std::errc::protocol_error)."""
+    num_sig = ((fmt & NUM_SIG_DIGITS_MASK) >> NUM_SIG_DIGITS_POS) + 1
+    sci = f"{value:.{num_sig - 1}e}"
+    if not fmt & SCI_ENABLED:
+        return _scientific_to_decimal(sci)
+    if (fmt & SCI_MASK) == SCI_UPPER_E:
+        sci = sci.upper()
+
+    exp_pos = _find_first_of(sci, "Ee")
+    if exp_pos == -1 or exp_pos + 1 >= len(sci):
+        return None
+    maybe_sign = sci[exp_pos + 1]
+    num_exp_digits = ((fmt & NUM_EXP_DIGITS_MASK) >> NUM_EXP_DIGITS_POS) + 1
+    sign_flag = fmt & EXP_SIGN_MASK
+
+    if sign_flag == EXP_SIGN_EMPTY:
+        if maybe_sign in "+-":
+            sci = sci[: exp_pos + 1] + sci[exp_pos + 2:]
+        cur = len(sci) - exp_pos - 1
+        if num_exp_digits < cur:
+            sci = _trim_leading_zeros(sci, exp_pos + 1, num_exp_digits)
+        else:
+            sci = sci[: exp_pos + 1] + "0" * (num_exp_digits - cur) + sci[exp_pos + 1:]
+        return sci
+
+    want = "+" if sign_flag == EXP_SIGN_PLUS else "-"
+    if maybe_sign.isdigit():
+        sci = sci[: exp_pos + 1] + want + sci[exp_pos + 1:]
+    else:
+        sci = sci[: exp_pos + 1] + want + sci[exp_pos + 2:]
+    cur = len(sci) - exp_pos - 2
+    if num_exp_digits < cur:
+        sci = _trim_leading_zeros(sci, exp_pos + 2, num_exp_digits)
+    else:
+        sci = sci[: exp_pos + 2] + "0" * (num_exp_digits - cur) + sci[exp_pos + 2:]
+    return sci
+
+
+def _find_first_of(s: str, chars: str) -> int:
+    for i, c in enumerate(s):
+        if c in chars:
+            return i
+    return -1
+
+
+def _trim_leading_zeros(s: str, start: int, num_exp_digits: int) -> str:
+    """Reference trim_leading_zeros (FloatFormatEncoding.cpp:72-91): remove
+    leading exponent zeros down to num_exp_digits, stopping at non-zero."""
+    if start >= len(s):
+        return s
+    limit = 0 if num_exp_digits > len(s) else len(s) - num_exp_digits
+    n = 0
+    for i in range(start, limit):
+        if s[i] == "0":
+            n += 1
+        else:
+            break
+    return s[:start] + s[start + n:]
+
+
+def _scientific_to_decimal(sci: str) -> str | None:
+    """Reference scientific_to_decimal (FloatFormatEncoding.cpp:93-136)."""
+    s = sci
+    negative = False
+    if not s[0].isdigit():
+        negative = True
+        s = s[1:]
+    exp_pos = _find_first_of(s, "Ee")
+    if exp_pos == -1 or exp_pos + 1 >= len(s):
+        return None
+    mantissa = s[:exp_pos]
+    exponent = int(s[exp_pos + 1:])
+    dot_pos = mantissa.find(".")
+    digits = mantissa.replace(".", "", 1)
+    decimal_pos = exponent + 1 if dot_pos == -1 else dot_pos + exponent
+    out = "-" if negative else ""
+    if decimal_pos <= 0:
+        out += "0." + "0" * (-decimal_pos) + digits
+    elif decimal_pos < len(digits):
+        out += digits[:decimal_pos] + "." + digits[decimal_pos:]
+    else:
+        out += digits + "0" * (decimal_pos - len(digits))
+    return out
+
+
+def formatted_float_encode_udf():
+    """pandas UDF: formatted string → int format descriptor (null if
+    unsupported)."""
+
+    @F.pandas_udf("int")
+    def _enc(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: get_float_encoding(x) if x is not None else None)
+
+    return _enc
+
+
+def formatted_float_restore_udf():
+    """pandas UDF: (double value, int format) → original string."""
+
+    @F.pandas_udf("string")
+    def _restore(value: pd.Series, fmt: pd.Series) -> pd.Series:
+        out = []
+        for v, f in zip(value, fmt):
+            out.append(
+                None if v is None or f is None else restore_encoded_float(v, int(f))
+            )
+        return pd.Series(out, dtype=object)
+
+    return _restore

@@ -1,0 +1,120 @@
+"""FormattedFloat parity: reference fixture strings round-trip byte-for-byte.
+
+Mirrors reference tests (components/core/src/clp_s/tests/
+test-FloatFormatEncoding.cpp: fuzzing sections, and the
+test_valid_formatted_float.jsonl fixture values used by
+test-clp_s-search-formatted-float).
+"""
+
+import json
+import random
+import re
+
+import pytest
+
+from clp_spark.functions.formatted_float import (
+    get_float_encoding,
+    restore_encoded_float,
+)
+
+REF_FIXTURE = (
+    "/root/reference/components/core/src/clp_s/tests/test_log_files/"
+    "test_valid_formatted_float.jsonl"
+)
+
+
+def _fixture_literals():
+    """The float literals exactly as written in the reference jsonl."""
+    out = []
+    try:
+        with open(REF_FIXTURE) as f:
+            for line in f:
+                m = re.search(r":\s*([^\s}]+)\s*}", line)
+                if m:
+                    out.append(m.group(1))
+    except OSError:
+        pass
+    return out
+
+
+def _roundtrip(s: str):
+    fmt = get_float_encoding(s)
+    assert fmt is not None, f"unsupported: {s!r}"
+    value = json.loads(s) if "E" not in s and "e" not in s else float(s)
+    restored = restore_encoded_float(float(value), fmt)
+    assert restored == s, (s, restored, hex(fmt))
+
+
+class TestFormattedFloatParity:
+    def test_reference_fixture_literals(self):
+        lits = _fixture_literals()
+        assert len(lits) >= 20
+        for s in lits:
+            _roundtrip(s)
+
+    def test_handwritten_cases(self):
+        for s in [
+            "0.007", "-0.007", "123456789.1234567", "123456789.000", "0.00",
+            "-0.00", "1.234567891234567E9", "1.234567891234567E-9",
+            "1E16", "1.234567891234567E+9", "1.234567891234567E+0009",
+            "-1.234567891234567E-0009", "1.234567891234567e9", "1e05", "1e5",
+            "3.14", "-2.50000", "0.1", "1000000.0",
+        ]:
+            _roundtrip(s)
+
+    def test_unsupported_shapes(self):
+        # (inputs must be float-shaped per the reference precondition; these
+        # are the shapes the reference itself rejects)
+        for s in ["", "+1.5", "007.5", "1E", "1e+", "1.5E99999",
+                  "12.5e3", "-"]:
+            assert get_float_encoding(s) is None, s
+
+    def test_fuzz_16_digit(self):
+        rng = random.Random(11)
+        for _ in range(2000):
+            v = rng.uniform(0.0, 1.7e308)
+            for s in (f"{v:.16e}", f"{v:.16E}", f"{-v:.16e}", f"{-v:.16E}"):
+                _roundtrip(s)
+
+    def test_fuzz_small_range_n_digits(self):
+        rng = random.Random(12)
+        for _ in range(2000):
+            v = rng.uniform(0.0, 1.0)
+            n = rng.randint(1, 16)
+            for s0 in (f"{v:.{n}e}", f"{v:.{n}E}", f"{v:.{n}f}",
+                       f"{-v:.{n}e}", f"{-v:.{n}f}"):
+                # reduced precision: re-parse so the double matches the string
+                fmt = get_float_encoding(s0)
+                assert fmt is not None, s0
+                assert restore_encoded_float(float(s0), fmt) == s0
+
+    def test_fuzz_zeroes(self):
+        for n in range(1, 17):
+            for s in (f"{0.0:.{n}e}", f"{0.0:.{n}E}", f"{0.0:.{n}f}",
+                      f"{-0.0:.{n}e}", f"{-0.0:.{n}f}"):
+                fmt = get_float_encoding(s)
+                assert fmt is not None, s
+                assert restore_encoded_float(float(s), fmt) == s
+
+
+class TestFormattedFloatSpark:
+    def test_udf_roundtrip(self, spark):
+        from pyspark.sql import functions as F
+
+        from clp_spark.functions.formatted_float import (
+            formatted_float_encode_udf,
+            formatted_float_restore_udf,
+        )
+
+        strs = ["0.007", "1.234567891234567E+0009", "123456789.000",
+                "1e05", "-0.00", "3.14"]
+        df = spark.createDataFrame([(s,) for s in strs], "fstr string")
+        enc = formatted_float_encode_udf()
+        res = formatted_float_restore_udf()
+        out = (
+            df.withColumn("fmt", enc("fstr"))
+            .withColumn("val", F.col("fstr").cast("double"))
+            .withColumn("restored", res("val", "fmt"))
+        )
+        for r in out.collect():
+            assert r["restored"] == r["fstr"], r
