@@ -143,6 +143,43 @@ def q_clp_dict_var_counts(spark, sf_dir):
     )
 
 
+def q_json_array_search(spark, sf_dir):
+    """clp-s UnstructuredArray semantics: arrays are serialized text searched
+    by wildcard against the serialization (reference clp_s ArchiveReader
+    array dictionary; SchemaTree UnstructuredArray node type)."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.to_json(
+        F.struct(F.array("lang", "source").alias("tags"), F.col("n_chars").alias("n"))
+    )
+    arr_text = F.get_json_object(raw, "$.tags")
+    return (
+        docs.select("doc_id", arr_text.alias("t"))
+        .where(F.col("t").like('%"fr"%'))
+        .select("doc_id")
+    )
+
+
+_SCHEMA_RULES = [
+    ("req_id", r"req [0-9]+"),
+    ("latency", r"0\.[0-9]+ s"),
+    ("node", r"node-[0-9]+"),
+]
+
+
+def q_custom_schema_encode(spark, sf_dir):
+    """User-defined variable schema (log-surgeon --schema-path analog):
+    rule-list alternation → logtype with placeholders + ordered variables."""
+    from clp_spark.operators.custom_schema import custom_schema_encode
+
+    docs = _t(spark, sf_dir, "documents").withColumn("message", _rich_message_col())
+    out = custom_schema_encode(docs, "message", _SCHEMA_RULES, keep=["doc_id"])
+    return out.select(
+        "doc_id",
+        _readable_logtype(F.col("logtype")).alias("logtype"),
+        F.posexplode("variables").alias("pos", "variable"),
+    )
+
+
 def q_formatted_float_roundtrip(spark, sf_dir):
     """clp-s FormattedFloat (reference FloatFormatEncoding.cpp): store
     (double, 16-bit format), regenerate the exact original string. The oracle
@@ -756,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clp_logtype_dict_ids": q_clp_logtype_dict_ids,
         "dict_var_ids_attach": q_dict_var_ids_attach,
         "formatted_float_roundtrip": q_formatted_float_roundtrip,
+        "json_array_search": q_json_array_search,
+        "custom_schema_encode": q_custom_schema_encode,
         "wildcard_search": q_wildcard_search,
         "wildcard_single_char": q_wildcard_single_char,
         "wildcard_ignore_case": q_wildcard_ignore_case,
@@ -832,6 +871,17 @@ def oracle_sql() -> dict[str, str]:
         "clp_logtype_dict_ids": (
             f"WITH lt AS (SELECT DISTINCT {_ORACLE_LOGTYPE} AS logtype FROM documents) "
             "SELECT logtype, dense_rank() OVER (ORDER BY logtype) - 1 AS logtype_id FROM lt"
+        ),
+        "json_array_search": "SELECT doc_id FROM documents WHERE lang = 'fr'",
+        "custom_schema_encode": (
+            f"WITH m AS (SELECT doc_id, {_ORACLE_MSG} AS msg FROM documents), "
+            "enc AS (SELECT doc_id, "
+            r"regexp_replace(msg, '(req [0-9]+|0\.[0-9]+ s|node-[0-9]+)', '<D>', 'g') "
+            "AS logtype, "
+            r"regexp_extract_all(msg, '(req [0-9]+|0\.[0-9]+ s|node-[0-9]+)', 1) AS vars "
+            "FROM m) "
+            "SELECT doc_id, logtype, generate_subscripts(vars, 1) - 1 AS pos, "
+            "unnest(vars) AS variable FROM enc"
         ),
         "formatted_float_roundtrip": (
             "SELECT doc_id, fstr AS formatted, fstr AS restored FROM ("

@@ -1,0 +1,48 @@
+"""User-defined variable schemas — the log-surgeon `--schema-path` analog.
+
+CLP lets users supply a schema file of named variable patterns (regex rules)
+that override the default tokenizer's variable classification (reference:
+clp/clp/CommandLineArguments --schema-path, tests/test-ParserWithUserSchema.cpp,
+tests/test_schema_files/). The Spark-first analog: a rule list of
+(name, regex) compiled into one alternation applied with JVM regexp functions
+— logtype = message with every match replaced by the dictionary placeholder,
+variables = all matches in order. Whole-stage-codegen, no Python.
+
+Rule order is priority order, like log-surgeon's schema file: earlier rules
+win where alternations overlap (Java regex alternation is leftmost-first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DICT_PH = "\x12"
+
+
+def combined_pattern(rules: list[tuple[str, str]]) -> str:
+    """One alternation regex; each rule pattern must be group-free."""
+    return "(" + "|".join(p for _, p in rules) + ")"
+
+
+def schema_logtype(msg_col: Column, rules: list[tuple[str, str]]) -> Column:
+    return F.regexp_replace(msg_col, combined_pattern(rules), DICT_PH)
+
+
+def schema_variables(msg_col: Column, rules: list[tuple[str, str]]) -> Column:
+    """array<string> of matched variables, in message order."""
+    return F.regexp_extract_all(msg_col, F.lit(combined_pattern(rules)), 1)
+
+
+def custom_schema_encode(
+    df: DataFrame, msg_col: str, rules: list[tuple[str, str]],
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """(keep..., logtype, variables) under the user schema."""
+    keep = keep or []
+    m = F.col(msg_col)
+    return df.select(
+        *keep,
+        schema_logtype(m, rules).alias("logtype"),
+        schema_variables(m, rules).alias("variables"),
+    )
