@@ -747,6 +747,17 @@ def q_clp_archive_search_var(spark, sf_dir):
     return out.select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
+def q_clp_archive_search_icase(spark, sf_dir):
+    """Case-insensitive archive search (--ignore-case: dictionary probes and
+    final verification lower-cased, reference clg CommandLineArguments /
+    Query.hpp ignore_case)."""
+    from clp_spark.operators.search import search_archive
+
+    sinks, lt, vd = _build_archive(spark, sf_dir)
+    out = search_archive(sinks, lt, vd, "*FAST*SCAN*", ignore_case=True)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
 def q_streaming_count_by_time(spark, sf_dir):
     """Structured-Streaming timeline (update-mode upsert, availableNow) —
     results must equal the batch bucket counts."""
@@ -840,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_schema_route": q_json_schema_route,
         "clp_archive_search": q_clp_archive_search,
         "clp_archive_search_var": q_clp_archive_search_var,
+        "clp_archive_search_icase": q_clp_archive_search_icase,
         "streaming_count_by_time": q_streaming_count_by_time,
         "clp_int_var_sum": q_clp_int_var_sum,
         "clp_float_encodings": q_clp_float_encodings,
@@ -1144,6 +1156,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "clp_archive_search_var": (
             f"SELECT doc_id FROM documents WHERE {_ORACLE_MSG} LIKE '% node-3 %'"
+        ),
+        "clp_archive_search_icase": (
+            f"SELECT doc_id FROM documents WHERE {_ORACLE_MSG} ILIKE '%FAST%SCAN%'"
         ),
         "streaming_count_by_time": (
             "SELECT (epoch_ms(ts) // 60000) * 60000 AS bucket_ts, count(*) AS cnt "
