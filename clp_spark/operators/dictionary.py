@@ -96,17 +96,17 @@ def _assign_sorted_ids_distributed(
             ranked.join(F.broadcast(offsets_df), "_pid")
             .select(F.col(value_col), (F.col("_rn") + F.col("_off")).alias(id_col))
         )
-        # materialize before unpersisting the intermediate
-        out = out.localCheckpoint(eager=True) if _is_tiny(counts) else out.persist()
-        if not _is_tiny(counts):
-            out.count()
-        return out
+        # localCheckpoint TRUNCATES lineage, deliberately: the collected
+        # offsets were computed for THIS evaluation of repartitionByRange
+        # (whose sampling is nondeterministic on recompute), so a silent
+        # recompute after cache eviction could assign different partition
+        # boundaries to already-baked offsets — inconsistent/duplicate ids.
+        # Truncating means a lost block fails the job loudly instead; a
+        # production deployment swaps this for a reliable checkpoint dir
+        # (sc.setCheckpointDir + .checkpoint()).
+        return out.localCheckpoint(eager=True)
     finally:
         with_pid.unpersist()
-
-
-def _is_tiny(counts: dict) -> bool:
-    return sum(counts.values()) <= 1_000_000
 
 
 def build_logtype_dict(encoded: DataFrame, logtype_col: str = "logtype") -> DataFrame:

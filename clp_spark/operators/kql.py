@@ -318,7 +318,9 @@ def _match_path(pattern: list[str], path: tuple[str, ...]) -> bool:
 def _resolve_columns(df: DataFrame, pattern: list[str]) -> list[tuple[Column, DataType]]:
     # strip namespace markers ('$' metadata, '@'/'!' defaults) off first segment
     pat = list(pattern)
-    if pat and pat[0][:1] in "$@!":
+    # NB: '' in "$@!" is True — require a non-empty first char so an empty
+    # leading segment (e.g. column '.a') can't crash the indexing below
+    if pat and pat[0][:1] and pat[0][:1] in "$@!":
         ns, rest = pat[0][0], pat[0][1:]
         if rest:
             pat[0] = rest

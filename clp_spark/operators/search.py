@@ -27,7 +27,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from itertools import product
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -214,6 +213,24 @@ def _interpretations(tok: QueryToken, preceded_by_eq: bool) -> list[str]:
     return interps
 
 
+def _relax_unescaped_question_marks(q: str) -> str:
+    """Candidate filtering treats '?' as '*' (a superset; the final wildcard
+    verify uses the original query). Escaped '\\?' is a literal and must NOT
+    be rewritten — a blanket replace would turn it into a literal '*' and
+    silently drop matches."""
+    out: list[str] = []
+    i = 0
+    while i < len(q):
+        c = q[i]
+        if c == "\\" and i + 1 < len(q):
+            out.append(q[i : i + 2])
+            i += 2
+            continue
+        out.append("*" if c == "?" else c)
+        i += 1
+    return "".join(out)
+
+
 def compile_query(
     query: str,
     logtype_dict: DataFrame,
@@ -221,7 +238,7 @@ def compile_query(
     ignore_case: bool = False,
 ):
     """→ MATCH_ALL | list[(logtype_ids, SubQuery)] (empty list = no match)."""
-    processed = clean_up_wildcard_query(query.replace("?", "*"))
+    processed = clean_up_wildcard_query(_relax_unescaped_question_marks(query))
     units = tokenize_query(processed)
 
     # which unit indexes are tokens, and their interpretation choices
@@ -260,9 +277,17 @@ def compile_query(
             if ignore_case
             else F.col("logtype").like(sq.logtype_like)
         )
-        ids = [r["logtype_id"] for r in probe.select("logtype_id").collect()]
-        if ids:
-            compiled.append((ids, sq))
+        # bound driver memory / expression size: a broad pattern over a
+        # 1M+-entry dictionary must not collect every id — past the cap the
+        # id constraint is dropped (a superset; the final verify restores
+        # exactness), mirroring CLP's dictionary probe being an optimization
+        ids = [
+            r["logtype_id"]
+            for r in probe.select("logtype_id").limit(MAX_ISIN_IDS + 1).collect()
+        ]
+        if not ids:
+            continue
+        compiled.append((ids if len(ids) <= MAX_ISIN_IDS else None, sq))
     return compiled
 
 
@@ -279,11 +304,12 @@ def _build_subquery(units, tok_ix, combo, var_dict, ignore_case):
         if interp == "star":
             like_parts.append("%")
         elif interp == "midwild":
+            # a mid-wildcard token can match logtype text, any var kind, or
+            # span multiple message tokens ('ag*12' vs 'ag 12') — the only
+            # sound candidate relaxation is '%'; the final wildcard verify
+            # (always required here) restores exactness
             sq.wildcard_match_required = True
-            if _is_var_content(tok.value_no_wildcards, False):
-                like_parts.append("%" + DICT_PLACEHOLDER + "%")
-            else:
-                like_parts.append("%")
+            like_parts.append("%")
         elif interp == "text":
             sq.wildcard_match_required = sq.wildcard_match_required or tok.has_wildcards
             like_parts.append(_token_text_like(tok))
@@ -423,26 +449,9 @@ def _subsequence_pred(tagged: Column, needle: list[tuple[int, str]]) -> Column:
     return state == F.lit(k)
 
 
-def _ids_predicate(col: Column, ids: list) -> Column:
-    return col.isin(ids)
-
-
-def make_decode_udf():
-    """Candidates-only decode: (logtype, encoded_vars, dict_vars) -> message."""
-    from clp_spark.oracle.encoder import decode_message
-
-    @F.pandas_udf("string")
-    def _decode(logtype: pd.Series, encoded_vars: pd.Series, dict_vars: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                decode_message(lt, [int(x) for x in ev], list(dv))
-                for lt, ev, dv in zip(logtype, encoded_vars, dict_vars)
-            ],
-            index=logtype.index,
-            dtype=object,
-        )
-
-    return _decode
+def _ids_predicate(col: Column, ids: list | None) -> Column:
+    """None = probe exceeded MAX_ISIN_IDS → no id constraint (superset)."""
+    return F.lit(True) if ids is None else col.isin(ids)
 
 
 def search_archive(
@@ -453,6 +462,8 @@ def search_archive(
     ignore_case: bool = False,
 ) -> DataFrame:
     """Matched rows (doc_id, source, logtype_id, message) for a CLP wildcard query."""
+    from clp_spark.operators.decode import make_decode_udf
+
     decode = make_decode_udf()
     message = decode(F.col("logtype"), F.col("encoded_vars"), F.col("dict_vars"))
     with_lt = sinks.join(F.broadcast(logtype_dict.select("logtype_id", "logtype")),

@@ -126,3 +126,11 @@ def test_ignore_case(corpus):
         .collect()
     }
     assert got == {1, 2, 3, 4, 5, 6}
+
+
+def test_empty_leading_segment_no_crash(corpus):
+    """Regression: a column starting with '.' used to crash _resolve_columns
+    (''[:1] in "$@!" is True → IndexError). Must compile to no-match."""
+    from clp_spark.operators.kql import kql_filter
+
+    assert kql_filter(corpus, ".nosuch: 1").count() == 0

@@ -132,6 +132,11 @@ def naive(query, ignore_case=False):
         ("*literal \\* star*", False),
         ("no digits at all here", False),
         ("*middle", False),
+        # regression: escaped '\?' is a literal question mark, not a wildcard
+        ("*literal \\? mark*", False),
+        # regression: a mid-wildcard token may span tokens / match an int var
+        ("*took*335*", False),
+        ("*user*al*", False),
     ],
 )
 def test_query_matches_naive_semantics(archive, query, ignore_case):
