@@ -60,6 +60,17 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def bloom_filter_options(columns: list[str], expected_ndv: int = 100_000) -> dict:
+    """Parquet bloom-filter write options for value columns (the CLP
+    per-column BloomFilter analog — reference clp_s/filter/FilterBuilder.hpp:
+    18-49; probing happens inside the parquet reader's row-group skipping)."""
+    opts: dict[str, str] = {}
+    for c in columns:
+        opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
+        opts[f"parquet.bloom.filter.expected.ndv#{c}"] = str(expected_ndv)
+    return opts
+
+
 def glt_bucket(logtype_col, num_buckets: int):
     """Portable logtype→bucket id (md5-derived 60-bit hash mod buckets;
     replicable in any engine: CAST('0x'||substr(md5(x),1,15) AS BIGINT) % n)."""

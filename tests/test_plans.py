@@ -75,3 +75,29 @@ class TestPlanShapes:
 
         q = latest_n(events, F.col("ts"), 10, F.col("event_id"))
         assert "TakeOrderedAndProject" in plan_of(q)  # no full sort
+
+
+class TestBloomFilters:
+    def test_bloom_filter_options_write_real_filters(self, spark, tmp_path):
+        """bloom_filter_options produces parquet files that actually carry
+        bloom filter bytes (size delta ≈ ndv bits/8 per column chunk) — the
+        CLP per-column BloomFilter analog at the storage layer."""
+        import glob
+        import os
+
+        from clp_spark.plans.pipeline import bloom_filter_options
+
+        df = spark.range(50000).selectExpr("uuid() AS k", "id AS v").coalesce(1)
+        sizes = {}
+        for name, opts in [("plain", {}),
+                           ("bloom", bloom_filter_options(["k"], 50000))]:
+            out = str(tmp_path / name)
+            w = df.write.mode("overwrite")
+            for key, val in opts.items():
+                w = w.option(key, val)
+            w.parquet(out)
+            sizes[name] = sum(
+                os.path.getsize(p) for p in glob.glob(out + "/part-*.parquet")
+            )
+        # a 50k-ndv bloom filter is tens of KB; plain jitter is far smaller
+        assert sizes["bloom"] - sizes["plain"] > 20_000
