@@ -1,0 +1,64 @@
+"""Exact int64 ↔ double comparison as Catalyst Column expressions.
+
+A double represents every integer exactly only up to 2^53; Spark (like
+standard SQL) compares a LongType against a DoubleType by casting the long to
+double, which snaps e.g. 2^53 + 1 onto 2^53 and can flip the comparison.
+CLP compares the two types exactly (reference
+components/core/src/clp_s/int_float_compare.hpp:48-91, adapted from SQLite's
+sqlite3IntFloatCompare); these helpers reproduce that semantics with pure
+JVM-side expressions — no UDF:
+
+  int_lt_double(a, b)  ⟺  a < b exactly, a: LongType col, b: DoubleType col
+  double_lt_int(b, a)  ⟺  b < a exactly
+  int_eq_double(a, b)  ⟺  a == b exactly
+
+Trick: truncate the double; for |b| inside the int64 range trunc(b) is an
+exactly-representable integer double, so its cast to long is lossless, and
+the remaining comparison is long-vs-long plus a fractional-part tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 2^63 (exactly representable; one above INT64_MAX) and -2^63 (== INT64_MIN)
+_UPPER = 9223372036854775808.0
+_MIN = -9223372036854775808.0
+
+
+def _trunc(b: Column) -> Column:
+    # SQL trunc() is date-oriented; integer truncation = floor toward zero
+    return F.when(b >= 0, F.floor(b)).otherwise(-F.floor(-b)).cast("double")
+
+
+def int_lt_double(a: Column, b: Column) -> Column:
+    """a < b, exact (a long, b double). NaN compares false, like the reference."""
+    t = _trunc(b)
+    bi = t.cast("long")
+    return F.when(F.isnan(b), F.lit(False)).otherwise(
+        F.when(b >= F.lit(_UPPER), F.lit(True))
+        .when(b < F.lit(_MIN), F.lit(False))
+        .when(a != bi, a < bi)
+        .otherwise(b > t)
+    )
+
+
+def double_lt_int(b: Column, a: Column) -> Column:
+    """b < a, exact (b double, a long). NaN compares false."""
+    t = _trunc(b)
+    bi = t.cast("long")
+    return F.when(F.isnan(b), F.lit(False)).otherwise(
+        F.when(b >= F.lit(_UPPER), F.lit(False))
+        .when(b < F.lit(_MIN), F.lit(True))
+        .when(bi != a, bi < a)
+        .otherwise(b < t)
+    )
+
+
+def int_eq_double(a: Column, b: Column) -> Column:
+    """a == b, exact (a long, b double)."""
+    t = _trunc(b)
+    return F.when(
+        F.isnan(b) | (b >= F.lit(_UPPER)) | (b < F.lit(_MIN)), F.lit(False)
+    ).otherwise((b == t) & (a == t.cast("long")))

@@ -28,6 +28,7 @@ from pyspark.sql.types import (
     ArrayType,
     BooleanType,
     DataType,
+    LongType,
     NumericType,
     StringType,
     StructType,
@@ -388,6 +389,20 @@ def _value_pred(col: Column, dtype: DataType, lit: Lit, op: str, ignore_case: bo
         return F.lit(False)
     else:
         num = F.lit(numval)
+    # exact int64↔double ordering for a long column vs a float literal —
+    # Spark's native promotion is lossy past 2^53 (reference
+    # int_float_compare.hpp; see clp_spark.functions.numeric)
+    if isinstance(dtype, LongType) and isinstance(numval, float) and is_numeric_lit:
+        from clp_spark.functions.numeric import double_lt_int, int_eq_double, int_lt_double
+
+        dbl = F.lit(numval)
+        if op == "<":
+            return int_lt_double(col, dbl)
+        if op == ">":
+            return double_lt_int(dbl, col)
+        if op == "<=":
+            return int_lt_double(col, dbl) | int_eq_double(col, dbl)
+        return double_lt_int(dbl, col) | int_eq_double(col, dbl)
     casted = col
     if op == "<":
         return casted < num

@@ -1,0 +1,90 @@
+"""Exact int64↔double comparison parity with the reference semantics
+(int_float_compare.hpp, adapted from SQLite) — incl. the >2^53 cases where
+Spark's native promotion is lossy."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from clp_spark.functions.numeric import double_lt_int, int_eq_double, int_lt_double
+
+
+def ref_int_lt_double(a: int, b: float) -> bool:
+    if math.isnan(b):
+        return False
+    if b >= 2.0**63:
+        return True
+    if b < -(2.0**63):
+        return False
+    t = math.trunc(b)
+    if a != t:
+        return a < t
+    return b > t
+
+
+def ref_double_lt_int(b: float, a: int) -> bool:
+    if math.isnan(b):
+        return False
+    if b >= 2.0**63:
+        return False
+    if b < -(2.0**63):
+        return True
+    t = math.trunc(b)
+    if t != a:
+        return t < a
+    return b < t
+
+
+CASES = [
+    # (long, double) — the interesting region is |x| > 2^53
+    (2**53 + 1, float(2**53)),        # long bigger; cast would say equal
+    (2**53, float(2**53) + 2.0),
+    (2**63 - 1, 9.223372036854776e18),  # double = 2^63 > INT64_MAX
+    (-(2**63), -9.223372036854776e18),
+    (2**53 + 1, 9007199254740993.0),  # 2^53+1 not representable → 2^53+2? no: rounds
+    (10, 10.5),
+    (10, 10.0),
+    (-10, -10.5),
+    (0, -0.0),
+    (123, float("nan")),
+    (2**62, 4.611686018427388e18),
+    (-(2**53) - 1, -float(2**53)),
+]
+
+
+def test_exact_compare_matches_reference(spark):
+    df = spark.createDataFrame(CASES, "a long, b double")
+    rows = df.select(
+        "a", "b",
+        int_lt_double(F.col("a"), F.col("b")).alias("lt"),
+        double_lt_int(F.col("b"), F.col("a")).alias("gt"),
+        int_eq_double(F.col("a"), F.col("b")).alias("eq"),
+    ).collect()
+    for r in rows:
+        a, b = r["a"], r["b"]
+        assert r["lt"] == ref_int_lt_double(a, b), (a, b)
+        assert r["gt"] == ref_double_lt_int(b, a), (a, b)
+        exp_eq = (not ref_int_lt_double(a, b)) and (not ref_double_lt_int(b, a)) \
+            and not math.isnan(b)
+        assert r["eq"] == exp_eq, (a, b)
+
+
+def test_spark_native_promotion_is_lossy_here(spark):
+    """Documents WHY these helpers exist: the native comparison disagrees."""
+    df = spark.createDataFrame([(2**53 + 1, float(2**53))], "a long, b double")
+    native = df.select((F.col("a") > F.col("b")).alias("gt")).collect()[0]["gt"]
+    exact = df.select(double_lt_int(F.col("b"), F.col("a")).alias("gt")).collect()[0]["gt"]
+    assert native is False  # lossy: 2^53+1 cast to double == 2^53
+    assert exact is True
+
+
+def test_kql_long_vs_float_literal_is_exact(spark):
+    """KQL range on a long column with a float literal uses the exact
+    comparison — 2^53+1 > 2^53.0 must be true."""
+    from clp_spark.operators.kql import kql_filter
+
+    df = spark.createDataFrame(
+        [(1, 2**53 + 1), (2, 2**53), (3, 0)], "id long, big long"
+    )
+    got = {r["id"] for r in kql_filter(df, "big > 9007199254740992.0").collect()}
+    assert got == {1}
