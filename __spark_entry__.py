@@ -143,6 +143,14 @@ def q_clp_dict_var_counts(spark, sf_dir):
     )
 
 
+def q_regex_search(spark, sf_dir):
+    """Regex query surface: the reference translates regex → CLP wildcards
+    (clp/regex_utils/regex_translation_utils); on Spark `rlike` runs the
+    regex directly — no translation layer needed."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(F.col("text").rlike(r"\bspark\b.*\bjoin\b")).select("doc_id")
+
+
 def q_json_array_search(spark, sf_dir):
     """clp-s UnstructuredArray semantics: arrays are serialized text searched
     by wildcard against the serialization (reference clp_s ArchiveReader
@@ -805,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_var_ids_attach": q_dict_var_ids_attach,
         "formatted_float_roundtrip": q_formatted_float_roundtrip,
         "json_array_search": q_json_array_search,
+        "regex_search": q_regex_search,
         "custom_schema_encode": q_custom_schema_encode,
         "wildcard_search": q_wildcard_search,
         "wildcard_single_char": q_wildcard_single_char,
@@ -885,6 +894,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT logtype, dense_rank() OVER (ORDER BY logtype) - 1 AS logtype_id FROM lt"
         ),
         "json_array_search": "SELECT doc_id FROM documents WHERE lang = 'fr'",
+        "regex_search": (
+            r"SELECT doc_id FROM documents WHERE "
+            r"regexp_matches(text, '\bspark\b.*\bjoin\b')"
+        ),
         "custom_schema_encode": (
             f"WITH m AS (SELECT doc_id, {_ORACLE_MSG} AS msg FROM documents), "
             "enc AS (SELECT doc_id, "
