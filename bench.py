@@ -110,16 +110,17 @@ def pipeline_bench(spark, sf: str) -> tuple[float, int]:
 
 HEADLINE = [
     "clp_encode_route_agg",
-    "kql_and_range",
+    "kql_boolean_range",
     "count_by_time",
-    "dict_ids_join",
+    "clp_logtype_dict_ids",
     "latest_n",
     "dedup_exact_groups",
     "minhash_seed0",
     "simhash",
-    "embedding_threshold",
+    "embedding_topk",
     "token_counts",
     "subsequence_match",
+    "clp_decode_roundtrip",  # decode-heavy: full encode→decode round trip
 ]
 
 

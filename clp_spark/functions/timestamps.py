@@ -112,11 +112,42 @@ def parse_timestamp_ms(line: Column) -> Column:
 
 
 def detect_pattern(line: Column) -> Column:
-    """Name of the first matching pattern, else NULL — CLP locks this per file."""
+    """Name of the first pattern that both regex-matches AND parses to a valid
+    timestamp, else NULL — CLP locks this per file (Archive.cpp:293).
+
+    Gated on try_to_timestamp succeeding (the same condition as _parse_one) so
+    the reported name always agrees with the pattern parse_timestamp_ms would
+    fall through to — a regex-shape match whose capture try_to_timestamp
+    rejects (e.g. '2015-13-40 25:00:00') does not claim the pattern.
+    """
     out = F.lit(None).cast("string")
     for p in reversed(KNOWN_PATTERNS):
+        out = F.when(_parse_one(line, p).isNotNull(), F.lit(p.name)).otherwise(out)
+    return out
+
+
+def parse_with_pattern(line: Column, pattern_name: Column) -> Column:
+    """Epoch-ms using ONLY the named pattern (per-file lock semantics,
+    reference MessageParser.cpp:95-164: after the first match the file's
+    pattern is fixed and later lines try just that one).
+
+    The CASE chain is cheap per row: only the branch whose name equals the
+    locked pattern evaluates its regex — 1 pattern/line instead of ~32.
+    """
+    out = F.lit(None).cast("long")
+    for p in reversed(KNOWN_PATTERNS):
+        out = F.when(pattern_name == p.name, _parse_one(line, p)).otherwise(out)
+    return out
+
+
+def strip_with_pattern(line: Column, pattern_name: Column) -> Column:
+    """Line content after the matched timestamp for the locked pattern only;
+    lines that don't match the locked pattern pass through unchanged."""
+    out = line
+    for p in reversed(KNOWN_PATTERNS):
         out = F.when(
-            F.regexp_extract(line, p.regex, 2) != "", F.lit(p.name)
+            (pattern_name == p.name) & (F.regexp_extract(line, p.regex, 2) != ""),
+            F.regexp_replace(line, p.regex, "$1"),
         ).otherwise(out)
     return out
 

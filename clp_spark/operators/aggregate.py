@@ -22,10 +22,16 @@ def count_by_time(
     df: DataFrame, ts_ms_col: Column, bucket_ms: int, predicate: Column | None = None
 ) -> DataFrame:
     """`--count-by-time B`: bucket = (ts_ms / B) * B (integer division —
-    reference clp_s/aggregators.hpp:111-113); count per bucket."""
+    reference clp_s/aggregators.hpp:111-113); count per bucket.
+
+    Pure int64 arithmetic: ts - (ts % B) equals truncating division × B for
+    every int64 (Spark's % follows the dividend's sign, like C++), with no
+    double round-trip — C++ `/`, DuckDB `//`, and this all truncate toward
+    zero, so negative-epoch timestamps bucket identically in all three.
+    """
     if predicate is not None:
         df = df.where(predicate)
-    bucket = ((ts_ms_col / F.lit(bucket_ms)).cast("long") * F.lit(bucket_ms)).alias(
+    bucket = (ts_ms_col - (ts_ms_col % F.lit(bucket_ms))).cast("long").alias(
         "bucket_ts"
     )
     return df.groupBy(bucket).agg(F.count("*").alias("cnt"))

@@ -9,35 +9,63 @@ digits, dict id → dictionary string), honoring '\\' escapes.
 
 Spark shape: the *decode join* — events ⋈ logtype_dict (broadcast) for the
 template, dict variables either stored inline (our sinks keep dict_vars
-strings) or joined from var_dict by id. The string assembly itself is a
-vectorized Arrow batch kernel.
+strings) or joined from var_dict by id. The string assembly is the
+fully-vectorized numpy buffer-splice kernel (decode_kernel_np) — no per-row
+Python; the pandas-UDF wrapper converts its Series to Arrow in C
+(pa.array) and hands zero-copy buffers to the kernel.
 """
 
 from __future__ import annotations
 
-import numpy as np
+from collections.abc import Iterator
+
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from clp_spark.oracle.encoder import decode_message
+from clp_spark.functions.decode_kernel_np import decode_arrays
 
 
 def make_decode_udf():
-    """(logtype, encoded_vars, dict_vars) -> message (Arrow-batched)."""
+    """(logtype, encoded_vars, dict_vars) -> message, usable as a Column
+    expression. Arrow-batched; the batch is decoded by the numpy kernel."""
 
     @F.pandas_udf("string")
     def _decode(logtype: pd.Series, encoded_vars: pd.Series, dict_vars: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                decode_message(lt, [int(x) for x in ev], list(dv))
-                for lt, ev, dv in zip(logtype, encoded_vars, dict_vars)
-            ],
-            index=logtype.index,
-            dtype=object,
-        )
+        lt = pa.array(logtype, type=pa.string())
+        ev = pa.array(encoded_vars, type=pa.list_(pa.int64()))
+        dv = pa.array(dict_vars, type=pa.list_(pa.string()))
+        out = decode_arrays(lt, ev, dv)
+        return out.to_pandas()
 
     return _decode
+
+
+def make_decode_arrow(passthrough: list[str], out_col: str = "message"):
+    """mapInArrow function: RecordBatch(passthrough + logtype + encoded_vars +
+    dict_vars) → RecordBatch(passthrough + message). Zero per-row Python in
+    either direction — the preferred shape when decode is a pipeline stage."""
+
+    def _fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            msg = decode_arrays(
+                batch.column("logtype"),
+                batch.column("encoded_vars"),
+                batch.column("dict_vars"),
+            )
+            arrays = [batch.column(c) for c in passthrough] + [msg]
+            yield pa.RecordBatch.from_arrays(arrays, passthrough + [out_col])
+
+    return _fn
+
+
+def decode_df(df: DataFrame, passthrough: list[str], out_col: str = "message") -> DataFrame:
+    """DataFrame-level decode: passthrough + message via mapInArrow."""
+    types = dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields]))
+    df = df.select(*passthrough, "logtype", "encoded_vars", "dict_vars")
+    out_schema = ", ".join(f"{c} {types[c]}" for c in passthrough) + f", {out_col} string"
+    return df.mapInArrow(make_decode_arrow(passthrough, out_col), out_schema)
 
 
 def reconstruct_messages(

@@ -188,6 +188,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_on_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for the given (id_a, id_b) pairs.
+
+    This is the scale-safe exact verifier: the all-pairs variant
+    (ngram_jaccard_pairs) self-joins the full shingle table on `shingle`,
+    which explodes quadratically on one hot shingle; here the candidate pair
+    set (typically from minhash_lsh_candidates — near-linear in corpus size)
+    keys the work instead. pairs is broadcast (it's the small side); the only
+    big join is shingles ⋈ shingles restricted to candidate ids, keyed on
+    (id_b, shingle) — well-distributed, AQE skew-split if needed.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(F.broadcast(pairs), "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    with_inter = pairs.join(inter, ["id_a", "id_b"], "left").fillna({"inter": 0})
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        with_inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def lsh_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """minhash-LSH candidates → exact Jaccard on just those pairs — the
+    composed near-dup pipeline that survives a 100-TB corpus."""
+    pairs = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
+    return jaccard_on_pairs(df, pairs, id_col, text_col, shingle_n, threshold)
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """(id, simhash) — bitwise-majority fingerprint over word hashes.
 

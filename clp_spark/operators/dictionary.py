@@ -144,6 +144,11 @@ def attach_dict_var_ids(
 ) -> DataFrame:
     """Add ``dict_var_ids: array<long>`` aligned with ``dict_vars``.
 
+    ``key_cols`` MUST uniquely identify rows of ``encoded``: the regrouped id
+    arrays are joined back by key, so a duplicated key fans the join out and
+    merges id arrays across rows, silently corrupting alignment. Callers pass
+    the row's primary key (doc_id / (doc_id, seq)); tests assert uniqueness.
+
     Broadcast path: posexplode + broadcast join + regroup keyed on key_cols.
     For a var dictionary too large to broadcast, pass broadcast=False for a
     shuffle hash join (AQE handles skewed hot variables).

@@ -7,12 +7,22 @@ Reference: clp-s merges every record's parse tree into an MPT
 columnar table (ArchiveWriter.cpp:258-266). Type mapping below follows the
 reference: int / float / bool / null; strings split into VarString (no space)
 vs ClpString (contains a space — JsonParser.cpp:303-311); arrays are
-UnstructuredArray (serialized text); nested objects recurse.
+UnstructuredArray (serialized text) by default, or typed StructuredArray
+nodes under --structurize-arrays (SchemaTree.hpp:33-49 StructuredArray,
+JsonParser.cpp); nested objects recurse.
 
-Spark shape: leaf-path extraction is an Arrow-batched UDF (ingest-side, like
-the encode kernel); schema_id is a deterministic hash of the sorted leaf set;
-routing is a partitioned write on schema_id — per-schema tables = partition
-pruning at query time.
+Spark-first shape (v2, the hot path): JSON parsing + structural typing run
+ENTIRELY JVM-side via Spark 4's variant type — try_parse_json (simdjson-class
+native parser, the same reason the reference uses simdjson) +
+schema_of_variant per record. The small distinct set of variant schemas
+(clp-s's MPT premise: schema count << record count) is collected once, and a
+per-schema CASE expression canonicalizes each DDL to the CLP signature —
+string leaves refined to varstring/clpstring with variant_get, still
+JVM-side. No Python touches row data. The v1 pandas UDF (json.loads per row)
+is kept only as the differential-test counterpart.
+
+schema_id is a deterministic hash of the signature; routing is a partitioned
+write on schema_id — per-schema tables = partition pruning at query time.
 """
 
 from __future__ import annotations
@@ -20,8 +30,13 @@ from __future__ import annotations
 import json
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+MAX_DISTINCT_SCHEMAS = 65536
+
+
+# ------------------------------------------------------- v1 (oracle / tests)
 
 
 def leaf_paths(obj, prefix: str = "") -> list[str]:
@@ -54,7 +69,8 @@ def leaf_paths(obj, prefix: str = "") -> list[str]:
 
 
 def make_schema_udf():
-    """raw JSON string -> struct(schema_sig: string, schema_id: string)."""
+    """raw JSON string -> struct(schema_sig, schema_id). Per-row Python —
+    kept ONLY as the differential oracle for the variant path below."""
 
     @F.pandas_udf("schema_sig string, schema_id string")
     def _schema(raw: pd.Series) -> pd.DataFrame:
@@ -73,7 +89,181 @@ def make_schema_udf():
     return _schema
 
 
+# ------------------------------------------- v2: variant-based (JVM-side)
+
+
+def _parse_variant_ddl(ddl: str) -> list[tuple[str, str]]:
+    """Parse a schema_of_variant DDL string → [(path, kind)] leaf list in a
+    fixed (path-sorted) order. kind ∈ int/float/bool/null/string/emptyobj/
+    array:<elem-ddl> — 'string' leaves are refined per row later; arrays keep
+    their element DDL for the structurize decision."""
+    pos = 0
+
+    def peek_ident() -> str:
+        j = pos
+        while j < len(ddl) and ddl[j] not in "<>,:(":
+            j += 1
+        return ddl[pos:j].strip()
+
+    def parse_type() -> object:
+        nonlocal pos
+        name = peek_ident()
+        pos += len(ddl[pos:]) - len(ddl[pos:].lstrip())
+        # consume the identifier
+        start = pos
+        while pos < len(ddl) and ddl[pos] not in "<>,:(":
+            pos += 1
+        name = ddl[start:pos].strip()
+        if pos < len(ddl) and ddl[pos] == "(":
+            # DECIMAL(p,s)
+            end = ddl.index(")", pos)
+            args = ddl[pos + 1 : end]
+            pos = end + 1
+            p, s = (int(x) for x in args.split(","))
+            return ("decimal", p, s)
+        if pos < len(ddl) and ddl[pos] == "<":
+            pos += 1
+            if name == "OBJECT":
+                fields = []
+                while ddl[pos] != ">":
+                    fstart = pos
+                    while ddl[pos] != ":":
+                        pos += 1
+                    fname = ddl[fstart:pos].strip()
+                    pos += 1  # ':'
+                    ftype = parse_type()
+                    fields.append((fname, ftype))
+                    while pos < len(ddl) and ddl[pos] in ", ":
+                        pos += 1
+                pos += 1  # '>'
+                return ("object", fields)
+            if name == "ARRAY":
+                elem = parse_type()
+                while pos < len(ddl) and ddl[pos] in ", ":
+                    pos += 1
+                assert ddl[pos] == ">", ddl[pos:]
+                pos += 1
+                return ("array", elem)
+            raise ValueError(f"unknown parametric type {name} in {ddl!r}")
+        return (name.upper(),)
+
+    def scalar_kind(t) -> str:
+        tag = t[0]
+        if tag == "decimal":
+            # a plain JSON integer is always BIGINT in variant; DECIMAL —
+            # including scale 0 (e.g. "-1000.0" canonicalized to -1000) —
+            # means the source used decimal syntax → a float in clp-s terms
+            # (JsonParser/simdjson number typing)
+            return "float"
+        return {
+            "BIGINT": "int", "DOUBLE": "float", "FLOAT": "float",
+            "BOOLEAN": "bool", "VOID": "null", "STRING": "string",
+        }.get(tag, "opaque")
+
+    def elem_sig(t) -> str | None:
+        """Element kind for structurized arrays; None = not structurizable."""
+        if t[0] in ("object", "array"):
+            return None
+        k = scalar_kind(t)
+        return None if k in ("opaque",) else k
+
+    leaves: list[tuple[str, str]] = []
+
+    def walk(t, path):
+        tag = t[0]
+        if tag == "object":
+            if not t[1]:
+                leaves.append((path, "emptyobj"))
+                return
+            for fname, ftype in t[1]:
+                walk(ftype, f"{path}.{fname}" if path else fname)
+        elif tag == "array":
+            es = elem_sig(t[1])
+            leaves.append((path, f"array:{es}" if es else "array:"))
+        else:
+            leaves.append((path, scalar_kind(t)))
+
+    root = parse_type()
+    walk(root, "")
+    leaves.sort(key=lambda x: x[0])
+    return leaves
+
+
+def _vpath(path: str) -> str:
+    """variant_get path expression for a dotted leaf path (bracket-quoted so
+    keys containing '.' or quotes still resolve)."""
+    segs = path.split(".")
+    return "$" + "".join("['" + s.replace("'", "\\'") + "']" for s in segs)
+
+
+def _sig_expr_for(ddl: str, v: Column, structurize_arrays: bool) -> Column:
+    """Concat expression computing the CLP signature for rows of this variant
+    schema — literal parts for non-string leaves, per-row varstring/clpstring
+    refinement (variant_get, JVM-side) for string leaves."""
+    leaves = _parse_variant_ddl(ddl)
+    parts: list[Column] = []
+    for i, (path, kind) in enumerate(leaves):
+        prefix = ("" if i == 0 else ",") + path + ":"
+        if kind == "string":
+            refined = F.when(
+                F.contains(F.try_variant_get(v, _vpath(path), "string"), F.lit(" ")),
+                F.lit("clpstring"),
+            ).otherwise(F.lit("varstring"))
+            parts.append(F.concat(F.lit(prefix), refined))
+        elif kind.startswith("array:"):
+            es = kind[len("array:"):]
+            label = f"arr<{es}>" if (structurize_arrays and es) else "array"
+            parts.append(F.lit(prefix + label))
+        else:
+            parts.append(F.lit(prefix + kind))
+    if not parts:
+        return F.lit("")
+    return F.concat(*parts)
+
+
+def with_schema_id_v2(
+    df: DataFrame, raw_col: str = "raw", structurize_arrays: bool = False
+) -> DataFrame:
+    """Add schema_sig/schema_id with NO Python on row data.
+
+    Two phases (the clp-s MPT premise — distinct schemas << records):
+      1. one JVM pass computes each record's variant schema DDL; the distinct
+         DDL set is collected (bounded by MAX_DISTINCT_SCHEMAS — fail loudly
+         on hyper-dynamic corpora rather than silently building a huge plan);
+      2. a CASE chain over those DDLs canonicalizes to the CLP signature,
+         refining string leaves per row via variant_get.
+    """
+    v = F.try_parse_json(F.col(raw_col))
+    staged = df.withColumn("_v", v).withColumn(
+        "_ddl", F.schema_of_variant(F.col("_v"))
+    )
+    staged = staged.withColumn(
+        "_ddl", F.when(F.col("_v").isNull(), F.lit("<invalid>")).otherwise(F.col("_ddl"))
+    )
+    distinct_ddls = [
+        r["_ddl"]
+        for r in staged.select("_ddl").distinct().limit(MAX_DISTINCT_SCHEMAS + 1).collect()
+    ]
+    if len(distinct_ddls) > MAX_DISTINCT_SCHEMAS:
+        raise ValueError(
+            f"more than {MAX_DISTINCT_SCHEMAS} distinct JSON schemas; "
+            "pre-bucket the corpus or raise MAX_DISTINCT_SCHEMAS"
+        )
+    sig = F.lit("<invalid>")
+    for ddl in distinct_ddls:
+        if ddl == "<invalid>":
+            continue
+        sig = F.when(
+            F.col("_ddl") == ddl, _sig_expr_for(ddl, F.col("_v"), structurize_arrays)
+        ).otherwise(sig)
+    out = staged.withColumn("schema_sig", sig).withColumn(
+        "schema_id", F.substring(F.md5("schema_sig"), 1, 16)
+    )
+    return out.drop("_v", "_ddl")
+
+
 def with_schema_id(df: DataFrame, raw_col: str = "raw") -> DataFrame:
+    """v1 per-row-Python path — differential-test oracle for v2."""
     udf = make_schema_udf()
     return df.withColumn("_s", udf(F.col(raw_col))).select(
         "*", F.col("_s.schema_sig").alias("schema_sig"),

@@ -1,0 +1,298 @@
+"""clp-s end-to-end KQL search over dynamic JSONL — the SchemaMatch analog.
+
+Reference lifecycle (clp_s/tests/test-clp_s-search.cpp:139-202): parse KQL →
+OrOfAndForm/NarrowTypes/ConvertToExists passes → SchemaMatch resolves the
+query against each archive schema, pruning schemas that can't match → Output
+filters that schema's table. Key semantics reproduced here:
+
+- **Schema-match pruning** (SchemaMatch.cpp): a filter whose column does not
+  exist in a schema is *unmatchable* for that schema — even under NOT (the
+  reference pushes NOT into the filter operation, so `NOT a: b` still
+  requires column `a` to exist; test expectation `NOT a: b → {0}`).
+  Compiled as three-valued logic: None = unmatchable; AND(None, x) = None;
+  OR(None, x) = x; NOT(None) = None.
+- **Unstructured-array search** (ArchiveReader array dictionary): a filter
+  path that descends *into* an array leaf (e.g. `arr.b > 1000` where `arr`
+  is an array) probes the array elements — here via Spark 4 variant
+  higher-order expressions (`arr.b > 1000 → exists(variant_get(v,'$.arr',
+  'array<variant>'), e -> try_variant_get(e,'$.b',T) > 1000)`).
+- **Metadata columns** (`$` namespace, archive_constants.hpp:41-45):
+  attached as literal columns per archive ($_filename, $_file_split_number,
+  $_archive_creator_id).
+
+Spark shape: records are grouped by their variant schema (the clp-s premise:
+distinct schemas << records), each group parsed ONCE with from_json into its
+exact typed struct, the compiled predicate applied per group, results
+unioned. Per-schema tables = the clp-s ERT layout; on a partitioned-by-
+schema_id store each non-pruned schema is one partition scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DataType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from clp_spark.operators.json_schema import MAX_DISTINCT_SCHEMAS, _parse_variant_ddl, _vpath
+from clp_spark.operators.kql import (
+    BoolOp,
+    Filter,
+    Lit,
+    Node,
+    Not,
+    _resolve_columns,
+    _value_pred,
+    parse_kql,
+)
+
+_INTERNAL = ("__raw__", "__v__")
+
+_KIND_TO_SPARK: dict[str, DataType] = {
+    "int": LongType(),
+    "float": DoubleType(),
+    "bool": BooleanType(),
+    "string": StringType(),
+    "null": StringType(),  # VOID leaves: column exists, value is null
+    "emptyobj": StringType(),
+    "opaque": StringType(),
+}
+
+
+def _leaves_to_struct(
+    leaves: list[tuple[str, str]], structurize_arrays: bool
+) -> tuple[StructType, list[tuple[tuple[str, ...], str]]]:
+    """DDL leaves → (from_json StructType, unstructured-array leaf paths).
+
+    Scalar arrays become typed ArrayType columns under structurize_arrays;
+    everything else array-ish parses as a null StringType placeholder and is
+    searched through the variant probe instead.
+    """
+    root: dict = {}
+    array_leaves: list[tuple[tuple[str, ...], str]] = []
+    for path, kind in leaves:
+        segs = tuple(path.split(".")) if path else ()
+        if not segs:
+            continue  # scalar root record — nothing to project
+        node = root
+        for s in segs[:-1]:
+            node = node.setdefault(s, {})
+        if kind.startswith("array:"):
+            elem = kind[len("array:"):]
+            if structurize_arrays and elem:
+                node[segs[-1]] = ArrayType(_KIND_TO_SPARK[elem])
+            else:
+                node[segs[-1]] = StringType()
+            array_leaves.append((segs, elem))
+        else:
+            node[segs[-1]] = _KIND_TO_SPARK[kind]
+
+    def build(d: dict) -> StructType:
+        fields = []
+        for k, v in d.items():
+            fields.append(StructField(k, build(v) if isinstance(v, dict) else v))
+        return StructType(fields)
+
+    return build(root), array_leaves
+
+
+def _array_probe(
+    v: Column,
+    arr_path: tuple[str, ...],
+    suffix: tuple[str, ...],
+    lit: Lit,
+    op: str,
+    ignore_case: bool,
+) -> Column:
+    """exists(variant_get(v, $.arr, array<variant>), e -> pred(e.suffix))."""
+    elements = F.try_variant_get(v, _vpath(".".join(arr_path)), "array<variant>")
+    spath = "$" + "".join("['" + s.replace("'", "\\'") + "']" for s in suffix)
+
+    v_str = lit.value
+    if op == ":" and not lit.quoted and v_str == "*":
+        def pred(e):
+            g = F.try_variant_get(e, spath, "variant") if suffix else e
+            return g.isNotNull()
+    else:
+        is_int = is_float = True
+        try:
+            int(v_str)
+        except ValueError:
+            is_int = False
+        try:
+            float(v_str)
+        except ValueError:
+            is_float = False
+        if is_int:
+            cast_t, dtype = "bigint", LongType()
+        elif is_float:
+            cast_t, dtype = "double", DoubleType()
+        else:
+            cast_t, dtype = "string", StringType()
+
+        def pred(e):
+            g = F.try_variant_get(e, spath, cast_t) if suffix else e.cast(cast_t)
+            return g.isNotNull() & _value_pred(g, dtype, lit, op, ignore_case)
+
+    return F.coalesce(F.exists(elements, pred), F.lit(False))
+
+
+class JsonArchive:
+    """Per-schema typed view of a dynamic-JSONL corpus, searchable with KQL.
+
+    Build once (schema grouping + from_json parse, cached), search many —
+    the clp-s ArchiveReader role. `metadata` are the `$`-namespace columns.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        raw_col: str = "raw",
+        structurize_arrays: bool = False,
+        metadata: dict[str, object] | None = None,
+        cache: bool = True,
+        timestamp_key: str | None = None,
+    ):
+        """timestamp_key designates the authoritative timestamp column
+        (clp-s --timestamp-key / TimestampDictionary): it is normalized to
+        epoch-ms int64 per schema — double values are epoch seconds (× 1000),
+        digit strings parse as epoch ms — so timestamp() literals (already
+        ms, kql._parse_timestamp) compare in one unit."""
+        self.metadata = metadata or {}
+        self.timestamp_key = timestamp_key
+        staged = df.select(
+            F.col(raw_col).alias("__raw__"),
+            F.try_parse_json(F.col(raw_col)).alias("__v__"),
+        ).withColumn("__ddl__", F.schema_of_variant(F.col("__v__")))
+        staged = staged.withColumn(
+            "__ddl__",
+            F.when(F.col("__v__").isNull(), F.lit("<invalid>")).otherwise(F.col("__ddl__")),
+        )
+        if cache:
+            staged = staged.persist()
+        ddls = [
+            r["__ddl__"]
+            for r in staged.select("__ddl__").distinct().limit(MAX_DISTINCT_SCHEMAS + 1).collect()
+        ]
+        if len(ddls) > MAX_DISTINCT_SCHEMAS:
+            raise ValueError("too many distinct JSON schemas")
+        self.tables: list[tuple[DataFrame, list[tuple[tuple[str, ...], str]]]] = []
+        for ddl in ddls:
+            if ddl == "<invalid>":
+                continue
+            leaves = _parse_variant_ddl(ddl)
+            schema, array_leaves = _leaves_to_struct(leaves, structurize_arrays)
+            part = staged.where(F.col("__ddl__") == ddl).drop("__ddl__")
+            if len(schema.fields) > 0:
+                part = part.select(
+                    "__raw__", "__v__", F.from_json("__raw__", schema).alias("__rec__")
+                ).select("__raw__", "__v__", "__rec__.*")
+            for name, val in self.metadata.items():
+                part = part.withColumn(name, F.lit(val))
+            if timestamp_key and timestamp_key in part.columns:
+                ts_t = dict(zip(part.columns, [f.dataType for f in part.schema.fields]))[
+                    timestamp_key
+                ]
+                if isinstance(ts_t, DoubleType):
+                    norm = F.round(F.col(timestamp_key) * 1000).cast("long")
+                else:
+                    norm = F.col(timestamp_key).cast("long")
+                part = part.withColumn(timestamp_key, norm)
+            self.tables.append((part, array_leaves))
+
+    def search(self, query: str, ignore_case: bool = False) -> DataFrame:
+        """→ matching records (raw JSON), clp-s result semantics."""
+        ast = parse_kql(query)
+        out: DataFrame | None = None
+        for part, array_leaves in self.tables:
+            pred = self._compile(part, ast, ignore_case, array_leaves)
+            if pred is None:
+                continue  # schema pruned: some required column can't match
+            hit = part.where(pred).select(F.col("__raw__").alias("raw"))
+            out = hit if out is None else out.unionAll(hit)
+        if out is None:
+            first = self.tables[0][0] if self.tables else None
+            if first is None:
+                raise ValueError("empty archive")
+            out = first.select(F.col("__raw__").alias("raw")).where(F.lit(False))
+        return out
+
+    def _compile(
+        self, df: DataFrame, node: Node, ignore_case: bool,
+        array_leaves: list[tuple[tuple[str, ...], str]],
+    ) -> Column | None:
+        if isinstance(node, BoolOp):
+            lhs = self._compile(df, node.lhs, ignore_case, array_leaves)
+            rhs = self._compile(df, node.rhs, ignore_case, array_leaves)
+            if node.op == "AND":
+                if lhs is None or rhs is None:
+                    return None
+                return lhs & rhs
+            if lhs is None:
+                return rhs
+            if rhs is None:
+                return lhs
+            return lhs | rhs
+        if isinstance(node, Not):
+            child = self._compile(df, node.child, ignore_case, array_leaves)
+            return None if child is None else ~child
+        assert isinstance(node, Filter)
+        if node.column is None:
+            cols = [
+                (F.col(f"`{f.name}`"), f.dataType)
+                for f in df.schema.fields
+                if not isinstance(f.dataType, StructType) and f.name not in _INTERNAL
+            ]
+        else:
+            # resolve against the record's schema minus internal columns so a
+            # wildcard descriptor can never match __raw__/__v__
+            cols = _resolve_columns(df.drop(*_INTERNAL), node.column)
+        preds: list[Column] = []
+        for col, dtype in cols:
+            vp = [_value_pred(col, dtype, lit, node.op, ignore_case) for lit in node.values]
+            p = vp[0]
+            for q in vp[1:]:
+                p = (p & q) if node.list_mode == "and" else (p | q)
+            if node.list_mode == "not":
+                p = ~p
+            preds.append(p)
+        # unstructured-array descent: path goes through an array leaf
+        if node.column is not None and not any(s == "*" for s in node.column):
+            path = tuple(node.column)
+            for arr_path, _elem in array_leaves:
+                if path[: len(arr_path)] == arr_path:
+                    suffix = path[len(arr_path):]
+                    for lit in node.values:
+                        preds.append(
+                            _array_probe(
+                                F.col("__v__"), arr_path, suffix, lit, node.op, ignore_case
+                            )
+                        )
+        if not preds:
+            return None  # column absent from this schema → unmatchable
+        out = preds[0]
+        for p in preds[1:]:
+            out = out | p
+        return out
+
+
+def search_jsonl(
+    df: DataFrame,
+    raw_col: str,
+    query: str,
+    ignore_case: bool = False,
+    structurize_arrays: bool = False,
+    metadata: dict[str, object] | None = None,
+) -> DataFrame:
+    """One-shot convenience wrapper over JsonArchive."""
+    return JsonArchive(df, raw_col, structurize_arrays, metadata, cache=False).search(
+        query, ignore_case
+    )

@@ -265,12 +265,16 @@ def _prefix_columns(node: Node, prefix: list[str]) -> None:
 
 
 def _parse_timestamp(s: str) -> int:
+    """→ epoch ms. Bare integers are already ms; a fractional number is
+    epoch SECONDS (reference TimestampLiteral.cpp:18 — stored as ns, exposed
+    as double seconds; the clp-s float-timestamp tests compare e.g.
+    timestamp("1759417024.4") against ms-unit columns as 1759417024400)."""
     try:
         return int(s)
     except ValueError:
         pass
     try:
-        return int(float(s))
+        return int(round(float(s) * 1000))
     except ValueError:
         pass
     for fmt in ("%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
@@ -356,6 +360,13 @@ def _value_pred(col: Column, dtype: DataType, lit: Lit, op: str, ignore_case: bo
                     num = float(v)
                 except ValueError:
                     return F.lit(False)
+            if isinstance(dtype, LongType) and isinstance(num, float):
+                # exact int64↔double equality — Spark's native promotion
+                # widens the long to double (lossy past 2^53); mirror the
+                # range-op handling below (reference int_float_compare.hpp)
+                from clp_spark.functions.numeric import int_eq_double
+
+                return int_eq_double(col, F.lit(num))
             return col == F.lit(num)
         if isinstance(dtype, TimestampType):
             return col.cast("string") == v

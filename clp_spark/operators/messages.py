@@ -2,11 +2,23 @@
 with a parseable timestamp starts a new message; following lines without one
 are continuations appended to it.
 
-Spark shape: a running count of timestamped lines within each file (window
-ordered by line number) is the message id — pure window functions, no UDF.
-At scale the window partitions by file_id, so work distributes across files;
-a single pathological multi-GB file is CLP's limit too (it splits files —
+Pattern locking (reference streaming_archive/writer/Archive.cpp:293): the
+first line of a file that matches ANY known pattern locks that pattern for
+the whole file; every other line is parsed against ONLY the locked pattern.
+A file mixing formats therefore treats off-format timestamped lines as
+continuations — the reference's behavior — instead of flapping between
+patterns, and the steady-state cost is 1 regex/line instead of ~32.
+
+Spark shape: pass 1 detects the lock per file (detect over all lines, then a
+min_by(line_no) groupBy — O(files) output, broadcast back; CLP's sequential
+early-exit scan becomes a parallel scan, same O(lines) total work). Pass 2 is
+a running count of locked-pattern lines within each file (window ordered by
+line number) as the message id — pure window functions, no UDF. At scale the
+window partitions by file_id, so work distributes across files; a single
+pathological multi-GB file is CLP's limit too (it splits files —
 FileCompressor.cpp:275-293 — which maps to re-chunking the input upstream).
+The lock table is O(distinct files); for >~10M files swap the broadcast for a
+shuffle join (pass broadcast_locks=False).
 """
 
 from __future__ import annotations
@@ -14,7 +26,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from clp_spark.functions.timestamps import parse_timestamp_ms, strip_timestamp
+from clp_spark.functions.timestamps import (
+    detect_pattern,
+    parse_timestamp_ms,
+    parse_with_pattern,
+    strip_timestamp,
+    strip_with_pattern,
+)
+
+
+def file_pattern_locks(
+    lines: DataFrame,
+    file_col: str = "file_id",
+    lineno_col: str = "line_no",
+    line_col: str = "line",
+) -> DataFrame:
+    """(file, _lock_pat): the pattern of each file's first matching line."""
+    det = lines.select(
+        F.col(file_col),
+        F.col(lineno_col).alias("_ln"),
+        detect_pattern(F.col(line_col)).alias("_pat"),
+    ).where(F.col("_pat").isNotNull())
+    return det.groupBy(file_col).agg(F.min_by("_pat", F.col("_ln")).alias("_lock_pat"))
 
 
 def assemble_multiline(
@@ -22,6 +55,8 @@ def assemble_multiline(
     file_col: str = "file_id",
     lineno_col: str = "line_no",
     line_col: str = "line",
+    lock_patterns: bool = True,
+    broadcast_locks: bool = True,
 ) -> DataFrame:
     """lines(file, line_no, line) → messages(file, msg_ix, ts_ms, message).
 
@@ -29,7 +64,16 @@ def assemble_multiline(
     leading non-timestamped lines (before any timestamp) form message 0 with
     NULL ts, matching the reference's treatment of preamble text.
     """
-    ts_ms = parse_timestamp_ms(F.col(line_col))
+    if lock_patterns:
+        locks = file_pattern_locks(lines, file_col, lineno_col, line_col)
+        if broadcast_locks:
+            locks = F.broadcast(locks)
+        lines = lines.join(locks, file_col, "left")
+        ts_ms = parse_with_pattern(F.col(line_col), F.col("_lock_pat"))
+        stripped = strip_with_pattern(F.col(line_col), F.col("_lock_pat"))
+    else:
+        ts_ms = parse_timestamp_ms(F.col(line_col))
+        stripped = strip_timestamp(F.col(line_col))
     with_ts = lines.withColumn("_ts_ms", ts_ms).withColumn(
         "_has_ts", F.col("_ts_ms").isNotNull()
     )
@@ -39,9 +83,7 @@ def assemble_multiline(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     msg_ix = F.sum(F.col("_has_ts").cast("int")).over(w)
-    body = F.when(
-        F.col("_has_ts"), strip_timestamp(F.col(line_col))
-    ).otherwise(F.col(line_col))
+    body = F.when(F.col("_has_ts"), stripped).otherwise(F.col(line_col))
     numbered = with_ts.withColumn("_msg_ix", msg_ix).withColumn("_body", body)
     return (
         numbered.groupBy(file_col, "_msg_ix")

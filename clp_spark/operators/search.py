@@ -287,7 +287,17 @@ def compile_query(
         ]
         if not ids:
             continue
-        compiled.append((ids if len(ids) <= MAX_ISIN_IDS else None, sq))
+        if len(ids) > MAX_ISIN_IDS:
+            # Dropping the id constraint widens this subquery to a superset of
+            # its matches, so the final whole-message wildcard verification
+            # becomes mandatory for it — even if the subquery was otherwise
+            # exact (e.g. all-text tokens, no wildcards). Without this, an
+            # exact subquery in `exact_preds` would skip verification and
+            # return every archive row (see search_archive's no_verify path).
+            sq.wildcard_match_required = True
+            compiled.append((None, sq))
+        else:
+            compiled.append((ids, sq))
     return compiled
 
 
@@ -462,24 +472,21 @@ def search_archive(
     ignore_case: bool = False,
 ) -> DataFrame:
     """Matched rows (doc_id, source, logtype_id, message) for a CLP wildcard query."""
-    from clp_spark.operators.decode import make_decode_udf
+    from clp_spark.operators.decode import decode_df
 
-    decode = make_decode_udf()
-    message = decode(F.col("logtype"), F.col("encoded_vars"), F.col("dict_vars"))
+    keep = ["doc_id", "source", "logtype_id"]
     with_lt = sinks.join(F.broadcast(logtype_dict.select("logtype_id", "logtype")),
                          "logtype_id", "left") if "logtype" not in sinks.columns else sinks
 
     compiled = compile_query(query, logtype_dict, var_dict, ignore_case)
     if compiled == MATCH_ALL:
         # no subquery can narrow the scan (reference: SupercedesAllSubQueries)
-        # → full scan, decode, and verify the original query per message
-        out = with_lt.select("doc_id", "source", "logtype_id", message.alias("message"))
+        # → full scan, decode (mapInArrow numpy kernel — no per-row Python),
+        # and verify the original query per message
+        out = decode_df(with_lt, keep)
         return out.where(wildcard_match(F.col("message"), query, ignore_case))
     if not compiled:
-        return (
-            with_lt.select("doc_id", "source", "logtype_id", message.alias("message"))
-            .where(F.lit(False))
-        )
+        return decode_df(with_lt, keep).where(F.lit(False))
 
     tagged = tagged_vars_col()
     candidate_preds = []
@@ -504,8 +511,11 @@ def search_archive(
     for p in exact_preds:
         no_verify = p if no_verify is None else (no_verify | p)
 
-    candidates = with_lt.where(any_candidate).withColumn("message", message)
-    final = wildcard_match(F.col("message"), query, ignore_case)
-    if no_verify is not None:
-        final = no_verify | final
-    return candidates.where(final).select("doc_id", "source", "logtype_id", "message")
+    # the exact-subquery flag is computed on the encoded columns BEFORE the
+    # decode stage drops them, then carried through mapInArrow as a column
+    candidates = with_lt.where(any_candidate).withColumn(
+        "_no_verify", no_verify if no_verify is not None else F.lit(False)
+    )
+    decoded = decode_df(candidates, keep + ["_no_verify"])
+    final = F.col("_no_verify") | wildcard_match(F.col("message"), query, ignore_case)
+    return decoded.where(final).select("doc_id", "source", "logtype_id", "message")

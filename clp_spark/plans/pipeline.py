@@ -152,24 +152,47 @@ def encode_stage(
     num_splits: int,
     lineage: LineageLog,
 ) -> None:
+    """Encode in ONE input pass: the split id is computed as a column and the
+    write is partitionBy("split") — never B scans of a 100-TB input. Resume
+    after a partial failure filters the single scan to the missing splits and
+    overwrites only those partitions (dynamic partitionOverwriteMode), so a
+    re-run touches neither completed splits' files nor their lineage."""
     from clp_spark.functions.arrow_kernel import detok_encode_df
 
+    pending = [b for b in range(num_splits) if not lineage.is_done("encode", b)]
+    if not pending:
+        return
     vocab = [
         r["text"] for r in spark.read.parquet(vocab_path).orderBy("token_id").collect()
     ]
+    t0 = time.time()
     seq = spark.read.parquet(seq_path)
-    for b in range(num_splits):
-        if lineage.is_done("encode", b):
-            continue
-        t0 = time.time()
-        split_df = seq.where(F.pmod(F.xxhash64("doc_id"), F.lit(num_splits)) == b)
-        encoded = detok_encode_df(split_df, vocab, ["doc_id", "source", "n_tok"])
+    split_col = F.pmod(F.xxhash64("doc_id"), F.lit(num_splits))
+    if len(pending) < num_splits:
+        seq = seq.where(split_col.isin(pending))
+    with_split = seq.withColumn("split", split_col)
+    encoded = detok_encode_df(with_split, vocab, ["doc_id", "source", "n_tok", "split"])
+    (
+        encoded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("split")
+        .parquet(f"{out_dir}/encoded")
+    )
+    wall = time.time() - t0
+    # per-split lineage from the written layout: one partition-column-only
+    # aggregation (footer metadata scan), not a re-read of the data columns
+    counts = {
+        int(r["split"]): int(r["cnt"])
+        for r in spark.read.parquet(f"{out_dir}/encoded")
+        .groupBy("split")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    for b in pending:
         path = f"{out_dir}/encoded/split={b}"
-        encoded.write.mode("overwrite").parquet(path)
-        n = spark.read.parquet(path).count()
         lineage.record(
-            "encode", b, rows=n, wall_s=time.time() - t0, path=path,
-            output_bytes=_dir_bytes(path),
+            "encode", b, rows=counts.get(b, 0), wall_s=wall / len(pending),
+            path=path, output_bytes=_dir_bytes(path),
         )
 
 
@@ -188,47 +211,70 @@ def dicts_stage(spark: SparkSession, out_dir: str, lineage: LineageLog) -> None:
 
 
 def route_stage(
-    spark: SparkSession, out_dir: str, num_splits: int, lineage: LineageLog
+    spark: SparkSession, out_dir: str, num_splits: int, lineage: LineageLog,
+    table_format: str | None = None,
 ) -> None:
     """Fan encoded+enriched rows out to per-source sinks (CLP's per-schema /
-    per-source routing, reference clp_s/ArchiveWriter.cpp:258-266)."""
+    per-source routing, reference clp_s/ArchiveWriter.cpp:258-266).
+
+    table_format="snapshot": each split is one tagged, idempotent append
+    commit to the snapshot-catalog sink table (per-source Iceberg-sink
+    analog, clp_spark/sinks/table_format.py) — atomic publish, time travel,
+    retry-safe; plain partitioned parquet otherwise.
+    """
     logtype_dict = spark.read.parquet(f"{out_dir}/logtype_dict")
+    tbl = None
+    if table_format == "snapshot":
+        from clp_spark.sinks.table_format import SnapshotTable
+
+        tbl = SnapshotTable(f"{out_dir}/sinks_tbl")
     for b in range(num_splits):
         if lineage.is_done("route", b):
             continue
         t0 = time.time()
         encoded = spark.read.parquet(f"{out_dir}/encoded/split={b}")
         enriched = enrich_with_logtype_ids(encoded, logtype_dict, broadcast=True)
-        path = f"{out_dir}/sinks/split={b}"
-        (
-            enriched.select(
-                "doc_id", "source", "logtype_id", "placeholders", "encoded_vars", "dict_vars"
-            )
-            .repartition(F.col("source"), F.pmod(F.xxhash64("doc_id"), F.lit(8)))
-            .write.mode("overwrite")
-            .partitionBy("source")
-            .parquet(path)
-        )
+        sel = enriched.select(
+            "doc_id", "source", "logtype_id", "placeholders", "encoded_vars", "dict_vars"
+        ).repartition(F.col("source"), F.pmod(F.xxhash64("doc_id"), F.lit(8)))
+        if tbl is not None:
+            version = tbl.commit(sel, "append", ("source",), tag=f"route-split-{b}")
+            written = tbl.read_added(spark, version)
+            path = f"{tbl.path}@v{version}"
+            out_bytes = 0  # snapshot manifests carry file lists; sizes via data/
+        else:
+            path = f"{out_dir}/sinks/split={b}"
+            sel.write.mode("overwrite").partitionBy("source").parquet(path)
+            written = spark.read.parquet(path)
+            out_bytes = _dir_bytes(path)
         per_source = {
             r["source"]: r["cnt"]
-            for r in spark.read.parquet(path)
-            .groupBy("source")
-            .agg(F.count("*").alias("cnt"))
-            .collect()
+            for r in written.groupBy("source").agg(F.count("*").alias("cnt")).collect()
         }
         lineage.record(
             "route", b, rows=sum(per_source.values()), per_source=per_source,
-            wall_s=time.time() - t0, path=path, output_bytes=_dir_bytes(path),
+            wall_s=time.time() - t0, path=path, output_bytes=out_bytes,
         )
 
 
-def agg_stage(spark: SparkSession, out_dir: str, lineage: LineageLog) -> None:
+def read_sinks(spark: SparkSession, out_dir: str, table_format: str | None = None):
+    if table_format == "snapshot":
+        from clp_spark.sinks.table_format import SnapshotTable
+
+        return SnapshotTable(f"{out_dir}/sinks_tbl").read(spark)
+    return spark.read.option("basePath", f"{out_dir}/sinks").parquet(f"{out_dir}/sinks")
+
+
+def agg_stage(
+    spark: SparkSession, out_dir: str, lineage: LineageLog,
+    table_format: str | None = None,
+) -> None:
     """Per-sink frequency tallies (CLP's dict occurrence counts + compression
     stats, reference clp_s/SchemaTree.hpp:68, compression_task.py:98-144)."""
     if lineage.is_done("agg"):
         return
     t0 = time.time()
-    sinks = spark.read.option("basePath", f"{out_dir}/sinks").parquet(f"{out_dir}/sinks")
+    sinks = read_sinks(spark, out_dir, table_format)
     sinks.groupBy("source").agg(F.count("*").alias("n_rows")).write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/agg/sink_counts")
@@ -254,13 +300,18 @@ def run_pipeline(
     vocab_path: str,
     out_dir: str,
     num_splits: int = 4,
+    table_format: str | None = None,
 ) -> dict:
-    """Run (or resume) the full pipeline; returns lineage summary."""
+    """Run (or resume) the full pipeline; returns lineage summary.
+
+    table_format="snapshot" routes the per-source sinks through the
+    snapshot-catalog table (atomic tagged commits, time travel); None keeps
+    plain partitioned parquet sinks."""
     lineage = LineageLog(out_dir)
     encode_stage(spark, seq_path, vocab_path, out_dir, num_splits, lineage)
     dicts_stage(spark, out_dir, lineage)
-    route_stage(spark, out_dir, num_splits, lineage)
-    agg_stage(spark, out_dir, lineage)
+    route_stage(spark, out_dir, num_splits, lineage, table_format)
+    agg_stage(spark, out_dir, lineage, table_format)
     return {"records": lineage.read_all()}
 
 

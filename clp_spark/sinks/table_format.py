@@ -1,0 +1,260 @@
+"""Table-format sinks: Iceberg when available, else a parquet snapshot
+catalog with the same commit semantics.
+
+The north star calls for per-source **Iceberg** sinks (CLP's archive
+metadata catalog — reference streaming_archive/ Constants.hpp:25-57 +
+metadata.db — maps to Iceberg snapshots/manifests). This sandbox has no
+Iceberg runtime jar and no network to fetch one (verified: no
+iceberg-spark-runtime under pyspark/jars, no ivy cache — see STATUS.md), so:
+
+- ``iceberg_available(spark)`` detects the runtime at runtime; when true,
+  ``write_table`` uses the native ``writeTo(...).append()/createOrReplace()``
+  DataFrameWriterV2 path against the configured catalog.
+- Otherwise ``SnapshotTable`` provides the load-bearing subset of Iceberg's
+  semantics over plain parquet + JSON metadata:
+    * atomic commits — data files land first, then a manifest
+      ``metadata/v{N}.json`` (file list, schema, partition spec, row count,
+      parent pointer) is published by an atomic HEAD swap (os.replace);
+      a crash mid-commit leaves HEAD on the previous snapshot;
+    * snapshot isolation — readers resolve HEAD once and read a fixed file
+      list; concurrent commits never mutate files a reader holds;
+    * time travel — ``read(spark, version=N)``;
+    * append / overwrite / dynamic partition-overwrite commit modes;
+    * optimistic concurrency — a commit whose parent is no longer HEAD
+      raises rather than silently clobbering.
+
+Single-writer-per-table is assumed within a commit (Spark's output committer
+guarantees the data-file set); HEAD arbitration is the atomic rename.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 — JVM classpath probe
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def write_iceberg(
+    df: DataFrame, identifier: str, mode: str = "append", partition_by: tuple = ()
+) -> None:
+    """Native DataFrameWriterV2 path (requires an Iceberg catalog configured
+    via spark.sql.catalog.*). Kept behind iceberg_available()."""
+    w = df.writeTo(identifier)
+    if partition_by:
+        from pyspark.sql import functions as F
+
+        w = w.partitionedBy(*[F.col(c) for c in partition_by])
+    if mode == "append":
+        w.append()
+    elif mode == "overwrite":
+        w.createOrReplace()
+    elif mode == "overwrite_partitions":
+        w.overwritePartitions()
+    else:
+        raise ValueError(mode)
+
+
+class SnapshotTable:
+    """Parquet + JSON-manifest table with atomic snapshot commits."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.meta_dir = os.path.join(path, "metadata")
+        self.data_dir = os.path.join(path, "data")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # ---- metadata primitives
+
+    def _head_path(self) -> str:
+        return os.path.join(self.meta_dir, "HEAD")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._head_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def snapshot(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"{self.path}: no committed snapshot")
+        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        out = []
+        v = self.current_version()
+        while v is not None:
+            s = self.snapshot(v)
+            out.append(s)
+            v = s["parent"]
+        return out
+
+    # ---- commit
+
+    def committed_tags(self) -> set[str]:
+        return {s.get("tag") for s in self.history() if s.get("tag")}
+
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        partition_by: tuple[str, ...] = (),
+        tag: str | None = None,
+    ) -> int:
+        """Write df's rows as a new snapshot; returns the snapshot version.
+
+        modes: append | overwrite | overwrite_partitions (replaces only the
+        partition values present in df — Iceberg's dynamic overwrite).
+        ``tag`` makes a commit idempotent under task retry: if a published
+        snapshot already carries the tag, the commit is skipped (returns that
+        snapshot's version) — the resume contract for per-split appends.
+        """
+        if mode not in ("append", "overwrite", "overwrite_partitions"):
+            raise ValueError(mode)
+        if tag is not None and self.current_version() is not None:
+            for s in self.history():
+                if s.get("tag") == tag:
+                    return s["version"]
+        if mode == "overwrite_partitions" and not partition_by:
+            raise ValueError("overwrite_partitions requires partition_by")
+        parent = self.current_version()
+        commit_id = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.path, "_staging", commit_id)
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+
+        # Move data files into the canonical data/<partition dirs>/ layout
+        # (commit-id-prefixed names prevent collisions; a uniform layout keeps
+        # Spark partition discovery happy across commits). The files are
+        # INVISIBLE to readers until the manifest + HEAD swap publishes them.
+        new_files = []
+        for root, _, names in os.walk(staging):
+            for n in sorted(names):
+                if not n.endswith(".parquet"):
+                    continue
+                rel_dir = os.path.relpath(root, staging)
+                rel_dir = "" if rel_dir == "." else rel_dir
+                dst_dir = os.path.join(self.data_dir, rel_dir)
+                os.makedirs(dst_dir, exist_ok=True)
+                dst_name = f"{commit_id}-{n}"
+                os.replace(os.path.join(root, n), os.path.join(dst_dir, dst_name))
+                new_files.append(os.path.join(rel_dir, dst_name) if rel_dir else dst_name)
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        new_files.sort()
+        spark = df.sparkSession
+        added = spark.read.option("basePath", self.data_dir).parquet(
+            *[os.path.join(self.data_dir, f) for f in new_files]
+        )
+        n_added = added.count()
+
+        if parent is None or mode == "overwrite":
+            files = new_files
+        else:
+            prev = self.snapshot(parent)["files"]
+            if mode == "overwrite_partitions":
+                new_parts = {self._partition_key(f, partition_by) for f in new_files}
+                prev = [
+                    f for f in prev
+                    if self._partition_key(f, partition_by) not in new_parts
+                ]
+            files = prev + new_files
+
+        version = 0 if parent is None else parent + 1
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "tag": tag,
+            "committed_at_epoch_s": time.time(),
+            "mode": mode,
+            "schema": df.schema.jsonValue(),
+            "partition_by": list(partition_by),
+            "files": files,
+            "added": new_files,
+            "added_files": len(new_files),
+            "added_rows": n_added,
+        }
+        mpath = os.path.join(self.meta_dir, f"v{version}.json")
+        tmp = mpath + "." + commit_id + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
+        # optimistic concurrency: publish HEAD only if parent is still HEAD
+        if self.current_version() != parent:
+            raise RuntimeError(
+                f"{self.path}: concurrent commit detected (parent {parent} "
+                f"is no longer HEAD) — retry on the new snapshot"
+            )
+        htmp = self._head_path() + "." + commit_id + ".tmp"
+        with open(htmp, "w") as f:
+            f.write(str(version))
+        os.replace(htmp, self._head_path())
+        return version
+
+    # ---- read
+
+    def read_added(self, spark: SparkSession, version: int) -> DataFrame:
+        """Only the files ADDED by one snapshot (incremental read)."""
+        s = self.snapshot(version)
+        paths = [os.path.join(self.data_dir, f) for f in s.get("added", [])]
+        if not paths:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(s["schema"]))
+        return spark.read.option("basePath", self.data_dir).parquet(*paths)
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """DataFrame over one snapshot's exact file list (time travel via
+        version); partition columns are restored from the directory layout."""
+        s = self.snapshot(version)
+        if not s["files"]:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(s["schema"]))
+        paths = [os.path.join(self.data_dir, f) for f in s["files"]]
+        return spark.read.option("basePath", self.data_dir).parquet(*paths)
+
+    # ---- helpers
+
+    @staticmethod
+    def _partition_key(rel_file: str, partition_by: tuple[str, ...]) -> tuple:
+        vals = dict(
+            seg.split("=", 1) for seg in rel_file.split(os.sep) if "=" in seg
+        )
+        return tuple(vals.get(c) for c in partition_by)
+
+
+def write_table(
+    df: DataFrame,
+    target: str,
+    mode: str = "append",
+    partition_by: tuple[str, ...] = (),
+    prefer_iceberg: bool = True,
+) -> int | None:
+    """Format-dispatching sink: Iceberg writeTo when the runtime is present,
+    else a SnapshotTable commit at `target` (a path). Returns the snapshot
+    version on the fallback path, None on the Iceberg path."""
+    if prefer_iceberg and iceberg_available(df.sparkSession):
+        write_iceberg(df, target, mode, partition_by)
+        return None
+    return SnapshotTable(target).commit(df, mode, partition_by)

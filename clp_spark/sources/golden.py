@@ -1,0 +1,59 @@
+"""The reference's clp-s search-regression corpus + queries + expected ids.
+
+Reconstructed from /root/reference/components/core/src/clp_s/tests/
+test-clp_s-search.cpp:205-233 and test_log_files/test_search.jsonl
+(fixture semantics, not the file). Used by tests/test_golden_search.py and
+the driver-graded `golden_kql_search` query.
+"""
+
+from __future__ import annotations
+
+FILENAME = "test_log_files/test_search.jsonl"
+
+MAIN_RECORDS: list[dict] = [
+    {"idx": 0, "a": "clp string"},
+    {"idx": 1, "msg": 'Msg 1: "Abc123"'},
+    {"idx": 2, "msg": "Msg 2: 'Abc123'"},
+    {"idx": 3, "msg": "Msg 3: \nAbc123"},
+    {"idx": 4, "msg": "Msg 4: \\Abc123"},
+    {"idx": 5, "msg": "Msg 5: \rAbc123"},
+    {"idx": 6, "msg": "Msg 6: \tAbc123"},
+    {"idx": 7, "arr": [{"a": 999}, {"b": 1001}]},
+    {"idx": 8, "arr": {"a": 999, "b": 1001}},
+    {"idx": 9, "var_string": "a", "clp_string": "a b", "float": 1.1, "int": 1,
+     "bool": True, "array": [], "object": {}},
+    {"idx": 10, "ambiguous_varstring": "abcde"},
+    {"idx": 11, "ambiguous_varstring": "ae"},
+    {"idx": 12, "ambiguous_varstring": "a*e"},
+    {"idx": 13, "one": 1},
+]
+
+MAIN_QUERIES: list[tuple[str, set[int]]] = [
+    (r"NOT a: b", {0}),
+    (r'msg: "Msg 1: \"Abc123\""', {1}),
+    (r"""msg: "Msg 2: 'Abc123'" """, {2}),
+    (r'msg: "Msg 3: \nAbc123"', {3}),
+    (r'msg: "Msg 4: \\Abc123"', {4}),
+    (r'msg: "Msg 5: \rAbc123"', {5}),
+    (r'msg: "Msg 6: \tAbc123"', {6}),
+    (r'msg: "*Abc123*"', {1, 2, 3, 4, 5, 6}),
+    (r"arr.b > 1000", {7, 8}),
+    (r"var_string: *", {9}),
+    (r"clp_string: *", {9}),
+    (f'$_filename: "{FILENAME}" AND $_file_split_number: 0 AND '
+     r"$_archive_creator_id: * AND idx: 0", {0}),
+    (r'idx: 0 AND NOT $_filename: "clp string"', {0}),
+    (r'idx: 0 AND NOT $*._filename.*: "clp string"', {0}),
+    (r'($_filename: file OR $_file_split_number: 1 OR $_archive_creator_id > 0) AND '
+     r'idx: 0 OR idx: timestamp("1")', {1}),
+    (r'ambiguous_varstring: "a*e"', {10, 11, 12}),
+    (r'ambiguous_varstring: "a\*e"', {12}),
+    (r"idx: * AND NOT idx: null AND idx: 0", {0}),
+    (r"one > 0.9 AND one < 1.1 AND one: 1.0", {13}),
+]
+
+METADATA = {
+    "_filename": FILENAME,
+    "_file_split_number": 0,
+    "_archive_creator_id": "test-uuid",
+}

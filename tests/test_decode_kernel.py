@@ -1,0 +1,93 @@
+"""Differential test: vectorized decode kernel vs the pure-Python oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from clp_spark.functions.decode_kernel_np import decode_arrays
+from clp_spark.oracle.encoder import decode_message, encode_message
+
+
+def roundtrip(messages):
+    encs = [encode_message(m) for m in messages]
+    lt = pa.array([e.logtype for e in encs], type=pa.string())
+    ev = pa.array([e.encoded_vars for e in encs], type=pa.list_(pa.int64()))
+    dv = pa.array([e.dict_vars for e in encs], type=pa.list_(pa.string()))
+    out = decode_arrays(lt, ev, dv)
+    oracle = [decode_message(e.logtype, e.encoded_vars, e.dict_vars) for e in encs]
+    assert out.to_pylist() == oracle == messages
+
+
+CASES = [
+    "",
+    "plain text only",
+    "count 42 items",
+    "neg -17 and zero 0 and padded 007",
+    "float 0.5 and -3.14159 and 1234567890.123456",
+    "hex deadbeef cafe01",
+    "mixed a1b2 x=value path/to/file.txt:123",
+    "back\\slash and \x11 literal \x12 bytes \x13 in text",
+    "unicode: héllo wörld 42 日本語 3.5",
+    "eq=alpha eq2=alpha7",
+    "big 9223372036854775807 small -9223372036854775808",
+    "16digits 1234567890.123456 done",
+    "edge .5 5. -.5 ..",
+    "tabs\tand spaces  multiple",
+    "a 1 b 2.5 c three d 0x4 e =f5",
+]
+
+
+def test_known_cases_batch():
+    roundtrip(CASES)
+
+
+def test_each_case_alone():
+    for m in CASES:
+        roundtrip([m])
+
+
+def test_empty_batch():
+    lt = pa.array([], type=pa.string())
+    ev = pa.array([], type=pa.list_(pa.int64()))
+    dv = pa.array([], type=pa.list_(pa.string()))
+    assert decode_arrays(lt, ev, dv).to_pylist() == []
+
+
+def test_sliced_arrays():
+    encs = [encode_message(m) for m in CASES]
+    lt = pa.array([e.logtype for e in encs], type=pa.string()).slice(3, 8)
+    ev = pa.array([e.encoded_vars for e in encs], type=pa.list_(pa.int64())).slice(3, 8)
+    dv = pa.array([e.dict_vars for e in encs], type=pa.list_(pa.string())).slice(3, 8)
+    out = decode_arrays(lt, ev, dv)
+    assert out.to_pylist() == CASES[3:11]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.sampled_from(list("ab =-.\\019x\x11\x12\x13\t/:f日")), max_size=40,
+), max_size=8))
+def test_fuzz_roundtrip(msgs):
+    roundtrip(msgs)
+
+
+def test_large_batch_mixed():
+    rng = np.random.default_rng(7)
+    msgs = []
+    for i in range(2000):
+        parts = []
+        for _ in range(rng.integers(0, 8)):
+            k = rng.integers(0, 5)
+            if k == 0:
+                parts.append(str(rng.integers(-10**12, 10**12)))
+            elif k == 1:
+                parts.append(f"{rng.integers(0, 10**6)}.{rng.integers(0, 10**6):06d}")
+            elif k == 2:
+                parts.append("word")
+            elif k == 3:
+                parts.append(f"id{rng.integers(0, 100)}")
+            else:
+                parts.append("x=" + "abc"[: rng.integers(1, 4)])
+        msgs.append(" ".join(parts))
+    roundtrip(msgs)

@@ -42,15 +42,40 @@ QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
 
+# Spark dtype simpleString → compatible DuckDB type names. The driver's value
+# hash is TYPE-SENSITIVE (round 1: DuckDB HUGEINT sums vs Spark bigint →
+# hash_match:false with identical values), so the oracle's column types must
+# line up, not just its values.
+_TYPE_COMPAT = {
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER", "BIGINT"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT", "DOUBLE"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "date": {"DATE"},
+}
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, ddb, name):
     sdf = QUERIES[name](spark, SF_DIR)
     spark_cols = sdf.columns
+    spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
     spark_rows = [r.asDict() for r in sdf.collect()]
-    res = ddb.execute(ORACLES[name])
-    ddb_cols = [d[0] for d in res.description]
-    ddb_rows = res.fetchall()
+    rel = ddb.sql(ORACLES[name])
+    ddb_cols = list(rel.columns)
+    ddb_types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+    ddb_rows = rel.fetchall()
     assert sorted(spark_cols) == sorted(ddb_cols), f"{name}: column mismatch"
+    for c in spark_cols:
+        expect = _TYPE_COMPAT.get(spark_types[c])
+        if expect is not None:
+            assert ddb_types[c] in expect, (
+                f"{name}.{c}: oracle type {ddb_types[c]} vs spark "
+                f"{spark_types[c]} — the driver hash is type-sensitive"
+            )
     got = normalize(spark_rows, spark_cols)
     exp = normalize(ddb_rows, ddb_cols)
     assert len(got) == len(exp), f"{name}: row count {len(got)} vs {len(exp)}"

@@ -5,7 +5,13 @@ import json
 
 import pytest
 
-from clp_spark.operators.json_schema import leaf_paths, schema_map, with_schema_id
+from clp_spark.operators.json_schema import (
+    _parse_variant_ddl,
+    leaf_paths,
+    schema_map,
+    with_schema_id,
+    with_schema_id_v2,
+)
 
 JSONL = [
     '{"idx": 0, "a": "clp string"}',
@@ -79,3 +85,55 @@ class TestSchemaRouting:
         parts = [d for d in os.listdir(out) if d.startswith("schema_id=")]
         n_ids = routed.select("schema_id").distinct().count()
         assert len(parts) == n_ids
+
+
+class TestVariantSchemaV2:
+    """Differential: the JVM-side variant path must reproduce the per-row
+    Python oracle's signatures exactly (on corpora where the v1 sort order is
+    path-determined, which includes the reference-fixture shapes)."""
+
+    def test_ddl_parser(self):
+        leaves = _parse_variant_ddl(
+            "OBJECT<a: BIGINT, b: OBJECT<c: DECIMAL(3,2), d: VOID>, "
+            "e: ARRAY<BIGINT>, f: ARRAY<VARIANT>, g: OBJECT<>, h: STRING, "
+            "i: DECIMAL(20,0), j: DOUBLE, k: BOOLEAN>"
+        )
+        assert leaves == [
+            ("a", "int"), ("b.c", "float"), ("b.d", "null"), ("e", "array:int"),
+            ("f", "array:"), ("g", "emptyobj"), ("h", "string"),
+            ("i", "float"), ("j", "float"), ("k", "bool"),
+        ]
+
+    def test_matches_v1_oracle(self, spark):
+        df = spark.createDataFrame([(s,) for s in JSONL], "raw string")
+        v1 = {r["raw"]: r["schema_sig"] for r in with_schema_id(df).collect()}
+        v2 = {r["raw"]: r["schema_sig"] for r in with_schema_id_v2(df).collect()}
+        assert v1 == v2
+
+    def test_structurized_arrays(self, spark):
+        rows = [
+            '{"k": 1, "ns": [1, 2, 3]}',
+            '{"k": 2, "xs": [0.5, 1.25]}',
+            '{"k": 3, "ts": ["a", "b c"]}',
+            '{"k": 4, "mix": [1, "x"]}',
+            '{"k": 5, "objs": [{"a": 1}]}',
+        ]
+        df = spark.createDataFrame([(s,) for s in rows], "raw string")
+        out = {
+            r["raw"]: r["schema_sig"]
+            for r in with_schema_id_v2(df, structurize_arrays=True).collect()
+        }
+        assert out[rows[0]] == "k:int,ns:arr<int>"
+        assert out[rows[1]] == "k:int,xs:arr<float>"
+        assert out[rows[2]] == "k:int,ts:arr<string>"
+        assert out[rows[3]] == "k:int,mix:array"  # mixed → unstructured
+        assert out[rows[4]] == "k:int,objs:array"  # object elems → unstructured
+
+    def test_structurize_off_matches_v1(self, spark):
+        rows = ['{"k": 1, "ns": [1, 2]}', '{"k": 2, "ns": ["a"]}']
+        df = spark.createDataFrame([(s,) for s in rows], "raw string")
+        v1 = {r["raw"]: r["schema_sig"] for r in with_schema_id(df).collect()}
+        v2 = {r["raw"]: r["schema_sig"] for r in with_schema_id_v2(df).collect()}
+        assert v1 == v2
+        # without structurize, int-array and string-array records share a schema
+        assert v2[rows[0]] == v2[rows[1]]

@@ -111,6 +111,47 @@ class TestMultiline:
         assert out[("f1", 2)]["message"] == " event two"
         assert out[("f2", 1)]["message"] == " other file"
 
+    def test_pattern_lock_mixed_format_file(self, spark):
+        """Archive.cpp:293 semantics: the FIRST matching line locks the
+        file's pattern; a later line in a DIFFERENT format is a continuation,
+        not a new message — without the lock it would flap."""
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        lines = [
+            ("fx", 0, "2016-05-08 07:34:05,251 head"),
+            ("fx", 1, "[20170106-16:56:41] looks like another format"),
+            ("fx", 2, "2016-05-08 07:34:06,000 second"),
+            # fy locks the bracket_compact pattern instead
+            ("fy", 0, "[20170106-16:56:41] head"),
+            ("fy", 1, "2016-05-08 07:34:05,251 not a new message here"),
+        ]
+        df = spark.createDataFrame(lines, "file_id string, line_no long, line string")
+        out = {
+            (r["file_id"], r["msg_ix"]): r
+            for r in assemble_multiline(df, lock_patterns=True).collect()
+        }
+        # fx: line 1 (off-format) folds into message 1
+        assert out[("fx", 1)]["message"] == (
+            " head\n[20170106-16:56:41] looks like another format"
+        )
+        assert out[("fx", 2)]["message"] == " second"
+        # fy: locked to bracket_compact; the ISO line is a continuation
+        assert out[("fy", 1)]["message"] == (
+            " head\n2016-05-08 07:34:05,251 not a new message here"
+        )
+        assert ("fy", 2) not in out
+
+    def test_lock_off_reproduces_flapping(self, spark):
+        """Sanity: with lock_patterns=False every timestamped line starts a
+        message regardless of format — the pre-lock behavior."""
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        lines = [
+            ("fx", 0, "2016-05-08 07:34:05,251 head"),
+            ("fx", 1, "[20170106-16:56:41] other format"),
+        ]
+        df = spark.createDataFrame(lines, "file_id string, line_no long, line string")
+        out = assemble_multiline(df, lock_patterns=False).collect()
+        assert len(out) == 2
+
 
 class TestDecodeJoin:
     def test_reconstruct_roundtrip(self, spark):
