@@ -296,3 +296,37 @@ def search_jsonl(
     return JsonArchive(df, raw_col, structurize_arrays, metadata, cache=False).search(
         query, ignore_case
     )
+
+
+def materialize_schema_tables(
+    df: DataFrame,
+    raw_col: str,
+    out_dir: str,
+    structurize_arrays: bool = False,
+) -> dict[str, int]:
+    """Write each schema group as its own TYPED columnar table — the clp-s
+    ERT store (ArchiveWriter.cpp:258-266: every record appended to its
+    schema's table with per-type columns).
+
+    Column encodings: the reference's typed column encodings map to parquet's
+    native ones — DeltaInteger → parquet DELTA_BINARY_PACKED on int64
+    columns, DictionaryFloat/VarString dictionaries → parquet dictionary
+    encoding, Timestamp → int64 epoch ms; zstd on top matches the reference's
+    archive compressor. Returns {schema_id: row_count}.
+    """
+    import hashlib
+
+    archive = JsonArchive(df, raw_col, structurize_arrays, cache=True)
+    counts: dict[str, int] = {}
+    for part, _arrays in archive.tables:
+        typed = part.drop("__v__", "__raw__")
+        if not typed.columns:
+            continue  # scalar-root records have no columns to materialize
+        sig = ",".join(
+            f"{f.name}:{f.dataType.simpleString()}" for f in typed.schema.fields
+        )
+        schema_id = hashlib.md5(sig.encode()).hexdigest()[:16]
+        path = f"{out_dir}/schema_id={schema_id}"
+        typed.write.mode("overwrite").parquet(path)
+        counts[schema_id] = typed.sparkSession.read.parquet(path).count()
+    return counts

@@ -464,21 +464,39 @@ def _ids_predicate(col: Column, ids: list | None) -> Column:
     return F.lit(True) if ids is None else col.isin(ids)
 
 
+def candidate_logtype_ids(compiled) -> list | None:
+    """Union of candidate logtype ids across subqueries, or None when any
+    subquery has no id constraint (MATCH_ALL / capped probe) — the input to
+    segment pruning (reference Query.cpp calculate_ids_of_matching_segments)."""
+    if compiled == MATCH_ALL or not compiled:
+        return None if compiled == MATCH_ALL else []
+    out: set = set()
+    for ids, _sq in compiled:
+        if ids is None:
+            return None
+        out.update(ids)
+    return sorted(out)
+
+
 def search_archive(
     sinks: DataFrame,
     logtype_dict: DataFrame,
     var_dict: DataFrame,
     query: str,
     ignore_case: bool = False,
+    compiled=None,
 ) -> DataFrame:
-    """Matched rows (doc_id, source, logtype_id, message) for a CLP wildcard query."""
+    """Matched rows (doc_id, source, logtype_id, message) for a CLP wildcard
+    query. Pass ``compiled`` (a compile_query result) to reuse an existing
+    compilation — e.g. after segment pruning already probed the dictionaries."""
     from clp_spark.operators.decode import decode_df
 
     keep = ["doc_id", "source", "logtype_id"]
     with_lt = sinks.join(F.broadcast(logtype_dict.select("logtype_id", "logtype")),
                          "logtype_id", "left") if "logtype" not in sinks.columns else sinks
 
-    compiled = compile_query(query, logtype_dict, var_dict, ignore_case)
+    if compiled is None:
+        compiled = compile_query(query, logtype_dict, var_dict, ignore_case)
     if compiled == MATCH_ALL:
         # no subquery can narrow the scan (reference: SupercedesAllSubQueries)
         # → full scan, decode (mapInArrow numpy kernel — no per-row Python),

@@ -1,0 +1,105 @@
+"""Segment-index pruning: per-dictionary-entry segment-id sets.
+
+Reference: CLP stores, for every dictionary entry, the ids of the segments
+it occurs in (clp/Query.hpp:137-139) and intersects/unions those sets at
+query compile time (Query.cpp calculate_ids_of_matching_segments) so only
+segments that can contain a match are ever opened.
+
+Spark analog: our archive's segment is the ingest **split directory**
+(out_dir/sinks/split=b/...). The index is a tiny (logtype_id, segment)
+table — O(distinct logtypes × splits), built in one column-pruned pass and
+stored next to the dictionaries. At query time the compiled candidate
+logtype ids select segment ids, and the scan lists ONLY those split
+directories — file-level pruning that happens BEFORE any parquet footer is
+opened (stronger than row-group min/max stats, which require touching every
+footer; at 10^6 files that difference is the query latency).
+
+A query with no id constraint (MATCH_ALL, or a probe past the isin cap)
+reads all segments — same superset semantics as the row filter.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clp_spark.operators.search import (
+    MATCH_ALL,
+    candidate_logtype_ids,
+    compile_query,
+    search_archive,
+)
+
+
+def build_segment_index(spark: SparkSession, sinks_dir: str) -> DataFrame:
+    """(logtype_id, segment) distinct pairs over a split-partitioned sink dir.
+    Column-pruned scan: only the logtype_id column and the split partition
+    value are read."""
+    sinks = spark.read.option("basePath", sinks_dir).parquet(sinks_dir)
+    return (
+        sinks.select(F.col("logtype_id"), F.col("split").alias("segment"))
+        .distinct()
+    )
+
+
+def write_segment_index(spark: SparkSession, out_dir: str) -> None:
+    idx = build_segment_index(spark, f"{out_dir}/sinks")
+    idx.write.mode("overwrite").parquet(f"{out_dir}/seg_index")
+
+
+def matching_segments(
+    seg_index: DataFrame, logtype_ids: list | None
+) -> list[int] | None:
+    """Segment ids containing any candidate logtype id; None = all segments
+    (no id constraint). Driver-side O(segments) materialization — the index
+    lookup itself is a tiny filtered aggregate."""
+    if logtype_ids is None:
+        return None
+    if not logtype_ids:
+        return []
+    rows = (
+        seg_index.where(F.col("logtype_id").isin(logtype_ids))
+        .select("segment")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["segment"] for r in rows)
+
+
+def search_archive_pruned(
+    spark: SparkSession,
+    out_dir: str,
+    query: str,
+    ignore_case: bool = False,
+) -> tuple[DataFrame, list[int] | None]:
+    """Full pruned search over an on-disk archive: compile once (dictionary
+    probes), prune segments via the index, scan only surviving split dirs,
+    then run the standard candidate-filter → decode → verify execution.
+
+    Returns (results, pruned_segment_list); the segment list is None when the
+    query could not be pruned (no id constraint)."""
+    logtype_dict = spark.read.parquet(f"{out_dir}/logtype_dict")
+    var_dict = spark.read.parquet(f"{out_dir}/var_dict")
+    seg_index = spark.read.parquet(f"{out_dir}/seg_index")
+
+    compiled = compile_query(query, logtype_dict, var_dict, ignore_case)
+    ids = candidate_logtype_ids(compiled)
+    segments = matching_segments(seg_index, ids)
+
+    sinks_dir = f"{out_dir}/sinks"
+    if segments is None:
+        sinks = spark.read.option("basePath", sinks_dir).parquet(sinks_dir)
+    elif not segments:
+        sinks = spark.read.option("basePath", sinks_dir).parquet(sinks_dir).where(
+            F.lit(False)
+        )
+    else:
+        paths = [os.path.join(sinks_dir, f"split={s}") for s in segments]
+        sinks = spark.read.option("basePath", sinks_dir).parquet(*paths)
+    out = search_archive(
+        sinks.drop("split"), logtype_dict, var_dict, query, ignore_case,
+        compiled=compiled,
+    )
+    return out, segments

@@ -1,0 +1,102 @@
+"""Raw log-file ingestion — the `clp c <input-dir>` analog.
+
+Reference lifecycle (components/core/src/clp/clp/compression.cpp +
+FileCompressor.cpp:118): enumerate files → read lines → timestamp-anchored
+message assembly → encode → archive. Spark shape:
+
+1. `read_log_lines`: spark.read.text over a path/glob (any Hadoop FS —
+   file://, hdfs://, s3a://) + input_file_name(); per-file line numbers are
+   reconstructed from monotonically_increasing_id — within one text file,
+   splits are ordered by byte offset and partition ids rise with offset, so
+   (mono id) sorts lines in file order. One window per file, distributed
+   across files (a single pathological multi-GB file is the reference's
+   limit too — it splits files, FileCompressor.cpp:275-293).
+2. `compress_text_logs`: lines → assemble_multiline (per-file pattern lock)
+   → CLP-encode each message (mapInArrow kernel) → logtype/var dictionaries
+   → per-file-partitioned sink — a complete text→archive pipeline whose
+   round-trip is byte-exact (tests/test_logfiles.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clp_spark.functions.arrow_kernel import encode_df
+from clp_spark.operators.dictionary import assign_sorted_ids
+from clp_spark.operators.messages import assemble_multiline
+
+
+def read_log_lines(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """(file_id, line_no, line) over text files; line_no is 0-based per file."""
+    raw = spark.read.text(paths).select(
+        F.input_file_name().alias("file_id"),
+        F.monotonically_increasing_id().alias("_mono"),
+        F.col("value").alias("line"),
+    )
+    w = Window.partitionBy("file_id").orderBy("_mono")
+    return raw.select(
+        "file_id",
+        (F.row_number().over(w) - 1).cast("long").alias("line_no"),
+        "line",
+    )
+
+
+def compress_text_logs(
+    spark: SparkSession,
+    paths: str | list[str],
+    out_dir: str,
+    lock_patterns: bool = True,
+) -> dict:
+    """Full text→archive compression; returns summary counts.
+
+    Layout: out_dir/{sinks,logtype_dict,var_dict} — sinks carry
+    (file_id, msg_ix, ts_ms, logtype_id, placeholders, encoded_vars,
+    dict_vars), partitioned by file for per-file decompression.
+    """
+    lines = read_log_lines(spark, paths)
+    messages = assemble_multiline(lines, lock_patterns=lock_patterns)
+    enc = encode_df(
+        messages.select("file_id", "msg_ix", "ts_ms", F.col("message")),
+        ["file_id", "msg_ix", "ts_ms"],
+        "message",
+    )
+    enc = enc.persist()
+    logtype_dict = assign_sorted_ids(enc.select("logtype"), "logtype", "logtype_id")
+    var_dict = assign_sorted_ids(
+        enc.select(F.explode("dict_vars").alias("var_value")), "var_value", "var_id"
+    )
+    logtype_dict.write.mode("overwrite").parquet(f"{out_dir}/logtype_dict")
+    var_dict.write.mode("overwrite").parquet(f"{out_dir}/var_dict")
+    sinks = enc.join(
+        F.broadcast(logtype_dict.select("logtype", "logtype_id")), "logtype"
+    ).select(
+        "file_id", "msg_ix", "ts_ms", "logtype_id",
+        "placeholders", "encoded_vars", "dict_vars",
+    )
+    sinks.write.mode("overwrite").partitionBy("file_id").parquet(f"{out_dir}/sinks")
+    out = {
+        "messages": spark.read.parquet(f"{out_dir}/sinks").count(),
+        "logtypes": logtype_dict.count(),
+        "variables": var_dict.count(),
+    }
+    enc.unpersist()
+    return out
+
+
+def decompress_file(
+    spark: SparkSession, out_dir: str, file_id: str | None = None
+) -> DataFrame:
+    """Reconstruct original messages (ordered by msg_ix) — the `clp x` path."""
+    from clp_spark.operators.decode import decode_df
+
+    sinks = spark.read.option("basePath", f"{out_dir}/sinks").parquet(f"{out_dir}/sinks")
+    if file_id is not None:
+        sinks = sinks.where(F.col("file_id") == file_id)
+    logtype_dict = spark.read.parquet(f"{out_dir}/logtype_dict")
+    with_lt = sinks.join(
+        F.broadcast(logtype_dict.select("logtype_id", "logtype")), "logtype_id"
+    )
+    return decode_df(with_lt, ["file_id", "msg_ix", "ts_ms"]).orderBy(
+        "file_id", "msg_ix"
+    )

@@ -158,3 +158,25 @@ def test_float_timestamp_corpus(spark, query, expected):
 def test_int_timestamp_corpus(spark, query, expected):
     ar = _archive(spark, INT_TS_RECORDS, timestamp_key="timestamp")
     assert _matched(ar, query) == expected
+
+
+def test_materialize_schema_tables(spark, tmp_path):
+    """clp-s ERT store: each schema group written as a typed columnar table."""
+    import os
+
+    from clp_spark.operators.json_search import materialize_schema_tables
+
+    df = spark.createDataFrame([(json.dumps(r),) for r in MAIN_RECORDS], "raw string")
+    out = str(tmp_path / "ert")
+    counts = materialize_schema_tables(df, "raw", out)
+    assert sum(counts.values()) == len(MAIN_RECORDS)
+    dirs = [d for d in os.listdir(out) if d.startswith("schema_id=")]
+    assert len(dirs) == len(counts)
+    # the msg-shaped schema holds records 1-6 with typed columns
+    msg_tables = [
+        spark.read.parquet(os.path.join(out, d))
+        for d in dirs
+    ]
+    msg = next(t for t in msg_tables if "msg" in t.columns and t.count() == 6)
+    assert dict(msg.dtypes)["idx"] == "bigint"
+    assert dict(msg.dtypes)["msg"] == "string"

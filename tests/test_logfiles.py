@@ -1,0 +1,90 @@
+"""Raw log-file ingestion: text files → assembled messages → encoded archive
+→ byte-exact decompression (the `clp c` / `clp x` lifecycle)."""
+
+import pytest
+
+FILE_A = """\
+2016-05-08 07:34:05,251 INFO starting job 42
+  with config alpha=0.5
+  and retries 3
+2016-05-08 07:34:06,002 WARN slow response 120 ms from node-7
+2016-05-08 07:34:07,000 ERROR failed after 0.75 s hash deadbeef
+"""
+
+FILE_B = """\
+preamble line without timestamp
+2016-05-08 08:00:00,000 INFO other file start
+trailing continuation
+"""
+
+
+@pytest.fixture(scope="module")
+def logdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("logs")
+    (d / "a.log").write_text(FILE_A)
+    (d / "b.log").write_text(FILE_B)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def archive(spark, logdir, tmp_path_factory):
+    from clp_spark.sources.logfiles import compress_text_logs
+
+    out = str(tmp_path_factory.mktemp("arch"))
+    summary = compress_text_logs(spark, f"{logdir}/*.log", out)
+    return out, summary
+
+
+def test_compress_summary(archive):
+    _out, summary = archive
+    # a.log: 3 messages; b.log: preamble (msg 0) + 1 message (+continuation)
+    assert summary["messages"] == 5
+    assert summary["logtypes"] >= 4
+    assert summary["variables"] >= 2  # dict vars: node-7, deadbeef, ...
+
+
+def test_roundtrip_exact(spark, archive):
+    from clp_spark.sources.logfiles import decompress_file
+
+    out, _ = archive
+    rows = decompress_file(spark, out).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["file_id"].rsplit("/", 1)[-1], []).append(r["message"])
+    # reconstruct original text: strip_timestamp removed the ts from head
+    # lines, so re-join per message and compare bodies
+    a_msgs = by_file["a.log"]
+    assert a_msgs[0] == " INFO starting job 42\n  with config alpha=0.5\n  and retries 3"
+    assert a_msgs[1] == " WARN slow response 120 ms from node-7"
+    assert a_msgs[2] == " ERROR failed after 0.75 s hash deadbeef"
+    b_msgs = by_file["b.log"]
+    assert b_msgs[0] == "preamble line without timestamp"
+    assert b_msgs[1] == " INFO other file start\ntrailing continuation"
+
+
+def test_timestamps_extracted(spark, archive):
+    from clp_spark.sources.logfiles import decompress_file
+
+    out, _ = archive
+    rows = decompress_file(spark, out).collect()
+    ts = [r["ts_ms"] for r in rows if r["file_id"].endswith("a.log")]
+    assert ts == sorted(ts) and all(t is not None for t in ts)
+
+
+def test_searchable_after_compress(spark, archive):
+    """The encoded sinks are directly queryable with the archive search."""
+    from pyspark.sql import functions as F
+
+    from clp_spark.operators.search import search_archive
+
+    out, _ = archive
+    sinks = spark.read.option("basePath", f"{out}/sinks").parquet(f"{out}/sinks")
+    lt = spark.read.parquet(f"{out}/logtype_dict")
+    vd = spark.read.parquet(f"{out}/var_dict")
+    res = search_archive(
+        sinks.withColumn("doc_id", F.concat_ws("#", "file_id", "msg_ix"))
+        .withColumn("source", F.col("file_id")),
+        lt, vd, "*slow response*",
+    )
+    got = res.collect()
+    assert len(got) == 1 and "120 ms" in got[0]["message"]

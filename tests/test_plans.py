@@ -76,6 +76,42 @@ class TestPlanShapes:
         q = latest_n(events, F.col("ts"), 10, F.col("event_id"))
         assert "TakeOrderedAndProject" in plan_of(q)  # no full sort
 
+    def test_variant_schema_inference_is_jvm_only(self, spark):
+        """The v2 schema-route path must contain no Python eval at all —
+        parse_json/schema_of_variant/variant_get are JVM expressions."""
+        from clp_spark.operators.json_schema import schema_map, with_schema_id_v2
+
+        df = spark.createDataFrame(
+            [('{"k": 1}',), ('{"k": 2, "s": "a b"}',)], "raw string"
+        )
+        q = schema_map(with_schema_id_v2(df))
+        plan = plan_of(q)
+        # (createDataFrame's ExistingRDD scan mentions 'PythonRDD' — that's
+        # the local test input, not an eval node)
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "MapInArrow"):
+            assert node not in plan
+
+    def test_lsh_jaccard_broadcasts_candidate_pairs(self, spark):
+        """The pair-restricted Jaccard must broadcast the (small) candidate
+        pair set, never shuffle the full shingle table against itself."""
+        from clp_spark.operators.dedup import lsh_jaccard
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        q = lsh_jaccard(docs, "doc_id", "text", num_hashes=8, bands=4)
+        assert "BroadcastHashJoin" in plan_of(q)
+
+    def test_decode_path_is_maparrow(self, spark):
+        """Decode runs as one ArrowEvalPython-free mapInArrow stage (the
+        PythonMapInArrow node), not per-row UDF eval."""
+        from clp_spark.functions.arrow_kernel import encode_df
+        from clp_spark.operators.decode import decode_df
+
+        docs = spark.createDataFrame([(1, "a 1")], "doc_id long, message string")
+        enc = encode_df(docs, ["doc_id"], "message")
+        plan = plan_of(decode_df(enc, ["doc_id"]))
+        assert "MapInArrow" in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
 
 class TestBloomFilters:
     def test_bloom_filter_options_write_real_filters(self, spark, tmp_path):
