@@ -228,6 +228,20 @@ def run_scaling(sf_dir: str) -> None:
             "lineage bookkeeping O(splits) and dictionary broadcast sizes\n"
             "bounded by template count, not row count.\n"
             "\n"
+            "## JSON schema inference: per-row Python vs JVM variant\n"
+            "\n"
+            "1M records (~30-byte JSON each), local[32], median of 3\n"
+            "(2026-08-17): v1 pandas-UDF json.loads 1.79 s; v2\n"
+            "try_parse_json+schema_of_variant 1.88 s; parse+schema alone\n"
+            "0.43 s (2.3M rows/s). On tiny records the two are at parity -\n"
+            "the v2 path pays a second scan to collect the distinct schema\n"
+            "set before building the canonicalization CASE. It is still the\n"
+            "default ingest path because it removes Python workers from the\n"
+            "pipeline entirely (no Arrow transfer, no per-executor Python\n"
+            "memory, whole-stage codegen end to end), and the JVM parse\n"
+            "advantage grows with record size; the UDF survives as the\n"
+            "differential-test oracle.\n"
+            "\n"
             "## Full 4-stage ingest at sf1 (6M rows, 8 splits, local[32])\n"
             "\n"
             "run_pipeline (encode->dicts->route->agg, every intermediate\n"

@@ -211,6 +211,38 @@ class SnapshotTable:
         os.replace(htmp, self._head_path())
         return version
 
+    def merge(
+        self,
+        df: DataFrame,
+        key_cols: tuple[str, ...],
+        tag: str | None = None,
+    ) -> int:
+        """Upsert: rows whose key matches an incoming row are replaced, new
+        keys appended — the results-cache sink semantics (reference
+        clp_s/OutputHandlerImpl.hpp:131 / clp/clo MongoDB upsert keyed on
+        (orig_file, ts, msg_ix)); the Iceberg MERGE INTO analog.
+
+        Implemented as read-current → anti-join on key → union incoming →
+        overwrite commit. O(table) rewrite per merge — fine for result
+        caches (small); for fact-scale upserts partition the key and use
+        overwrite_partitions instead.
+        """
+        if not key_cols:
+            raise ValueError("merge requires key columns")
+        if tag is not None and self.current_version() is not None:
+            for s in self.history():
+                if s.get("tag") == tag:
+                    return s["version"]
+        spark = df.sparkSession
+        if self.current_version() is None:
+            return self.commit(df, "overwrite", tag=tag)
+        current = self.read(spark)
+        kept = current.join(
+            df.select(*key_cols).distinct(), list(key_cols), "left_anti"
+        )
+        merged = kept.select(*df.columns).unionByName(df)
+        return self.commit(merged, "overwrite", tag=tag)
+
     # ---- read
 
     def read_added(self, spark: SparkSession, version: int) -> DataFrame:

@@ -42,6 +42,23 @@ def read_log_lines(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     )
 
 
+def filename_group_key(file_col) -> "F.Column":
+    """Group key for 'similar' filenames: digits stripped from the basename
+    (reference clp-py-utils compression.py group_files_by_similar_filenames /
+    partition.py:16-80 — rotated logs app.log.1/app.log.2 land in one task
+    for dictionary locality). Spark analog: repartition on this key so one
+    task encodes one rotation family — hot shared logtypes collapse in the
+    map-side partial agg instead of shuffling."""
+    base = F.element_at(F.split(file_col, "/"), -1)
+    return F.regexp_replace(base, r"\d+", "")
+
+
+def group_files_by_similar_filenames(lines: DataFrame, file_col: str = "file_id") -> DataFrame:
+    """Repartition a lines/messages frame so each similar-filename family is
+    co-located in one partition (encode-task grouping)."""
+    return lines.repartition(filename_group_key(F.col(file_col)))
+
+
 def compress_text_logs(
     spark: SparkSession,
     paths: str | list[str],

@@ -71,6 +71,35 @@ def test_timestamps_extracted(spark, archive):
     assert ts == sorted(ts) and all(t is not None for t in ts)
 
 
+def test_gzip_input_supported(spark, tmp_path):
+    """Compressed inputs (reference: libarchive gz/tar) — Hadoop text codecs
+    decompress .gz transparently."""
+    import gzip
+
+    from clp_spark.sources.logfiles import read_log_lines
+
+    p = tmp_path / "c.log.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("2016-05-08 07:34:05,251 INFO gz line one\nplain two\n")
+    rows = read_log_lines(spark, str(p)).orderBy("line_no").collect()
+    assert [r["line"] for r in rows] == [
+        "2016-05-08 07:34:05,251 INFO gz line one", "plain two",
+    ]
+
+
+def test_group_files_by_similar_filenames(spark):
+    from clp_spark.sources.logfiles import filename_group_key
+
+    df = spark.createDataFrame(
+        [("/var/log/app.log.1",), ("/var/log/app.log.27",),
+         ("/var/log/other.log",), ("d/app.log.3",)],
+        "file_id string",
+    )
+    keys = [r["k"] for r in df.select(
+        filename_group_key(df["file_id"]).alias("k")).collect()]
+    assert keys == ["app.log.", "app.log.", "other.log", "app.log."]
+
+
 def test_searchable_after_compress(spark, archive):
     """The encoded sinks are directly queryable with the archive search."""
     from pyspark.sql import functions as F

@@ -110,6 +110,23 @@ def test_write_table_dispatch_fallback(spark, tmp_path):
     assert SnapshotTable(str(tmp_path / "t2")).read(spark).count() == 1
 
 
+def test_merge_upsert_by_key(spark, table):
+    """Results-cache semantics: same key replaces, new key appends
+    (reference MongoDB sink dedup on (orig_file, ts, msg_ix))."""
+    table.commit(_df(spark, [(1, "a", 10), (2, "b", 20)]))
+    table.merge(_df(spark, [(2, "b", 99), (3, "c", 30)]), key_cols=("id",))
+    got = sorted((r["id"], r["v"]) for r in table.read(spark).collect())
+    assert got == [(1, 10), (2, 99), (3, 30)]
+    # time travel still shows the pre-merge state
+    got0 = sorted((r["id"], r["v"]) for r in table.read(spark, version=0).collect())
+    assert got0 == [(1, 10), (2, 20)]
+
+
+def test_merge_on_empty_table(spark, table):
+    table.merge(_df(spark, [(1, "a", 10)]), key_cols=("id",))
+    assert table.read(spark).count() == 1
+
+
 def test_tagged_commit_idempotent(spark, table):
     v0 = table.commit(_df(spark, [(1, "a", 10)]), tag="split-0")
     v_again = table.commit(_df(spark, [(1, "a", 10)]), tag="split-0")
