@@ -1,0 +1,161 @@
+"""Command-line surface mirroring the reference binaries.
+
+    python -m clp_spark.cli c <archive-dir> <input-path...>     # clp c
+    python -m clp_spark.cli x <archive-dir> [--file F] [-o DIR] # clp x
+    python -m clp_spark.cli s <archive-dir> "wildcard query"    # clg / clp s
+    python -m clp_spark.cli s-kql <jsonl-path> "kql"            # clp-s s
+    python -m clp_spark.cli pipeline ...                        # tokens ingest
+
+Reference CLIs: clp c/x (clp/clp/CommandLineArguments.cpp), clg
+(clp/clg/CommandLineArguments.cpp), clp-s c/s/x
+(clp_s/CommandLineArguments.cpp). Flags kept to the load-bearing subset:
+--ignore-case, --count, --count-by-time, --limit, --structurize-arrays.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _spark(master: str) -> SparkSession:
+    from clp_spark.plans.pipeline import session_defaults
+
+    return session_defaults(
+        SparkSession.builder.master(master)
+        .appName("clp-spark-cli")
+        .config("spark.sql.shuffle.partitions", "32")
+    ).getOrCreate()
+
+
+def cmd_compress(args) -> None:
+    from clp_spark.sources.logfiles import compress_text_logs
+
+    spark = _spark(args.master)
+    summary = compress_text_logs(
+        spark, args.inputs, args.archive, lock_patterns=not args.no_pattern_lock
+    )
+    print(json.dumps(summary))
+
+
+def cmd_extract(args) -> None:
+    from clp_spark.sources.logfiles import decompress_file
+
+    spark = _spark(args.master)
+    out = decompress_file(spark, args.archive, file_id=args.file)
+    if args.output:
+        out.select("message").write.mode("overwrite").text(args.output)
+        print(json.dumps({"messages": out.count(), "output": args.output}))
+    else:
+        for r in out.collect():
+            print(r["message"])
+
+
+def cmd_search(args) -> None:
+    from clp_spark.operators.aggregate import count_by_time, count_matched
+    from clp_spark.operators.seg_index import search_archive_pruned
+    from clp_spark.operators.search import search_archive
+
+    spark = _spark(args.master)
+    has_index = bool(spark._jvm.java.io.File(f"{args.archive}/seg_index").exists())
+    if has_index and "split" in spark.read.option(
+        "basePath", f"{args.archive}/sinks"
+    ).parquet(f"{args.archive}/sinks").columns:
+        res, _segments = search_archive_pruned(
+            spark, args.archive, args.query, args.ignore_case
+        )
+    else:
+        sinks = spark.read.option("basePath", f"{args.archive}/sinks").parquet(
+            f"{args.archive}/sinks"
+        )
+        if "doc_id" not in sinks.columns:  # text-log archives key by file/msg
+            sinks = sinks.withColumn(
+                "doc_id", F.concat_ws("#", "file_id", "msg_ix")
+            ).withColumn("source", F.col("file_id"))
+        lt = spark.read.parquet(f"{args.archive}/logtype_dict")
+        vd = spark.read.parquet(f"{args.archive}/var_dict")
+        res = search_archive(sinks, lt, vd, args.query, args.ignore_case)
+    if args.count:
+        print(count_matched(res).collect()[0]["cnt"])
+    elif args.count_by_time is not None:
+        rows = count_by_time(
+            res.join(
+                spark.read.option("basePath", f"{args.archive}/sinks").parquet(
+                    f"{args.archive}/sinks"
+                ).select(F.concat_ws("#", "file_id", "msg_ix").alias("doc_id"), "ts_ms"),
+                "doc_id",
+            ),
+            F.col("ts_ms"),
+            args.count_by_time,
+        ).orderBy("bucket_ts").collect()
+        for r in rows:
+            print(r["bucket_ts"], r["cnt"])
+    else:
+        out = res.limit(args.limit) if args.limit else res
+        for r in out.collect():
+            print(r["message"])
+
+
+def cmd_search_kql(args) -> None:
+    from clp_spark.operators.json_search import search_jsonl
+
+    spark = _spark(args.master)
+    df = spark.read.text(args.input).withColumnRenamed("value", "raw")
+    res = search_jsonl(
+        df, "raw", args.query,
+        ignore_case=args.ignore_case,
+        structurize_arrays=args.structurize_arrays,
+    )
+    if args.count:
+        print(res.count())
+    else:
+        out = res.limit(args.limit) if args.limit else res
+        for r in out.collect():
+            print(r["raw"])
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="clp_spark", description=__doc__)
+    ap.add_argument("--master", default="local[*]")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("c", help="compress text logs into an archive")
+    c.add_argument("archive")
+    c.add_argument("inputs", nargs="+")
+    c.add_argument("--no-pattern-lock", action="store_true")
+    c.set_defaults(fn=cmd_compress)
+
+    x = sub.add_parser("x", help="decompress an archive back to messages")
+    x.add_argument("archive")
+    x.add_argument("--file", default=None)
+    x.add_argument("-o", "--output", default=None)
+    x.set_defaults(fn=cmd_extract)
+
+    s = sub.add_parser("s", help="wildcard search over an archive")
+    s.add_argument("archive")
+    s.add_argument("query")
+    s.add_argument("--ignore-case", action="store_true")
+    s.add_argument("--count", action="store_true")
+    s.add_argument("--count-by-time", type=int, default=None, metavar="BUCKET_MS")
+    s.add_argument("--limit", type=int, default=None)
+    s.set_defaults(fn=cmd_search)
+
+    sk = sub.add_parser("s-kql", help="KQL search over JSONL input")
+    sk.add_argument("input")
+    sk.add_argument("query")
+    sk.add_argument("--ignore-case", action="store_true")
+    sk.add_argument("--structurize-arrays", action="store_true")
+    sk.add_argument("--count", action="store_true")
+    sk.add_argument("--limit", type=int, default=None)
+    sk.set_defaults(fn=cmd_search_kql)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

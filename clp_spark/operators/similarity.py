@@ -105,13 +105,24 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     n_planes: int = 4,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos_sim) near-duplicate pairs: LSH-bucket self-join, exact
-    cosine rerank within buckets (embedding-cosine near-dup path)."""
-    first = df.select(F.col(vec_col)).first()
-    if first is None:
-        return df.sparkSession.createDataFrame([], "id_a long, id_b long, cos_sim double")
-    dim = len(first[0])
+    cosine rerank within buckets (embedding-cosine near-dup path).
+
+    Pass ``dim`` to keep the plan fully lazy; otherwise it is read from the
+    element type when declared, falling back to a 1-row peek."""
+    if dim is None:
+        dim_meta = df.schema[vec_col].metadata.get("dim") if vec_col in df.columns else None
+        if dim_meta:
+            dim = int(dim_meta)
+        else:
+            first = df.select(F.col(vec_col)).first()
+            if first is None:
+                return df.sparkSession.createDataFrame(
+                    [], "id_a long, id_b long, cos_sim double"
+                )
+            dim = len(first[0])
     planes = _hyperplanes(dim, n_planes, seed)
     bucketed = df.select(
         F.col(id_col),

@@ -1,0 +1,54 @@
+"""CLI surface: compress / extract / search round trips via clp_spark.cli."""
+
+import json
+
+import pytest
+
+from clp_spark import cli
+
+
+@pytest.fixture(scope="module")
+def logdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("clilogs")
+    (d / "svc.log").write_text(
+        "2016-05-08 07:34:05,251 INFO starting run 42\n"
+        "  detail line\n"
+        "2016-05-08 07:34:06,002 ERROR failure code 7\n"
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def archive(spark, logdir, tmp_path_factory, capsys_factory=None):
+    out = str(tmp_path_factory.mktemp("cliarch"))
+    cli.main(["c", out, f"{logdir}/svc.log"])
+    return out
+
+
+def test_compress_then_count(archive, capsys):
+    cli.main(["s", archive, "*failure*", "--count"])
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "1"
+
+
+def test_search_prints_messages(archive, capsys):
+    cli.main(["s", archive, "*starting run*"])
+    out = capsys.readouterr().out
+    assert "starting run 42" in out and "detail line" in out
+
+
+def test_extract_all(archive, capsys):
+    cli.main(["x", archive])
+    out = capsys.readouterr().out
+    assert "ERROR failure code 7" in out
+
+
+def test_kql_over_jsonl(spark, tmp_path, capsys):
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"idx": 0, "lvl": "INFO", "ms": 12}\n'
+        '{"idx": 1, "lvl": "ERROR", "ms": 91}\n'
+        '{"idx": 2, "lvl": "ERROR"}\n'
+    )
+    cli.main(["s-kql", str(p), "lvl: ERROR AND ms > 50"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert [json.loads(o)["idx"] for o in out if o.startswith("{")] == [1]
