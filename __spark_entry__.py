@@ -565,20 +565,15 @@ def q_multimodal_bytes(spark, sf_dir):
 
 
 def q_clp_decode_roundtrip(spark, sf_dir):
-    """Encode → decode-join reconstruction must reproduce the original text."""
+    """Encode → decode reconstruction must reproduce the original text.
+    Both directions are mapInArrow numpy kernels — zero per-row Python."""
     _ensure_workers_have_package(spark)
-    from clp_spark.functions.encode_kernel import clp_encode_udf
-    from clp_spark.operators.decode import reconstruct_messages
+    from clp_spark.functions.arrow_kernel import encode_df
+    from clp_spark.operators.decode import decode_df
 
     docs = _t(spark, sf_dir, "documents").withColumn("message", _rich_message_col())
-    enc = clp_encode_udf()
-    encoded = docs.withColumn("enc", enc("message")).select(
-        "doc_id",
-        F.col("enc.logtype").alias("logtype"),
-        F.col("enc.encoded_vars").alias("encoded_vars"),
-        F.col("enc.dict_vars").alias("dict_vars"),
-    )
-    return reconstruct_messages(encoded).select("doc_id", "message")
+    encoded = encode_df(docs.select("doc_id", "message"), ["doc_id"], "message")
+    return decode_df(encoded, ["doc_id"]).select("doc_id", "message")
 
 
 def q_column_stats(spark, sf_dir):
@@ -696,18 +691,14 @@ def q_golden_kql_search(spark, sf_dir):
 def _build_archive(spark, sf_dir):
     """Encode documents into an in-memory archive (sinks + dictionaries)."""
     _ensure_workers_have_package(spark)
-    from clp_spark.functions.encode_kernel import clp_encode_udf
+    from clp_spark.functions.arrow_kernel import encode_df
     from clp_spark.operators.dictionary import assign_sorted_ids
 
     docs = _t(spark, sf_dir, "documents").withColumn("message", _rich_message_col())
-    enc = clp_encode_udf()
-    encoded = docs.withColumn("enc", enc("message")).select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        "source",
-        F.col("enc.logtype").alias("logtype"),
-        F.col("enc.placeholders").alias("placeholders"),
-        F.col("enc.encoded_vars").alias("encoded_vars"),
-        F.col("enc.dict_vars").alias("dict_vars"),
+    encoded = encode_df(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"), "source", "message"),
+        ["doc_id", "source"],
+        "message",
     )
     encoded = encoded.persist()
     logtype_dict = assign_sorted_ids(
