@@ -143,6 +143,49 @@ def test_query_matches_naive_semantics(archive, query, ignore_case):
     assert run(archive, query, ignore_case) == naive(query, ignore_case)
 
 
+def _random_queries(n=30, seed=11):
+    """Seeded pseudo-random wildcard queries derived from corpus substrings:
+    random windows with '*'/'?' injected at random positions — the fuzz
+    counterpart to the curated table above."""
+    import random
+
+    rng = random.Random(seed)
+    out = []
+    while len(out) < n:
+        msg = rng.choice(CORPUS)
+        if len(msg) < 6:
+            continue
+        a = rng.randrange(0, len(msg) - 4)
+        b = min(len(msg), a + rng.randrange(3, 14))
+        frag = msg[a:b]
+        # escape literal specials so the fragment is literal text
+        frag = frag.replace("\\", "\\\\").replace("*", "\\*").replace("?", "\\?")
+        style = rng.randrange(5)
+        if style == 0:
+            q = f"*{frag}*"
+        elif style == 1:
+            mid = rng.randrange(1, max(2, len(frag)))
+            q = f"*{frag[:mid]}*{frag[mid:]}*"
+        elif style == 2:
+            chars = list(frag)
+            for _ in range(rng.randrange(1, 3)):
+                i = rng.randrange(len(chars))
+                if chars[i] not in "\\*?":
+                    chars[i] = "?"
+            q = "*" + "".join(chars) + "*"
+        elif style == 3:
+            q = frag + "*"  # prefix-anchored
+        else:
+            q = "*" + frag  # suffix-anchored
+        out.append(q)
+    return out
+
+
+@pytest.mark.parametrize("query", _random_queries(), ids=range(30))
+def test_fuzz_queries_match_naive_semantics(archive, query):
+    assert run(archive, query) == naive(query), query
+
+
 def test_match_all(archive):
     assert run(archive, "*") == set(range(len(CORPUS)))
 
