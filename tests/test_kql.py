@@ -134,3 +134,37 @@ def test_empty_leading_segment_no_crash(corpus):
     from clp_spark.operators.kql import kql_filter
 
     assert kql_filter(corpus, ".nosuch: 1").count() == 0
+
+
+class TestParserRobustness:
+    """The parser must reject malformed input with ValueError — never
+    IndexError/KeyError/RecursionError — and every string that parses must
+    also compile against a schema without raising."""
+
+    def test_fuzz_parse_never_crashes(self, corpus):
+        import random
+
+        from clp_spark.operators.kql import compile_kql
+
+        rng = random.Random(23)
+        alphabet = 'ab:()<>"{}* ?\\.$0123456789ANDORNOTtimestamp'
+        parsed = errors = 0
+        for _ in range(4000):
+            s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 24)))
+            try:
+                parse_kql(s)
+            except ValueError:
+                errors += 1
+                continue
+            parsed += 1
+            try:
+                compile_kql(corpus, s)
+            except ValueError:
+                pass  # e.g. unparseable timestamp literal — allowed
+        assert parsed > 50 and errors > 50  # fuzz actually exercised both paths
+
+    def test_deep_nesting_bounded(self):
+        q = "(" * 80 + "a: 1" + ")" * 80
+        assert parse_kql(q) is not None
+        with pytest.raises(ValueError):
+            parse_kql("(" * 80 + "a: 1")  # unbalanced
