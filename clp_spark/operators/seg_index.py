@@ -79,9 +79,15 @@ def search_archive_pruned(
     then run the standard candidate-filter → decode → verify execution.
 
     Returns (results, pruned_segment_list); the segment list is None when the
-    query could not be pruned (no id constraint)."""
-    logtype_dict = spark.read.parquet(f"{out_dir}/logtype_dict")
-    var_dict = spark.read.parquet(f"{out_dir}/var_dict")
+    query could not be pruned (no id constraint).
+
+    The dictionaries are persisted before compilation — CLP loads its
+    dictionaries into memory once per archive (DictionaryReader); query
+    compilation runs several probe scans against them, so keeping them
+    cached turns each probe into an in-memory scan instead of a parquet
+    re-read."""
+    logtype_dict = spark.read.parquet(f"{out_dir}/logtype_dict").persist()
+    var_dict = spark.read.parquet(f"{out_dir}/var_dict").persist()
     seg_index = spark.read.parquet(f"{out_dir}/seg_index")
 
     compiled = compile_query(query, logtype_dict, var_dict, ignore_case)

@@ -98,6 +98,68 @@ def lsh_ann_topk(
     return brute_force_topk(cand, vec_col, query, k, id_col)
 
 
+def ivf_train_centroids(
+    df: DataFrame, vec_col: str, k: int = 64, seed: int = 7,
+    max_iter: int = 10, sample_fraction: float | None = None,
+) -> np.ndarray:
+    """k-means coarse quantizer (JVM Lloyd's via pyspark.ml). At 100 TB train
+    on a sample (sample_fraction) — the quantizer only needs the density
+    shape, not every vector."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    src = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
+    vdf = src.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(vdf)
+    return np.asarray(model.clusterCenters(), dtype=np.float64)
+
+
+def ivf_cell_col(vec_col: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid cell id, all JVM higher-order expressions:
+    argmin ||v-c||² = argmax (v·c − ||c||²/2) — one score per centroid from a
+    nested-array literal, then array_position of the max."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    biases = F.array(
+        *[F.lit(float(0.5 * np.dot(c, c))) for c in centroids]
+    )
+    scores = F.zip_with(
+        cents,
+        biases,
+        lambda c, b: F.aggregate(
+            F.zip_with(vec_col, c, lambda a, x: a.cast("double") * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        - b,
+    )
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int,
+    centroids: np.ndarray,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: probe the query's nprobe nearest cells, exact
+    cosine rerank inside them. The scale path precomputes the cell column at
+    ingest and partitions/clusters the table by it, so the probe is a
+    partition-pruned scan of ~nprobe/k of the data."""
+    q = np.asarray(query, dtype=np.float64)
+    d2 = ((centroids - q) ** 2).sum(axis=1)
+    cells = [int(c) for c in np.argsort(d2)[:nprobe]]
+    assigned = df.withColumn("_ivf_cell", ivf_cell_col(F.col(vec_col), centroids))
+    cand = assigned.where(F.col("_ivf_cell").isin(cells))
+    return brute_force_topk(cand, vec_col, query, k, id_col)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,

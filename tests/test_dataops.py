@@ -176,6 +176,42 @@ class TestSimilarity:
         }
         assert (3, 7) in got
 
+    def test_ivf_ann(self, embeddings):
+        from clp_spark.operators.similarity import (
+            ivf_ann_topk,
+            ivf_cell_col,
+            ivf_train_centroids,
+        )
+
+        df, vecs = embeddings
+        q = [float(x) for x in vecs[3]]
+        cents = ivf_train_centroids(df, "embedding", k=4, seed=7)
+        assert cents.shape == (4, 16)
+        # probing ALL cells must reproduce the exact brute-force top-k
+        exact = [r["vec_id"] for r in brute_force_topk(df, "embedding", q, 5).collect()]
+        full = [
+            r["vec_id"]
+            for r in ivf_ann_topk(df, "embedding", q, 5, cents, nprobe=4).collect()
+        ]
+        assert full == exact
+        # cell assignment matches numpy argmin distance
+        assigned = {
+            r["vec_id"]: r["c"]
+            for r in df.select(
+                "vec_id", ivf_cell_col(F.col("embedding"), cents).alias("c")
+            ).collect()
+        }
+        d2 = ((vecs[:, None, :].astype(np.float64) - cents[None]) ** 2).sum(axis=2)
+        for i in range(40):
+            assert assigned[i] == int(np.argmin(d2[i])), i
+        # nprobe=1 probes ~1/4 of the data and still finds the identical-
+        # direction pair (they share a cell by construction)
+        near = [
+            r["vec_id"]
+            for r in ivf_ann_topk(df, "embedding", q, 3, cents, nprobe=1).collect()
+        ]
+        assert 3 in near and 7 in near
+
 
 class TestText:
     def test_counts_and_lang(self, spark):
