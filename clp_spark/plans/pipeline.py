@@ -212,7 +212,7 @@ def dicts_stage(spark: SparkSession, out_dir: str, lineage: LineageLog) -> None:
 
 def route_stage(
     spark: SparkSession, out_dir: str, num_splits: int, lineage: LineageLog,
-    table_format: str | None = None,
+    table_format: str | None = None, max_records_per_file: int = 2_000_000,
 ) -> None:
     """Fan encoded+enriched rows out to per-source sinks (CLP's per-schema /
     per-source routing, reference clp_s/ArchiveWriter.cpp:258-266).
@@ -244,7 +244,12 @@ def route_stage(
             out_bytes = 0  # snapshot manifests carry file lists; sizes via data/
         else:
             path = f"{out_dir}/sinks/split={b}"
-            sel.write.mode("overwrite").partitionBy("source").parquet(path)
+            # archive/file splitting (reference split_file_and_archive,
+            # FileCompressor.cpp:275-293): bound each output file's rows —
+            # the Iceberg target-file-size analog
+            sel.write.mode("overwrite").option(
+                "maxRecordsPerFile", str(max_records_per_file)
+            ).partitionBy("source").parquet(path)
             written = spark.read.parquet(path)
             out_bytes = _dir_bytes(path)
         per_source = {

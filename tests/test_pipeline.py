@@ -146,6 +146,35 @@ class TestGltRoute:
         assert multi == 0
 
 
+class TestFileSplitting:
+    def test_max_records_per_file_bounds_output_files(
+        self, spark, tiny_input, tmp_path
+    ):
+        """Reference split_file_and_archive analog: output files are bounded
+        by row count, so one hot sink can't produce a monolithic file."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from clp_spark.plans.lineage import LineageLog
+        from clp_spark.plans.pipeline import (
+            dicts_stage,
+            encode_stage,
+            route_stage,
+        )
+
+        seq_path, vocab_path, _, _ = tiny_input
+        out = str(tmp_path / "split_out")
+        lineage = LineageLog(out)
+        encode_stage(spark, seq_path, vocab_path, out, 1, lineage)
+        dicts_stage(spark, out, lineage)
+        route_stage(spark, out, 1, lineage, max_records_per_file=20)
+        files = glob.glob(f"{out}/sinks/split=0/source=*/*.parquet")
+        assert len(files) > 1
+        for f in files:
+            assert pq.ParquetFile(f).metadata.num_rows <= 20
+
+
 class TestResume:
     def test_resume_after_partial_run(self, spark, tiny_input, pipeline_out, tmp_path):
         seq_path, vocab_path, _, _ = tiny_input
