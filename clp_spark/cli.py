@@ -82,11 +82,20 @@ def cmd_search(args) -> None:
     if args.count:
         print(count_matched(res).collect()[0]["cnt"])
     elif args.count_by_time is not None:
+        raw_sinks = spark.read.option("basePath", f"{args.archive}/sinks").parquet(
+            f"{args.archive}/sinks"
+        )
+        if "ts_ms" not in raw_sinks.columns:
+            sys.exit(
+                "error: --count-by-time needs an archive with per-message "
+                "timestamps (text-log archives carry ts_ms; token-pipeline "
+                "archives do not)"
+            )
         rows = count_by_time(
             res.join(
-                spark.read.option("basePath", f"{args.archive}/sinks").parquet(
-                    f"{args.archive}/sinks"
-                ).select(F.concat_ws("#", "file_id", "msg_ix").alias("doc_id"), "ts_ms"),
+                raw_sinks.select(
+                    F.concat_ws("#", "file_id", "msg_ix").alias("doc_id"), "ts_ms"
+                ),
                 "doc_id",
             ),
             F.col("ts_ms"),

@@ -195,23 +195,28 @@ def jaccard_on_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.0,
+    broadcast_pairs: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard computed ONLY for the given (id_a, id_b) pairs.
 
     This is the scale-safe exact verifier: the all-pairs variant
     (ngram_jaccard_pairs) self-joins the full shingle table on `shingle`,
     which explodes quadratically on one hot shingle; here the candidate pair
-    set (typically from minhash_lsh_candidates — near-linear in corpus size)
-    keys the work instead. pairs is broadcast (it's the small side); the only
-    big join is shingles ⋈ shingles restricted to candidate ids, keyed on
-    (id_b, shingle) — well-distributed, AQE skew-split if needed.
+    set (typically from minhash_lsh_candidates) keys the work instead. The
+    candidate set is itself near-linear in corpus size, so it is NOT
+    force-broadcast — AQE broadcasts it at runtime when it is actually
+    small, and falls back to a shuffle join keyed on id_a otherwise
+    (pass broadcast_pairs=True to pin the broadcast for a known-small set).
+    The only big join is shingles ⋈ shingles restricted to candidate ids,
+    keyed on (id_b, shingle) — well-distributed, AQE skew-split if needed.
     """
     sh = word_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    pair_side = F.broadcast(pairs) if broadcast_pairs else pairs
     inter = (
-        a.join(F.broadcast(pairs), "id_a")
+        a.join(pair_side, "id_a")
         .join(b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))

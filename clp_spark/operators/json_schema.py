@@ -92,24 +92,49 @@ def make_schema_udf():
 # ------------------------------------------- v2: variant-based (JVM-side)
 
 
-def _parse_variant_ddl(ddl: str) -> list[tuple[str, str]]:
-    """Parse a schema_of_variant DDL string → [(path, kind)] leaf list in a
-    fixed (path-sorted) order. kind ∈ int/float/bool/null/string/emptyobj/
-    array:<elem-ddl> — 'string' leaves are refined per row later; arrays keep
-    their element DDL for the structurize decision."""
+def _parse_variant_ddl(ddl: str) -> list[tuple[tuple[str, ...], str]]:
+    """Parse a schema_of_variant DDL string → [(path_segments, kind)] leaf
+    list in a fixed (path-sorted) order. kind ∈ int/float/bool/null/string/
+    emptyobj/array:<elem> — 'string' leaves are refined per row later;
+    arrays keep their element kind for the structurize decision.
+
+    Field names that schema_of_variant backtick-quotes (keys containing
+    '.', ':', spaces, …) are unquoted here (`` doubles a literal backtick),
+    and paths stay SEGMENT LISTS end to end so such keys address correctly
+    through variant_get and from_json."""
     pos = 0
 
-    def peek_ident() -> str:
-        j = pos
-        while j < len(ddl) and ddl[j] not in "<>,:(":
-            j += 1
-        return ddl[pos:j].strip()
+    def parse_field_name() -> str:
+        nonlocal pos
+        while ddl[pos] == " ":
+            pos += 1
+        if ddl[pos] == "`":
+            pos += 1
+            out = []
+            while True:
+                if ddl[pos] == "`":
+                    if pos + 1 < len(ddl) and ddl[pos + 1] == "`":
+                        out.append("`")
+                        pos += 2
+                        continue
+                    pos += 1
+                    break
+                out.append(ddl[pos])
+                pos += 1
+            name = "".join(out)
+        else:
+            start = pos
+            while ddl[pos] != ":":
+                pos += 1
+            name = ddl[start:pos].strip()
+        while ddl[pos] == " ":
+            pos += 1
+        assert ddl[pos] == ":", ddl[pos:]
+        pos += 1  # ':'
+        return name
 
     def parse_type() -> object:
         nonlocal pos
-        name = peek_ident()
-        pos += len(ddl[pos:]) - len(ddl[pos:].lstrip())
-        # consume the identifier
         start = pos
         while pos < len(ddl) and ddl[pos] not in "<>,:(":
             pos += 1
@@ -126,11 +151,7 @@ def _parse_variant_ddl(ddl: str) -> list[tuple[str, str]]:
             if name == "OBJECT":
                 fields = []
                 while ddl[pos] != ">":
-                    fstart = pos
-                    while ddl[pos] != ":":
-                        pos += 1
-                    fname = ddl[fstart:pos].strip()
-                    pos += 1  # ':'
+                    fname = parse_field_name()
                     ftype = parse_type()
                     fields.append((fname, ftype))
                     while pos < len(ddl) and ddl[pos] in ", ":
@@ -167,33 +188,65 @@ def _parse_variant_ddl(ddl: str) -> list[tuple[str, str]]:
         k = scalar_kind(t)
         return None if k in ("opaque",) else k
 
-    leaves: list[tuple[str, str]] = []
+    leaves: list[tuple[tuple[str, ...], str]] = []
 
-    def walk(t, path):
+    def walk(t, segs: tuple[str, ...]):
         tag = t[0]
         if tag == "object":
             if not t[1]:
-                leaves.append((path, "emptyobj"))
+                leaves.append((segs, "emptyobj"))
                 return
             for fname, ftype in t[1]:
-                walk(ftype, f"{path}.{fname}" if path else fname)
+                walk(ftype, segs + (fname,))
         elif tag == "array":
             es = elem_sig(t[1])
-            leaves.append((path, f"array:{es}" if es else "array:"))
+            leaves.append((segs, f"array:{es}" if es else "array:"))
         else:
-            leaves.append((path, scalar_kind(t)))
+            leaves.append((segs, scalar_kind(t)))
 
     root = parse_type()
-    walk(root, "")
+    walk(root, ())
     leaves.sort(key=lambda x: x[0])
     return leaves
 
 
-def _vpath(path: str) -> str:
-    """variant_get path expression for a dotted leaf path (bracket-quoted so
-    keys containing '.' or quotes still resolve)."""
-    segs = path.split(".")
+def _display_path(segs: tuple[str, ...]) -> str:
+    """Human/sig form of a path — dotted, matching the v1 oracle's labels
+    (shares v1's ambiguity for keys that themselves contain '.')."""
+    return ".".join(segs)
+
+
+def _vpath(segs: tuple[str, ...] | str) -> str:
+    """variant_get path expression (bracket-quoted per segment so keys
+    containing '.', ':' or quotes resolve correctly)."""
+    if isinstance(segs, str):
+        segs = (segs,)
     return "$" + "".join("['" + s.replace("'", "\\'") + "']" for s in segs)
+
+
+MAX_REFINE_SCHEMAS = 512
+
+
+def _static_sig(ddl: str, structurize_arrays: bool) -> tuple[str | None, list]:
+    """(sig, string_leaves): the signature when it is fully static (no string
+    leaves → sig str, string_leaves empty), else (None, string leaf segs) —
+    those schemas need a per-row refinement expression."""
+    leaves = _parse_variant_ddl(ddl)
+    parts: list[str] = []
+    string_leaves: list[tuple[tuple[str, ...], int]] = []
+    for i, (segs, kind) in enumerate(leaves):
+        label = _display_path(segs) + ":"
+        if kind == "string":
+            string_leaves.append((segs, i))
+            parts.append(label)  # placeholder; refined per row
+        elif kind.startswith("array:"):
+            es = kind[len("array:"):]
+            parts.append(label + (f"arr<{es}>" if (structurize_arrays and es) else "array"))
+        else:
+            parts.append(label + kind)
+    if string_leaves:
+        return None, (leaves, string_leaves)
+    return ",".join(parts), []
 
 
 def _sig_expr_for(ddl: str, v: Column, structurize_arrays: bool) -> Column:
@@ -202,11 +255,11 @@ def _sig_expr_for(ddl: str, v: Column, structurize_arrays: bool) -> Column:
     refinement (variant_get, JVM-side) for string leaves."""
     leaves = _parse_variant_ddl(ddl)
     parts: list[Column] = []
-    for i, (path, kind) in enumerate(leaves):
-        prefix = ("" if i == 0 else ",") + path + ":"
+    for i, (segs, kind) in enumerate(leaves):
+        prefix = ("" if i == 0 else ",") + _display_path(segs) + ":"
         if kind == "string":
             refined = F.when(
-                F.contains(F.try_variant_get(v, _vpath(path), "string"), F.lit(" ")),
+                F.contains(F.try_variant_get(v, _vpath(segs), "string"), F.lit(" ")),
                 F.lit("clpstring"),
             ).otherwise(F.lit("varstring"))
             parts.append(F.concat(F.lit(prefix), refined))
@@ -228,10 +281,13 @@ def with_schema_id_v2(
 
     Two phases (the clp-s MPT premise — distinct schemas << records):
       1. one JVM pass computes each record's variant schema DDL; the distinct
-         DDL set is collected (bounded by MAX_DISTINCT_SCHEMAS — fail loudly
-         on hyper-dynamic corpora rather than silently building a huge plan);
-      2. a CASE chain over those DDLs canonicalizes to the CLP signature,
-         refining string leaves per row via variant_get.
+         DDL set is collected (bounded by MAX_DISTINCT_SCHEMAS);
+      2. canonicalize DDL → CLP signature. Schemas WITHOUT string leaves have
+         a fully static signature and go through a broadcast-joined mapping
+         table (any schema count); schemas WITH string leaves need a per-row
+         varstring/clpstring refinement expression and go through a CASE
+         chain — bounded by MAX_REFINE_SCHEMAS so Catalyst never sees an
+         unboundedly deep expression tree (fail loudly instead).
     """
     v = F.try_parse_json(F.col(raw_col))
     staged = df.withColumn("_v", v).withColumn(
@@ -249,17 +305,34 @@ def with_schema_id_v2(
             f"more than {MAX_DISTINCT_SCHEMAS} distinct JSON schemas; "
             "pre-bucket the corpus or raise MAX_DISTINCT_SCHEMAS"
         )
-    sig = F.lit("<invalid>")
+    static_map: list[tuple[str, str]] = [("<invalid>", "<invalid>")]
+    refine_ddls: list[str] = []
     for ddl in distinct_ddls:
         if ddl == "<invalid>":
             continue
+        sig, _info = _static_sig(ddl, structurize_arrays)
+        if sig is None:
+            refine_ddls.append(ddl)
+        else:
+            static_map.append((ddl, sig))
+    if len(refine_ddls) > MAX_REFINE_SCHEMAS:
+        raise ValueError(
+            f"more than {MAX_REFINE_SCHEMAS} distinct schemas contain string "
+            "leaves; pre-bucket the corpus — the per-row refinement CASE "
+            "chain would exceed safe expression depth"
+        )
+    spark = df.sparkSession
+    map_df = spark.createDataFrame(static_map, "_ddl string, _static_sig string")
+    staged = staged.join(F.broadcast(map_df), "_ddl", "left")
+    sig = F.col("_static_sig")
+    for ddl in refine_ddls:
         sig = F.when(
             F.col("_ddl") == ddl, _sig_expr_for(ddl, F.col("_v"), structurize_arrays)
         ).otherwise(sig)
     out = staged.withColumn("schema_sig", sig).withColumn(
         "schema_id", F.substring(F.md5("schema_sig"), 1, 16)
     )
-    return out.drop("_v", "_ddl")
+    return out.drop("_v", "_ddl", "_static_sig")
 
 
 def with_schema_id(df: DataFrame, raw_col: str = "raw") -> DataFrame:

@@ -68,7 +68,7 @@ _KIND_TO_SPARK: dict[str, DataType] = {
 
 
 def _leaves_to_struct(
-    leaves: list[tuple[str, str]], structurize_arrays: bool
+    leaves: list[tuple[tuple[str, ...], str]], structurize_arrays: bool
 ) -> tuple[StructType, list[tuple[tuple[str, ...], str]]]:
     """DDL leaves → (from_json StructType, unstructured-array leaf paths).
 
@@ -78,8 +78,7 @@ def _leaves_to_struct(
     """
     root: dict = {}
     array_leaves: list[tuple[tuple[str, ...], str]] = []
-    for path, kind in leaves:
-        segs = tuple(path.split(".")) if path else ()
+    for segs, kind in leaves:
         if not segs:
             continue  # scalar root record — nothing to project
         node = root
@@ -113,7 +112,7 @@ def _array_probe(
     ignore_case: bool,
 ) -> Column:
     """exists(variant_get(v, $.arr, array<variant>), e -> pred(e.suffix))."""
-    elements = F.try_variant_get(v, _vpath(".".join(arr_path)), "array<variant>")
+    elements = F.try_variant_get(v, _vpath(arr_path), "array<variant>")
     spath = "$" + "".join("['" + s.replace("'", "\\'") + "']" for s in suffix)
 
     v_str = lit.value
@@ -246,36 +245,47 @@ class JsonArchive:
             return None if child is None else ~child
         assert isinstance(node, Filter)
         if node.column is None:
+            # bare value expressions match RECORD columns only — never the
+            # $-namespace metadata constants (which the reference addresses
+            # only via an explicit '$' prefix) nor internals
+            excluded = set(_INTERNAL) | set(self.metadata)
             cols = [
                 (F.col(f"`{f.name}`"), f.dataType)
                 for f in df.schema.fields
-                if not isinstance(f.dataType, StructType) and f.name not in _INTERNAL
+                if not isinstance(f.dataType, StructType) and f.name not in excluded
             ]
         else:
             # resolve against the record's schema minus internal columns so a
             # wildcard descriptor can never match __raw__/__v__
             cols = _resolve_columns(df.drop(*_INTERNAL), node.column)
-        preds: list[Column] = []
-        for col, dtype in cols:
-            vp = [_value_pred(col, dtype, lit, node.op, ignore_case) for lit in node.values]
-            p = vp[0]
-            for q in vp[1:]:
+
+        def combine(value_preds: list[Column]) -> Column:
+            p = value_preds[0]
+            for q in value_preds[1:]:
                 p = (p & q) if node.list_mode == "and" else (p | q)
             if node.list_mode == "not":
                 p = ~p
-            preds.append(p)
-        # unstructured-array descent: path goes through an array leaf
+            return p
+
+        preds: list[Column] = []
+        for col, dtype in cols:
+            preds.append(combine(
+                [_value_pred(col, dtype, lit, node.op, ignore_case) for lit in node.values]
+            ))
+        # unstructured-array descent: path goes through an array leaf. The
+        # per-value probes combine under the SAME list_mode as typed columns
+        # (a NOT-list or AND-list must not degrade to an OR of probes).
         if node.column is not None and not any(s == "*" for s in node.column):
             path = tuple(node.column)
             for arr_path, _elem in array_leaves:
                 if path[: len(arr_path)] == arr_path:
                     suffix = path[len(arr_path):]
-                    for lit in node.values:
-                        preds.append(
-                            _array_probe(
-                                F.col("__v__"), arr_path, suffix, lit, node.op, ignore_case
-                            )
+                    preds.append(combine([
+                        _array_probe(
+                            F.col("__v__"), arr_path, suffix, lit, node.op, ignore_case
                         )
+                        for lit in node.values
+                    ]))
         if not preds:
             return None  # column absent from this schema → unmatchable
         out = preds[0]

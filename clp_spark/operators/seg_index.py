@@ -33,6 +33,26 @@ from clp_spark.operators.search import (
 )
 
 
+_DICT_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+
+
+def _cached_dicts(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
+    if out_dir not in _DICT_CACHE:
+        _DICT_CACHE[out_dir] = (
+            spark.read.parquet(f"{out_dir}/logtype_dict").persist(),
+            spark.read.parquet(f"{out_dir}/var_dict").persist(),
+        )
+    return _DICT_CACHE[out_dir]
+
+
+def clear_dict_cache() -> None:
+    """Unpersist and forget all memoized archive dictionaries."""
+    for lt, vd in _DICT_CACHE.values():
+        lt.unpersist()
+        vd.unpersist()
+    _DICT_CACHE.clear()
+
+
 def build_segment_index(spark: SparkSession, sinks_dir: str) -> DataFrame:
     """(logtype_id, segment) distinct pairs over a split-partitioned sink dir.
     Column-pruned scan: only the logtype_id column and the split partition
@@ -85,9 +105,10 @@ def search_archive_pruned(
     dictionaries into memory once per archive (DictionaryReader); query
     compilation runs several probe scans against them, so keeping them
     cached turns each probe into an in-memory scan instead of a parquet
-    re-read."""
-    logtype_dict = spark.read.parquet(f"{out_dir}/logtype_dict").persist()
-    var_dict = spark.read.parquet(f"{out_dir}/var_dict").persist()
+    re-read. The cache is memoized per archive path (repeated queries reuse
+    ONE cached copy rather than stacking a new persist per call); drop it
+    with clear_dict_cache()."""
+    logtype_dict, var_dict = _cached_dicts(spark, out_dir)
     seg_index = spark.read.parquet(f"{out_dir}/seg_index")
 
     compiled = compile_query(query, logtype_dict, var_dict, ignore_case)

@@ -111,6 +111,25 @@ class SnapshotTable:
     def committed_tags(self) -> set[str]:
         return {s.get("tag") for s in self.history() if s.get("tag")}
 
+    def recover(self) -> list[int]:
+        """Remove UNPUBLISHED manifests above HEAD — leftovers of crashed
+        commits, which would otherwise block the version slot. Run only when
+        no writer is active: an in-flight commit's manifest is
+        indistinguishable from a crash orphan. Returns removed versions."""
+        head = self.current_version()
+        removed = []
+        for name in os.listdir(self.meta_dir):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            try:
+                v = int(name[1:-5])
+            except ValueError:
+                continue
+            if head is None or v > head:
+                os.unlink(os.path.join(self.meta_dir, name))
+                removed.append(v)
+        return sorted(removed)
+
     def commit(
         self,
         df: DataFrame,
@@ -181,7 +200,7 @@ class SnapshotTable:
             files = prev + new_files
 
         version = 0 if parent is None else parent + 1
-        manifest = {
+        manifest: dict = {
             "version": version,
             "parent": parent,
             "tag": tag,
@@ -198,13 +217,21 @@ class SnapshotTable:
         tmp = mpath + "." + commit_id + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, mpath)
-        # optimistic concurrency: publish HEAD only if parent is still HEAD
-        if self.current_version() != parent:
+        # optimistic concurrency: CLAIM the version slot with an atomic
+        # fail-if-exists link — two writers racing from the same parent can
+        # never overwrite each other's manifest (os.replace would); the
+        # loser gets a clean conflict error and retries on the new snapshot.
+        try:
+            os.link(tmp, mpath)
+        except FileExistsError:
+            os.unlink(tmp)
             raise RuntimeError(
-                f"{self.path}: concurrent commit detected (parent {parent} "
-                f"is no longer HEAD) — retry on the new snapshot"
-            )
+                f"{self.path}: concurrent commit detected (version {version} "
+                f"already claimed) — retry on the new snapshot"
+            ) from None
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
         htmp = self._head_path() + "." + commit_id + ".tmp"
         with open(htmp, "w") as f:
             f.write(str(version))

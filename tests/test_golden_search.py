@@ -160,6 +160,27 @@ def test_int_timestamp_corpus(spark, query, expected):
     assert _matched(ar, query) == expected
 
 
+class TestReviewRegressions:
+    """Round-2 review findings: list_mode on array probes, bare-value
+    filters vs metadata columns."""
+
+    def test_not_list_on_array_path(self, spark):
+        ar = _archive(spark, MAIN_RECORDS)
+        # record 8 has arr.b=1001 (typed), record 7 has it inside an array;
+        # NOT 1001 must exclude BOTH, not invert into an existence probe
+        assert _matched(ar, "arr.b: (NOT 1001)") == set()
+        # NOT 999: record 7's array has no b==999 → matches; record 8's
+        # typed b=1001 != 999 → matches
+        assert _matched(ar, "arr.b: (NOT 999)") == {7, 8}
+        assert _matched(ar, "arr.a: (999 OR 1000)") == {7, 8}
+
+    def test_bare_value_does_not_match_metadata(self, spark):
+        ar = _archive(spark, MAIN_RECORDS)
+        # METADATA carries _file_split_number=0; a bare `0` must match only
+        # records whose OWN columns hold 0 (idx: 0), not every record
+        assert _matched(ar, "0") == {0}
+
+
 def test_materialize_schema_tables(spark, tmp_path):
     """clp-s ERT store: each schema group written as a typed columnar table."""
     import os

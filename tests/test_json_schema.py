@@ -99,10 +99,35 @@ class TestVariantSchemaV2:
             "i: DECIMAL(20,0), j: DOUBLE, k: BOOLEAN>"
         )
         assert leaves == [
-            ("a", "int"), ("b.c", "float"), ("b.d", "null"), ("e", "array:int"),
-            ("f", "array:"), ("g", "emptyobj"), ("h", "string"),
-            ("i", "float"), ("j", "float"), ("k", "bool"),
+            (("a",), "int"), (("b", "c"), "float"), (("b", "d"), "null"),
+            (("e",), "array:int"), (("f",), "array:"), (("g",), "emptyobj"),
+            (("h",), "string"), (("i",), "float"), (("j",), "float"),
+            (("k",), "bool"),
         ]
+
+    def test_ddl_parser_backticked_keys(self):
+        """schema_of_variant backtick-quotes keys with special chars; the
+        parser must unquote them and keep them ONE path segment."""
+        leaves = _parse_variant_ddl(
+            "OBJECT<`a.b`: STRING, `c:d`: BIGINT, `e``f`: DOUBLE, plain: VOID>"
+        )
+        assert leaves == [
+            (("a.b",), "string"), (("c:d",), "int"),
+            (("e`f",), "float"), (("plain",), "null"),
+        ]
+
+    def test_special_keys_match_v1_oracle(self, spark):
+        """Regression (round-2 review): keys containing '.', ':' or spaces
+        must refine and sign identically to the per-row Python oracle."""
+        rows = [
+            '{"a.b": "x y", "c d": "one", "k": 1}',
+            '{"a.b": "nospace"}',
+        ]
+        df = spark.createDataFrame([(s,) for s in rows], "raw string")
+        v1 = {r["raw"]: r["schema_sig"] for r in with_schema_id(df).collect()}
+        v2 = {r["raw"]: r["schema_sig"] for r in with_schema_id_v2(df).collect()}
+        assert v1 == v2
+        assert "a.b:clpstring" in v2[rows[0]]
 
     def test_matches_v1_oracle(self, spark):
         df = spark.createDataFrame([(s,) for s in JSONL], "raw string")

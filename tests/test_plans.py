@@ -91,13 +91,16 @@ class TestPlanShapes:
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "MapInArrow"):
             assert node not in plan
 
-    def test_lsh_jaccard_broadcasts_candidate_pairs(self, spark):
-        """The pair-restricted Jaccard must broadcast the (small) candidate
-        pair set, never shuffle the full shingle table against itself."""
-        from clp_spark.operators.dedup import lsh_jaccard
+    def test_lsh_jaccard_pinned_broadcast(self, spark):
+        """With broadcast_pairs pinned, the pair-restricted Jaccard shows a
+        broadcast join on the candidate set; the default leaves the choice
+        to AQE (the candidate set is near-linear in corpus size, so a
+        forced broadcast would not survive 100 TB)."""
+        from clp_spark.operators.dedup import jaccard_on_pairs, minhash_lsh_candidates
 
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        q = lsh_jaccard(docs, "doc_id", "text", num_hashes=8, bands=4)
+        pairs = minhash_lsh_candidates(docs, "doc_id", "text", 8, 4)
+        q = jaccard_on_pairs(docs, pairs, "doc_id", "text", broadcast_pairs=True)
         assert "BroadcastHashJoin" in plan_of(q)
 
     def test_decode_path_is_maparrow(self, spark):

@@ -67,7 +67,8 @@ def test_empty_table_read_has_schema(spark, table):
 
 
 def test_crash_before_head_swap_is_invisible(spark, table):
-    """A manifest written without the HEAD swap must not be served."""
+    """A manifest written without the HEAD swap must not be served; the
+    orphan blocks its version slot until recover() removes it."""
     table.commit(_df(spark, [(1, "a", 10)]))
     # simulate a crashed commit: orphan manifest v1 exists, HEAD still 0
     import json
@@ -76,6 +77,11 @@ def test_crash_before_head_swap_is_invisible(spark, table):
         json.dump({"version": 1, "parent": 0, "files": [], "schema": {}}, f)
     assert table.current_version() == 0
     assert table.read(spark).count() == 1
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        table.commit(_df(spark, [(2, "b", 20)]))
+    assert table.recover() == [1]
+    table.commit(_df(spark, [(2, "b", 20)]))
+    assert table.read(spark).count() == 2
 
 
 def test_concurrent_commit_detected(spark, table):
