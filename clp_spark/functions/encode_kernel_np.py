@@ -371,21 +371,6 @@ def _raw_columns(n, buf, msg_start, msg_end, vts, vte, codes, values) -> dict:
     }
 
 
-def _assemble(
-    n: int,
-    buf: np.ndarray,
-    msg_start: np.ndarray,
-    msg_end: np.ndarray,
-    vts: np.ndarray,
-    vte: np.ndarray,
-    codes: np.ndarray,
-    values: np.ndarray,
-    dict_strs: list[str],
-) -> pd.DataFrame:
-    raw = _raw_columns(n, buf, msg_start, msg_end, vts, vte, codes, values)
-    return raw_to_pandas(raw)
-
-
 def raw_to_pandas(raw: dict) -> pd.DataFrame:
     n = raw["n"]
     lt_bytes = raw["lt_data"].tobytes()

@@ -245,15 +245,12 @@ class JsonArchive:
             return None if child is None else ~child
         assert isinstance(node, Filter)
         if node.column is None:
-            # bare value expressions match RECORD columns only — never the
-            # $-namespace metadata constants (which the reference addresses
-            # only via an explicit '$' prefix) nor internals
-            excluded = set(_INTERNAL) | set(self.metadata)
-            cols = [
-                (F.col(f"`{f.name}`"), f.dataType)
-                for f in df.schema.fields
-                if not isinstance(f.dataType, StructType) and f.name not in excluded
-            ]
+            # bare value = implicit '*' over RECORD leaves (all depths) —
+            # never the $-namespace metadata constants (which the reference
+            # addresses only via an explicit '$' prefix) nor internals
+            cols = _resolve_columns(
+                df.drop(*_INTERNAL, *self.metadata.keys()), ["*"]
+            )
         else:
             # resolve against the record's schema minus internal columns so a
             # wildcard descriptor can never match __raw__/__v__

@@ -20,7 +20,6 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 from datetime import datetime, timezone
-from fnmatch import fnmatchcase
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -101,6 +100,11 @@ def _unescape(text: str, quoted: bool) -> tuple[str, bool]:
                 out.append(_ESCAPES[nxt])
             elif nxt in "*?":
                 out.append("\\" + nxt)  # keep escaped for wildcard translator
+            elif nxt == ".":
+                # keep escaped: an unquoted column 'a\.b' is ONE segment —
+                # _split_column must not split on it; value predicates strip
+                # the escape later
+                out.append("\\.")
             elif nxt == "u" and i + 5 < len(text):
                 out.append(chr(int(text[i + 2 : i + 6], 16)))
                 i += 6
@@ -231,11 +235,15 @@ class _Parser:
         return Filter(None, ":", [lit])
 
     def _parse_value_literal(self) -> Lit:
-        # timestamp("...") literal
+        # timestamp("...") FUNCTION literal — only when a '(' actually
+        # follows; a plain value that happens to be the word 'timestamp'
+        # stays an ordinary literal
         t = self.peek()
-        if t.kind == "unquoted" and t.text.startswith("timestamp("):
-            raise ValueError("timestamp() must be lexed specially")
-        if t.kind == "unquoted" and t.text == "timestamp":
+        if (
+            t.kind == "unquoted"
+            and t.text == "timestamp"
+            and self.toks[self.i + 1].kind == "lparen"
+        ):
             self.eat()
             self.eat("lparen")
             inner = self._literal()
@@ -247,8 +255,25 @@ class _Parser:
 def _split_column(lit: Lit) -> list[str]:
     if lit.quoted:
         return [lit.value]
-    # split on unescaped '.' — escapes already resolved except wildcard escapes
-    return lit.value.split(".")
+    # split on unescaped '.' only ('\.' survives _unescape as an escaped
+    # dot), then resolve the escapes inside each segment
+    segs: list[str] = []
+    cur: list[str] = []
+    i = 0
+    v = lit.value
+    while i < len(v):
+        if v[i] == "\\" and i + 1 < len(v):
+            cur.append(v[i : i + 2])
+            i += 2
+        elif v[i] == ".":
+            segs.append("".join(cur))
+            cur = []
+            i += 1
+        else:
+            cur.append(v[i])
+            i += 1
+    segs.append("".join(cur))
+    return [s.replace("\\.", ".") for s in segs]
 
 
 def _prefix_columns(node: Node, prefix: list[str]) -> None:
@@ -307,15 +332,37 @@ def _flatten_schema(schema: StructType, prefix: tuple[str, ...] = ()) -> list[tu
     return out
 
 
+def _seg_match(pat: str, s: str) -> bool:
+    """One-segment wildcard match: ONLY '*' and '?' are wildcards (KQL has no
+    character classes — '[' etc. are literal; fnmatch would misread them).
+    '\\'-escaped wildcards are literal."""
+    rx: list[str] = []
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\" and i + 1 < len(pat):
+            rx.append(re.escape(pat[i + 1]))
+            i += 2
+            continue
+        if c == "*":
+            rx.append(".*")
+        elif c == "?":
+            rx.append(".")
+        else:
+            rx.append(re.escape(c))
+        i += 1
+    return re.fullmatch("".join(rx), s, re.DOTALL) is not None
+
+
 def _match_path(pattern: list[str], path: tuple[str, ...]) -> bool:
     """Wildcard column-descriptor match: '*' segment matches 0+ levels, other
-    segments fnmatch one level (reference SchemaMatch.cpp)."""
+    segments wildcard-match one level (reference SchemaMatch.cpp)."""
     if not pattern:
         return not path
     head = pattern[0]
     if head == "*":
         return any(_match_path(pattern[1:], path[i:]) for i in range(len(path) + 1))
-    if path and fnmatchcase(path[0], head):
+    if path and _seg_match(head, path[0]):
         return _match_path(pattern[1:], path[1:])
     return False
 
@@ -369,18 +416,32 @@ def _value_pred(col: Column, dtype: DataType, lit: Lit, op: str, ignore_case: bo
                 return int_eq_double(col, F.lit(num))
             return col == F.lit(num)
         if isinstance(dtype, TimestampType):
-            return col.cast("string") == v
+            # timestamp columns compare in epoch ms — timestamp() literals
+            # and bare numbers are already ms; date-shaped strings parse via
+            # the literal rules (reference TimestampLiteral semantics)
+            try:
+                ms = _parse_timestamp(v)
+            except ValueError:
+                return F.lit(False)
+            return F.unix_millis(col) == F.lit(ms)
         if isinstance(dtype, StringType):
             if lit.has_wild:
                 pat = wildcard_to_like_pattern(v)
                 return col.ilike(pat) if ignore_case else col.like(pat)
-            # value may contain escaped wildcards — strip the escapes for exact compare
-            exact = v.replace("\\*", "*").replace("\\?", "?")
+            # value may contain escaped wildcards/dots — strip for exact compare
+            exact = v.replace("\\*", "*").replace("\\?", "?").replace("\\.", ".")
             if ignore_case:
                 return F.lower(col) == exact.lower()
             return col == exact
         if isinstance(dtype, ArrayType):
-            return F.array_contains(col, v)
+            # membership = some element satisfies the scalar predicate —
+            # correctly typed per element (no raw-string array_contains,
+            # which throws under ANSI when elements are numeric)
+            et = dtype.elementType
+            return F.coalesce(
+                F.exists(col, lambda e: _value_pred(e, et, lit, ":", ignore_case)),
+                F.lit(False),
+            )
         return col.cast("string") == v
     # range ops — numeric literal never range-matches a string column
     # (reference NarrowTypes.cpp: literal narrowed to the column's type or dropped)
@@ -392,6 +453,26 @@ def _value_pred(col: Column, dtype: DataType, lit: Lit, op: str, ignore_case: bo
             numval = float(v)
         except ValueError:
             is_numeric_lit = False
+    if isinstance(dtype, TimestampType):
+        # compare in epoch ms (timestamp() literals are ms)
+        try:
+            ms = _parse_timestamp(v)
+        except ValueError:
+            return F.lit(False)
+        tcol = F.unix_millis(col)
+        if op == "<":
+            return tcol < ms
+        if op == ">":
+            return tcol > ms
+        if op == "<=":
+            return tcol <= ms
+        return tcol >= ms
+    if isinstance(dtype, ArrayType):
+        et = dtype.elementType
+        return F.coalesce(
+            F.exists(col, lambda e: _value_pred(e, et, lit, op, ignore_case)),
+            F.lit(False),
+        )
     if isinstance(dtype, StringType):
         if is_numeric_lit:
             return F.lit(False)
@@ -439,8 +520,9 @@ def _compile(df: DataFrame, node: Node, ignore_case: bool) -> Column:
         return ~_compile(df, node.child, ignore_case)
     assert isinstance(node, Filter)
     if node.column is None:
-        cols = [(F.col(f"`{f.name}`"), f.dataType) for f in df.schema.fields
-                if not isinstance(f.dataType, StructType)]
+        # bare value = implicit '*' descriptor: every leaf at EVERY depth
+        # (reference SchemaMatch wildcard resolution), not just top level
+        cols = _resolve_columns(df, ["*"])
     else:
         cols = _resolve_columns(df, node.column)
     if not cols:

@@ -253,11 +253,17 @@ def compile_query(
 
     combos = list(product(*choices)) if choices else [()]
     if len(combos) > MAX_ENUMERATIONS:
-        combos = combos[:MAX_ENUMERATIONS]
+        # Truncating the cartesian product would DROP subqueries — a silent
+        # false-negative (a row matching only a dropped interpretation never
+        # enters the candidate union). The only sound degradation is the
+        # full-scan superset: decode everything and let the final wildcard
+        # verification restore exactness (same semantics as MATCH_ALL).
+        return MATCH_ALL
 
+    probe_cache: dict = {}
     subqueries: list[SubQuery] = []
     for combo in combos:
-        sq = _build_subquery(units, tok_ix, combo, var_dict, ignore_case)
+        sq = _build_subquery(units, tok_ix, combo, var_dict, ignore_case, probe_cache)
         if sq is None:
             continue
         if sq == MATCH_ALL:
@@ -301,7 +307,12 @@ def compile_query(
     return compiled
 
 
-def _build_subquery(units, tok_ix, combo, var_dict, ignore_case):
+def _build_subquery(units, tok_ix, combo, var_dict, ignore_case, probe_cache=None):
+    """probe_cache memoizes dictionary probes across the combo loop keyed on
+    (pattern, ignore_case, exact) — identical (token, interpretation) pairs
+    recur in most combos, and each probe is a driver-side Spark job."""
+    if probe_cache is None:
+        probe_cache = {}
     like_parts: list[str] = []
     sq = SubQuery(logtype_like="")
     combo_iter = iter(combo)
@@ -337,16 +348,27 @@ def _build_subquery(units, tok_ix, combo, var_dict, ignore_case):
                     sq.ordered_exact.append((0x13, str(fv)))
                 else:
                     if ignore_case:
-                        matches = _probe_dict(var_dict, v, True, exact=True)
+                        matches = _probe_dict_cached(
+                            probe_cache, var_dict, v, True, exact=True
+                        )
                         if not matches:
                             return None
                         like_parts.append(DICT_PLACEHOLDER)
-                        sq.set_constraints.append(matches)
+                        if len(matches) <= MAX_DICT_CONSTRAINT_STRINGS:
+                            sq.set_constraints.append(matches)
+                        # over the cap: drop the (truncated) constraint —
+                        # an incomplete isin would false-negative the
+                        # variants past the cap; wildcard_match_required is
+                        # already True on this path, so the final verify
+                        # restores exactness over the superset
                     else:
-                        exists = (
-                            var_dict.where(F.col("var_value") == v).limit(1).count() > 0
-                        )
-                        if not exists:
+                        key = ("exists", v)
+                        if key not in probe_cache:
+                            probe_cache[key] = (
+                                var_dict.where(F.col("var_value") == v).limit(1).count()
+                                > 0
+                            )
+                        if not probe_cache[key]:
                             return None  # WontMatch
                         like_parts.append(DICT_PLACEHOLDER)
                         sq.ordered_exact.append((0x12, v))
@@ -365,8 +387,9 @@ def _build_subquery(units, tok_ix, combo, var_dict, ignore_case):
                 float_possible = all(c.isdigit() or c in "-." for c in content)
                 if content and not int_possible and not float_possible:
                     # must be a dictionary variable → probe with wildcards
-                    matches = _probe_dict(
-                        var_dict, _token_wild_pattern(tok), ignore_case, exact=False
+                    matches = _probe_dict_cached(
+                        probe_cache, var_dict, _token_wild_pattern(tok),
+                        ignore_case, exact=False,
                     )
                     if not matches:
                         return None
@@ -403,6 +426,15 @@ def _token_wild_pattern(tok: QueryToken) -> str:
         else:
             out.append(c)
     return "".join(out)
+
+
+def _probe_dict_cached(
+    cache: dict, var_dict, pattern: str, ignore_case: bool, exact: bool
+) -> list[str]:
+    key = ("probe", pattern, ignore_case, exact)
+    if key not in cache:
+        cache[key] = _probe_dict(var_dict, pattern, ignore_case, exact)
+    return cache[key]
 
 
 def _probe_dict(var_dict, pattern: str, ignore_case: bool, exact: bool) -> list[str]:

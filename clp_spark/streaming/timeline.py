@@ -18,23 +18,34 @@ from pyspark.sql import functions as F
 
 
 def streaming_count_by_time(
-    events: DataFrame, ts_ms_col: str, bucket_ms: int, watermark_delay: str = "1 minute"
+    events: DataFrame, ts_ms_col: str, bucket_ms: int,
+    watermark_delay: str | None = None,
 ) -> DataFrame:
-    """Streaming DF → per-bucket counts. Watermark bounds late-data state."""
+    """Streaming DF → per-bucket counts.
+
+    Default (watermark_delay=None) matches the reference reducer exactly:
+    group on the truncating bucket formula ts - ts % B (identical to batch
+    count_by_time, including negative timestamps) with unbounded state —
+    CLP's reducer also keeps every bucket resident (state is O(buckets),
+    one per bucket_ms of covered time, tiny).
+
+    With a watermark, grouping must be an event-time window; tumbling
+    windows FLOOR-align, which diverges from the truncate formula for
+    negative epochs — only use the watermarked form for nonneg timestamps
+    (a bucket/window 1:1 mismatch would emit duplicate bucket_ts rows)."""
+    ts = F.col(ts_ms_col).cast("long")
+    bucket = (ts - (ts % F.lit(bucket_ms))).alias("bucket_ts")
+    if watermark_delay is None:
+        return events.groupBy(bucket).agg(F.count("*").alias("cnt"))
     with_ts = events.withColumn(
-        "_event_time", F.timestamp_millis(F.col(ts_ms_col).cast("long"))
+        "_event_time", F.timestamp_millis(ts)
     ).withWatermark("_event_time", watermark_delay)
-    bucket = (
-        (F.col(ts_ms_col).cast("long") / F.lit(bucket_ms)).cast("long") * F.lit(bucket_ms)
-    ).alias("bucket_ts")
-    # group on both the raw bucket and an event-time window so the watermark
-    # can expire state; they are 1:1 for tumbling windows aligned to bucket_ms
     return (
         with_ts.groupBy(
-            F.window("_event_time", f"{bucket_ms} milliseconds").alias("_w"), bucket
+            F.window("_event_time", f"{bucket_ms} milliseconds").alias("_w")
         )
         .agg(F.count("*").alias("cnt"))
-        .select("bucket_ts", "cnt")
+        .select(F.unix_millis(F.col("_w.start")).alias("bucket_ts"), "cnt")
     )
 
 

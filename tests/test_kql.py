@@ -136,6 +136,59 @@ def test_empty_leading_segment_no_crash(corpus):
     assert kql_filter(corpus, ".nosuch: 1").count() == 0
 
 
+class TestSecondReviewRegressions:
+    """Round-2 second-review fixes over the KQL compiler."""
+
+    def test_timestamp_column_equality_and_range(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(0, "2024-01-01 00:00:00"), (1, "2024-01-02 00:00:00")],
+            "id long, s string",
+        ).select("id", F.col("s").cast("timestamp").alias("ts"))
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        got = {r["id"] for r in kql_filter(df, 'ts: timestamp("2024-01-01")').collect()}
+        assert got == {0}
+        got = {r["id"] for r in kql_filter(df, 'ts > timestamp("2024-01-01")').collect()}
+        assert got == {1}
+
+    def test_array_membership_typed(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1, 2, 3], ["alpha", "beta two"]), (1, [9], ["x"])],
+            "id long, nums array<bigint>, tags array<string>",
+        )
+        assert {r["id"] for r in kql_filter(df, "nums: 2").collect()} == {0}
+        # non-numeric literal vs numeric array: no match, NO ANSI cast crash
+        assert kql_filter(df, "nums: abc").count() == 0
+        # wildcard membership on string arrays goes through LIKE
+        assert {r["id"] for r in kql_filter(df, "tags: beta*").collect()} == {0}
+        # range over array = any element in range
+        assert {r["id"] for r in kql_filter(df, "nums > 5").collect()} == {1}
+
+    def test_escaped_dot_column_segment(self, spark):
+        df = spark.createDataFrame([(5,)], "`my.field` long")
+        assert kql_filter(df, r"my\.field: 5").count() == 1
+        assert kql_filter(df, r"my\.field: 6").count() == 0
+
+    def test_literal_timestamp_value(self, spark):
+        df = spark.createDataFrame([("timestamp",), ("other",)], "level string")
+        assert kql_filter(df, "level: timestamp").count() == 1
+
+    def test_bracket_column_is_literal(self, spark):
+        df = spark.createDataFrame([(1, 2)], "`arr[0]` long, arr0 long")
+        # '[0]' must NOT be a character class matching 'arr0'
+        got = kql_filter(df, "arr[0]: 1")
+        assert got.count() == 1
+        assert kql_filter(df, "arr[0]: 2").count() == 0
+
+    def test_bare_value_matches_nested_leaves(self, spark):
+        df = spark.createDataFrame(
+            [(0, "hit", ("deep",)), (1, "miss", ("hit",))],
+            "id long, msg string, attrs struct<host:string>",
+        )
+        assert {r["id"] for r in kql_filter(df, "hit").collect()} == {0, 1}
+
+
 class TestParserRobustness:
     """The parser must reject malformed input with ValueError — never
     IndexError/KeyError/RecursionError — and every string that parses must

@@ -195,6 +195,18 @@ def test_match_all_compile_shortcircuit(archive):
     assert compile_query("*", lt, vd) == MATCH_ALL
 
 
+def test_enumeration_cap_degrades_to_superset_not_truncation(archive):
+    """A query whose interpretation product exceeds MAX_ENUMERATIONS must
+    fall back to the full-scan-plus-verify superset (MATCH_ALL), never
+    silently drop subqueries (round-2 review: truncation = false negatives).
+    Results must still be exact."""
+    _, lt, vd = archive
+    # four 4-way-ambiguous wildcard-digit tokens → 4^4 = 256 combos > 128
+    q = "*1* *2* *3* *4*"
+    assert compile_query(q, lt, vd) == MATCH_ALL
+    assert run(archive, q) == naive(q)
+
+
 def test_message_column_is_decoded_original(archive):
     sinks, lt, vd = archive
     out = search_archive(sinks, lt, vd, "*ERROR*")
