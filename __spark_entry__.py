@@ -27,23 +27,25 @@ _SHIPPED = False
 
 
 def _ensure_workers_have_package(spark: SparkSession) -> None:
-    """Ship clp_spark to executors (the spark-submit --py-files equivalent)."""
+    """Ship clp_spark to executors (the spark-submit --py-files equivalent).
+
+    The zip is rebuilt into a fresh per-process directory on first use —
+    a cached /tmp zip from an earlier run would ship STALE code to
+    executors after the package changes, and an in-place rewrite would race
+    a concurrent driver reading it. addPyFile errors are not swallowed:
+    a worker without the package fails loudly later anyway."""
     global _SHIPPED
     if _SHIPPED:
         return
     import shutil
     import tempfile
 
-    zip_base = os.path.join(tempfile.gettempdir(), "clp_spark_pkg")
-    zip_path = zip_base + ".zip"
-    if not os.path.exists(zip_path):
-        staging = tempfile.mkdtemp()
-        shutil.copytree(os.path.join(_REPO, "clp_spark"), os.path.join(staging, "clp_spark"))
-        shutil.make_archive(zip_base, "zip", staging)
-    try:
-        spark.sparkContext.addPyFile(zip_path)
-    except Exception:
-        pass  # already added in this context
+    staging = tempfile.mkdtemp(prefix="clp_spark_pkg_")
+    shutil.copytree(os.path.join(_REPO, "clp_spark"), os.path.join(staging, "src", "clp_spark"))
+    zip_path = shutil.make_archive(
+        os.path.join(staging, "clp_spark_pkg"), "zip", os.path.join(staging, "src")
+    )
+    spark.sparkContext.addPyFile(zip_path)
     _SHIPPED = True
 
 
@@ -561,7 +563,11 @@ def q_multimodal_bytes(spark, sf_dir):
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
-    return extract_features(media).select("media_id", "byte_len", "content_hash")
+    # decoder=None: only byte_len/content_hash are consumed — skip the
+    # feature decode (mapInPandas can't column-prune inside the UDF)
+    return extract_features(media, decoder=None).select(
+        "media_id", "byte_len", "content_hash"
+    )
 
 
 def q_clp_decode_roundtrip(spark, sf_dir):
@@ -958,14 +964,14 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_dupes FROM documents GROUP BY 1"
         ),
         "minhash_seed0": (
-            "WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents), "
+            "WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents), "
             "sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, "
             "greatest(len(w)-2, 1)), i -> array_to_string(w[i:i+2], ' '))) AS shingle FROM d) "
             f"SELECT doc_id, min({_HASH60.format(x=chr(39) + '0|' + chr(39) + ' || shingle')}) "
             "AS mh FROM sh GROUP BY 1"
         ),
         "minhash_band_candidates": (
-            "WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents "
+            "WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents "
             "WHERE doc_id < 200), "
             "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, "
             "greatest(len(w)-2, 1)), i -> array_to_string(w[i:i+2], ' '))) AS shingle FROM d), "
@@ -984,7 +990,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_jaccard": (
             # LSH candidate pairs (identical CTE chain to minhash_band_candidates,
             # doc_id < 200) → exact Jaccard computed only on those pairs
-            "WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents "
+            "WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents "
             "WHERE doc_id < 200), "
             "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, "
             "greatest(len(w)-2, 1)), i -> array_to_string(w[i:i+2], ' '))) AS shingle FROM d), "
@@ -1009,7 +1015,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b"
         ),
         "simhash": (
-            "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+            "WITH words AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w "
             "FROM documents WHERE doc_id < 100), "
             f"h AS (SELECT doc_id, {_HASH60.format(x='w')} AS h FROM words WHERE w <> ''), "
             "bits AS (SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s FROM h "
@@ -1040,7 +1046,11 @@ def oracle_sql() -> dict[str, str]:
             "AS lt_bucket, count(*) AS n FROM documents GROUP BY 1"
         ),
         "lang_id": (
-            "WITH s AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), "
+            # split \s+ and drop empties — the engine's words() semantics
+            # (the corpus is single-spaced today; the oracle must not depend
+            # on that staying true)
+            "WITH s AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+            "'\\s+'), x -> x <> '') AS w FROM documents), "
             f"r AS (SELECT doc_id, "
             f"len(list_filter(w, x -> x IN ({en})))::DOUBLE / greatest(len(w), 1) AS en, "
             f"len(list_filter(w, x -> x IN ({de})))::DOUBLE / greatest(len(w), 1) AS de, "
@@ -1050,7 +1060,8 @@ def oracle_sql() -> dict[str, str]:
             "WHEN de = greatest(en, de, fr) THEN 'de' ELSE 'fr' END AS lang_guess FROM r"
         ),
         "quality_score": (
-            "WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents), "
+            "WITH s AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text, "
+            "'\\s+'), x -> x <> '') AS w FROM documents), "
             f"r AS (SELECT doc_id, text, "
             f"len(list_filter(list_transform(w, x -> lower(x)), x -> x IN ({en})))::DOUBLE "
             "/ greatest(len(w), 1) AS swr, "
@@ -1064,8 +1075,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_counts": (
             # CASTs: DuckDB sum(BIGINT) → HUGEINT (type-sensitive driver hash)
-            "SELECT source, CAST(sum(len(list_filter(string_split(text, ' '), "
-            "x -> x <> ''))) AS BIGINT) AS total_words, "
+            "SELECT source, CAST(sum(len(list_filter(regexp_split_to_array(text, "
+            "'\\s+'), x -> x <> ''))) AS BIGINT) AS total_words, "
             f"CAST(sum(len(regexp_extract_all(text, '{bpe_re}'))) AS BIGINT) AS total_bpe "
             "FROM documents GROUP BY 1"
         ),

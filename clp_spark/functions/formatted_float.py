@@ -41,6 +41,12 @@ NUM_SIG_DIGITS_MASK = 0b1_1111 << NUM_SIG_DIGITS_POS
 MAX_SIG_DIGITS = 17
 
 
+def _is_ascii_digit(c: str) -> bool:
+    """ASCII-only digit (reference std::isdigit parity — str.isdigit would
+    accept Unicode digits the reference rejects)."""
+    return "0" <= c <= "9"
+
+
 def get_float_encoding(s: str) -> int | None:
     """16-bit format of ``s``, or None if the string isn't representable
     (reference returns std::errc::protocol_not_supported)."""
@@ -64,11 +70,11 @@ def get_float_encoding(s: str) -> int | None:
         # omission for behavioral parity)
         # exponent must be followed by an integer
         if not (
-            (exp_pos + 1 < len(s) and s[exp_pos + 1].isdigit())
+            (exp_pos + 1 < len(s) and _is_ascii_digit(s[exp_pos + 1]))
             or (
                 exp_pos + 2 < len(s)
                 and s[exp_pos + 1] in "+-"
-                and s[exp_pos + 2].isdigit()
+                and _is_ascii_digit(s[exp_pos + 2])
             )
         ):
             return None
@@ -78,7 +84,7 @@ def get_float_encoding(s: str) -> int | None:
         elif s[exp_pos + 1] == "-":
             fmt |= EXP_SIGN_MINUS
         num_exp_digits = len(s) - exp_pos - 1
-        if not s[exp_pos + 1].isdigit():
+        if not _is_ascii_digit(s[exp_pos + 1]):
             if num_exp_digits == 0:
                 return None
             num_exp_digits -= 1
@@ -92,7 +98,7 @@ def get_float_encoding(s: str) -> int | None:
     first_non_zero = first_digit
     if s[first_non_zero] == "0":
         # prefix zeros of the form 0N.Y are unsupported
-        if first_non_zero + 1 < len(s) and s[first_non_zero + 1].isdigit():
+        if first_non_zero + 1 < len(s) and _is_ascii_digit(s[first_non_zero + 1]):
             return None
         if dot_pos != -1:
             for i in range(dot_pos + 1, exp_pos):
@@ -212,10 +218,12 @@ def formatted_float_restore_udf():
 
     @F.pandas_udf("string")
     def _restore(value: pd.Series, fmt: pd.Series) -> pd.Series:
+        # nullable ints arrive from Arrow as float64 with NaN (not None) —
+        # pd.isna catches both; a bare `is None` check would crash int(nan)
         out = []
         for v, f in zip(value, fmt):
             out.append(
-                None if v is None or f is None else restore_encoded_float(v, int(f))
+                None if pd.isna(v) or pd.isna(f) else restore_encoded_float(v, int(f))
             )
         return pd.Series(out, dtype=object)
 

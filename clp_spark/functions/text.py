@@ -33,7 +33,9 @@ def bpe_ish_token_count(col: Column) -> Column:
 
 
 def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
-    sw = stopwords or EN_STOPWORDS
+    # None = English defaults; an explicit [] is honored (ratio 0), so a
+    # caller requesting a zero-stopword baseline isn't silently overridden
+    sw = EN_STOPWORDS if stopwords is None else stopwords
     ws = words(F.lower(col))
     hits = F.size(F.filter(ws, lambda w: w.isin(sw)))
     return hits / F.greatest(F.size(ws), F.lit(1))

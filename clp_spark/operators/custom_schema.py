@@ -21,7 +21,15 @@ DICT_PH = "\x12"
 
 
 def combined_pattern(rules: list[tuple[str, str]]) -> str:
-    """One alternation regex; each rule pattern must be group-free."""
+    """One alternation regex; each rule pattern must be group-free and
+    non-empty. An empty rule list would compile to '()' — a regex matching
+    the empty string at every position, silently corrupting the logtype —
+    so it is rejected up front."""
+    if not rules:
+        raise ValueError("custom schema needs at least one (name, pattern) rule")
+    for name, p in rules:
+        if not p:
+            raise ValueError(f"custom schema rule {name!r} has an empty pattern")
     return "(" + "|".join(p for _, p in rules) + ")"
 
 

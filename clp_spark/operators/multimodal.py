@@ -49,8 +49,9 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def real_decode(payload: bytes, kind: str) -> np.ndarray:  # pragma: no cover
-    """Real media decode — requires PIL/libav etc., not present here."""
+def real_decode(payload: bytes, kind: str, dim: int = 8) -> np.ndarray:  # pragma: no cover
+    """Real media decode — requires PIL/libav etc., not present here.
+    Signature matches the decoder= contract of extract_features."""
     raise NotImplementedError(
         "media decode requires image/audio libraries not present in this "
         "environment; use fake_decode for the deterministic test path"
@@ -72,9 +73,12 @@ def extract_features(
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    Arrow-batched: each batch arrives as a pandas DataFrame; the decode hook is
-    the only per-item work (vectorized in the real implementation via batched
-    decode libraries).
+    Arrow-batched: each batch arrives as a pandas DataFrame; the decode hook
+    (signature ``decoder(payload, kind, dim)``) is the only per-item work
+    (vectorized in the real implementation via batched decode libraries).
+    Pass ``decoder=None`` to skip feature decode entirely when only
+    byte_len/content_hash are needed — mapInPandas cannot column-prune
+    inside the Python function, so the skip must be explicit.
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -82,12 +86,15 @@ def extract_features(
 
         for pdf in batches:
             payloads = pdf["payload"]
-            feats = [
-                None
-                if p is None
-                else decoder(bytes(p), k, batch_dim).tolist()
-                for p, k in zip(payloads, pdf["kind"])
-            ]
+            if decoder is None:
+                feats = [None] * len(payloads)
+            else:
+                feats = [
+                    None
+                    if p is None
+                    else decoder(bytes(p), k, batch_dim).tolist()
+                    for p, k in zip(payloads, pdf["kind"])
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -106,8 +113,13 @@ def extract_features(
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per planned frame timestamp —
-    pure DataFrame math (the decode of each frame is the stubbed step)."""
-    return media.where(F.col("kind") == "video").select(
+    pure DataFrame math (the decode of each frame is the stubbed step).
+    Videos with NULL or zero duration plan no frames (Spark's greatest()
+    skips nulls, so a bare greatest(duration-1, 0) would plan a phantom
+    frame at t=0 for unknown-length videos)."""
+    return media.where(
+        (F.col("kind") == "video") & (F.col("duration_ms") > 0)
+    ).select(
         "media_id",
         F.explode(
             F.sequence(

@@ -39,7 +39,10 @@ _SPECIAL_PIECES = [
     "deadBEEF", "ab", "0d", "ff",
     # ids with digits
     "python2.7.3", "container_e19_1512", "task_12", "10.0.0.7",
-    # '='-prefixed values (composed: "user=" + value)
+    # '='-bearing piece + plain-alpha pieces. NB: template construction
+    # space-separates pieces, so "user=" never abuts a following value in
+    # the synthetic corpus — the '='-preceded-alpha tokenizer rule is
+    # covered by the unit/fuzz suites (oracle + kernel tests), not here.
     "user=", "YScope", "alice",
     # backslash + placeholder-byte escape cases
     "\\a1", "x\x11y", "q\x12", "\x13z", "\\",

@@ -275,6 +275,37 @@ class TestMultimodal:
         assert stats["image"]["n"] == 2
         assert stats["image"]["total_bytes"] == 18
 
+    def test_frame_sampling_null_or_zero_duration(self, spark):
+        """Review regression: unknown/zero-length videos plan NO frames
+        (greatest() skips nulls → a phantom frame at t=0 otherwise)."""
+        rows = [
+            ("v0", "video", b"x", "video/mp4", 1, 1, None),
+            ("v1", "video", b"x", "video/mp4", 1, 1, 0),
+            ("v2", "video", b"x", "video/mp4", 1, 1, 1500),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        frames = frame_sample_plan(media, 1000).collect()
+        assert {(r["media_id"], r["frame_ts_ms"]) for r in frames} == {
+            ("v2", 0), ("v2", 1000),
+        }
+
+    def test_decoder_none_skips_features(self, media):
+        out = {r["media_id"]: r for r in extract_features(media, decoder=None).collect()}
+        assert out["m0"]["feature"] is None
+        assert out["m0"]["byte_len"] == 9
+
+    def test_real_decode_signature_matches_contract(self, media):
+        """Review regression: decoder= hooks take (payload, kind, dim)."""
+        import pytest as _pytest
+
+        from clp_spark.operators.multimodal import real_decode
+
+        with _pytest.raises(Exception) as ei:
+            extract_features(media, decoder=real_decode).collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError
+        )
+
 
 class TestStreamingTimeline:
     def test_availablenow_counts(self, spark, tmp_path):

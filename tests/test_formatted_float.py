@@ -97,6 +97,38 @@ class TestFormattedFloatParity:
                 assert restore_encoded_float(float(s), fmt) == s
 
 
+class TestReviewRegressions:
+    def test_restore_udf_null_format_is_null_not_crash(self, spark):
+        """Review regression: null int descriptors arrive in pandas as
+        float64 NaN — restore must emit null, not crash on int(nan)."""
+        from pyspark.sql import functions as F
+
+        from clp_spark.functions.formatted_float import (
+            formatted_float_encode_udf,
+            formatted_float_restore_udf,
+        )
+
+        df = spark.createDataFrame(
+            [("1.500000e3",), ("+1.5",), (None,)], "s string"
+        )
+        enc = formatted_float_encode_udf()
+        res = formatted_float_restore_udf()
+        out = df.select(
+            "s", res(F.lit(1500.0), enc("s")).alias("restored")
+        ).collect()
+        by_s = {r["s"]: r["restored"] for r in out}
+        assert by_s["1.500000e3"] == "1.500000e3"
+        # '+1.5' is rejected by the encoder (null descriptor) → null restore
+        assert by_s["+1.5"] is None and by_s[None] is None
+
+    def test_unicode_digits_rejected(self):
+        """Reference std::isdigit is ASCII-only; Python str.isdigit is not."""
+        from clp_spark.functions.formatted_float import get_float_encoding
+
+        assert get_float_encoding("1e+٣") is None  # Arabic-Indic '3'
+        assert get_float_encoding("1e٣5") is None
+
+
 class TestFormattedFloatSpark:
     def test_udf_roundtrip(self, spark):
         from pyspark.sql import functions as F
