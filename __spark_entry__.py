@@ -40,12 +40,25 @@ def _ensure_workers_have_package(spark: SparkSession) -> None:
     import shutil
     import tempfile
 
+    import atexit
+    import uuid
+
     staging = tempfile.mkdtemp(prefix="clp_spark_pkg_")
-    shutil.copytree(os.path.join(_REPO, "clp_spark"), os.path.join(staging, "src", "clp_spark"))
+    shutil.copytree(
+        os.path.join(_REPO, "clp_spark"), os.path.join(staging, "src", "clp_spark")
+    )
+    # unique archive basename: executors fetch lazily BY SOURCE PATH at task
+    # time (deleting the staging dir early breaks them), and a constant
+    # basename collides in the context's userFiles dir when content changes
+    # ("exists and does not match contents") — so the name is unique and the
+    # staging tree lives until interpreter exit
     zip_path = shutil.make_archive(
-        os.path.join(staging, "clp_spark_pkg"), "zip", os.path.join(staging, "src")
+        os.path.join(staging, f"clp_spark_pkg_{uuid.uuid4().hex[:8]}"),
+        "zip",
+        os.path.join(staging, "src"),
     )
     spark.sparkContext.addPyFile(zip_path)
+    atexit.register(shutil.rmtree, staging, ignore_errors=True)
     _SHIPPED = True
 
 

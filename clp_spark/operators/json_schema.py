@@ -206,7 +206,13 @@ def _parse_variant_ddl(ddl: str) -> list[tuple[tuple[str, ...], str]]:
 
     root = parse_type()
     walk(root, ())
-    leaves.sort(key=lambda x: x[0])
+    # Sort by the DOTTED display string with the ':' label terminator, not
+    # by segment tuples: v1 (leaf_paths) sorts "path:type" strings, and for
+    # keys containing characters that sort before '.' (e.g. '-') tuple
+    # order diverges — {"a": {"x":1}, "a-c": 2} must sign as
+    # 'a-c:...,a.x:...' in both paths. The ':' suffix reproduces v1's
+    # path/label boundary comparisons.
+    leaves.sort(key=lambda x: _display_path(x[0]) + ":")
     return leaves
 
 
@@ -227,26 +233,21 @@ def _vpath(segs: tuple[str, ...] | str) -> str:
 MAX_REFINE_SCHEMAS = 512
 
 
-def _static_sig(ddl: str, structurize_arrays: bool) -> tuple[str | None, list]:
-    """(sig, string_leaves): the signature when it is fully static (no string
-    leaves → sig str, string_leaves empty), else (None, string leaf segs) —
+def _static_sig(ddl: str, structurize_arrays: bool) -> str | None:
+    """The signature when it is fully static (no string leaves), else None —
     those schemas need a per-row refinement expression."""
     leaves = _parse_variant_ddl(ddl)
     parts: list[str] = []
-    string_leaves: list[tuple[tuple[str, ...], int]] = []
-    for i, (segs, kind) in enumerate(leaves):
+    for segs, kind in leaves:
         label = _display_path(segs) + ":"
         if kind == "string":
-            string_leaves.append((segs, i))
-            parts.append(label)  # placeholder; refined per row
-        elif kind.startswith("array:"):
+            return None  # needs per-row varstring/clpstring refinement
+        if kind.startswith("array:"):
             es = kind[len("array:"):]
             parts.append(label + (f"arr<{es}>" if (structurize_arrays and es) else "array"))
         else:
             parts.append(label + kind)
-    if string_leaves:
-        return None, (leaves, string_leaves)
-    return ",".join(parts), []
+    return ",".join(parts)
 
 
 def _sig_expr_for(ddl: str, v: Column, structurize_arrays: bool) -> Column:
@@ -310,7 +311,7 @@ def with_schema_id_v2(
     for ddl in distinct_ddls:
         if ddl == "<invalid>":
             continue
-        sig, _info = _static_sig(ddl, structurize_arrays)
+        sig = _static_sig(ddl, structurize_arrays)
         if sig is None:
             refine_ddls.append(ddl)
         else:
@@ -329,9 +330,13 @@ def with_schema_id_v2(
         sig = F.when(
             F.col("_ddl") == ddl, _sig_expr_for(ddl, F.col("_v"), structurize_arrays)
         ).otherwise(sig)
-    out = staged.withColumn("schema_sig", sig).withColumn(
-        "schema_id", F.substring(F.md5("schema_sig"), 1, 16)
-    )
+    # coalesce: a DDL outside the collected distinct set (possible when the
+    # source re-reads differently between the two scans, e.g. files appended
+    # mid-query) must land in the loud '<invalid>' bucket, not a NULL
+    # schema_id partition
+    out = staged.withColumn(
+        "schema_sig", F.coalesce(sig, F.lit("<invalid>"))
+    ).withColumn("schema_id", F.substring(F.md5("schema_sig"), 1, 16))
     return out.drop("_v", "_ddl", "_static_sig")
 
 

@@ -113,7 +113,7 @@ def _array_probe(
 ) -> Column:
     """exists(variant_get(v, $.arr, array<variant>), e -> pred(e.suffix))."""
     elements = F.try_variant_get(v, _vpath(arr_path), "array<variant>")
-    spath = "$" + "".join("['" + s.replace("'", "\\'") + "']" for s in suffix)
+    spath = _vpath(suffix) if suffix else "$"
 
     v_str = lit.value
     if op == ":" and not lit.quoted and v_str == "*":

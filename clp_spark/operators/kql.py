@@ -100,10 +100,11 @@ def _unescape(text: str, quoted: bool) -> tuple[str, bool]:
                 out.append(_ESCAPES[nxt])
             elif nxt in "*?":
                 out.append("\\" + nxt)  # keep escaped for wildcard translator
-            elif nxt == ".":
+            elif nxt == "." and not quoted:
                 # keep escaped: an unquoted column 'a\.b' is ONE segment —
                 # _split_column must not split on it; value predicates strip
-                # the escape later
+                # the escape later. Quoted strings are never dot-split, so
+                # '\.' resolves to a literal '.' there.
                 out.append("\\.")
             elif nxt == "u" and i + 5 < len(text):
                 out.append(chr(int(text[i + 2 : i + 6], 16)))

@@ -251,14 +251,19 @@ def compile_query(
             prev_eq = len(prev_chars) > 0 and prev_chars[-1][0] == "="
         choices.append(_interpretations(units[i][1], prev_eq))
 
-    combos = list(product(*choices)) if choices else [()]
-    if len(combos) > MAX_ENUMERATIONS:
+    n_combos = 1
+    for c in choices:
+        n_combos *= len(c)
+    if n_combos > MAX_ENUMERATIONS:
         # Truncating the cartesian product would DROP subqueries — a silent
         # false-negative (a row matching only a dropped interpretation never
         # enters the candidate union). The only sound degradation is the
         # full-scan superset: decode everything and let the final wildcard
         # verification restore exactness (same semantics as MATCH_ALL).
+        # Checked on the COUNT, before materializing the product — 20
+        # ambiguous tokens would otherwise build 4^20 tuples first.
         return MATCH_ALL
+    combos = list(product(*choices)) if choices else [()]
 
     probe_cache: dict = {}
     subqueries: list[SubQuery] = []

@@ -33,23 +33,55 @@ from clp_spark.operators.search import (
 )
 
 
-_DICT_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+_DICT_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def _dict_cache_key(spark: SparkSession, out_dir: str) -> tuple:
+    """Key includes the Spark application id (a cached DataFrame dies with
+    its session) and the dictionary directories' mtimes (a re-encode/append
+    rewrites them → stale cache entries must miss, not serve old ids)."""
+
+    def mt(p: str) -> float:
+        try:
+            return os.path.getmtime(p)
+        except OSError:
+            return 0.0
+
+    return (
+        spark.sparkContext.applicationId,
+        out_dir,
+        mt(f"{out_dir}/logtype_dict"),
+        mt(f"{out_dir}/var_dict"),
+    )
 
 
 def _cached_dicts(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
-    if out_dir not in _DICT_CACHE:
-        _DICT_CACHE[out_dir] = (
+    key = _dict_cache_key(spark, out_dir)
+    if key not in _DICT_CACHE:
+        # drop superseded entries for the same archive (old session or old
+        # dictionary version) so the cache never accumulates dead copies
+        for k in [k for k in _DICT_CACHE if k[1] == out_dir and k != key]:
+            lt, vd = _DICT_CACHE.pop(k)
+            try:
+                lt.unpersist()
+                vd.unpersist()
+            except Exception:
+                pass  # the owning session may already be stopped
+        _DICT_CACHE[key] = (
             spark.read.parquet(f"{out_dir}/logtype_dict").persist(),
             spark.read.parquet(f"{out_dir}/var_dict").persist(),
         )
-    return _DICT_CACHE[out_dir]
+    return _DICT_CACHE[key]
 
 
 def clear_dict_cache() -> None:
     """Unpersist and forget all memoized archive dictionaries."""
     for lt, vd in _DICT_CACHE.values():
-        lt.unpersist()
-        vd.unpersist()
+        try:
+            lt.unpersist()
+            vd.unpersist()
+        except Exception:
+            pass
     _DICT_CACHE.clear()
 
 

@@ -154,6 +154,17 @@ class TestVariantSchemaV2:
         assert out[rows[3]] == "k:int,mix:array"  # mixed → unstructured
         assert out[rows[4]] == "k:int,objs:array"  # object elems → unstructured
 
+    def test_sort_order_parity_prefixy_keys(self, spark):
+        """Review regression: keys sorting before '.' (e.g. '-') next to a
+        same-prefix nested object — v2 must order leaves like v1's dotted
+        string sort, not tuple order."""
+        rows = ['{"a": {"x": 1}, "a-c": 2}', '{"ab": 1, "a": {"b": 2}}']
+        df = spark.createDataFrame([(s,) for s in rows], "raw string")
+        v1 = {r["raw"]: r["schema_sig"] for r in with_schema_id(df).collect()}
+        v2 = {r["raw"]: r["schema_sig"] for r in with_schema_id_v2(df).collect()}
+        assert v1 == v2
+        assert v2[rows[0]] == "a-c:int,a.x:int"
+
     def test_structurize_off_matches_v1(self, spark):
         rows = ['{"k": 1, "ns": [1, 2]}', '{"k": 2, "ns": ["a"]}']
         df = spark.createDataFrame([(s,) for s in rows], "raw string")

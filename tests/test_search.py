@@ -205,6 +205,10 @@ def test_enumeration_cap_degrades_to_superset_not_truncation(archive):
     q = "*1* *2* *3* *4*"
     assert compile_query(q, lt, vd) == MATCH_ALL
     assert run(archive, q) == naive(q)
+    # the cap must trip on the COUNT, before materializing the product —
+    # 20 ambiguous tokens (4^20 combos) must return instantly
+    q20 = " ".join(f"*{i}*" for i in range(1, 21))
+    assert compile_query(q20, lt, vd) == MATCH_ALL
 
 
 def test_message_column_is_decoded_original(archive):
