@@ -166,8 +166,13 @@ def _pinned_run(cores: str, cpus: int, sf_dir: str, amplify: int = 6) -> dict:
          "--pipeline-only"],
         capture_output=True, text=True, env=env, cwd=_REPO,
     )
-    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"pinned run (cores={cores}) failed rc={out.returncode}; "
+            f"stderr tail: {out.stderr.strip()[-2000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def run_scaling(sf_dir: str) -> None:
@@ -185,6 +190,11 @@ def run_scaling(sf_dir: str) -> None:
         f.write(
             "# BENCH — scaling evidence (N vs 4N cores, sandbox proxy for\n"
             "N vs 4N executors)\n\n"
+            "Provenance: the N-vs-4N table below is measured by THIS\n"
+            "--scaling run; the later sections (ingest, decode, schema\n"
+            "inference, segment pruning) are recorded one-off measurements\n"
+            "from the dates they cite and are only refreshed when\n"
+            "re-measured, not by re-running --scaling.\n\n"
             "Same job (parse+encode+route-key+aggregate over the synthetic\n"
             "sequences table), same input, two parallelism levels. Each run is\n"
             "taskset-pinned so the whole process tree (JVM + Python workers)\n"

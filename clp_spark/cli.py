@@ -49,7 +49,9 @@ def cmd_extract(args) -> None:
     out = decompress_file(spark, args.archive, file_id=args.file)
     if args.output:
         out.select("message").write.mode("overwrite").text(args.output)
-        print(json.dumps({"messages": out.count(), "output": args.output}))
+        # count the WRITTEN text instead of re-running the decode pipeline
+        n = spark.read.text(args.output).count()
+        print(json.dumps({"messages": n, "output": args.output}))
     else:
         for r in out.collect():
             print(r["message"])
@@ -60,18 +62,27 @@ def cmd_search(args) -> None:
     from clp_spark.operators.seg_index import search_archive_pruned
     from clp_spark.operators.search import search_archive
 
+    import os as _os
+
+    if args.count_by_time is not None and args.count_by_time <= 0:
+        sys.exit("error: --count-by-time needs a positive bucket size in ms")
     spark = _spark(args.master)
-    has_index = bool(spark._jvm.java.io.File(f"{args.archive}/seg_index").exists())
-    if has_index and "split" in spark.read.option(
-        "basePath", f"{args.archive}/sinks"
-    ).parquet(f"{args.archive}/sinks").columns:
+    # one sinks read, reused for the columns probe / search input / ts join
+    raw_sinks = spark.read.option("basePath", f"{args.archive}/sinks").parquet(
+        f"{args.archive}/sinks"
+    )
+    # the segment index lives next to local archives; remote (hadoop-fs)
+    # archives skip the local-path probe and run unpruned rather than crash
+    is_local = "://" not in args.archive or args.archive.startswith("file:")
+    has_index = is_local and _os.path.exists(
+        args.archive.removeprefix("file:") + "/seg_index"
+    )
+    if has_index and "split" in raw_sinks.columns:
         res, _segments = search_archive_pruned(
             spark, args.archive, args.query, args.ignore_case
         )
     else:
-        sinks = spark.read.option("basePath", f"{args.archive}/sinks").parquet(
-            f"{args.archive}/sinks"
-        )
+        sinks = raw_sinks
         if "doc_id" not in sinks.columns:  # text-log archives key by file/msg
             sinks = sinks.withColumn(
                 "doc_id", F.concat_ws("#", "file_id", "msg_ix")
@@ -82,9 +93,6 @@ def cmd_search(args) -> None:
     if args.count:
         print(count_matched(res).collect()[0]["cnt"])
     elif args.count_by_time is not None:
-        raw_sinks = spark.read.option("basePath", f"{args.archive}/sinks").parquet(
-            f"{args.archive}/sinks"
-        )
         if "ts_ms" not in raw_sinks.columns:
             sys.exit(
                 "error: --count-by-time needs an archive with per-message "
@@ -104,7 +112,7 @@ def cmd_search(args) -> None:
         for r in rows:
             print(r["bucket_ts"], r["cnt"])
     else:
-        out = res.limit(args.limit) if args.limit else res
+        out = res.limit(args.limit) if args.limit is not None else res
         for r in out.collect():
             print(r["message"])
 
@@ -122,7 +130,7 @@ def cmd_search_kql(args) -> None:
     if args.count:
         print(res.count())
     else:
-        out = res.limit(args.limit) if args.limit else res
+        out = res.limit(args.limit) if args.limit is not None else res
         for r in out.collect():
             print(r["raw"])
 

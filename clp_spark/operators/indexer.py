@@ -14,19 +14,29 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType, StringType, TimestampType
 
 
-def table_column_stats(df: DataFrame, table_name: str) -> DataFrame:
+def table_column_stats(
+    df: DataFrame, table_name: str, approx_distinct: bool = False
+) -> DataFrame:
     """(table_name, column_name, column_type, n_rows, n_nonnull, n_distinct,
-    min_value, max_value) — min/max stringified for a uniform schema."""
+    min_value, max_value) — min/max stringified for a uniform schema.
+
+    Columns are addressed with df[c] so names containing dots (flattened
+    JSON schemas produce them) resolve literally, not as nested paths.
+    Exact countDistinct plans one Expand copy of the input per column —
+    fine for archive-sized tables and required for exact catalog parity;
+    pass approx_distinct=True (HLL) for very wide/huge tables, the same
+    tradeoff engine catalogs make."""
+    nd = F.approx_count_distinct if approx_distinct else F.countDistinct
     aggs = [F.count(F.lit(1)).alias("_n_rows")]
     cols = []
     for f in df.schema.fields:
         if isinstance(f.dataType, (NumericType, StringType, TimestampType)):
             c = f.name
             cols.append((c, f.dataType.simpleString()))
-            aggs.append(F.count(c).alias(f"_nn_{c}"))
-            aggs.append(F.countDistinct(c).alias(f"_nd_{c}"))
-            aggs.append(F.min(c).cast("string").alias(f"_min_{c}"))
-            aggs.append(F.max(c).cast("string").alias(f"_max_{c}"))
+            aggs.append(F.count(df[c]).alias(f"_nn_{c}"))
+            aggs.append(nd(df[c]).alias(f"_nd_{c}"))
+            aggs.append(F.min(df[c]).cast("string").alias(f"_min_{c}"))
+            aggs.append(F.max(df[c]).cast("string").alias(f"_max_{c}"))
     row = df.agg(*aggs)
     spark = df.sparkSession
     r = row.collect()[0]

@@ -41,7 +41,18 @@ class LineageLog:
         tmp = path + "." + uuid.uuid4().hex + ".tmp"
         with open(tmp, "w") as f:
             json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())  # durability before the rename is journaled
         os.replace(tmp, path)
+        # best-effort directory fsync so the rename itself survives power loss
+        try:
+            dfd = os.open(self.dir, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass
 
     def read_all(self) -> list[dict]:
         out = []
