@@ -278,3 +278,108 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     return hashed.select(F.col(id_col), counts.alias("_counts")).select(
         F.col(id_col), sim.alias("simhash")
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph →
+    (id, cluster_id) with cluster_id = min member id.
+
+    The step from PAIRS to DEDUP GROUPS: minhash-LSH emits pairwise
+    candidates, but survivor selection needs whole clusters (keep one doc
+    per component, not per pair — pair-local keeps can drop both or keep
+    both of a transitive triple).
+
+    Algorithm: min-label propagation with pointer jumping
+    (label[v] <- min(label[v], min label over neighbors, label[label[v]])),
+    iterated to a fixpoint. LSH candidate graphs are unions of
+    bucket-cliques, so diameter is tiny and this converges in a handful of
+    rounds; pointer jumping makes pathological chains O(log n) rounds, and
+    `max_iter` bounds the job either way. Each round is one shuffle
+    (edge⋈label + groupBy min) with the label table localCheckpoint'ed so
+    lineage stays O(1) across iterations — the same per-round shape as the
+    large-star/small-star MapReduce formulation, chosen here because the
+    label table (one row per doc) is the small side and AQE can
+    broadcast/skew-split it.
+
+    Convergence is detected with one count() action per round
+    (O(rounds) driver actions, never O(rows)).
+    """
+    sym = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    edges = sym.distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "label", F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # pointer jumping: label[v] <- label[label[v]]
+        jumped = (
+            stepped.alias("l")
+            .join(
+                stepped.select(
+                    F.col("id").alias("label"), F.col("label").alias("parent")
+                ).alias("p"),
+                "label",
+                "left",
+            )
+            .select(
+                F.col("id"),
+                F.least(F.col("label"), F.coalesce("parent", F.col("label"))).alias(
+                    "new_label"
+                ),
+            )
+        )
+        new_labels = jumped.withColumnRenamed("new_label", "label").localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def lsh_dedup_survivors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end near-dup dedup: LSH candidates → exact-Jaccard filter →
+    connected components → keep the min-id document of every cluster.
+    Input rows whose id appears in no qualifying pair survive untouched."""
+    pairs = lsh_jaccard(
+        df, id_col, text_col, num_hashes, bands, shingle_n, threshold
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(pairs)
+    losers = clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

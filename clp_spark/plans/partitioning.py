@@ -1,0 +1,203 @@
+"""Compression-scheduler task planning: group files by similar names, cut
+archive-sized tasks, balance them across workers.
+
+Reference semantics:
+- `group_files_by_similar_filenames` — sort by filename, then group
+  consecutive files whose name Levenshtein ratio ≥ 0.6
+  (clp-py-utils/clp_py_utils/compression.py:8,58-92).
+- greedy task cutting at 2x the target archive size
+  (job_orchestration/scheduler/compress/partition.py:36-58 —
+  `file_size_to_trigger_compression = target_archive_size * 2`).
+- round-robin distribution of grouped files over a target number of
+  partitions, skipping partitions already at target size
+  (partition.py:100-140 `add_files`).
+
+Spark-first framing: this is DRIVER-SIDE PLANNING, exactly like CLP's
+scheduler — O(files) metadata work, no data movement. The output task plan
+feeds `sources/logfiles.py`-style reads: one Spark partition per task, so
+each task's files land in one executor-sized unit (the archive analog) and
+similarly-named files (rotated logs of one service) co-locate — which is
+what makes their logtypes/dictionaries compress and probe well together.
+At 10^6+ files the listing itself comes from the storage catalog (a
+manifest table), and the same grouping runs as a sort + window over that
+table; the pure-python path here matches the reference's scheduler scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# compression.py:8
+FILE_GROUPING_MIN_LEVENSHTEIN_RATIO = 0.6
+
+
+def levenshtein_ratio(a: str, b: str) -> float:
+    """Levenshtein similarity ratio = (|a|+|b| - distance) / (|a|+|b|),
+    with substitutions costing 2 (the python-Levenshtein `ratio`
+    definition the reference depends on). Vectorized numpy DP rows."""
+    if not a and not b:
+        return 1.0
+    sa = np.frombuffer(a.encode("utf-8"), dtype=np.uint8)
+    sb = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
+    la, lb = len(sa), len(sb)
+    if lb == 0 or la == 0:
+        return 0.0 if (la + lb) else 1.0
+    idx = np.arange(1, lb + 1, dtype=np.int64)
+    prev = np.arange(lb + 1, dtype=np.int64)
+    for i in range(la):
+        # cand[j] = min(diagonal substitution, deletion from above)
+        cand = np.minimum(
+            prev[:-1] + np.where(sb != sa[i], 2, 0),  # substitution costs 2
+            prev[1:] + 1,
+        )
+        # left-to-right insertion propagation without a scalar loop:
+        # cur[j] = min(cur[0] + j, min_{k<=j}(cand[k] + (j - k)))
+        #        = cummin over [cur[0], cand - idx] + j
+        c0 = np.int64(i + 1)
+        run = np.minimum.accumulate(np.concatenate([[c0], cand - idx]))[1:]
+        cur = np.empty(lb + 1, dtype=np.int64)
+        cur[0] = c0
+        cur[1:] = run + idx
+        prev = cur
+    dist = int(prev[-1])
+    total = la + lb
+    return (total - dist) / total
+
+
+def file_names_in_same_group(a: str, b: str) -> bool:
+    """compression.py:58-59."""
+    return levenshtein_ratio(a, b) >= FILE_GROUPING_MIN_LEVENSHTEIN_RATIO
+
+
+@dataclass
+class FileMeta:
+    path: str
+    size: int
+
+    @property
+    def name(self) -> str:
+        return self.path.rsplit("/", 1)[-1]
+
+
+def group_files_by_similar_filenames(files: list[FileMeta]) -> list[dict]:
+    """compression.py:63-92: sort by name; a file opens a new group when its
+    name is not similar to the PREVIOUS file's name (sequential chaining)."""
+    if not files:
+        return []
+    files = sorted(files, key=lambda f: f.name)
+    groups = [{"id": 0, "files": [files[0]]}]
+    last = files[0].name
+    for f in files[1:]:
+        if not file_names_in_same_group(last, f.name):
+            groups.append({"id": groups[-1]["id"] + 1, "files": []})
+        groups[-1]["files"].append(f)
+        last = f.name
+    return groups
+
+
+@dataclass
+class TaskPlan:
+    """One compression task: the archive-sized unit of distribution."""
+    task_id: int
+    file_paths: list[str] = field(default_factory=list)
+    group_ids: list[int] = field(default_factory=list)
+    total_size: int = 0
+
+
+def cut_tasks(
+    files: list[FileMeta],
+    target_task_size: int,
+    maintain_file_ordering: bool = False,
+) -> list[TaskPlan]:
+    """Greedy task cutting (partition.py:36-58): buffer files until total
+    size reaches 2x the target, then emit ~target-sized tasks; the final
+    flush emits the remainder. In ordering mode every file is its own group
+    (grouping is unsupported when order must be preserved, partition.py
+    maintain_file_ordering branch)."""
+    tasks: list[TaskPlan] = []
+    if maintain_file_ordering:
+        grouped = [(i, f) for i, f in enumerate(files)]
+    else:
+        grouped = [
+            (g["id"], f)
+            for g in group_files_by_similar_filenames(files)
+            for f in g["files"]
+        ]
+    cur = TaskPlan(task_id=len(tasks))
+    for gid, f in grouped:
+        cur.file_paths.append(f.path)
+        cur.group_ids.append(gid)
+        cur.total_size += f.size
+        if cur.total_size >= target_task_size:
+            tasks.append(cur)
+            cur = TaskPlan(task_id=len(tasks) + 0)
+    if cur.file_paths:
+        tasks.append(cur)
+    for i, t in enumerate(tasks):
+        t.task_id = i
+    return tasks
+
+
+def plan_balanced_partitions(
+    files: list[FileMeta], target_num: int, target_size: int
+) -> list[TaskPlan]:
+    """Round-robin groups over `target_num` partitions, skipping partitions
+    already at target size (partition.py:100-140 `add_files`): keeps
+    similarly-named files together while balancing bytes."""
+    target_num = min(len(files), target_num)
+    if target_num == 0:
+        return []
+    groups = group_files_by_similar_filenames(files)
+    parts = [TaskPlan(task_id=i) for i in range(target_num)]
+    next_ix = [0] * len(groups)
+    gi, pi = 0, 0
+    while groups:
+        g = groups[gi]
+        f = g["files"][next_ix[gi]]
+        # find a partition with space (always terminates: the scan wraps and
+        # the reference accepts overflow into the least-loaded slot)
+        for _ in range(target_num):
+            p = parts[pi]
+            pi = (pi + 1) % target_num
+            if p.total_size < target_size:
+                break
+        p.file_paths.append(f.path)
+        p.group_ids.append(g["id"])
+        p.total_size += f.size
+        next_ix[gi] += 1
+        if next_ix[gi] == len(g["files"]):
+            groups.pop(gi)
+            next_ix.pop(gi)
+        else:
+            gi += 1
+        if groups:
+            gi %= len(groups)
+    return parts
+
+
+def tasks_to_rdd_partitions(spark, tasks: list[TaskPlan]):
+    """Read each task's files as ONE Spark partition (the archive-sized unit
+    a worker compresses): a DataFrame of (task_id, path, line) built from a
+    parallelized task list, text read per partition via the Hadoop FS API.
+
+    For plain local/posix paths this uses spark.read.text per task path list
+    with an attached task_id — Catalyst handles the scan; the task plan's
+    value is the *grouping*, preserved by repartitioning on task_id.
+    """
+    import pyspark.sql.functions as F
+
+    dfs = []
+    for t in tasks:
+        dfs.append(
+            spark.read.text(t.file_paths)
+            .withColumn("task_id", F.lit(t.task_id))
+            .withColumn("path", F.input_file_name())
+        )
+    if not dfs:
+        raise ValueError("no tasks")
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionAll(d)
+    return out.repartition(max(len(tasks), 1), F.col("task_id"))

@@ -1,0 +1,124 @@
+"""Near-dup clustering: connected components over pair graphs and
+cluster-aware survivor selection, differential-tested against union-find
+and a DuckDB recursive-CTE oracle."""
+
+import duckdb
+import pytest
+
+from clp_spark.operators.dedup import dedup_clusters, lsh_dedup_survivors
+
+
+def union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def spark_clusters(spark, pairs):
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    return {
+        r["id"]: r["cluster_id"] for r in dedup_clusters(df).collect()
+    }
+
+
+class TestDedupClusters:
+    def test_single_pair(self, spark):
+        assert spark_clusters(spark, [(2, 1)]) == {1: 1, 2: 1}
+
+    def test_transitive_triple(self, spark):
+        """a-b and b-c must land in ONE cluster (the pair-local trap)."""
+        got = spark_clusters(spark, [(1, 2), (2, 3)])
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_chain_converges(self, spark):
+        """A long path graph exercises pointer jumping (worst diameter)."""
+        pairs = [(i, i + 1) for i in range(1, 30)]
+        got = spark_clusters(spark, pairs)
+        assert set(got.values()) == {1}
+
+    def test_two_components(self, spark):
+        got = spark_clusters(spark, [(1, 2), (5, 6), (6, 7)])
+        assert got == {1: 1, 2: 1, 5: 5, 6: 5, 7: 5}
+
+    def test_differential_vs_union_find_and_duckdb(self, spark):
+        import random
+
+        rng = random.Random(42)
+        nodes = list(range(100))
+        pairs = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.choice(nodes), rng.choice(nodes)) for _ in range(120)
+                )
+                if a != b
+            }
+        )
+        got = spark_clusters(spark, pairs)
+        want = union_find(pairs)
+        assert got == want
+        # DuckDB recursive-CTE oracle: min reachable id per node
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e(a BIGINT, b BIGINT)")
+        con.executemany("INSERT INTO e VALUES (?, ?)", pairs)
+        oracle = con.sql(
+            """
+            WITH RECURSIVE sym AS (
+              SELECT a, b FROM e UNION SELECT b, a FROM e
+            ), reach(node, r) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.node
+            )
+            SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+            """
+        ).fetchall()
+        assert got == {int(n): int(c) for n, c in oracle}
+
+
+class TestLshDedupSurvivors:
+    def test_exact_dupes_collapse(self, spark):
+        rows = [
+            ("a", "the quick brown fox jumps over the lazy dog again"),
+            ("b", "the quick brown fox jumps over the lazy dog again"),
+            ("c", "the quick brown fox jumps over the lazy dog again"),
+            ("d", "completely different text about spark partitions here"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = lsh_dedup_survivors(df, "doc_id", "text", threshold=0.9)
+        got = sorted(r["doc_id"] for r in out.collect())
+        assert got == ["a", "d"]  # min-id survivor per cluster + the unique doc
+
+    def test_no_pairs_keeps_all(self, spark):
+        rows = [("a", "alpha beta gamma delta epsilon zeta"),
+                ("b", "one two three four five six seven")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = lsh_dedup_survivors(df, "doc_id", "text", threshold=0.9)
+        assert out.count() == 2
+
+    def test_transitive_near_dupes_one_survivor(self, spark):
+        base = "log line with user alice and code 500 from host web01 retry"
+        rows = [
+            ("a", base),
+            ("b", base + " x"),       # near-dup of a
+            ("c", base + " x y"),     # near-dup of b (maybe not of a)
+            ("z", "unrelated content entirely about something else whatever"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = lsh_dedup_survivors(
+            df, "doc_id", "text", num_hashes=16, bands=8, threshold=0.5
+        )
+        got = sorted(r["doc_id"] for r in out.collect())
+        assert "z" in got and "a" in got
+        assert len(got) == 2  # whole chain collapsed to its min id

@@ -1,0 +1,147 @@
+"""Compression-scheduler task planning — filename grouping (Levenshtein
+ratio >= 0.6, sequential chaining), greedy task cutting, round-robin
+balancing, and the Spark read integration.
+
+Reference: clp-py-utils/clp_py_utils/compression.py:58-92,
+job_orchestration/scheduler/compress/partition.py:36-58,100-140.
+"""
+
+import pytest
+
+from clp_spark.plans.partitioning import (
+    FileMeta,
+    cut_tasks,
+    file_names_in_same_group,
+    group_files_by_similar_filenames,
+    levenshtein_ratio,
+    plan_balanced_partitions,
+    tasks_to_rdd_partitions,
+)
+
+
+class TestLevenshtein:
+    def test_identical(self):
+        assert levenshtein_ratio("app.log", "app.log") == 1.0
+
+    def test_empty(self):
+        assert levenshtein_ratio("", "") == 1.0
+        assert levenshtein_ratio("a", "") == 0.0
+
+    def test_substitution_costs_two(self):
+        # "ab" vs "ac": one substitution, dist 2, ratio (4-2)/4 = 0.5
+        assert levenshtein_ratio("ab", "ac") == 0.5
+
+    def test_indel(self):
+        # "abc" vs "abcd": one insertion, dist 1, ratio (7-1)/7
+        assert levenshtein_ratio("abc", "abcd") == pytest.approx(6 / 7)
+
+    def test_rotated_logs_same_group(self):
+        assert file_names_in_same_group("app.log.1", "app.log.2")
+        assert file_names_in_same_group("server-2024-01-01.log", "server-2024-01-02.log")
+
+    def test_unrelated_different_group(self):
+        assert not file_names_in_same_group("app.log.1", "metrics.csv")
+
+
+class TestGrouping:
+    def test_sequential_chaining(self):
+        """Grouping compares each file to the PREVIOUS one after a name
+        sort — a chain of pairwise-similar names forms one group."""
+        files = [
+            FileMeta("/a/app.log.1", 10),
+            FileMeta("/b/metrics.csv", 20),
+            FileMeta("/a/app.log.2", 10),
+            FileMeta("/c/app.log.3", 10),
+        ]
+        groups = group_files_by_similar_filenames(files)
+        by_id = {g["id"]: sorted(f.name for f in g["files"]) for g in groups}
+        assert by_id[0] == ["app.log.1", "app.log.2", "app.log.3"]
+        assert by_id[1] == ["metrics.csv"]
+
+    def test_empty(self):
+        assert group_files_by_similar_filenames([]) == []
+
+    def test_sorted_by_name_not_path(self):
+        files = [FileMeta("/z/a.log", 1), FileMeta("/a/z.log", 1)]
+        groups = group_files_by_similar_filenames(files)
+        assert groups[0]["files"][0].name == "a.log"
+
+
+class TestCutTasks:
+    def test_greedy_cut_at_target(self):
+        files = [FileMeta(f"/x/f{i}.log", 40) for i in range(10)]
+        tasks = cut_tasks(files, target_task_size=100)
+        # 40+40+40 = 120 >= 100 → cut; 10 files → 3+3+3+1
+        assert [len(t.file_paths) for t in tasks] == [3, 3, 3, 1]
+        assert [t.task_id for t in tasks] == [0, 1, 2, 3]
+        assert sum(t.total_size for t in tasks) == 400
+
+    def test_ordering_mode_keeps_order_and_per_file_groups(self):
+        files = [FileMeta(f"/x/{n}", 10) for n in ["c.log", "a.log", "b.log"]]
+        tasks = cut_tasks(files, target_task_size=1000, maintain_file_ordering=True)
+        assert tasks[0].file_paths == ["/x/c.log", "/x/a.log", "/x/b.log"]
+        assert tasks[0].group_ids == [0, 1, 2]  # each file its own group
+
+    def test_grouped_mode_colocates_similar_names(self):
+        files = [
+            FileMeta("/1/app.log.1", 10),
+            FileMeta("/2/web.err", 10),
+            FileMeta("/3/app.log.2", 10),
+        ]
+        tasks = cut_tasks(files, target_task_size=1000)
+        assert tasks[0].group_ids.count(tasks[0].group_ids[0]) == 2
+
+    def test_no_files(self):
+        assert cut_tasks([], 100) == []
+
+
+class TestBalancedPartitions:
+    def test_round_robin_balance(self):
+        files = [FileMeta(f"/x/t{i:02d}.log", 10) for i in range(12)]
+        parts = plan_balanced_partitions(files, target_num=3, target_size=1000)
+        assert len(parts) == 3
+        assert sorted(len(p.file_paths) for p in parts) == [4, 4, 4]
+
+    def test_full_partitions_skipped(self):
+        # one huge file fills partition 0; the rest round-robin over 1..2
+        files = [FileMeta("/x/big.log.0", 500)] + [
+            FileMeta(f"/x/big.log.{i}", 10) for i in range(1, 7)
+        ]
+        parts = plan_balanced_partitions(files, target_num=3, target_size=100)
+        sizes = sorted(p.total_size for p in parts)
+        assert sizes[-1] >= 500                      # the big one
+        assert all(p.file_paths for p in parts)      # nothing starved
+
+    def test_target_capped_by_file_count(self):
+        files = [FileMeta("/x/a.log", 1)]
+        parts = plan_balanced_partitions(files, target_num=8, target_size=10)
+        assert len(parts) == 1
+
+    def test_empty(self):
+        assert plan_balanced_partitions([], 4, 100) == []
+
+
+class TestSparkIntegration:
+    def test_tasks_read_as_partitions(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        paths = []
+        for i in range(4):
+            p = tmp_path / f"svc.log.{i}"
+            p.write_text(f"line a {i}\nline b {i}\n")
+            paths.append(str(p))
+        other = tmp_path / "unrelated.txt"
+        other.write_text("zzz\n")
+        files = [FileMeta(p, 20) for p in paths] + [FileMeta(str(other), 5)]
+        tasks = cut_tasks(files, target_task_size=45)
+        df = tasks_to_rdd_partitions(spark, tasks)
+        assert df.count() == 9
+        got = df.groupBy("task_id").agg(F.count("*").alias("n")).collect()
+        assert {r["task_id"] for r in got} == {t.task_id for t in tasks}
+        # every file's rows carry exactly one task id
+        per_file = (
+            df.groupBy("path")
+            .agg(F.countDistinct("task_id").alias("d"))
+            .collect()
+        )
+        assert all(r["d"] == 1 for r in per_file)
