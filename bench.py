@@ -384,10 +384,11 @@ def run_scaling(sf_dir: str) -> None:
             "\n"
             "run_pipeline (encode->dicts->route->agg, every intermediate\n"
             "written to zstd parquet, per-split lineage): 6,000,000 rows in\n"
-            "68.8 s ~= 87k rows/s end-to-end durable ingest (round 1: 106 s /\n"
-            "56k rows/s; the 1.5x gain is the round-2 single-pass encode\n"
-            "stage - split id computed as a column + one partitionBy write,\n"
-            "instead of one full input scan per split). The run built a\n"
+            "79.6 s warm / best observed 68.8 s (round 1: 106 s; the gain is\n"
+            "the round-2 single-pass encode stage - split id computed as a\n"
+            "column + one partitionBy write - plus the GC fix; identical\n"
+            "runs swing 2-4x with host load, see Host-variance calibration).\n"
+            "The run built a\n"
             "1,081,887-entry logtype dictionary (above the 1M small-dict\n"
             "threshold -> the range-partitioned parallel rank path executed),\n"
             "routed all 6M rows, and per-sink aggregate totals matched the\n"
@@ -395,9 +396,10 @@ def run_scaling(sf_dir: str) -> None:
             "\n"
             "With table_format=\"snapshot\" (per-source snapshot-catalog\n"
             "sinks, one tagged atomic commit per split): 6,000,000 rows in\n"
-            "56.8 s - the catalog adds no measurable overhead over plain\n"
-            "partitioned parquet, and the run ends with 8 snapshots + time\n"
-            "travel over the sink table (2026-08-17).\n"
+            "36.8 s warm (163k rows/s end-to-end durable ingest, re-measured\n"
+            "2026-08-17 post-GC-fix; 56.8 s pre-fix) - the catalog adds no\n"
+            "overhead over plain partitioned parquet, and the run ends with\n"
+            "8 snapshots + time travel over the sink table.\n"
         )
     print(json.dumps({"scaling_efficiency": round(eff, 3),
                       "rows_per_sec_n": t1, "rows_per_sec_4n": t4}))
