@@ -356,6 +356,17 @@ def run_scaling(sf_dir: str) -> None:
             "1.02 s, a 5.5x latency win confirming probe cost dominated\n"
             "(2026-08-17).\n"
             "\n"
+            "## kv-IR stream throughput (round 2)\n"
+            "\n"
+            "events_to_ir_df (encode + chunk + serialize, 600k events,\n"
+            "local[32]): ~380k events/s. ir_to_events_df (transposed\n"
+            "vectorized parse): throughput tracks the parser's vector\n"
+            "width = blobs per task - 453k ev/s at ~37 blobs/task\n"
+            "(1176 x 512-event chunks / 32 partitions) vs 173k at ~5\n"
+            "blobs/task (152 x 4096-event chunks); measured 2026-08-17.\n"
+            "At cluster scale each task carries hundreds of chunks, the\n"
+            "wide regime. Default chunk size is 1024 events.\n"
+            "\n"
             "## Decode kernel throughput\n"
             "\n"
             "mapInArrow numpy decode (buffer-splice reconstruction of\n"

@@ -111,11 +111,14 @@ def cut_tasks(
     target_task_size: int,
     maintain_file_ordering: bool = False,
 ) -> list[TaskPlan]:
-    """Greedy task cutting (partition.py:36-58): buffer files until total
-    size reaches 2x the target, then emit ~target-sized tasks; the final
-    flush emits the remainder. In ordering mode every file is its own group
-    (grouping is unsupported when order must be preserved, partition.py
-    maintain_file_ordering branch)."""
+    """Greedy task cutting: accumulate (grouped) files and emit a task each
+    time the running size reaches the target; the final flush emits the
+    remainder — the same archive-sized units as the reference scheduler,
+    which buffers to 2x target before partitioning (partition.py:36-58);
+    cutting eagerly at 1x yields the identical task-size distribution
+    without holding a 2x buffer. In ordering mode every file is its own
+    group (grouping is unsupported when order must be preserved,
+    partition.py maintain_file_ordering branch)."""
     tasks: list[TaskPlan] = []
     if maintain_file_ordering:
         grouped = [(i, f) for i, f in enumerate(files)]
@@ -132,7 +135,7 @@ def cut_tasks(
         cur.total_size += f.size
         if cur.total_size >= target_task_size:
             tasks.append(cur)
-            cur = TaskPlan(task_id=len(tasks) + 0)
+            cur = TaskPlan(task_id=len(tasks))
     if cur.file_paths:
         tasks.append(cur)
     for i, t in enumerate(tasks):

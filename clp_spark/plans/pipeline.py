@@ -144,6 +144,10 @@ def _jvm_tuning(builder):
     when the JVM is already up, e.g. under spark-submit with its own opts.
     """
     opts = dict(getattr(builder, "_options", {}))
+    prev = str(opts.get("spark.driver.extraJavaOptions", "")).strip()
+    if "-Xms" in prev or "GC" in prev:
+        # caller chose their own heap/GC strategy — don't fight it
+        return builder
     if "spark.driver.memory" not in opts:
         # Spark's default is 1g; Xms must stay below Xmx, so pin the engine
         # default explicitly rather than guessing
@@ -154,7 +158,6 @@ def _jvm_tuning(builder):
     mb = int(m.group(1)) * {"g": 1024, "m": 1, "k": 0, "": 1024}[m.group(2)] if m else 1024
     xms_mb = max(512, mb // 2)
     gc = f"-Xms{xms_mb}m -XX:+AlwaysPreTouch -XX:+UseParallelGC"
-    prev = str(opts.get("spark.driver.extraJavaOptions", "")).strip()
     return builder.config(
         "spark.driver.extraJavaOptions", f"{prev} {gc}".strip()
     )
@@ -377,3 +380,65 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def glt_route_tiered(
+    encoded: DataFrame,
+    out_dir: str,
+    combine_threshold_pct: float = 0.1,
+    num_buckets: int = 16,
+) -> dict:
+    """GLT two-tier routing with the reference's combine threshold
+    (glt/streaming_archive/writer/GLTSegment.cpp:94-104, CLI default 0.1% —
+    glt/glt/CommandLineArguments.hpp:38): a logtype whose share of the
+    segment exceeds the threshold is written as its OWN table
+    (write_single_logtype); everything smaller accumulates into combined
+    tables (write_combined_logtype) — here hash buckets. Share is measured
+    in rows (the reference uses encoded bytes; rows are the Spark-side
+    proxy — fixed-width encoded columns make them proportional).
+
+    Scale shape: one partial-agg shuffle for the counts; the hot set is
+    bounded by pigeonhole (at threshold t% at most 100/t logtypes qualify —
+    ≤1000 at 0.1%) so it broadcasts; then ONE partitioned write. The hot
+    tier also neutralizes Zipf skew: the head logtypes that would overwhelm
+    a hash bucket each get a dedicated partition.
+
+    Returns {"total_rows", "hot_logtypes", "threshold_rows"}.
+    """
+    counts = encoded.groupBy("logtype").agg(F.count("*").alias("_n"))
+    agg = counts.agg(
+        F.sum("_n").alias("total"),
+    ).collect()[0]
+    total = int(agg["total"] or 0)
+    thr = total * combine_threshold_pct / 100.0
+    hot = counts.where(F.col("_n") > thr).select("logtype")
+    n_hot = hot.count()  # bounded by 100/combine_threshold_pct
+    routed = (
+        encoded.join(
+            F.broadcast(hot.withColumn("_hot", F.lit(True))), "logtype", "left"
+        )
+        .withColumn(
+            "lt_table",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.concat(F.lit("lt-"), F.substring(F.md5("logtype"), 1, 15)),
+            ).otherwise(
+                F.concat(
+                    F.lit("combined-"),
+                    glt_bucket(F.col("logtype"), num_buckets).cast("string"),
+                )
+            ),
+        )
+        .drop("_hot")
+    )
+    (
+        routed.repartition(F.col("lt_table"))
+        .write.mode("overwrite")
+        .partitionBy("lt_table")
+        .parquet(out_dir)
+    )
+    return {
+        "total_rows": total,
+        "hot_logtypes": n_hot,
+        "threshold_rows": thr,
+    }

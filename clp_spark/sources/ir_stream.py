@@ -28,7 +28,10 @@ The reference's one subsystem with no analog in rounds 1-2 (VERDICT r01
   any single blob (bounded by events_per_chunk at serialize time), work per
   step = O(active blobs) vectorized. This is exactly the shape that scales
   on a cluster: a 1000-executor job hands each task hundreds of IR chunks
-  and the decode cost amortizes across them.
+  and the decode cost amortizes across them. Throughput is proportional to
+  blobs-per-task (the parser's vector width): measured 453k events/s at
+  ~37 blobs/task vs 173k at ~5 (local[32], sf0.1, 2026-08-17) — prefer
+  smaller chunks (default 1024 events) and many chunks per partition.
 
 Why chunked, self-contained blobs: the reference splits archives/files at a
 target encoded size (FileCompressor.cpp:275-293); bounded chunks likewise
@@ -151,8 +154,20 @@ def serialize_ir_core(
     n = len(ts)
     nv = len(codes_flat)
     is_dict = codes_flat == DICT_PH
+    # fail loud on misaligned inputs — a silent mismatch would scatter
+    # garbage values into the wrong events' slots
+    if len(lt_offsets) != n + 1 or len(var_offsets) != n + 1:
+        raise ValueError("offset arrays must have n+1 entries")
+    if int(var_offsets[-1]) != nv:
+        raise ValueError("var_offsets does not cover codes_flat")
+    if len(nd_values) != int((~is_dict).sum()):
+        raise ValueError("nd_values count != non-dict placeholder count")
+    if len(d_inner_offsets) - 1 != int(is_dict.sum()):
+        raise ValueError("dict string count != dict placeholder count")
     # per-var serialized size: encoded = tag+8; dict = header+len
     d_lens = np.diff(d_inner_offsets).astype(np.int64)
+    if d_lens.size and int(d_lens.max()) > 0x7FFFFFFF:
+        raise ValueError("dictionary variable longer than INT32_MAX")  # utils.cpp tiers
     var_sizes = np.full(nv, 9, dtype=np.int64)
     var_sizes[is_dict] = _len_header_sizes(d_lens) + d_lens
     lt_lens = np.diff(lt_offsets).astype(np.int64)
@@ -467,7 +482,7 @@ def events_to_ir_df(
     df,
     ts_col: str = "ts",
     stream_col: str = "source",
-    events_per_chunk: int = 4096,
+    events_per_chunk: int = 1024,
     timestamp_pattern: str = "",
 ):
     """Encoded events → chunked IR blobs, one row per chunk.

@@ -146,6 +146,62 @@ class TestGltRoute:
         assert multi == 0
 
 
+class TestGltRouteTiered:
+    def test_hot_logtypes_get_own_tables(self, spark, tmp_path):
+        """Combine-threshold semantics (GLTSegment.cpp:94-104): a logtype
+        above the threshold share is a single table; the tail is combined."""
+        import os
+
+        import pyspark.sql.functions as F
+
+        from clp_spark.plans.pipeline import glt_route_tiered
+
+        rows = [("hot template <x>",)] * 800 + [
+            (f"cold template {i} <y>",) for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, ["logtype"]).withColumn(
+            "payload", F.lit(1)
+        )
+        out = str(tmp_path / "glt_tiered")
+        stats = glt_route_tiered(df, out, combine_threshold_pct=1.0, num_buckets=4)
+        assert stats["total_rows"] == 1000
+        assert stats["hot_logtypes"] == 1  # only the 80% template exceeds 1%
+        parts = sorted(d for d in os.listdir(out) if d.startswith("lt_table="))
+        singles = [p for p in parts if p.startswith("lt_table=lt-")]
+        combined = [p for p in parts if p.startswith("lt_table=combined-")]
+        assert len(singles) == 1 and 1 <= len(combined) <= 4
+        back = spark.read.option("basePath", out).parquet(out)
+        assert back.count() == 1000
+        # the hot table contains exactly the hot logtype's rows
+        hot_rows = back.where(F.col("lt_table").startswith("lt-"))
+        assert hot_rows.count() == 800
+        assert hot_rows.select("logtype").distinct().count() == 1
+        # a logtype never straddles tables
+        multi = (
+            back.groupBy("logtype")
+            .agg(F.countDistinct("lt_table").alias("nt"))
+            .where(F.col("nt") > 1)
+            .count()
+        )
+        assert multi == 0
+
+    def test_all_cold_goes_combined(self, spark, tmp_path):
+        import os
+
+        import pyspark.sql.functions as F
+
+        from clp_spark.plans.pipeline import glt_route_tiered
+
+        rows = [(f"t {i} u",) for i in range(100)]
+        df = spark.createDataFrame(rows, ["logtype"])
+        out = str(tmp_path / "glt_cold")
+        stats = glt_route_tiered(df, out, combine_threshold_pct=5.0, num_buckets=4)
+        assert stats["hot_logtypes"] == 0
+        parts = os.listdir(out)
+        assert not any(p.startswith("lt_table=lt-") for p in parts)
+        assert spark.read.parquet(out).count() == 100
+
+
 class TestFileSplitting:
     def test_max_records_per_file_bounds_output_files(
         self, spark, tiny_input, tmp_path
