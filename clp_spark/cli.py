@@ -4,6 +4,7 @@
     python -m clp_spark.cli x <archive-dir> [--file F] [-o DIR] # clp x
     python -m clp_spark.cli s <archive-dir> "wildcard query"    # clg / clp s
     python -m clp_spark.cli s-kql <jsonl-path> "kql"            # clp-s s
+    python -m clp_spark.cli convert <out-dir> <input-path...>   # log converter (text -> kv-IR)
     python -m clp_spark.cli pipeline ...                        # tokens ingest
 
 Reference CLIs: clp c/x (clp/clp/CommandLineArguments.cpp), clg
@@ -135,6 +136,18 @@ def cmd_search_kql(args) -> None:
             print(r["raw"])
 
 
+def cmd_convert(args) -> None:
+    from clp_spark.sources.logfiles import convert_to_ir
+
+    spark = _spark(args.master)
+    summary = convert_to_ir(
+        spark, args.inputs, args.output,
+        events_per_chunk=args.events_per_chunk,
+        lock_patterns=not args.no_pattern_lock,
+    )
+    print(json.dumps(summary))
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="clp_spark", description=__doc__)
     ap.add_argument("--master", default="local[*]")
@@ -169,6 +182,15 @@ def main(argv: list[str] | None = None) -> None:
     sk.add_argument("--count", action="store_true")
     sk.add_argument("--limit", type=int, default=None)
     sk.set_defaults(fn=cmd_search_kql)
+
+    cv = sub.add_parser(
+        "convert", help="convert text logs to kv-IR chunk rows (log converter)"
+    )
+    cv.add_argument("output")
+    cv.add_argument("inputs", nargs="+")
+    cv.add_argument("--events-per-chunk", type=int, default=1024)
+    cv.add_argument("--no-pattern-lock", action="store_true")
+    cv.set_defaults(fn=cmd_convert)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -117,3 +117,44 @@ def decompress_file(
     return decode_df(with_lt, ["file_id", "msg_ix", "ts_ms"]).orderBy(
         "file_id", "msg_ix"
     )
+
+
+def convert_to_ir(
+    spark: SparkSession,
+    paths: str | list[str],
+    out_dir: str,
+    events_per_chunk: int = 1024,
+    lock_patterns: bool = True,
+) -> dict:
+    """Log-converter analog (reference clp_s/log_converter/LogConverter.hpp:
+    15-18: text logs → kv-IR files): raw text files → pattern-locked message
+    assembly → CLP encode → chunked 8-byte IR stream rows, one stream per
+    source file, written as parquet of (stream, n_events, ir). The chunks
+    feed `streaming.ingest.run_ir_ingest_stream` or
+    `sources.ir_stream.ir_to_events_df`.
+    """
+    from clp_spark.sources.ir_stream import events_to_ir_df
+
+    lines = read_log_lines(spark, paths)
+    messages = assemble_multiline(lines, lock_patterns=lock_patterns)
+    enc = encode_df(
+        messages.select(
+            F.col("file_id").alias("stream"),
+            F.coalesce(F.col("ts_ms"), F.lit(0)).alias("ts"),
+            F.col("message"),
+        ),
+        ["stream", "ts"],
+        "message",
+    )
+    chunks = events_to_ir_df(enc, "ts", "stream", events_per_chunk=events_per_chunk)
+    chunks.write.mode("overwrite").parquet(out_dir)
+    stats = spark.read.parquet(out_dir).agg(
+        F.count("*").alias("chunks"),
+        F.sum("n_events").alias("events"),
+        F.sum(F.length("ir")).alias("ir_bytes"),
+    ).collect()[0]
+    return {
+        "chunks": int(stats["chunks"]),
+        "events": int(stats["events"] or 0),
+        "ir_bytes": int(stats["ir_bytes"] or 0),
+    }

@@ -52,3 +52,30 @@ def test_kql_over_jsonl(spark, tmp_path, capsys):
     cli.main(["s-kql", str(p), "lvl: ERROR AND ms > 50"])
     out = capsys.readouterr().out.strip().splitlines()
     assert [json.loads(o)["idx"] for o in out if o.startswith("{")] == [1]
+
+
+def test_convert_to_ir_and_back(spark, logdir, tmp_path, capsys):
+    """Log-converter lifecycle: text → kv-IR chunks → decode == original."""
+    out = str(tmp_path / "ir_chunks")
+    cli.main(["convert", out, f"{logdir}/svc.log"])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["events"] == 2 and summary["chunks"] >= 1
+    assert summary["ir_bytes"] > 0
+
+    from clp_spark.operators.decode import decode_df
+    from clp_spark.sources.ir_stream import MAGIC_8BYTE, ir_to_events_df
+
+    chunks = spark.read.parquet(out)
+    blobs = [r["ir"] for r in chunks.collect()]
+    assert all(b[:4] == MAGIC_8BYTE for b in blobs)
+    events = ir_to_events_df(chunks, "ir", "stream")
+    decoded = decode_df(events, ["stream", "ts"])
+    msgs = sorted(r["message"] for r in decoded.collect())
+    # same body semantics as `clp x` (test_logfiles): ts lives in the ts
+    # column (IR TimestampVal record), the body is ts-stripped
+    assert msgs == [
+        " ERROR failure code 7",
+        " INFO starting run 42\n  detail line",
+    ]
+    ts = sorted(r["ts"] for r in events.collect())
+    assert ts[0] > 0 and ts == sorted(ts)
