@@ -479,11 +479,19 @@ def q_minhash_seed0(spark, sf_dir):
     return minhash_min(docs, "doc_id", "text", seed=0, shingle_n=3)
 
 
-def q_minhash_band_candidates(spark, sf_dir):
-    from clp_spark.operators.dedup import minhash_lsh_candidates
+def q_dedup_cluster_ids(spark, sf_dir):
+    """Near-dup CLUSTERS, not just pairs: minhash-LSH candidates → connected
+    components (min-label propagation + pointer jumping) → (doc_id,
+    cluster_id = min member). The bare pair set is subsumed (it is this
+    query's edge input and lsh_jaccard's); survivor selection needs whole
+    components — pair-local keeps are wrong on transitive triples. Oracle:
+    the same candidate CTE + a recursive min-reachability CTE.
+    """
+    from clp_spark.operators.dedup import dedup_clusters, minhash_lsh_candidates
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    return minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=8, bands=4)
+    pairs = minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=8, bands=4)
+    return dedup_clusters(pairs).select(F.col("id").alias("doc_id"), "cluster_id")
 
 
 def q_lsh_jaccard(spark, sf_dir):
@@ -856,7 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- training-data ops
         "dedup_exact_groups": q_dedup_exact_groups,
         "minhash_seed0": q_minhash_seed0,
-        "minhash_band_candidates": q_minhash_band_candidates,
+        "dedup_cluster_ids": q_dedup_cluster_ids,
         "lsh_jaccard": q_lsh_jaccard,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
@@ -983,8 +991,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, min({_HASH60.format(x=chr(39) + '0|' + chr(39) + ' || shingle')}) "
             "AS mh FROM sh GROUP BY 1"
         ),
-        "minhash_band_candidates": (
-            "WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents "
+        "dedup_cluster_ids": (
+            "WITH RECURSIVE d AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents "
             "WHERE doc_id < 200), "
             "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, "
             "greatest(len(w)-2, 1)), i -> array_to_string(w[i:i+2], ' '))) AS shingle FROM d), "
@@ -995,10 +1003,17 @@ def oracle_sql() -> dict[str, str]:
             "sig AS (SELECT doc_id, array_agg(mh ORDER BY seed) AS sig FROM mh GROUP BY 1), "
             "bands AS (SELECT doc_id, b, md5(b::VARCHAR || ',' || "
             "array_to_string(sig[b*2+1:b*2+2], ',')) AS band_key "
-            "FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)) "
-            "SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a "
+            "FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)), "
+            "cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a "
             "JOIN bands c ON a.b = c.b AND a.band_key = c.band_key "
-            "WHERE a.doc_id < c.doc_id"
+            "WHERE a.doc_id < c.doc_id), "
+            # connected components: recursive min-reachability over the
+            # symmetrized candidate edges (exact oracle for label propagation)
+            "sym AS (SELECT id_a AS a, id_b AS b FROM cand "
+            "UNION SELECT id_b, id_a FROM cand), "
+            "reach(node, r) AS (SELECT a, a FROM sym UNION "
+            "SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.node) "
+            "SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1"
         ),
         "lsh_jaccard": (
             # LSH candidate pairs (identical CTE chain to minhash_band_candidates,
