@@ -1,0 +1,166 @@
+"""Stateful streaming multiline assembly — applyInPandasWithState.
+
+Batch assembly (operators/messages.py) needs every line of a message in
+one DataFrame; under tail-follow ingestion a continuation line can arrive
+in a LATER micro-batch than its head. This operator keeps the still-open
+message as per-file group state across micro-batches:
+
+- reference semantics: a line with a parseable timestamp closes the
+  previous message and opens a new one; timestamp-less lines append
+  (MessageParser.cpp:95-164); the first matching pattern is locked per
+  file and reused for every later line (Archive.cpp:293);
+- state per file: (next msg_ix, open message lines, locked pattern index)
+  — O(1) per file, never O(lines);
+- a message EMITS when its successor's head arrives (possibly batches
+  later); the final open message flushes on an explicit EOF marker row
+  (the analog of the file closing) or — in always-on deployments — on an
+  opt-in processing-time state timeout (the analog of CLP closing an
+  idle file);
+- in-order delivery per file across batches is assumed (line_no monotone),
+  the same invariant the reference's sequential reader has; within a batch
+  rows are sorted by line_no.
+
+Boundary detection is a vectorized pandas str.match against the locked
+pattern; assembly is O(messages) joins per batch (never a per-LINE Python
+scan). Timestamp *parsing* stays downstream on the emitted heads (the
+JVM-side operators/messages.py machinery), so this operator only decides
+boundaries. The EOF marker row, when used, must be the file's last line.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from clp_spark.functions.timestamps import KNOWN_PATTERNS
+
+OUTPUT_SCHEMA = "file_id string, msg_ix long, message string"
+STATE_SCHEMA = "msg_ix long, open_lines array<string>, pat int"
+
+EOF_MARKER = "\x00__clp_spark_eof__\x00"
+
+
+def make_assembler(patterns=None, timeout_ms: int | None = None):
+    pats = patterns if patterns is not None else KNOWN_PATTERNS
+    compiled = [re.compile(p.regex) for p in pats]
+
+    def _flush(file_id, msg_ix, open_lines):
+        return pd.DataFrame(
+            {
+                "file_id": [file_id],
+                "msg_ix": [msg_ix],
+                "message": ["\n".join(open_lines)],
+            }
+        )
+
+    def fn(key, pdfs, state):
+        file_id = key[0]
+        if state.hasTimedOut:
+            msg_ix, open_lines, _pat = state.get
+            state.remove()
+            if open_lines is not None and len(open_lines) > 0:
+                yield _flush(file_id, msg_ix, list(open_lines))
+            return
+        if state.exists:
+            msg_ix, open_lines, pat = state.get
+            open_lines = list(open_lines)
+        else:
+            msg_ix, open_lines, pat = 0, [], -1
+        saw_eof = False
+        # one group's rows may arrive as several chunks with no global
+        # order guarantee — concatenate, then sort once (per-file lines per
+        # batch are bounded; the unbounded axis is files, not lines)
+        allpdf = pd.concat(list(pdfs), ignore_index=True) if pdfs is not None else None
+        chunks = [allpdf] if allpdf is not None and len(allpdf) else []
+        for pdf in chunks:
+            pdf = pdf.sort_values("line_no")
+            s = pdf["line"].astype(str)
+            eof_mask = s == EOF_MARKER
+            if eof_mask.any():
+                saw_eof = True
+                s = s[~eof_mask]
+            if len(s) == 0:
+                continue
+            if pat < 0:
+                # lock: the first line (lowest index) matching any pattern;
+                # ties between patterns on the same line → lower pattern ix
+                # (the reference's ordered try list)
+                best_line, best_pat = None, -1
+                for p_ix, rx in enumerate(compiled):
+                    m = s.str.match(rx)
+                    if m.any():
+                        first = int(np.flatnonzero(m.to_numpy())[0])
+                        if best_line is None or first < best_line:
+                            best_line, best_pat = first, p_ix
+                if best_pat < 0:
+                    open_lines.extend(s.tolist())
+                    continue
+                pat = best_pat
+            is_head = s.str.match(compiled[pat]).to_numpy()
+            heads = np.flatnonzero(is_head)
+            vals = s.tolist()
+            if heads.size == 0:
+                open_lines.extend(vals)
+                continue
+            # lines before the first head extend the open message
+            open_lines.extend(vals[: heads[0]])
+            out_ix, out_msg = [], []
+            if open_lines:
+                out_ix.append(msg_ix)
+                out_msg.append("\n".join(open_lines))
+                msg_ix += 1
+            elif msg_ix == 0:
+                # batch-operator numbering parity (operators/messages.py):
+                # msg 0 is the (possibly empty) preamble; head messages
+                # start at 1
+                msg_ix = 1
+            # complete messages: each head up to (not incl.) the next head
+            seg_bounds = list(heads) + [len(vals)]
+            for a, b in zip(seg_bounds[:-1], seg_bounds[1:-1]):
+                out_ix.append(msg_ix)
+                out_msg.append("\n".join(vals[a:b]))
+                msg_ix += 1
+            open_lines = vals[seg_bounds[-2] : seg_bounds[-1]]
+            if out_ix:
+                yield pd.DataFrame(
+                    {
+                        "file_id": file_id,
+                        "msg_ix": out_ix,
+                        "message": out_msg,
+                    }
+                )
+        if saw_eof:
+            state.remove()
+            if open_lines:
+                yield _flush(file_id, msg_ix, open_lines)
+            return
+        state.update((msg_ix, open_lines, pat))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+
+    return fn
+
+
+def assemble_stream(lines, patterns=None, timeout_ms: int | None = None):
+    """lines stream (file_id, line_no, line) → messages stream
+    (file_id, msg_ix, message), messages possibly spanning micro-batches.
+
+    timeout_ms=None (default): no state timeout — the final open message
+    flushes only on an EOF marker row; availableNow drains terminate
+    cleanly. Pass a timeout for continuous (always-on) deployments: idle
+    files flush after timeout_ms, at the cost of the query scheduling
+    timeout batches (so availableNow never self-terminates — use a
+    processing-time trigger there)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return lines.groupBy("file_id").applyInPandasWithState(
+        make_assembler(patterns, timeout_ms),
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,156 @@
+"""Stateful streaming multiline assembly: messages spanning micro-batches,
+pattern locking across batches, EOF flush, batch-operator parity."""
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from clp_spark.streaming.assembly import EOF_MARKER, assemble_stream
+
+LINES_SCHEMA = "file_id string, line_no long, line string"
+
+FILE_A = [
+    "preamble before any timestamp",
+    "2016-05-08 07:34:05,251 INFO starting job 42",
+    "  continuation one",
+    "  continuation two",
+    "2016-05-08 07:34:06,002 WARN mid message",
+    "2016-05-08 07:34:07,500 ERROR last message",
+    "  trailing continuation",
+]
+
+
+def _run_drain(spark, in_dir, out_dir, ckpt):
+    q = (
+        spark.readStream.schema(LINES_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .transform(assemble_stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise AssertionError("stream did not drain in 300s")
+
+
+class TestStreamingAssembly:
+    def test_messages_span_batches(self, spark, tmp_path):
+        """The continuation of message 2 and the head of message 3 arrive
+        one delivery (micro-batch) later; EOF flushes the final message."""
+        in_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(in_dir)
+        rows1 = [("a.log", i, ln) for i, ln in enumerate(FILE_A[:3])]
+        rows2 = [("a.log", i + 3, ln) for i, ln in enumerate(FILE_A[3:])]
+        rows2.append(("a.log", 99, EOF_MARKER))
+        spark.createDataFrame(rows1, LINES_SCHEMA).coalesce(1).write.parquet(
+            in_dir + "/d1"
+        )
+        spark.createDataFrame(rows2, LINES_SCHEMA).coalesce(1).write.parquet(
+            in_dir + "/d2"
+        )
+        _run_drain(spark, in_dir + "/*", out_dir, ckpt)
+        got = {
+            r["msg_ix"]: r["message"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        assert got == {
+            0: "preamble before any timestamp",
+            1: "2016-05-08 07:34:05,251 INFO starting job 42\n"
+               "  continuation one\n  continuation two",
+            2: "2016-05-08 07:34:06,002 WARN mid message",
+            3: "2016-05-08 07:34:07,500 ERROR last message\n"
+               "  trailing continuation",
+        }
+
+    def test_parity_with_batch_operator(self, spark, tmp_path):
+        """Streaming assembly (all lines in one batch + EOF) produces the
+        same (msg_ix, message) set as the batch operator."""
+        from clp_spark.operators.messages import assemble_multiline
+
+        in_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(in_dir)
+        rows = [("a.log", i, ln) for i, ln in enumerate(FILE_A)]
+        spark.createDataFrame(
+            rows + [("a.log", 99, EOF_MARKER)], LINES_SCHEMA
+        ).coalesce(1).write.parquet(in_dir + "/d1")
+        _run_drain(spark, in_dir + "/*", out_dir, ckpt)
+        # downstream step per the module contract: ts parse+strip on the
+        # streamed heads (the streaming op only decides boundaries)
+        from clp_spark.functions.timestamps import (
+            parse_timestamp_ms,
+            strip_timestamp,
+        )
+
+        streamed = spark.read.parquet(out_dir).select(
+            "msg_ix",
+            parse_timestamp_ms(F.col("message")).alias("ts_ms"),
+            strip_timestamp(F.col("message")).alias("message"),
+        )
+        stream_msgs = sorted(
+            (r["msg_ix"], r["ts_ms"], r["message"])
+            for r in streamed.collect()
+        )
+        batch = assemble_multiline(
+            spark.createDataFrame(rows, LINES_SCHEMA)
+        )
+        batch_msgs = sorted(
+            (r["msg_ix"], r["ts_ms"], r["message"]) for r in batch.collect()
+        )
+        assert stream_msgs == batch_msgs
+
+    def test_pattern_lock_survives_batches(self, spark, tmp_path):
+        """A file whose LATER lines match a different pattern keeps the
+        pattern locked in batch 1 (Archive.cpp:293 semantics)."""
+        in_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(in_dir)
+        # locks iso-comma-ms; the slash-format line in delivery 2 must be
+        # treated as a continuation, not a new head
+        r1 = [("b.log", 0, "2016-05-08 07:34:05,251 INFO head one")]
+        r2 = [
+            ("b.log", 1, "2016/05/08T07:34:06.000 looks like another format"),
+            ("b.log", 2, "2016-05-08 07:34:07,000 INFO head two"),
+            ("b.log", 99, EOF_MARKER),
+        ]
+        spark.createDataFrame(r1, LINES_SCHEMA).coalesce(1).write.parquet(in_dir + "/d1")
+        spark.createDataFrame(r2, LINES_SCHEMA).coalesce(1).write.parquet(in_dir + "/d2")
+        _run_drain(spark, in_dir + "/*", out_dir, ckpt)
+        msgs = {r["msg_ix"]: r["message"] for r in spark.read.parquet(out_dir).collect()}
+        assert msgs == {
+            1: "2016-05-08 07:34:05,251 INFO head one\n"
+               "2016/05/08T07:34:06.000 looks like another format",
+            2: "2016-05-08 07:34:07,000 INFO head two",
+        }
+
+    def test_resume_continues_state(self, spark, tmp_path):
+        """Two separate availableNow drains with one checkpoint: state
+        (open message + lock + msg_ix) persists across query restarts."""
+        in_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(in_dir)
+        r1 = [("c.log", 0, "2016-05-08 07:34:05,251 INFO first"),
+              ("c.log", 1, "  cont")]
+        spark.createDataFrame(r1, LINES_SCHEMA).coalesce(1).write.parquet(in_dir + "/d1")
+        _run_drain(spark, in_dir + "/*", out_dir, ckpt)
+        assert spark.read.parquet(out_dir).count() == 0  # msg still open
+        r2 = [("c.log", 2, "2016-05-08 07:34:06,000 INFO second"),
+              ("c.log", 99, EOF_MARKER)]
+        spark.createDataFrame(r2, LINES_SCHEMA).coalesce(1).write.parquet(in_dir + "/d2")
+        _run_drain(spark, in_dir + "/*", out_dir, ckpt)
+        msgs = {r["msg_ix"]: r["message"] for r in spark.read.parquet(out_dir).collect()}
+        assert msgs == {
+            1: "2016-05-08 07:34:05,251 INFO first\n  cont",
+            2: "2016-05-08 07:34:06,000 INFO second",
+        }
