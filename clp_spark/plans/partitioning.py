@@ -181,26 +181,38 @@ def plan_balanced_partitions(
 
 
 def tasks_to_rdd_partitions(spark, tasks: list[TaskPlan]):
-    """Read each task's files as ONE Spark partition (the archive-sized unit
-    a worker compresses): a DataFrame of (task_id, path, line) built from a
-    parallelized task list, text read per partition via the Hadoop FS API.
+    """Read every task's files in ONE scan and co-locate each task's rows in
+    one Spark partition (the archive-sized unit a worker compresses).
 
-    For plain local/posix paths this uses spark.read.text per task path list
-    with an attached task_id — Catalyst handles the scan; the task plan's
-    value is the *grouping*, preserved by repartitioning on task_id.
+    Shape: a single spark.read.text over the union of all file paths, then a
+    broadcast join of the O(files) path→task_id map on input_file_name(),
+    then repartition(n_tasks, task_id). One scan + one broadcast join + one
+    shuffle — NOT one DataFrame per task (a per-task union would grow the
+    logical plan linearly in task count and choke the optimizer at the
+    10^4-task scale the reference scheduler runs at).
     """
+    import os
+
     import pyspark.sql.functions as F
 
-    dfs = []
-    for t in tasks:
-        dfs.append(
-            spark.read.text(t.file_paths)
-            .withColumn("task_id", F.lit(t.task_id))
-            .withColumn("path", F.input_file_name())
-        )
-    if not dfs:
+    if not tasks:
         raise ValueError("no tasks")
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionAll(d)
-    return out.repartition(max(len(tasks), 1), F.col("task_id"))
+    all_paths = [p for t in tasks for p in t.file_paths]
+    # input_file_name() yields a URI (file://...); join on the absolute path
+    path_map = spark.createDataFrame(
+        [(os.path.abspath(p), t.task_id) for t in tasks for p in t.file_paths],
+        "abs_path string, task_id int",
+    )
+    lines = (
+        spark.read.text(all_paths)
+        .withColumn("path", F.input_file_name())
+        .withColumn(
+            "abs_path", F.regexp_replace(F.col("path"), "^file:(//)?", "")
+        )
+        .withColumn("abs_path", F.url_decode("abs_path"))
+    )
+    return (
+        lines.join(F.broadcast(path_map), "abs_path")
+        .drop("abs_path")
+        .repartition(len(tasks), F.col("task_id"))
+    )
