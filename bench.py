@@ -348,7 +348,10 @@ def run_scaling(sf_dir: str) -> None:
             "## Scale-up evidence (fixed 32-core node, growing input)\n"
             "\n"
             "Same encode+route-key+aggregate job, unpinned local[32]\n"
-            "(task.cpus=2), single measured run each (2026-08-17):\n"
+            "(recorded pre-GC-fix with the since-removed task.cpus=2\n"
+            "workaround; post-fix local[32] min-of-5 measures 3.4 s / ~881k\n"
+            "rows/s on the same 3M-row job), single measured run each\n"
+            "(2026-08-17):\n"
             "\n"
             "| input rows | sec | rows/sec |\n"
             "|---|---|---|\n"
