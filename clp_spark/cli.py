@@ -68,6 +68,38 @@ def cmd_search(args) -> None:
     if args.count_by_time is not None and args.count_by_time <= 0:
         sys.exit("error: --count-by-time needs a positive bucket size in ms")
     spark = _spark(args.master)
+    # archives DIRECTORY (clg semantics: search every archive, time-pruned)
+    # vs a single archive dir — detected by where sinks/ lives
+    local_root = args.archive.removeprefix("file:")
+    if "://" not in args.archive or args.archive.startswith("file:"):
+        import os as _os2
+
+        if not _os2.path.isdir(_os2.path.join(local_root, "sinks")):
+            from clp_spark.operators.federation import (
+                discover_archives,
+                search_archives,
+            )
+
+            if not discover_archives(local_root):
+                sys.exit(f"error: {args.archive} contains no archives")
+            res = search_archives(
+                spark, local_root, args.query, args.ignore_case,
+                ts_lo=args.tge, ts_hi=args.tle,
+            )
+            if args.count:
+                print(count_matched(res).collect()[0]["cnt"])
+            elif args.count_by_time is not None:
+                rows = count_by_time(
+                    res.where(F.col("ts_ms").isNotNull()),
+                    F.col("ts_ms"), args.count_by_time,
+                ).orderBy("bucket_ts").collect()
+                for r in rows:
+                    print(r["bucket_ts"], r["cnt"])
+            else:
+                out = res.limit(args.limit) if args.limit is not None else res
+                for r in out.collect():
+                    print(r["message"])
+            return
     # one sinks read, reused for the columns probe / search input / ts join
     raw_sinks = spark.read.option("basePath", f"{args.archive}/sinks").parquet(
         f"{args.archive}/sinks"
@@ -165,13 +197,20 @@ def main(argv: list[str] | None = None) -> None:
     x.add_argument("-o", "--output", default=None)
     x.set_defaults(fn=cmd_extract)
 
-    s = sub.add_parser("s", help="wildcard search over an archive")
+    s = sub.add_parser(
+        "s", help="wildcard search over an archive (or a directory of archives)"
+    )
     s.add_argument("archive")
     s.add_argument("query")
     s.add_argument("--ignore-case", action="store_true")
     s.add_argument("--count", action="store_true")
     s.add_argument("--count-by-time", type=int, default=None, metavar="BUCKET_MS")
     s.add_argument("--limit", type=int, default=None)
+    s.add_argument(
+        "--tge", type=int, default=None, metavar="EPOCH_MS",
+        help="only messages with ts >= this (archives-dir mode prunes whole archives)",
+    )
+    s.add_argument("--tle", type=int, default=None, metavar="EPOCH_MS")
     s.set_defaults(fn=cmd_search)
 
     sk = sub.add_parser("s-kql", help="KQL search over JSONL input")

@@ -231,13 +231,20 @@ def _relax_unescaped_question_marks(q: str) -> str:
     return "".join(out)
 
 
-def compile_query(
+def compile_subqueries(
     query: str,
-    logtype_dict: DataFrame,
     var_dict: DataFrame,
     ignore_case: bool = False,
 ):
-    """→ MATCH_ALL | list[(logtype_ids, SubQuery)] (empty list = no match)."""
+    """→ MATCH_ALL | deduplicated list[SubQuery].
+
+    The archive-independent half of query compilation: tokenize, enumerate
+    interpretations, probe the VAR dictionary (string constraints — exact
+    against any archive whose rows can only contain vars present in its own
+    dictionary, so probing a UNION dictionary stays exact), but do NOT
+    resolve logtype ids — callers resolve those per archive
+    (`compile_query`) or as a DataFrame join across many archives
+    (`operators/federation.py`)."""
     processed = clean_up_wildcard_query(_relax_unescaped_question_marks(query))
     units = tokenize_query(processed)
 
@@ -267,22 +274,35 @@ def compile_query(
 
     probe_cache: dict = {}
     subqueries: list[SubQuery] = []
+    seen: set = set()
     for combo in combos:
         sq = _build_subquery(units, tok_ix, combo, var_dict, ignore_case, probe_cache)
         if sq is None:
             continue
         if sq == MATCH_ALL:
             return MATCH_ALL
-        subqueries.append(sq)
-
-    # probe logtype dictionary per subquery
-    compiled = []
-    seen = set()
-    for sq in subqueries:
         key = (sq.logtype_like, tuple(sq.ordered_exact), sq.wildcard_match_required)
         if key in seen:
             continue
         seen.add(key)
+        subqueries.append(sq)
+    return subqueries
+
+
+def compile_query(
+    query: str,
+    logtype_dict: DataFrame,
+    var_dict: DataFrame,
+    ignore_case: bool = False,
+):
+    """→ MATCH_ALL | list[(logtype_ids, SubQuery)] (empty list = no match)."""
+    subqueries = compile_subqueries(query, var_dict, ignore_case)
+    if subqueries == MATCH_ALL:
+        return MATCH_ALL
+
+    # probe logtype dictionary per subquery
+    compiled = []
+    for sq in subqueries:
         probe = logtype_dict.where(
             F.col("logtype").ilike(sq.logtype_like)
             if ignore_case

@@ -92,8 +92,13 @@ def compress_text_logs(
         "placeholders", "encoded_vars", "dict_vars",
     )
     sinks.write.mode("overwrite").partitionBy("file_id").parquet(f"{out_dir}/sinks")
+    # catalog row (message count + ts range) — what the reference records in
+    # the global metadata DB per archive; read by federated search pruning
+    from clp_spark.operators.federation import write_archive_metadata
+
+    meta = write_archive_metadata(spark, out_dir)
     out = {
-        "messages": spark.read.parquet(f"{out_dir}/sinks").count(),
+        "messages": meta["messages"],
         "logtypes": logtype_dict.count(),
         "variables": var_dict.count(),
     }
