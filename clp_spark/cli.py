@@ -34,12 +34,27 @@ def _spark(master: str) -> SparkSession:
 
 
 def cmd_compress(args) -> None:
-    from clp_spark.sources.logfiles import compress_text_logs
+    from clp_spark.sources.logfiles import (
+        compress_text_logs,
+        compress_text_logs_multi,
+        list_local_log_files,
+    )
 
     spark = _spark(args.master)
-    summary = compress_text_logs(
-        spark, args.inputs, args.archive, lock_patterns=not args.no_pattern_lock
-    )
+    if args.target_archive_size is not None:
+        # archive splitting: <archive> is an archives DIRECTORY; inputs are
+        # grouped/cut into archive-sized tasks (searchable via `s <dir>`)
+        summary = compress_text_logs_multi(
+            spark,
+            list_local_log_files(args.inputs),
+            args.archive,
+            args.target_archive_size,
+            lock_patterns=not args.no_pattern_lock,
+        )
+    else:
+        summary = compress_text_logs(
+            spark, args.inputs, args.archive, lock_patterns=not args.no_pattern_lock
+        )
     print(json.dumps(summary))
 
 
@@ -189,6 +204,11 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("archive")
     c.add_argument("inputs", nargs="+")
     c.add_argument("--no-pattern-lock", action="store_true")
+    c.add_argument(
+        "--target-archive-size", type=int, default=None, metavar="BYTES",
+        help="split the input into archives of ~this raw size; <archive> "
+        "becomes a directory of archives",
+    )
     c.set_defaults(fn=cmd_compress)
 
     x = sub.add_parser("x", help="decompress an archive back to messages")

@@ -124,6 +124,179 @@ def decompress_file(
     )
 
 
+def list_local_log_files(inputs: list[str]) -> list[str]:
+    """Expand local dirs/globs/files into a sorted concrete file list (the
+    driver-side enumeration the reference scheduler does before planning)."""
+    import glob as _glob
+    import os
+
+    out: list[str] = []
+    for p in inputs:
+        if os.path.isdir(p):
+            for root, _dirs, names in os.walk(p):
+                out.extend(os.path.join(root, n) for n in names)
+        elif any(c in p for c in "*?["):
+            out.extend(_glob.glob(p))
+        else:
+            out.append(p)
+    return sorted(out)
+
+
+def _archive_dict_ids(
+    distinct: DataFrame, value_col: str, id_col: str
+) -> DataFrame:
+    """Per-archive deterministic dictionary ids: dense 0-based rank in sorted
+    value order WITHIN each archive — `assign_sorted_ids` semantics, but the
+    window partitions by archive_id, so every archive's dictionary ranks in
+    parallel (no coalesce(1), no per-archive jobs; one shuffle for all
+    archives)."""
+    w = Window.partitionBy("archive_id").orderBy(value_col)
+    return distinct.withColumn(
+        id_col, (F.row_number().over(w) - F.lit(1)).cast("long")
+    )
+
+
+def compress_text_logs_multi(
+    spark: SparkSession,
+    paths: list[str],
+    archives_dir: str,
+    target_archive_size: int,
+    lock_patterns: bool = True,
+) -> dict:
+    """`clp c` over many files with ARCHIVE SPLITTING: inputs are grouped by
+    similar filename and cut into archive-sized tasks (the reference
+    scheduler's partition.py flow, via plans/partitioning.cut_tasks), and the
+    whole set compresses in ONE Spark pass:
+
+    - one text scan over every file, file→archive routed by a broadcast map;
+    - one encode pass (mapInArrow kernel) for all archives;
+    - per-archive dictionaries built simultaneously — dense sorted ids via a
+      window partitioned by archive_id (id assignment parallelizes ACROSS
+      archives instead of running N sequential dictionary builds);
+    - one partitioned write per dataset, then O(archives) driver renames
+      into the standard per-archive layout + metadata.json catalog rows.
+
+    Local filesystem only (the rename step); each produced archive is
+    readable by `decompress_file` / `search_archive` / federated
+    `search_archives`. Reference: archives split at a target size
+    (clp/streaming_archive/writer/Archive split logic +
+    scheduler partition.py target_archive_size).
+    """
+    import json
+    import os
+    import shutil
+
+    from clp_spark.operators.federation import METADATA_FILE
+    from clp_spark.plans.partitioning import FileMeta, cut_tasks
+
+    files = [FileMeta(os.path.abspath(p), os.path.getsize(p)) for p in paths]
+    tasks = cut_tasks(files, target_archive_size)
+    aid_of = {
+        p: f"arch-{t.task_id:05d}" for t in tasks for p in t.file_paths
+    }
+    path_map = spark.createDataFrame(
+        list(aid_of.items()), "abs_path string, archive_id string"
+    )
+
+    lines = read_log_lines(spark, [f.path for f in files])
+    messages = assemble_multiline(lines, lock_patterns=lock_patterns)
+    enc = encode_df(
+        messages.select("file_id", "msg_ix", "ts_ms", "message"),
+        ["file_id", "msg_ix", "ts_ms"],
+        "message",
+    )
+    enc = (
+        enc.withColumn(
+            "abs_path",
+            F.url_decode(F.regexp_replace("file_id", "^file:(//)?", "")),
+        )
+        .join(F.broadcast(path_map), "abs_path")
+        .drop("abs_path")
+        .persist()
+    )
+
+    lt_dict = _archive_dict_ids(
+        enc.select("archive_id", "logtype").distinct(), "logtype", "logtype_id"
+    )
+    var_dict = _archive_dict_ids(
+        enc.select(
+            "archive_id", F.explode("dict_vars").alias("var_value")
+        ).distinct(),
+        "var_value",
+        "var_id",
+    )
+    sinks = enc.join(lt_dict, ["archive_id", "logtype"]).select(
+        "archive_id", "file_id", "msg_ix", "ts_ms", "logtype_id",
+        "placeholders", "encoded_vars", "dict_vars",
+    )
+
+    staging = os.path.join(archives_dir, "_staging")
+    # repartition on (archive_id, file_id): write parallelism scales with
+    # file count while each file dir stays a single output file
+    sinks.repartition("archive_id", "file_id").write.mode("overwrite").partitionBy(
+        "archive_id", "file_id"
+    ).parquet(os.path.join(staging, "sinks"))
+    lt_dict.write.mode("overwrite").partitionBy("archive_id").parquet(
+        os.path.join(staging, "logtype_dict")
+    )
+    var_dict.write.mode("overwrite").partitionBy("archive_id").parquet(
+        os.path.join(staging, "var_dict")
+    )
+
+    # O(archives) driver work: assemble the per-archive directory layout
+    stats = {
+        r["archive_id"]: r
+        for r in enc.groupBy("archive_id")
+        .agg(
+            F.count("*").alias("messages"),
+            F.min("ts_ms").alias("begin"),
+            F.max("ts_ms").alias("end"),
+        )
+        .collect()
+    }
+    enc.unpersist()
+    summary = {"archives": 0, "messages": 0}
+    for t in tasks:
+        aid = f"arch-{t.task_id:05d}"
+        if aid not in stats:
+            continue  # task produced no messages (e.g. empty files) — the
+            # reference emits no archive for an empty task either
+        root = os.path.join(archives_dir, aid)
+        os.makedirs(root, exist_ok=True)
+        for sub in ("sinks", "logtype_dict", "var_dict"):
+            src = os.path.join(staging, sub, f"archive_id={aid}")
+            dst = os.path.join(root, sub)
+            if os.path.isdir(src):
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
+                os.replace(src, dst)
+            elif not os.path.isdir(dst):
+                # an archive with no dictionary variables still needs a
+                # readable (schema-bearing, empty) var_dict
+                schema = (
+                    "var_value string, var_id long"
+                    if sub == "var_dict"
+                    else "logtype string, logtype_id long"
+                )
+                spark.createDataFrame([], schema).write.parquet(dst)
+        st = stats.get(aid)
+        meta = {
+            "messages": int(st["messages"]) if st else 0,
+            "begin_ts_ms": int(st["begin"]) if st and st["begin"] is not None else None,
+            "end_ts_ms": int(st["end"]) if st and st["end"] is not None else None,
+        }
+        with open(os.path.join(root, METADATA_FILE + ".tmp"), "w") as f:
+            json.dump(meta, f)
+        os.replace(
+            os.path.join(root, METADATA_FILE + ".tmp"),
+            os.path.join(root, METADATA_FILE),
+        )
+        summary["archives"] += 1
+        summary["messages"] += meta["messages"]
+    shutil.rmtree(staging, ignore_errors=True)
+    return summary
+
+
 def convert_to_ir(
     spark: SparkSession,
     paths: str | list[str],

@@ -79,3 +79,25 @@ def test_convert_to_ir_and_back(spark, logdir, tmp_path, capsys):
     ]
     ts = sorted(r["ts"] for r in events.collect())
     assert ts[0] > 0 and ts == sorted(ts)
+
+
+def test_compress_with_archive_splitting(spark, tmp_path, capsys):
+    """`c --target-archive-size` cuts the input into multiple archives and
+    `s <archives-dir>` searches them federated (clg semantics)."""
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "app.log.1").write_text(
+        "2016-05-08 07:00:00,000 INFO first archive line\n"
+        "2016-05-08 07:00:01,000 WARN slow response 11 ms from node-1\n"
+    )
+    (d / "app.log.2").write_text(
+        "2016-05-08 08:00:00,000 INFO second archive line\n"
+        "2016-05-08 08:00:01,000 WARN slow response 22 ms from node-2\n"
+    )
+    out = str(tmp_path / "archives")
+    cli.main(["c", out, str(d), "--target-archive-size", "100"])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["archives"] == 2 and summary["messages"] == 4
+
+    cli.main(["s", out, "*slow response*", "--count"])
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "2"

@@ -100,6 +100,115 @@ def test_group_files_by_similar_filenames(spark):
     assert keys == ["app.log.", "app.log.", "other.log", "app.log."]
 
 
+ROTATED = {
+    "app.log.1": (
+        "2016-05-08 07:00:00,000 INFO rotated one start\n"
+        "2016-05-08 07:00:01,000 WARN slow response 11 ms from node-1\n"
+    ),
+    "app.log.2": (
+        "2016-05-08 08:00:00,000 INFO rotated two start\n"
+        "2016-05-08 08:00:01,000 WARN slow response 22 ms from node-2\n"
+    ),
+    "other.log": (
+        "2016-05-09 09:00:00,000 ERROR unrelated shape deadbeef\n"
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def multi_archives(spark, tmp_path_factory):
+    from clp_spark.sources.logfiles import (
+        compress_text_logs_multi,
+        list_local_log_files,
+    )
+
+    d = tmp_path_factory.mktemp("mlogs")
+    for name, content in ROTATED.items():
+        (d / name).write_text(content)
+    out = str(tmp_path_factory.mktemp("march"))
+    # tiny target size -> every similar-filename group cuts its own archive
+    summary = compress_text_logs_multi(
+        spark, list_local_log_files([str(d)]), out, target_archive_size=100
+    )
+    return out, summary
+
+
+def test_multi_archive_split(multi_archives):
+    out, summary = multi_archives
+    assert summary["archives"] >= 2  # app.log.* family splits from other.log
+    assert summary["messages"] == 5
+
+
+def test_multi_archives_discoverable_with_metadata(multi_archives):
+    from clp_spark.operators.federation import (
+        discover_archives,
+        read_archive_metadata,
+    )
+
+    out, summary = multi_archives
+    archives = discover_archives(out)
+    assert len(archives) == summary["archives"]
+    total = 0
+    for _aid, path in archives:
+        meta = read_archive_metadata(path)
+        assert meta is not None and meta["begin_ts_ms"] <= meta["end_ts_ms"]
+        total += meta["messages"]
+    assert total == summary["messages"]
+
+
+def test_multi_archive_dict_ids_dense_per_archive(spark, multi_archives):
+    """Each archive's dictionary must be 0-based dense ranks in sorted value
+    order — `assign_sorted_ids` parity, independently per archive."""
+    from clp_spark.operators.federation import discover_archives
+
+    out, _ = multi_archives
+    for _aid, path in discover_archives(out):
+        for sub, vcol, icol in (
+            ("logtype_dict", "logtype", "logtype_id"),
+            ("var_dict", "var_value", "var_id"),
+        ):
+            rows = spark.read.parquet(f"{path}/{sub}").orderBy(icol).collect()
+            assert [r[icol] for r in rows] == list(range(len(rows)))
+            assert [r[vcol] for r in rows] == sorted(r[vcol] for r in rows)
+
+
+def test_multi_archive_roundtrip_and_search(spark, multi_archives):
+    """Every produced archive decompresses byte-exact, and federated search
+    over the archives dir sees all of them in one job."""
+    from clp_spark.operators.federation import search_archives
+    from clp_spark.sources.logfiles import decompress_file
+
+    out, summary = multi_archives
+    from clp_spark.operators.federation import discover_archives
+
+    msgs = []
+    for _aid, path in discover_archives(out):
+        msgs += [r["message"] for r in decompress_file(spark, path).collect()]
+    assert len(msgs) == summary["messages"]
+    assert sum("slow response" in m for m in msgs) == 2
+
+    hits = search_archives(spark, out, "*slow response*").collect()
+    assert sorted(h["message"][-6:] for h in hits) == ["node-1", "node-2"]
+    # time pruning composes: restrict to the 08:00 archive's window
+    pruned = search_archives(
+        spark, out, "*slow response*",
+        ts_lo=1462694400000, ts_hi=1462697999000,  # [08:00, 09:00) UTC
+    ).collect()
+    assert len(pruned) == 1 and pruned[0]["message"].endswith("node-2")
+
+
+def test_list_local_log_files(tmp_path):
+    from clp_spark.sources.logfiles import list_local_log_files
+
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.log").write_text("x")
+    (tmp_path / "sub" / "b.log").write_text("y")
+    got = list_local_log_files([str(tmp_path)])
+    assert [p.rsplit("/", 1)[-1] for p in got] == ["a.log", "b.log"]
+    got2 = list_local_log_files([str(tmp_path / "*.log"), str(tmp_path / "sub" / "b.log")])
+    assert [p.rsplit("/", 1)[-1] for p in got2] == ["a.log", "b.log"]
+
+
 def test_searchable_after_compress(spark, archive):
     """The encoded sinks are directly queryable with the archive search."""
     from pyspark.sql import functions as F
