@@ -65,10 +65,28 @@ METADATA_FILE = "metadata.json"
 _SINK_COLS = ["placeholders", "encoded_vars", "dict_vars"]
 
 
-def write_archive_metadata(spark: SparkSession, archive_dir: str) -> dict:
+def dir_bytes(path: str) -> int:
+    """On-disk size of an archive directory (driver-side, O(files)) — the
+    ArchiveMetadata `size` figure the reference reports compression ratio
+    against (ArchiveMetadata.hpp:24-79)."""
+    total = 0
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            try:
+                total += os.path.getsize(os.path.join(root, n))
+            except OSError:
+                pass
+    return total
+
+
+def write_archive_metadata(
+    spark: SparkSession, archive_dir: str, extra: dict | None = None
+) -> dict:
     """Compute and persist the archive's catalog row (ArchiveMetadata.hpp
     analog): message count + ts_ms range (nulls when the archive has no
-    per-message timestamps, e.g. token-pipeline archives)."""
+    per-message timestamps, e.g. token-pipeline archives). ``extra`` merges
+    additional catalog fields (e.g. raw_bytes/archive_bytes for the
+    compression-ratio figure)."""
     sinks = spark.read.option("basePath", f"{archive_dir}/sinks").parquet(
         f"{archive_dir}/sinks"
     )
@@ -81,6 +99,8 @@ def write_archive_metadata(spark: SparkSession, archive_dir: str) -> dict:
         "begin_ts_ms": int(row["begin"]) if "ts_ms" in sinks.columns and row["begin"] is not None else None,
         "end_ts_ms": int(row["end"]) if "ts_ms" in sinks.columns and row["end"] is not None else None,
     }
+    if extra:
+        meta.update(extra)
     if "://" in archive_dir and not archive_dir.startswith("file:"):
         # remote (hadoop-fs) archive: the catalog row belongs in a real
         # metadata table there; pruning treats a missing file as "keep"

@@ -71,6 +71,8 @@ def compress_text_logs(
     (file_id, msg_ix, ts_ms, logtype_id, placeholders, encoded_vars,
     dict_vars), partitioned by file for per-file decompression.
     """
+    import os
+
     lines = read_log_lines(spark, paths)
     messages = assemble_multiline(lines, lock_patterns=lock_patterns)
     enc = encode_df(
@@ -92,15 +94,28 @@ def compress_text_logs(
         "placeholders", "encoded_vars", "dict_vars",
     )
     sinks.write.mode("overwrite").partitionBy("file_id").parquet(f"{out_dir}/sinks")
-    # catalog row (message count + ts range) — what the reference records in
-    # the global metadata DB per archive; read by federated search pruning
-    from clp_spark.operators.federation import write_archive_metadata
+    # catalog row (message count + ts range + sizes) — what the reference
+    # records in the global metadata DB per archive (ArchiveMetadata
+    # uncompressed_size/size → compression ratio); read by federated pruning
+    from clp_spark.operators.federation import dir_bytes, write_archive_metadata
 
-    meta = write_archive_metadata(spark, out_dir)
+    extra = {}
+    local = out_dir.removeprefix("file:") if "://" not in out_dir or out_dir.startswith("file:") else None
+    if local is not None:
+        raw = sum(
+            os.path.getsize(p)
+            for p in list_local_log_files(paths if isinstance(paths, list) else [paths])
+            if os.path.exists(p)
+        )
+        if raw:
+            extra["raw_bytes"] = raw
+            extra["archive_bytes"] = dir_bytes(local)
+    meta = write_archive_metadata(spark, out_dir, extra=extra or None)
     out = {
         "messages": meta["messages"],
         "logtypes": logtype_dict.count(),
         "variables": var_dict.count(),
+        **extra,
     }
     enc.unpersist()
     return out
@@ -186,7 +201,7 @@ def compress_text_logs_multi(
     import os
     import shutil
 
-    from clp_spark.operators.federation import METADATA_FILE
+    from clp_spark.operators.federation import METADATA_FILE, dir_bytes
     from clp_spark.plans.partitioning import FileMeta, cut_tasks
 
     files = [FileMeta(os.path.abspath(p), os.path.getsize(p)) for p in paths]
@@ -284,6 +299,10 @@ def compress_text_logs_multi(
             "messages": int(st["messages"]) if st else 0,
             "begin_ts_ms": int(st["begin"]) if st and st["begin"] is not None else None,
             "end_ts_ms": int(st["end"]) if st and st["end"] is not None else None,
+            # ArchiveMetadata uncompressed_size / size — the reference's
+            # headline compression-ratio figures, per archive
+            "raw_bytes": t.total_size,
+            "archive_bytes": dir_bytes(root),
         }
         with open(os.path.join(root, METADATA_FILE + ".tmp"), "w") as f:
             json.dump(meta, f)
@@ -293,6 +312,10 @@ def compress_text_logs_multi(
         )
         summary["archives"] += 1
         summary["messages"] += meta["messages"]
+        summary["raw_bytes"] = summary.get("raw_bytes", 0) + t.total_size
+        summary["archive_bytes"] = (
+            summary.get("archive_bytes", 0) + meta["archive_bytes"]
+        )
     shutil.rmtree(staging, ignore_errors=True)
     return summary
 

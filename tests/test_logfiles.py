@@ -41,6 +41,8 @@ def test_compress_summary(archive):
     assert summary["messages"] == 5
     assert summary["logtypes"] >= 4
     assert summary["variables"] >= 2  # dict vars: node-7, deadbeef, ...
+    assert summary["raw_bytes"] == len(FILE_A.encode()) + len(FILE_B.encode())
+    assert summary["archive_bytes"] > 0
 
 
 def test_roundtrip_exact(spark, archive):
@@ -149,11 +151,18 @@ def test_multi_archives_discoverable_with_metadata(multi_archives):
     archives = discover_archives(out)
     assert len(archives) == summary["archives"]
     total = 0
+    raw = 0
     for _aid, path in archives:
         meta = read_archive_metadata(path)
         assert meta is not None and meta["begin_ts_ms"] <= meta["end_ts_ms"]
+        assert meta["raw_bytes"] > 0 and meta["archive_bytes"] > 0
         total += meta["messages"]
+        raw += meta["raw_bytes"]
     assert total == summary["messages"]
+    # catalog raw sizes account for every input byte (ratio denominator)
+    assert raw == summary["raw_bytes"] == sum(
+        len(c.encode()) for c in ROTATED.values()
+    )
 
 
 def test_multi_archive_dict_ids_dense_per_archive(spark, multi_archives):
