@@ -32,10 +32,24 @@ class TsPattern:
     leading_tokens: int = 0   # reference TimestampPattern num_spaces_before_ts
     comma_ms: bool = False    # normalize ',' → '.' before parsing
     squash_ws: bool = False   # normalize runs of spaces → one (for %e/%k/%l)
+    prefix: str = ""          # literal chars the regex consumes before the ts
+    suffix: str = ""          # literal chars the regex consumes after the ts
+    render_fmt: str | None = None  # date_format override for re-rendering
+    weekday: bool = False     # regex consumes a weekday name before the ts
 
     @property
     def regex(self) -> str:
         return rf"^((?:\S+\s+){{{self.leading_tokens}}})" + self.body
+
+    @property
+    def render(self) -> str:
+        """date_format pattern that re-renders what the regex captured —
+        fmt with the comma restored for comma_ms patterns (CLP re-renders
+        the timestamp from its stored pattern on decompression,
+        TimestampPattern.cpp insert_formatted_timestamp)."""
+        if self.render_fmt is not None:
+            return self.render_fmt
+        return self.fmt.replace(".SSS", ",SSS") if self.comma_ms else self.fmt
 
 
 _ISO = r"\d{4}-\d{2}-\d{2}"
@@ -54,20 +68,21 @@ KNOWN_PATTERNS: list[TsPattern] = [
     TsPattern("slash_T_comma_ms", rf"({_SLASH}T{_HMS},\d{{3}})", "yyyy/MM/dd'T'HH:mm:ss.SSS", comma_ms=True),
     TsPattern("slash_space_dot_ms", rf"({_SLASH} {_HMS}\.\d{{3}})", "yyyy/MM/dd HH:mm:ss.SSS"),
     TsPattern("slash_space_comma_ms", rf"({_SLASH} {_HMS},\d{{3}})", "yyyy/MM/dd HH:mm:ss.SSS", comma_ms=True),
-    TsPattern("bracketed_comma_ms", rf"\[({_ISO} {_HMS},\d{{3}})\]", "yyyy-MM-dd HH:mm:ss.SSS", comma_ms=True),
+    TsPattern("bracketed_comma_ms", rf"\[({_ISO} {_HMS},\d{{3}})\]", "yyyy-MM-dd HH:mm:ss.SSS", comma_ms=True,
+              prefix="[", suffix="]"),
     TsPattern("two_tok_comma_ms", rf"({_ISO} {_HMS},\d{{3}})", "yyyy-MM-dd HH:mm:ss.SSS",
               leading_tokens=2, comma_ms=True),
-    TsPattern("angle_colon_ms", rf"<<<({_ISO} {_HMS}:\d{{3}})", "yyyy-MM-dd HH:mm:ss:SSS"),
+    TsPattern("angle_colon_ms", rf"<<<({_ISO} {_HMS}:\d{{3}})", "yyyy-MM-dd HH:mm:ss:SSS", prefix="<<<"),
     TsPattern("day_monname_comma_ms", rf"(\d{{2}} {_MON} \d{{4}} {_HMS},\d{{3}})",
               "dd MMM yyyy HH:mm:ss.SSS", comma_ms=True),
     TsPattern("iso_T_sec", rf"({_ISO}T{_HMS})", "yyyy-MM-dd'T'HH:mm:ss"),
     TsPattern("iso_space_sec", rf"({_ISO} {_HMS})", "yyyy-MM-dd HH:mm:ss"),
     TsPattern("slash_T_sec", rf"({_SLASH}T{_HMS})", "yyyy/MM/dd'T'HH:mm:ss"),
     TsPattern("slash_space_sec", rf"({_SLASH} {_HMS})", "yyyy/MM/dd HH:mm:ss"),
-    TsPattern("bracket_iso_T_sec", rf"\[({_ISO}T{_HMS})", "yyyy-MM-dd'T'HH:mm:ss"),
-    TsPattern("bracket_compact", rf"\[(\d{{8}}-{_HMS})\]", "yyyyMMdd-HH:mm:ss"),
+    TsPattern("bracket_iso_T_sec", rf"\[({_ISO}T{_HMS})", "yyyy-MM-dd'T'HH:mm:ss", prefix="["),
+    TsPattern("bracket_compact", rf"\[(\d{{8}}-{_HMS})\]", "yyyyMMdd-HH:mm:ss", prefix="[", suffix="]"),
     TsPattern("start_date", rf"({_ISO}\s{{2}}{_HMS})", "yyyy-MM-dd HH:mm:ss",
-              leading_tokens=1, squash_ws=True),
+              leading_tokens=1, squash_ws=True, render_fmt="yyyy-MM-dd  HH:mm:ss"),
     TsPattern("two_digit_year", rf"(\d{{2}}/\d{{2}}/\d{{2}} {_HMS})", "yy/MM/dd HH:mm:ss"),
     TsPattern("compact_2dy", rf"(\d{{6}}\s+\d{{1,2}}:\d{{2}}:\d{{2}})", "yyMMdd H:mm:ss",
               squash_ws=True),
@@ -75,19 +90,19 @@ KNOWN_PATTERNS: list[TsPattern] = [
               "MMM dd, yyyy h:mm:ss a", squash_ws=True),
     TsPattern("full_month_hm", r"([A-Z][a-z]+ \d{2}, \d{4} \d{2}:\d{2})", "MMMM dd, yyyy HH:mm"),
     TsPattern("apache_1tok", rf"\[(\d{{2}}/{_MON}/\d{{4}}:{_HMS})", "dd/MMM/yyyy:HH:mm:ss",
-              leading_tokens=1),
+              leading_tokens=1, prefix="["),
     TsPattern("apache_3tok", rf"\[(\d{{2}}/{_MON}/\d{{4}}:{_HMS})", "dd/MMM/yyyy:HH:mm:ss",
-              leading_tokens=3),
+              leading_tokens=3, prefix="["),
     TsPattern("apache_3tok_numeric", rf"\[(\d{{2}}/\d{{2}}/\d{{4}}:{_HMS})", "dd/MM/yyyy:HH:mm:ss",
-              leading_tokens=3),
+              leading_tokens=3, prefix="["),
     TsPattern("rails_6tok", rf"({_ISO} {_HMS})", "yyyy-MM-dd HH:mm:ss", leading_tokens=6),
     TsPattern("one_tok_iso", rf"({_ISO} {_HMS})", "yyyy-MM-dd HH:mm:ss", leading_tokens=1),
     # Spark >=3 forbids 'EEE' in parse patterns; the weekday is matched by the
     # regex (so strip removes it) but excluded from the parsed capture
     TsPattern("apport_4tok", rf"{_MON} ({_MON}\s+\d{{1,2}} {_HMS} \d{{4}})",
-              "MMM d HH:mm:ss yyyy", leading_tokens=4, squash_ws=True),
+              "MMM d HH:mm:ss yyyy", leading_tokens=4, squash_ws=True, weekday=True),
     TsPattern("weekday", rf"{_MON} ({_MON}\s+\d{{1,2}} {_HMS} \d{{4}})",
-              "MMM d HH:mm:ss yyyy", squash_ws=True),
+              "MMM d HH:mm:ss yyyy", squash_ws=True, weekday=True),
     # reference-marked imprecise (no year → epoch year); kept for parity
     TsPattern("syslog_noyear", rf"({_MON}\s+\d{{1,2}} {_HMS})", "MMM d HH:mm:ss",
               squash_ws=True),
@@ -148,6 +163,53 @@ def strip_with_pattern(line: Column, pattern_name: Column) -> Column:
         out = F.when(
             (pattern_name == p.name) & (F.regexp_extract(line, p.regex, 2) != ""),
             F.regexp_replace(line, p.regex, "$1"),
+        ).otherwise(out)
+    return out
+
+
+def restore_timestamp(
+    message: Column, ts_ms: Column, pattern_name: Column
+) -> Column:
+    """Re-insert the timestamp text into a stripped message — the
+    decompression inverse of `strip_with_pattern` (reference
+    TimestampPattern.cpp insert_formatted_timestamp: `clp x` re-renders each
+    message's timestamp from its stored pattern).
+
+    The stored body is `leading_tokens + rest`; the original line was
+    `leading_tokens + [weekday ]prefix + ts + suffix + rest`, so the render
+    splices `date_format(ts_ms, pattern.render)` (plus the pattern's literal
+    decorations, plus the weekday for weekday-consuming patterns) back in
+    after the leading tokens. Pure JVM expressions (date_format CASE chain).
+
+    Exact for every pattern whose source text is in canonical spacing;
+    squash_ws patterns re-render with single spaces (the run-of-spaces
+    information is not retained — same loss class as the reference's
+    space-padded %e day). Rows with a NULL pattern or NULL ts pass through
+    unchanged (preamble/continuation-only messages)."""
+    out = message
+    for p in reversed(KNOWN_PATTERNS):
+        ts = F.timestamp_millis(ts_ms)
+        rendered = F.date_format(ts, p.render)
+        pieces = [F.lit(p.prefix), rendered, F.lit(p.suffix)]
+        if p.weekday:
+            pieces.insert(0, F.date_format(ts, "EEE "))
+        if p.leading_tokens:
+            # \s+? (minimal): in the stored body the timestamp is gone, so
+            # the lead's trailing space and the remainder's leading space
+            # are adjacent — a greedy run would swallow both and misplace
+            # the splice point
+            lead = F.regexp_extract(
+                message, rf"^(?:\S+\s+?){{{p.leading_tokens}}}", 0
+            )
+            restored = F.concat(
+                lead,
+                *pieces,
+                F.substr(message, F.length(lead) + F.lit(1)),
+            )
+        else:
+            restored = F.concat(*pieces, message)
+        out = F.when(
+            (pattern_name == p.name) & ts_ms.isNotNull(), restored
         ).otherwise(out)
     return out
 

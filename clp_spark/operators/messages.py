@@ -57,13 +57,21 @@ def assemble_multiline(
     line_col: str = "line",
     lock_patterns: bool = True,
     broadcast_locks: bool = True,
+    emit_pattern: bool = False,
 ) -> DataFrame:
     """lines(file, line_no, line) → messages(file, msg_ix, ts_ms, message).
 
     message = timestamped head line + '\\n'-joined continuation lines;
     leading non-timestamped lines (before any timestamp) form message 0 with
     NULL ts, matching the reference's treatment of preamble text.
+
+    ``emit_pattern`` adds a ts_pat column (the file's locked pattern name on
+    timestamped messages, NULL otherwise) so archives can re-render the
+    original timestamp text on decompression (TimestampPattern storage
+    analog); requires lock_patterns.
     """
+    if emit_pattern and not lock_patterns:
+        raise ValueError("emit_pattern requires lock_patterns=True")
     if lock_patterns:
         locks = file_pattern_locks(lines, file_col, lineno_col, line_col)
         if broadcast_locks:
@@ -85,20 +93,25 @@ def assemble_multiline(
     msg_ix = F.sum(F.col("_has_ts").cast("int")).over(w)
     body = F.when(F.col("_has_ts"), stripped).otherwise(F.col(line_col))
     numbered = with_ts.withColumn("_msg_ix", msg_ix).withColumn("_body", body)
+    aggs = [
+        F.max("_ts_ms").alias("ts_ms"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(lineno_col).alias("l"),
+                                            F.col("_body").alias("b")))
+                ),
+                lambda x: x["b"],
+            ),
+            "\n",
+        ).alias("message"),
+    ]
+    if emit_pattern:
+        aggs.append(
+            F.max(F.when(F.col("_has_ts"), F.col("_lock_pat"))).alias("ts_pat")
+        )
     return (
         numbered.groupBy(file_col, "_msg_ix")
-        .agg(
-            F.max("_ts_ms").alias("ts_ms"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col(lineno_col).alias("l"),
-                                                F.col("_body").alias("b")))
-                    ),
-                    lambda x: x["b"],
-                ),
-                "\n",
-            ).alias("message"),
-        )
+        .agg(*aggs)
         .withColumnRenamed("_msg_ix", "msg_ix")
     )

@@ -74,12 +74,11 @@ def compress_text_logs(
     import os
 
     lines = read_log_lines(spark, paths)
-    messages = assemble_multiline(lines, lock_patterns=lock_patterns)
-    enc = encode_df(
-        messages.select("file_id", "msg_ix", "ts_ms", F.col("message")),
-        ["file_id", "msg_ix", "ts_ms"],
-        "message",
+    messages = assemble_multiline(
+        lines, lock_patterns=lock_patterns, emit_pattern=lock_patterns
     )
+    keys = ["file_id", "msg_ix", "ts_ms"] + (["ts_pat"] if lock_patterns else [])
+    enc = encode_df(messages.select(*keys, "message"), keys, "message")
     enc = enc.persist()
     logtype_dict = assign_sorted_ids(enc.select("logtype"), "logtype", "logtype_id")
     var_dict = assign_sorted_ids(
@@ -90,8 +89,7 @@ def compress_text_logs(
     sinks = enc.join(
         F.broadcast(logtype_dict.select("logtype", "logtype_id")), "logtype"
     ).select(
-        "file_id", "msg_ix", "ts_ms", "logtype_id",
-        "placeholders", "encoded_vars", "dict_vars",
+        *keys, "logtype_id", "placeholders", "encoded_vars", "dict_vars",
     )
     sinks.write.mode("overwrite").partitionBy("file_id").parquet(f"{out_dir}/sinks")
     # catalog row (message count + ts range + sizes) — what the reference
@@ -122,9 +120,18 @@ def compress_text_logs(
 
 
 def decompress_file(
-    spark: SparkSession, out_dir: str, file_id: str | None = None
+    spark: SparkSession, out_dir: str, file_id: str | None = None,
+    restore_timestamps: bool = True,
 ) -> DataFrame:
-    """Reconstruct original messages (ordered by msg_ix) — the `clp x` path."""
+    """Reconstruct original messages (ordered by msg_ix) — the `clp x` path.
+
+    Archives that carry the per-message ts_pat column (written by the
+    compressors when pattern locking is on) get their timestamp text
+    re-rendered into the message — the reference re-renders each message's
+    timestamp from its stored pattern on decompression
+    (TimestampPattern.cpp insert_formatted_timestamp); pass
+    restore_timestamps=False for the raw stripped bodies."""
+    from clp_spark.functions.timestamps import restore_timestamp
     from clp_spark.operators.decode import decode_df
 
     sinks = spark.read.option("basePath", f"{out_dir}/sinks").parquet(f"{out_dir}/sinks")
@@ -134,9 +141,15 @@ def decompress_file(
     with_lt = sinks.join(
         F.broadcast(logtype_dict.select("logtype_id", "logtype")), "logtype_id"
     )
-    return decode_df(with_lt, ["file_id", "msg_ix", "ts_ms"]).orderBy(
-        "file_id", "msg_ix"
-    )
+    keep = ["file_id", "msg_ix", "ts_ms"]
+    has_pat = "ts_pat" in sinks.columns
+    out = decode_df(with_lt, keep + (["ts_pat"] if has_pat else []))
+    if has_pat and restore_timestamps:
+        out = out.withColumn(
+            "message",
+            restore_timestamp(F.col("message"), F.col("ts_ms"), F.col("ts_pat")),
+        )
+    return out.select(*keep, "message").orderBy("file_id", "msg_ix")
 
 
 def list_local_log_files(inputs: list[str]) -> list[str]:
@@ -214,12 +227,11 @@ def compress_text_logs_multi(
     )
 
     lines = read_log_lines(spark, [f.path for f in files])
-    messages = assemble_multiline(lines, lock_patterns=lock_patterns)
-    enc = encode_df(
-        messages.select("file_id", "msg_ix", "ts_ms", "message"),
-        ["file_id", "msg_ix", "ts_ms"],
-        "message",
+    messages = assemble_multiline(
+        lines, lock_patterns=lock_patterns, emit_pattern=lock_patterns
     )
+    keys = ["file_id", "msg_ix", "ts_ms"] + (["ts_pat"] if lock_patterns else [])
+    enc = encode_df(messages.select(*keys, "message"), keys, "message")
     enc = (
         enc.withColumn(
             "abs_path",
@@ -241,7 +253,7 @@ def compress_text_logs_multi(
         "var_id",
     )
     sinks = enc.join(lt_dict, ["archive_id", "logtype"]).select(
-        "archive_id", "file_id", "msg_ix", "ts_ms", "logtype_id",
+        "archive_id", *keys, "logtype_id",
         "placeholders", "encoded_vars", "dict_vars",
     )
 

@@ -46,6 +46,9 @@ def test_compress_summary(archive):
 
 
 def test_roundtrip_exact(spark, archive):
+    """Full-fidelity `clp x`: timestamps are re-rendered from the stored
+    pattern, so joining the decompressed messages reproduces the original
+    file content byte-exactly."""
     from clp_spark.sources.logfiles import decompress_file
 
     out, _ = archive
@@ -53,15 +56,21 @@ def test_roundtrip_exact(spark, archive):
     by_file = {}
     for r in rows:
         by_file.setdefault(r["file_id"].rsplit("/", 1)[-1], []).append(r["message"])
-    # reconstruct original text: strip_timestamp removed the ts from head
-    # lines, so re-join per message and compare bodies
-    a_msgs = by_file["a.log"]
+    assert "\n".join(by_file["a.log"]) + "\n" == FILE_A
+    assert "\n".join(by_file["b.log"]) + "\n" == FILE_B
+
+
+def test_roundtrip_stripped_bodies(spark, archive):
+    from clp_spark.sources.logfiles import decompress_file
+
+    out, _ = archive
+    rows = decompress_file(spark, out, restore_timestamps=False).collect()
+    a_msgs = [
+        r["message"] for r in rows if r["file_id"].endswith("a.log")
+    ]
     assert a_msgs[0] == " INFO starting job 42\n  with config alpha=0.5\n  and retries 3"
     assert a_msgs[1] == " WARN slow response 120 ms from node-7"
     assert a_msgs[2] == " ERROR failed after 0.75 s hash deadbeef"
-    b_msgs = by_file["b.log"]
-    assert b_msgs[0] == "preamble line without timestamp"
-    assert b_msgs[1] == " INFO other file start\ntrailing continuation"
 
 
 def test_timestamps_extracted(spark, archive):
