@@ -59,16 +59,17 @@ def cmd_compress(args) -> None:
 
 
 def cmd_extract(args) -> None:
-    from clp_spark.sources.logfiles import decompress_file
+    from clp_spark.sources.logfiles import decompress_file, extract_to_files
 
     spark = _spark(args.master)
-    out = decompress_file(spark, args.archive, file_id=args.file)
     if args.output:
-        out.select("message").write.mode("overwrite").text(args.output)
-        # count the WRITTEN text instead of re-running the decode pipeline
-        n = spark.read.text(args.output).count()
-        print(json.dumps({"messages": n, "output": args.output}))
+        # reference `clp x` semantics: recreate one file per original input
+        summary = extract_to_files(
+            spark, args.archive, args.output, file_id=args.file
+        )
+        print(json.dumps({**summary, "output": args.output}))
     else:
+        out = decompress_file(spark, args.archive, file_id=args.file)
         for r in out.collect():
             print(r["message"])
 

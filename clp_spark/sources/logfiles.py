@@ -332,6 +332,56 @@ def compress_text_logs_multi(
     return summary
 
 
+def extract_to_files(
+    spark: SparkSession, archive_dir: str, out_dir: str,
+    file_id: str | None = None,
+) -> dict:
+    """`clp x <archive> <out-dir>`: reconstruct ONE output file per original
+    input file (the reference decompressor recreates the source files,
+    clp/Decompressor — not a row dump). Spark shape: each source file's
+    messages sort inside one partition and write through
+    partitionBy(file_id), so file reconstruction parallelizes across files
+    with no driver data movement; the driver only renames O(files) part
+    files to the original basenames."""
+    import os
+    import shutil
+
+    msgs = decompress_file(spark, archive_dir, file_id=file_id)
+    staging = os.path.join(out_dir, "_staging")
+    (
+        msgs.repartition("file_id")
+        .sortWithinPartitions("file_id", "msg_ix")
+        .select("file_id", "message")
+        .write.mode("overwrite")
+        .partitionBy("file_id")
+        .text(staging)
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    summary = {"files": 0}
+    seen: set[str] = set()
+    for entry in sorted(os.scandir(staging), key=lambda e: e.name):
+        if not (entry.is_dir() and entry.name.startswith("file_id=")):
+            continue
+        from urllib.parse import unquote
+
+        uri = unquote(entry.name[len("file_id="):])
+        base = uri.rstrip("/").rsplit("/", 1)[-1]
+        if base in seen:  # same basename from different source dirs
+            base = f"{base}.{summary['files']}"
+        seen.add(base)
+        parts = sorted(
+            p.path for p in os.scandir(entry.path) if p.name.startswith("part-")
+        )
+        dst = os.path.join(out_dir, base)
+        with open(dst, "wb") as f:
+            for p in parts:
+                with open(p, "rb") as src:
+                    shutil.copyfileobj(src, f)
+        summary["files"] += 1
+    shutil.rmtree(staging, ignore_errors=True)
+    return summary
+
+
 def convert_to_ir(
     spark: SparkSession,
     paths: str | list[str],

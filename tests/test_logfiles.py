@@ -60,6 +60,18 @@ def test_roundtrip_exact(spark, archive):
     assert "\n".join(by_file["b.log"]) + "\n" == FILE_B
 
 
+def test_extract_to_files_recreates_originals(spark, archive, tmp_path):
+    """`clp x <archive> <dir>` writes one byte-exact file per source file."""
+    from clp_spark.sources.logfiles import extract_to_files
+
+    out, _ = archive
+    dst = str(tmp_path / "restored")
+    summary = extract_to_files(spark, out, dst)
+    assert summary["files"] == 2
+    assert (tmp_path / "restored" / "a.log").read_text() == FILE_A
+    assert (tmp_path / "restored" / "b.log").read_text() == FILE_B
+
+
 def test_roundtrip_stripped_bodies(spark, archive):
     from clp_spark.sources.logfiles import decompress_file
 
