@@ -176,12 +176,14 @@ def _normalized_sinks(
             "doc_id", F.concat_ws("#", "file_id", "msg_ix")
         ).withColumn("source", F.col("file_id"))
     ts = F.col("ts_ms") if "ts_ms" in sinks.columns else F.lit(None).cast("long")
+    pat = F.col("ts_pat") if "ts_pat" in sinks.columns else F.lit(None).cast("string")
     return sinks.select(
         F.lit(aid).alias("archive_id"),
         F.col("doc_id").cast("string").alias("doc_id"),
         F.col("source").cast("string").alias("source"),
         "logtype_id",
         ts.alias("ts_ms"),
+        pat.alias("ts_pat"),
         *_SINK_COLS,
     )
 
@@ -257,6 +259,17 @@ def search_archives(
     if subs != MATCH_ALL and not subs:
         return spark.createDataFrame([], _RESULT_SCHEMA)
 
+    def _finish(df: DataFrame) -> DataFrame:
+        """Re-render timestamps into matched messages (display fidelity —
+        the wildcard verified against the stored body above)."""
+        from clp_spark.functions.timestamps import restore_timestamp
+
+        df = df.withColumn(
+            "message",
+            restore_timestamp(F.col("message"), F.col("ts_ms"), F.col("ts_pat")),
+        )
+        return df.select(*_KEEP, "message")
+
     if subs == MATCH_ALL:
         sinks_u = _ts_filter(
             reduce(
@@ -267,8 +280,10 @@ def search_archives(
         with_lt = sinks_u.join(
             F.broadcast(lt_u), ["archive_id", "logtype_id"], "left"
         )
-        out = decode_df(with_lt, _KEEP)
-        return out.where(wildcard_match(F.col("message"), query, ignore_case))
+        out = decode_df(with_lt, _KEEP + ["ts_pat"])
+        return _finish(
+            out.where(wildcard_match(F.col("message"), query, ignore_case))
+        )
 
     # candidate (archive_id, logtype_id) -> matching subquery set, resolved
     # entirely as DataFrame ops (no driver id collects, no isin cap)
@@ -331,6 +346,6 @@ def search_archives(
         .withColumn("_no_verify", no_verify)
         .join(F.broadcast(lt_u), ["archive_id", "logtype_id"], "left")
     )
-    decoded = decode_df(candidates, _KEEP + ["_no_verify"])
+    decoded = decode_df(candidates, _KEEP + ["ts_pat", "_no_verify"])
     final = F.col("_no_verify") | wildcard_match(F.col("message"), query, ignore_case)
-    return decoded.where(final).select(*_KEEP, "message")
+    return _finish(decoded.where(final))

@@ -548,7 +548,24 @@ def search_archive(
     compilation — e.g. after segment pruning already probed the dictionaries."""
     from clp_spark.operators.decode import decode_df
 
-    keep = ["doc_id", "source", "logtype_id"]
+    # archives carrying per-message timestamp patterns (text-log archives)
+    # get the timestamp text re-rendered into matched messages — clg prints
+    # the full original line; the wildcard MATCHES the stored body (the
+    # reference's logtype excludes the timestamp), so restore runs after
+    # the verify and never changes which rows match
+    has_ts = "ts_pat" in sinks.columns and "ts_ms" in sinks.columns
+    keep = ["doc_id", "source", "logtype_id"] + (["ts_ms", "ts_pat"] if has_ts else [])
+
+    def _finish(df: DataFrame) -> DataFrame:
+        if has_ts:
+            from clp_spark.functions.timestamps import restore_timestamp
+
+            df = df.withColumn(
+                "message",
+                restore_timestamp(F.col("message"), F.col("ts_ms"), F.col("ts_pat")),
+            )
+        return df.select("doc_id", "source", "logtype_id", "message")
+
     with_lt = sinks.join(F.broadcast(logtype_dict.select("logtype_id", "logtype")),
                          "logtype_id", "left") if "logtype" not in sinks.columns else sinks
 
@@ -559,9 +576,9 @@ def search_archive(
         # → full scan, decode (mapInArrow numpy kernel — no per-row Python),
         # and verify the original query per message
         out = decode_df(with_lt, keep)
-        return out.where(wildcard_match(F.col("message"), query, ignore_case))
+        return _finish(out.where(wildcard_match(F.col("message"), query, ignore_case)))
     if not compiled:
-        return decode_df(with_lt, keep).where(F.lit(False))
+        return _finish(decode_df(with_lt, keep).where(F.lit(False)))
 
     tagged = tagged_vars_col()
     candidate_preds = []
@@ -593,4 +610,4 @@ def search_archive(
     )
     decoded = decode_df(candidates, keep + ["_no_verify"])
     final = F.col("_no_verify") | wildcard_match(F.col("message"), query, ignore_case)
-    return decoded.where(final).select("doc_id", "source", "logtype_id", "message")
+    return _finish(decoded.where(final))

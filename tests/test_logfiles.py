@@ -219,6 +219,9 @@ def test_multi_archive_roundtrip_and_search(spark, multi_archives):
 
     hits = search_archives(spark, out, "*slow response*").collect()
     assert sorted(h["message"][-6:] for h in hits) == ["node-1", "node-2"]
+    # clg prints the full original line: timestamps are re-rendered into
+    # the matched message from the stored (ts_ms, ts_pat)
+    assert all(m in msgs for m in (h["message"] for h in hits))
     # time pruning composes: restrict to the 08:00 archive's window
     pruned = search_archives(
         spark, out, "*slow response*",
@@ -255,4 +258,8 @@ def test_searchable_after_compress(spark, archive):
         lt, vd, "*slow response*",
     )
     got = res.collect()
-    assert len(got) == 1 and "120 ms" in got[0]["message"]
+    assert len(got) == 1
+    # full original line, timestamp re-rendered (clg output fidelity)
+    assert got[0]["message"] == (
+        "2016-05-08 07:34:06,002 WARN slow response 120 ms from node-7"
+    )
