@@ -120,6 +120,21 @@ def cmd_search(args) -> None:
     raw_sinks = spark.read.option("basePath", f"{args.archive}/sinks").parquet(
         f"{args.archive}/sinks"
     )
+    # --tge/--tle in single-archive mode: per-message timestamp filter
+    # (archives-dir mode handled above via catalog pruning + pushdown)
+    want_ts = args.tge is not None or args.tle is not None
+    if want_ts and "ts_ms" not in raw_sinks.columns:
+        sys.exit(
+            "error: --tge/--tle need an archive with per-message timestamps "
+            "(text-log archives carry ts_ms; token-pipeline archives do not)"
+        )
+
+    def _ts_filter(df):
+        if args.tge is not None:
+            df = df.where(F.col("ts_ms") >= F.lit(args.tge))
+        if args.tle is not None:
+            df = df.where(F.col("ts_ms") <= F.lit(args.tle))
+        return df
     # the segment index lives next to local archives; remote (hadoop-fs)
     # archives skip the local-path probe and run unpruned rather than crash
     is_local = "://" not in args.archive or args.archive.startswith("file:")
@@ -130,8 +145,19 @@ def cmd_search(args) -> None:
         res, _segments = search_archive_pruned(
             spark, args.archive, args.query, args.ignore_case
         )
+        if want_ts:
+            # pruned-path results carry ts_ms when the archive stores it
+            res = _ts_filter(res) if "ts_ms" in res.columns else res.join(
+                raw_sinks.select(
+                    F.concat_ws("#", "file_id", "msg_ix").alias("doc_id"),
+                    "ts_ms",
+                ),
+                "doc_id",
+            ).transform(_ts_filter).drop("ts_ms")
     else:
         sinks = raw_sinks
+        if want_ts:
+            sinks = _ts_filter(sinks)  # pushed to the scan — prune first
         if "doc_id" not in sinks.columns:  # text-log archives key by file/msg
             sinks = sinks.withColumn(
                 "doc_id", F.concat_ws("#", "file_id", "msg_ix")

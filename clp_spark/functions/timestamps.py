@@ -224,3 +224,69 @@ def strip_timestamp(line: Column) -> Column:
             F.regexp_replace(line, p.regex, "$1"),
         ).otherwise(out)
     return out
+
+
+def _java_fmt_to_strptime(fmt: str) -> str:
+    """Java DateTimeFormatter pattern → Python strptime pattern, for the
+    pandas-side validity check used by the streaming assembler. Covers
+    exactly the letters KNOWN_PATTERNS use."""
+    out = []
+    i = 0
+    table = {
+        ("y", 4): "%Y", ("y", 2): "%y",
+        ("M", 4): "%B", ("M", 3): "%b", ("M", 2): "%m", ("M", 1): "%m",
+        ("d", 2): "%d", ("d", 1): "%d",
+        ("H", 2): "%H", ("H", 1): "%H",
+        ("h", 2): "%I", ("h", 1): "%I",
+        ("m", 2): "%M", ("s", 2): "%S",
+        ("S", 3): "%f",
+        ("a", 1): "%p",
+    }
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "'":
+            j = fmt.index("'", i + 1)
+            out.append(fmt[i + 1 : j] or "'")
+            i = j + 1
+            continue
+        j = i
+        while j < len(fmt) and fmt[j] == c:
+            j += 1
+        run = fmt[i:j]
+        if c.isalpha():
+            key = (c, j - i)
+            if key not in table:
+                raise ValueError(f"unmapped java pattern run {run!r} in {fmt!r}")
+            out.append(table[key])
+        else:
+            out.append(run)
+        i = j
+    return "".join(out)
+
+
+def pandas_head_mask(s, p: TsPattern):
+    """Boolean numpy mask: line starts a new message under pattern ``p`` —
+    the regex matches AND the capture parses to a valid timestamp. This is
+    the pandas-side mirror of ``_parse_one(line, p).isNotNull()`` (the batch
+    operator's head condition, messages.py `_has_ts`), so the streaming
+    assembler draws message boundaries exactly where the batch operator
+    does: a regex-shape match with impossible field values (e.g.
+    '2016-99-99 88:99:99') is a continuation line on both paths."""
+    import numpy as np
+    import pandas as pd
+
+    cap = s.str.extract(p.regex, expand=True)[1]
+    hit = cap.notna().to_numpy()
+    if not hit.any():
+        return hit
+    vals = cap[hit]
+    if p.comma_ms:
+        vals = vals.str.replace(",", ".", regex=False)
+    if p.squash_ws:
+        vals = vals.str.replace(r"\s+", " ", regex=True)
+    parsed = pd.to_datetime(
+        vals, format=_java_fmt_to_strptime(p.fmt), errors="coerce"
+    )
+    out = np.zeros(len(s), dtype=bool)
+    out[np.flatnonzero(hit)] = parsed.notna().to_numpy()
+    return out

@@ -123,9 +123,17 @@ def read_archive_metadata(archive_dir: str) -> dict | None:
 
 def discover_archives(archives_dir: str) -> list[tuple[str, str]]:
     """Sorted (archive_id, path) for every child directory that is an
-    archive (has a sinks/ subdir). archive_id = directory name."""
+    archive (has a sinks/ subdir). archive_id = directory name.
+
+    Names starting with '_' or '.' are skipped — '_staging' (an in-flight
+    compress_text_logs_multi write) and hidden/metadata dirs must never be
+    searched as archives: a crashed or concurrent compression would
+    otherwise duplicate every renamed message or surface half-written data.
+    """
     out = []
     for entry in sorted(os.scandir(archives_dir), key=lambda e: e.name):
+        if entry.name.startswith(("_", ".")):
+            continue
         if entry.is_dir() and os.path.isdir(os.path.join(entry.path, "sinks")):
             out.append((entry.name, entry.path))
     return out
@@ -299,11 +307,16 @@ def search_archives(
                 "archive_id", "logtype_id", F.lit(k).alias("_k")
             )
         )
+    # localCheckpoint, not persist: the candidate table is consumed by the
+    # segment-hit collect AND the later broadcast join; persist() would park
+    # it in the CacheManager forever (one leaked cache entry per federated
+    # query in a long-lived session), while a localCheckpoint's blocks are
+    # released by the ContextCleaner once the result DataFrame is dropped
     cands = (
         reduce(DataFrame.unionByName, cand_parts)
         .groupBy("archive_id", "logtype_id")
         .agg(F.collect_set("_k").alias("_ks"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     seg_hits = _segment_hits(spark, archives, cands)

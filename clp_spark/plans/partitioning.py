@@ -146,37 +146,35 @@ def cut_tasks(
 def plan_balanced_partitions(
     files: list[FileMeta], target_num: int, target_size: int
 ) -> list[TaskPlan]:
-    """Round-robin groups over `target_num` partitions, skipping partitions
-    already at target size (partition.py:100-140 `add_files`): keeps
-    similarly-named files together while balancing bytes."""
+    """Fill partitions sequentially with files in GROUP order (the reference
+    partition.py `add_files`: a partition takes one group's files until it
+    is full, then the next partition starts) — similarly-named files stay
+    contiguous in the same partition for dictionary/logtype locality, never
+    scattered round-robin across partitions.
+
+    The per-partition budget is min(target_size, ceil(total/target_num)):
+    the second term spreads a small input over all target_num partitions
+    (parallelism) instead of packing everything into partition 0; the first
+    caps partitions at the intended archive size. A single file larger than
+    the budget still lands whole (never split) and closes its partition.
+    Fewer than target_num partitions may be used when the data is skewed —
+    trailing empty partitions are dropped."""
     target_num = min(len(files), target_num)
     if target_num == 0:
         return []
     groups = group_files_by_similar_filenames(files)
-    parts = [TaskPlan(task_id=i) for i in range(target_num)]
-    next_ix = [0] * len(groups)
-    gi, pi = 0, 0
-    while groups:
-        g = groups[gi]
-        f = g["files"][next_ix[gi]]
-        # find a partition with space (always terminates: the scan wraps and
-        # the reference accepts overflow into the least-loaded slot)
-        for _ in range(target_num):
-            p = parts[pi]
-            pi = (pi + 1) % target_num
-            if p.total_size < target_size:
-                break
-        p.file_paths.append(f.path)
-        p.group_ids.append(g["id"])
-        p.total_size += f.size
-        next_ix[gi] += 1
-        if next_ix[gi] == len(g["files"]):
-            groups.pop(gi)
-            next_ix.pop(gi)
-        else:
-            gi += 1
-        if groups:
-            gi %= len(groups)
+    total = sum(f.size for f in files)
+    budget = max(1, min(target_size, -(-total // target_num)))
+    parts = [TaskPlan(task_id=0)]
+    for g in groups:
+        for f in g["files"]:
+            cur = parts[-1]
+            if cur.total_size + f.size > budget and cur.file_paths and len(parts) < target_num:
+                cur = TaskPlan(task_id=len(parts))
+                parts.append(cur)
+            cur.file_paths.append(f.path)
+            cur.group_ids.append(g["id"])
+            cur.total_size += f.size
     return parts
 
 

@@ -155,9 +155,16 @@ def _jvm_tuning(builder):
         opts["spark.driver.memory"] = "4g"
     mem = str(opts["spark.driver.memory"]).strip().lower()
     m = re.match(r"^(\d+)([gmk]?)$", mem)
-    mb = int(m.group(1)) * {"g": 1024, "m": 1, "k": 0, "": 1024}[m.group(2)] if m else 1024
-    xms_mb = max(512, mb // 2)
-    gc = f"-Xms{xms_mb}m -XX:+AlwaysPreTouch -XX:+UseParallelGC"
+    if m:
+        n, unit = int(m.group(1)), m.group(2)
+        mb = n * 1024 if unit in ("g", "") else (n if unit == "m" else n // 1024)
+    else:
+        mb = 1024
+    # Xms must never exceed Xmx — a caller-set tiny driver.memory (e.g.
+    # 256m in a test) would otherwise abort the JVM at launch
+    xms_mb = min(mb, max(512, mb // 2))
+    heap = f"-Xms{xms_mb}m " if xms_mb >= 16 else ""
+    gc = f"{heap}-XX:+AlwaysPreTouch -XX:+UseParallelGC"
     return builder.config(
         "spark.driver.extraJavaOptions", f"{prev} {gc}".strip()
     )

@@ -444,7 +444,7 @@ def deserialize_ir_py(blob: bytes) -> list[dict]:
 # Python work — O(chunks) calls into the numpy cores, never O(rows))
 # ---------------------------------------------------------------------------
 
-IR_CHUNK_SCHEMA = "stream string, n_events long, ir binary"
+IR_CHUNK_SCHEMA = "stream string, chunk_ix long, n_events long, ir binary"
 
 
 def _string_parts(col):
@@ -484,6 +484,7 @@ def events_to_ir_df(
     stream_col: str = "source",
     events_per_chunk: int = 1024,
     timestamp_pattern: str = "",
+    order_col: str | None = None,
 ):
     """Encoded events → chunked IR blobs, one row per chunk.
 
@@ -493,12 +494,22 @@ def events_to_ir_df(
     serializes with one `serialize_ir_core` call. Chunks are self-contained
     (own preamble + EOF) so any chunk subset deserializes independently —
     the property the transposed reader and cluster-parallel ingest rely on.
+
+    Pass ``order_col`` (e.g. a message index) to serialize each stream's
+    events in that order — without it the within-stream order is whatever
+    the shuffle delivers. A log CONVERTER must pass it: the reference's
+    LogConverter preserves source log order in the IR it emits.
     """
     import pyarrow as pa
 
     pre = make_preamble(timestamp_pattern=timestamp_pattern)
 
     def _fn(batches):
+        # per-stream chunk counter, carried across the partition's Arrow
+        # batches (a stream lives wholly in one partition, so this numbers
+        # its chunks globally — chunk_ix + within-chunk position recovers
+        # the full serialized order)
+        next_chunk_ix: dict = {}
         for batch in batches:
             if len(batch) == 0:
                 continue
@@ -522,7 +533,7 @@ def events_to_ir_df(
             run_starts = [0] + (np.flatnonzero(np.diff(sarr) != 0) + 1).tolist() if n else []
             run_ends = run_starts[1:] + [n]
             run_streams = streams.take(pa.array(run_starts, type=pa.int64())).to_pylist()
-            out_stream, out_n, out_ir = [], [], []
+            out_stream, out_ix, out_n, out_ir = [], [], [], []
             for rs, re_, sval in zip(run_starts, run_ends, run_streams):
                 for a in range(rs, re_, events_per_chunk):
                     b = min(a + events_per_chunk, re_)
@@ -539,20 +550,32 @@ def events_to_ir_df(
                         preamble=pre,
                     )
                     out_stream.append(sval)
+                    ci = next_chunk_ix.get(sval, 0)
+                    next_chunk_ix[sval] = ci + 1
+                    out_ix.append(ci)
                     out_n.append(b - a)
                     out_ir.append(blob.tobytes())
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out_stream, type=pa.string()),
+                    pa.array(out_ix, type=pa.int64()),
                     pa.array(out_n, type=pa.int64()),
                     pa.array(out_ir, type=pa.binary()),
                 ],
-                ["stream", "n_events", "ir"],
+                ["stream", "chunk_ix", "n_events", "ir"],
             )
 
-    sel = df.select(
-        stream_col, ts_col, "logtype", "placeholders", "encoded_vars", "dict_vars"
-    ).repartition(stream_col).sortWithinPartitions(stream_col)
+    cols = [stream_col, ts_col, "logtype", "placeholders", "encoded_vars",
+            "dict_vars"] + ([order_col] if order_col else [])
+    sort_cols = [stream_col] + ([order_col] if order_col else [])
+    sel = (
+        df.select(*cols)
+        .repartition(stream_col)
+        .sortWithinPartitions(*sort_cols)
+    )
+    if order_col:
+        # narrow projection — preserves the partition-local sort
+        sel = sel.drop(order_col)
     return sel.mapInArrow(_fn, IR_CHUNK_SCHEMA)
 
 

@@ -121,7 +121,7 @@ def compress_text_logs(
 
 def decompress_file(
     spark: SparkSession, out_dir: str, file_id: str | None = None,
-    restore_timestamps: bool = True,
+    restore_timestamps: bool = True, ordered: bool = True,
 ) -> DataFrame:
     """Reconstruct original messages (ordered by msg_ix) — the `clp x` path.
 
@@ -149,7 +149,12 @@ def decompress_file(
             "message",
             restore_timestamp(F.col("message"), F.col("ts_ms"), F.col("ts_pat")),
         )
-    return out.select(*keep, "message").orderBy("file_id", "msg_ix")
+    out = out.select(*keep, "message")
+    # ordered=False skips the global range-partition sort for callers that
+    # impose their own partitioning right after (extract_to_files sorts
+    # within per-file partitions — a global orderBy there would be paid and
+    # then immediately destroyed by the repartition)
+    return out.orderBy("file_id", "msg_ix") if ordered else out
 
 
 def list_local_log_files(inputs: list[str]) -> list[str]:
@@ -163,10 +168,15 @@ def list_local_log_files(inputs: list[str]) -> list[str]:
         if os.path.isdir(p):
             for root, _dirs, names in os.walk(p):
                 out.extend(os.path.join(root, n) for n in names)
+        elif os.path.isfile(p):
+            # literal path wins over glob interpretation: a real file whose
+            # name contains '[' (e.g. /var/log/app[1]/x.log) must not be
+            # silently dropped by a failed character-class match
+            out.append(p)
         elif any(c in p for c in "*?["):
             out.extend(_glob.glob(p))
         else:
-            out.append(p)
+            out.append(p)  # nonexistent literal — let the read fail loudly
     return sorted(out)
 
 
@@ -346,7 +356,7 @@ def extract_to_files(
     import os
     import shutil
 
-    msgs = decompress_file(spark, archive_dir, file_id=file_id)
+    msgs = decompress_file(spark, archive_dir, file_id=file_id, ordered=False)
     staging = os.path.join(out_dir, "_staging")
     (
         msgs.repartition("file_id")
@@ -403,13 +413,20 @@ def convert_to_ir(
     enc = encode_df(
         messages.select(
             F.col("file_id").alias("stream"),
+            F.col("msg_ix"),
             F.coalesce(F.col("ts_ms"), F.lit(0)).alias("ts"),
             F.col("message"),
         ),
-        ["stream", "ts"],
+        ["stream", "msg_ix", "ts"],
         "message",
     )
-    chunks = events_to_ir_df(enc, "ts", "stream", events_per_chunk=events_per_chunk)
+    # order_col=msg_ix: the emitted IR preserves source log order (the
+    # reference LogConverter writes events in file order; ts alone cannot
+    # recover it — ms ties and timestamp-less continuations)
+    chunks = events_to_ir_df(
+        enc, "ts", "stream", events_per_chunk=events_per_chunk,
+        order_col="msg_ix",
+    )
     chunks.write.mode("overwrite").parquet(out_dir)
     stats = spark.read.parquet(out_dir).agg(
         F.count("*").alias("chunks"),

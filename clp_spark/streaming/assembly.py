@@ -20,21 +20,21 @@ message as per-file group state across micro-batches:
   the same invariant the reference's sequential reader has; within a batch
   rows are sorted by line_no.
 
-Boundary detection is a vectorized pandas str.match against the locked
-pattern; assembly is O(messages) joins per batch (never a per-LINE Python
-scan). Timestamp *parsing* stays downstream on the emitted heads (the
-JVM-side operators/messages.py machinery), so this operator only decides
-boundaries. The EOF marker row, when used, must be the file's last line.
+Boundary detection is vectorized pandas: regex extract + timestamp parse
+against the locked pattern (pandas_head_mask — the same regex-AND-parse
+gate as the batch operator's _has_ts, so both paths draw identical
+boundaries); assembly is O(messages) joins per batch (never a per-LINE
+Python scan). Full timestamp *parsing* to epoch-ms stays downstream on the
+emitted heads (the JVM-side operators/messages.py machinery). The EOF
+marker row, when used, must be the file's last line.
 """
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 
-from clp_spark.functions.timestamps import KNOWN_PATTERNS
+from clp_spark.functions.timestamps import KNOWN_PATTERNS, pandas_head_mask
 
 OUTPUT_SCHEMA = "file_id string, msg_ix long, message string"
 STATE_SCHEMA = "msg_ix long, open_lines array<string>, pat int"
@@ -44,7 +44,6 @@ EOF_MARKER = "\x00__clp_spark_eof__\x00"
 
 def make_assembler(patterns=None, timeout_ms: int | None = None):
     pats = patterns if patterns is not None else KNOWN_PATTERNS
-    compiled = [re.compile(p.regex) for p in pats]
 
     def _flush(file_id, msg_ix, open_lines):
         return pd.DataFrame(
@@ -84,21 +83,26 @@ def make_assembler(patterns=None, timeout_ms: int | None = None):
             if len(s) == 0:
                 continue
             if pat < 0:
-                # lock: the first line (lowest index) matching any pattern;
-                # ties between patterns on the same line → lower pattern ix
-                # (the reference's ordered try list)
+                # lock: the first line (lowest index) whose capture both
+                # regex-matches AND parses (same gate as the batch
+                # operator's detect_pattern); ties between patterns on the
+                # same line → lower pattern ix (the reference's ordered
+                # try list)
                 best_line, best_pat = None, -1
-                for p_ix, rx in enumerate(compiled):
-                    m = s.str.match(rx)
+                for p_ix, p in enumerate(pats):
+                    m = pandas_head_mask(s, p)
                     if m.any():
-                        first = int(np.flatnonzero(m.to_numpy())[0])
+                        first = int(np.flatnonzero(m)[0])
                         if best_line is None or first < best_line:
                             best_line, best_pat = first, p_ix
                 if best_pat < 0:
                     open_lines.extend(s.tolist())
                     continue
                 pat = best_pat
-            is_head = s.str.match(compiled[pat]).to_numpy()
+            # head = regex match + successful timestamp parse, mirroring
+            # the batch operator's _has_ts (parse_with_pattern not null) so
+            # both ingestion paths number messages identically
+            is_head = pandas_head_mask(s, pats[pat])
             heads = np.flatnonzero(is_head)
             vals = s.tolist()
             if heads.size == 0:

@@ -99,13 +99,20 @@ class IrBatchWriter:
         from clp_spark.sources.ir_stream import ir_to_events_df
 
         t0 = time.time()
+        # one source scan + one decode total: cache the micro-batch for the
+        # blob count, decode from cache, count the decoded events from cache
+        # (EncodeBatchWriter's "count the input, not a read-back" pattern —
+        # no second source scan, no sink re-read)
+        batch_df = batch_df.persist()
         n_blobs = batch_df.count()
         path = os.path.join(self.out_dir, f"ingest_batch={batch_id}")
         n_events = 0
         if n_blobs > 0:
-            events = ir_to_events_df(batch_df, "ir", "stream")
+            events = ir_to_events_df(batch_df, "ir", "stream").persist()
+            n_events = events.count()
             events.write.mode("overwrite").partitionBy("stream").parquet(path)
-            n_events = spark_read_rows(batch_df.sparkSession, path)
+            events.unpersist()
+        batch_df.unpersist()
         metrics_dir = os.path.join(self.out_dir, "_ingest_metrics")
         os.makedirs(metrics_dir, exist_ok=True)
         rec = {"batch_id": batch_id, "blobs": n_blobs, "rows": n_events,

@@ -101,3 +101,47 @@ def test_compress_with_archive_splitting(spark, tmp_path, capsys):
 
     cli.main(["s", out, "*slow response*", "--count"])
     assert capsys.readouterr().out.strip().splitlines()[-1] == "2"
+
+
+def test_search_time_range_single_archive(spark, archive, capsys):
+    """--tge/--tle filter per-message timestamps in single-archive mode
+    (previously only the archives-directory federated branch honored them)."""
+    sinks = spark.read.parquet(f"{archive}/sinks")
+    lo, hi = [
+        (r["lo"], r["hi"])
+        for r in sinks.selectExpr(
+            "min(ts_ms) as lo", "max(ts_ms) as hi"
+        ).collect()
+    ][0]
+    assert lo < hi  # the two fixture messages have distinct timestamps
+    cli.main(["s", archive, "*", "--count", "--tge", str(hi)])
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "1"
+    cli.main(["s", archive, "*", "--count", "--tle", str(lo)])
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "1"
+    cli.main(["s", archive, "*", "--count", "--tge", str(hi + 1)])
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "0"
+
+
+def test_convert_preserves_log_order(spark, tmp_path, capsys):
+    """The IR a converter emits preserves source log order even when every
+    message shares one timestamp (the reference LogConverter writes events
+    in file order; ts alone cannot recover it)."""
+    d = tmp_path / "logs"
+    d.mkdir()
+    lines = [
+        f"2016-05-08 07:34:05,251 INFO ordered message {i:04d}" for i in range(300)
+    ]
+    (d / "same_ts.log").write_text("\n".join(lines) + "\n")
+    out = str(tmp_path / "ir_chunks")
+    cli.main(["convert", out, str(d / "same_ts.log"), "--events-per-chunk", "32"])
+    capsys.readouterr()
+
+    from clp_spark.operators.decode import decode_df
+    from clp_spark.sources.ir_stream import ir_to_events_df
+
+    chunks = spark.read.parquet(out).orderBy("chunk_ix").coalesce(1)
+    events = ir_to_events_df(chunks, "ir", "stream")
+    decoded = decode_df(events, ["stream", "ts"])
+    got = [r["message"] for r in decoded.collect()]
+    want = [f" INFO ordered message {i:04d}" for i in range(300)]
+    assert got == want

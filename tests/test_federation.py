@@ -206,3 +206,15 @@ def test_segment_hits_prune_split_dirs(spark, archives_dir):
     )
     hits = _segment_hits(spark, archives, rare)
     assert hits == {"arch_c": [0]}
+
+
+def test_discover_skips_staging_and_hidden(tmp_path):
+    """An in-flight _staging dir (it has a sinks/ subdir while a concurrent
+    or crashed compression is mid-write) must never be searched as an
+    archive — its rows would duplicate every renamed message."""
+    import os
+
+    for name in ("arch-00000", "_staging", ".hidden"):
+        os.makedirs(tmp_path / name / "sinks")
+    got = discover_archives(str(tmp_path))
+    assert [aid for aid, _ in got] == ["arch-00000"]

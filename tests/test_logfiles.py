@@ -242,6 +242,18 @@ def test_list_local_log_files(tmp_path):
     assert [p.rsplit("/", 1)[-1] for p in got2] == ["a.log", "b.log"]
 
 
+def test_list_local_log_files_literal_brackets(tmp_path):
+    """A real file whose path contains '[' is a literal path, not a failed
+    glob — it must not be silently dropped from the compression input."""
+    from clp_spark.sources.logfiles import list_local_log_files
+
+    d = tmp_path / "app[1]"
+    d.mkdir()
+    f = d / "server.log"
+    f.write_text("x")
+    assert list_local_log_files([str(f)]) == [str(f)]
+
+
 def test_searchable_after_compress(spark, archive):
     """The encoded sinks are directly queryable with the archive search."""
     from pyspark.sql import functions as F

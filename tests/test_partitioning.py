@@ -145,3 +145,23 @@ class TestSparkIntegration:
             .collect()
         )
         assert all(r["d"] == 1 for r in per_file)
+
+
+class TestGroupLocality:
+    def test_groups_stay_contiguous_not_scattered(self):
+        # two distinct filename families; each must land whole in ONE
+        # partition (dictionary locality), never interleaved round-robin
+        files = [FileMeta(f"/x/app.log.{i}", 10) for i in range(6)] + [
+            FileMeta(f"/y/dbserver-audit.{i}.txt", 10) for i in range(6)
+        ]
+        parts = plan_balanced_partitions(files, target_num=2, target_size=1000)
+        assert len(parts) == 2
+        for p in parts:
+            assert len(set(p.group_ids)) == 1
+
+    def test_small_input_still_parallelizes(self):
+        # far below target_size: the byte budget spreads one group over all
+        # target_num partitions instead of packing partition 0
+        files = [FileMeta(f"/x/t{i:02d}.log", 10) for i in range(12)]
+        parts = plan_balanced_partitions(files, target_num=3, target_size=10**9)
+        assert sorted(len(p.file_paths) for p in parts) == [4, 4, 4]

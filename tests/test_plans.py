@@ -140,3 +140,30 @@ class TestBloomFilters:
             )
         # a 50k-ndv bloom filter is tens of KB; plain jitter is far smaller
         assert sizes["bloom"] - sizes["plain"] > 20_000
+
+
+class TestJvmTuning:
+    def _opts(self, mem):
+        from pyspark.sql import SparkSession
+
+        from clp_spark.plans.pipeline import _jvm_tuning
+
+        b = SparkSession.Builder().config("spark.driver.memory", mem)
+        out = _jvm_tuning(b)
+        return dict(out._options)
+
+    def test_xms_never_exceeds_xmx(self):
+        import re
+
+        opts = self._opts("256m")
+        m = re.search(r"-Xms(\d+)m", opts["spark.driver.extraJavaOptions"])
+        assert m and int(m.group(1)) <= 256
+
+    def test_k_suffix_does_not_emit_zero_or_oversized_xms(self):
+        opts = self._opts("524288k")  # 512 MB expressed in KB
+        ija = opts["spark.driver.extraJavaOptions"]
+        import re
+
+        m = re.search(r"-Xms(\d+)m", ija)
+        if m:
+            assert 0 < int(m.group(1)) <= 512

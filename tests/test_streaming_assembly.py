@@ -154,3 +154,42 @@ class TestStreamingAssembly:
             1: "2016-05-08 07:34:05,251 INFO first\n  cont",
             2: "2016-05-08 07:34:06,000 INFO second",
         }
+
+
+class TestParseGatedBoundaries:
+    def test_unparseable_head_is_continuation_on_both_paths(
+        self, spark, tmp_path
+    ):
+        """A line whose shape matches the locked regex but whose field
+        values cannot parse ('2016-99-99 88:99:99') must be a CONTINUATION
+        on both ingestion paths — the batch operator gates heads on a
+        successful parse (_has_ts), and the streaming assembler mirrors it
+        via pandas_head_mask."""
+        from clp_spark.operators.messages import assemble_multiline
+
+        lines = [
+            "2016-05-08 07:34:05 first message",
+            "2016-99-99 88:99:99 impossible date, regex-shaped",
+            "2016-05-08 07:34:06 second message",
+        ]
+        rows = [("f.log", i, ln) for i, ln in enumerate(lines)]
+        in_dir, out_dir, ckpt = (
+            str(tmp_path / d) for d in ("in", "out", "ckpt")
+        )
+        os.makedirs(in_dir)
+        spark.createDataFrame(
+            rows + [("f.log", 99, EOF_MARKER)], LINES_SCHEMA
+        ).coalesce(1).write.parquet(in_dir + "/d1")
+        _run_drain(spark, in_dir + "/*", out_dir, ckpt)
+        streamed = {
+            r["msg_ix"]: r["message"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        assert streamed[1] == (
+            "2016-05-08 07:34:05 first message\n"
+            "2016-99-99 88:99:99 impossible date, regex-shaped"
+        )
+        assert streamed[2] == "2016-05-08 07:34:06 second message"
+        batch = assemble_multiline(spark.createDataFrame(rows, LINES_SCHEMA))
+        batch_by_ix = {r["msg_ix"]: r for r in batch.collect()}
+        assert len(batch_by_ix) == len(streamed) == 2
