@@ -1,0 +1,166 @@
+"""Sequence packing: concatenate token sequences and cut fixed-length
+context windows — the standard LLM-pretraining packing step over the
+north-star input table (doc_id, tokens array<int32>, n_tok, source).
+
+Semantics (deterministic concat-and-split): within each group (``by``
+column, optionally sharded), documents are concatenated in ``order_col``
+order and the token stream is cut into consecutive windows of exactly
+``context_len`` tokens; the final partial window of each group is kept
+short. A document whose tokens straddle a window boundary is split across
+the adjacent packs (no padding, no document loss — every input token
+appears in exactly one output pack, in order).
+
+Plan shape (all JVM built-ins, no Python in the row path):
+
+1. exclusive running token offset per group — ``sum(n_tok) over
+   (partition by group order by order_col) - n_tok`` (one shuffle, sorted
+   window, spills if a group exceeds memory);
+2. each doc explodes to the packs it overlaps — ``explode(sequence(
+   first_pack, last_pack))``; the explode factor is ~n_tok/context_len + 1
+   per doc (bounded, never cartesian);
+3. the doc's contribution to one pack is a JVM ``slice(tokens, from,
+   len)``;
+4. regroup by (group, pack_ix): ``array_sort(collect_list(struct(offset,
+   piece)))`` then flatten — one more shuffle, partial-aggregated
+   map-side.
+
+Scale note (100 TB): step 1's window makes every group a single sorted
+run — one task per source must see that source's (doc_id, n_tok) pairs.
+That is inherent to "pack in exact doc_id order". At 10^12 sequences pack
+per shard instead: ``shards=K`` salts the group key with
+``pmod(xxhash64(order_col), K)``, giving K independent, embarrassingly
+parallel packing problems per source (document order ACROSS shards is
+arbitrary, which pretraining tolerates — shard membership is deterministic,
+so the output is still reproducible run-to-run). The per-shard semantics
+are identical; tests assert the sharded output is a permutation-invariant
+repartition of the same documents.
+
+Reference anchor: CLP's analogous "split when the target size is reached
+mid-file" appears in archive splitting (components/core/src/clp/clp/
+FileCompressor.cpp:275-293 split_file_and_archive); packing applies the
+same cut-mid-document discipline to token windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["pack_sequences", "pack_span_map"]
+
+
+def _with_spans(
+    seq: DataFrame,
+    context_len: int,
+    by: str,
+    order_col: str,
+    tokens_col: str,
+    n_tok_col: str | None,
+    shards: int,
+) -> DataFrame:
+    """Rows (group, pack_ix, off_in_pack, piece) — one row per
+    (document, overlapped pack)."""
+    if context_len <= 0:
+        raise ValueError("context_len must be positive")
+    n_tok = (
+        F.col(n_tok_col).cast("long")
+        if n_tok_col
+        else F.size(tokens_col).cast("long")
+    )
+    grp: Column = F.col(by)
+    if shards > 1:
+        grp = F.concat_ws(
+            "#", grp, F.pmod(F.xxhash64(order_col), F.lit(shards)).cast("string")
+        )
+    df = seq.select(
+        grp.alias("_grp"),
+        F.col(order_col).alias("_ord"),
+        F.col(tokens_col).alias("_toks"),
+        n_tok.alias("_n"),
+    ).where(F.col("_n") > 0)
+    w = Window.partitionBy("_grp").orderBy("_ord")
+    df = df.withColumn("_start", F.sum("_n").over(w) - F.col("_n"))
+    L = F.lit(int(context_len)).cast("long")
+    first_pack = (F.col("_start") / L).cast("long")
+    last_pack = ((F.col("_start") + F.col("_n") - 1) / L).cast("long")
+    df = df.withColumn("pack_ix", F.explode(F.sequence(first_pack, last_pack)))
+    pack_lo = F.col("pack_ix") * L  # absolute token offset where the pack starts
+    abs_from = F.greatest(F.col("_start"), pack_lo)
+    abs_to = F.least(F.col("_start") + F.col("_n"), pack_lo + L)  # exclusive
+    return df.select(
+        F.col("_grp"),
+        "_ord",
+        "pack_ix",
+        (abs_from - pack_lo).alias("off_in_pack"),
+        F.slice(
+            "_toks",
+            (abs_from - F.col("_start") + 1).cast("int"),
+            (abs_to - abs_from).cast("int"),
+        ).alias("piece"),
+    )
+
+
+def pack_sequences(
+    seq: DataFrame,
+    context_len: int,
+    by: str = "source",
+    order_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_tok_col: str | None = "n_tok",
+    shards: int = 1,
+) -> DataFrame:
+    """(group, pack_ix, tokens, n_tok, n_docs): fixed-width training windows.
+
+    ``n_tok == context_len`` for every pack except each group's last.
+    ``n_docs`` counts the documents contributing at least one token.
+    """
+    spans = _with_spans(
+        seq, context_len, by, order_col, tokens_col, n_tok_col, shards
+    )
+    packed = (
+        spans.groupBy("_grp", "pack_ix")
+        .agg(
+            F.flatten(
+                # off_in_pack is unique per (pack, doc) — a doc contributes one
+                # contiguous piece per pack — so the struct sort is total
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("off_in_pack", "piece"))),
+                    lambda s: s["piece"],
+                )
+            ).alias("tokens"),
+            F.count("*").alias("n_docs"),
+        )
+        .select(
+            F.col("_grp").alias(by),
+            "pack_ix",
+            "tokens",
+            F.size("tokens").cast("long").alias("n_tok"),
+            "n_docs",
+        )
+    )
+    return packed
+
+
+def pack_span_map(
+    seq: DataFrame,
+    context_len: int,
+    by: str = "source",
+    order_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_tok_col: str | None = "n_tok",
+    shards: int = 1,
+) -> DataFrame:
+    """Provenance map (group, order_col, pack_ix, off_in_pack, piece_len):
+    where every document's tokens landed. Joinable back to both the input
+    (by ``order_col``) and the packed output (by pack_ix) — the lineage a
+    training pipeline needs to trace a sample back to its source docs."""
+    spans = _with_spans(
+        seq, context_len, by, order_col, tokens_col, n_tok_col, shards
+    )
+    return spans.select(
+        F.col("_grp").alias(by),
+        F.col("_ord").alias(order_col),
+        "pack_ix",
+        "off_in_pack",
+        F.size("piece").cast("long").alias("piece_len"),
+    )

@@ -1,0 +1,130 @@
+"""Sequence packing: concat-and-split token windows (operators/packing.py).
+
+Differential model: a trivial pure-Python packer (concatenate per group in
+order, cut every context_len tokens) — the operator must reproduce it
+exactly, including boundary-straddling documents and the short final pack.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from clp_spark.operators.packing import pack_sequences, pack_span_map
+
+SCHEMA = "doc_id long, tokens array<int>, n_tok int, source string"
+
+
+def naive_pack(rows, L):
+    """{(source, pack_ix): [tokens]} — the obvious sequential model."""
+    out = {}
+    by_src = {}
+    for doc_id, toks, _n, src in sorted(rows):
+        by_src.setdefault(src, []).extend(toks)
+    for src, stream in by_src.items():
+        for i in range(0, len(stream), L):
+            out[(src, i // L)] = stream[i : i + L]
+    return out
+
+
+def rows_fixture():
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for d in range(60):
+        src = f"src{d % 3}"
+        n = rnd.choice([1, 3, 17, 40, 129])  # straddlers and multi-window docs
+        toks = [d * 1000 + i for i in range(n)]
+        rows.append((d, toks, n, src))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def seq_df(spark):
+    return spark.createDataFrame(rows_fixture(), SCHEMA)
+
+
+class TestPackSequences:
+    @pytest.mark.parametrize("L", [16, 64, 1000])
+    def test_matches_naive_model(self, seq_df, L):
+        want = naive_pack(rows_fixture(), L)
+        got = {
+            (r["source"], r["pack_ix"]): r["tokens"]
+            for r in pack_sequences(seq_df, L).collect()
+        }
+        assert got == want
+
+    def test_every_pack_full_except_last(self, seq_df):
+        packed = pack_sequences(seq_df, 64).collect()
+        last = {}
+        for r in packed:
+            last[r["source"]] = max(last.get(r["source"], -1), r["pack_ix"])
+        for r in packed:
+            if r["pack_ix"] != last[r["source"]]:
+                assert r["n_tok"] == 64
+            assert r["n_tok"] == len(r["tokens"])
+
+    def test_token_conservation(self, seq_df):
+        total_in = seq_df.agg(F.sum("n_tok")).first()[0]
+        total_out = pack_sequences(seq_df, 64).agg(F.sum("n_tok")).first()[0]
+        assert total_in == total_out
+
+    def test_empty_docs_skipped(self, spark):
+        df = spark.createDataFrame(
+            [(0, [], 0, "s"), (1, [1, 2], 2, "s")], SCHEMA
+        )
+        got = pack_sequences(df, 8).collect()
+        assert len(got) == 1 and got[0]["tokens"] == [1, 2] and got[0]["n_docs"] == 1
+
+    def test_n_tok_col_optional(self, seq_df):
+        a = pack_sequences(seq_df, 32, n_tok_col=None).collect()
+        b = pack_sequences(seq_df, 32).collect()
+        key = lambda r: (r["source"], r["pack_ix"])
+        assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+class TestShardedScalePath:
+    def test_sharded_is_exact_per_shard_packing(self, seq_df):
+        """shards=K must equal running the packer independently on each
+        deterministic shard — same windows, just K parallel streams."""
+        K, L = 4, 16
+        sharded = pack_sequences(seq_df, L, shards=K)
+        expect = {}
+        base = seq_df.withColumn(
+            "_shard", F.pmod(F.xxhash64("doc_id"), F.lit(K)).cast("string")
+        ).withColumn("source", F.concat_ws("#", "source", "_shard"))
+        for r in pack_sequences(base.drop("_shard"), L).collect():
+            expect[(r["source"], r["pack_ix"])] = r["tokens"]
+        got = {
+            (r["source"], r["pack_ix"]): r["tokens"] for r in sharded.collect()
+        }
+        assert got == expect
+
+    def test_token_conservation_sharded(self, seq_df):
+        total_in = seq_df.agg(F.sum("n_tok")).first()[0]
+        out = pack_sequences(seq_df, 64, shards=3)
+        assert out.agg(F.sum("n_tok")).first()[0] == total_in
+
+
+class TestSpanMap:
+    def test_span_map_reconstructs_packs(self, seq_df):
+        """Joining the span map back to the input and slicing locally must
+        rebuild exactly what pack_sequences emitted."""
+        L = 16
+        spans = pack_span_map(seq_df, L).collect()
+        docs = {r["doc_id"]: r["tokens"] for r in seq_df.collect()}
+        # reconstruct: the span's piece is the next piece_len tokens of the
+        # doc, in off_in_pack order within the pack, packs in order
+        consumed = {}
+        rebuilt = {}
+        for s in sorted(spans, key=lambda s: (s["source"], s["pack_ix"], s["off_in_pack"])):
+            a = consumed.get(s["doc_id"], 0)
+            piece = docs[s["doc_id"]][a : a + s["piece_len"]]
+            consumed[s["doc_id"]] = a + s["piece_len"]
+            rebuilt.setdefault((s["source"], s["pack_ix"]), []).extend(piece)
+        want = naive_pack(rows_fixture(), L)
+        assert rebuilt == want
+
+    def test_plan_has_no_python_udf(self, seq_df):
+        plan = pack_sequences(seq_df, 64)._jdf.queryExecution().executedPlan().toString()
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert marker not in plan
