@@ -439,10 +439,32 @@ def q_count_by_time(spark, sf_dir):
     return count_by_time(ev, F.unix_millis(F.col("ts").cast("timestamp")), 60_000)
 
 
-def q_agg_min_max(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.min("value").alias("min_val"), F.max("value").alias("max_val")
+def q_seq_packing(spark, sf_dir):
+    """Sequence packing (operators/packing.py): deterministic token ids
+    derived per word from documents.text (md5-based, engine-independent),
+    concatenated per source in doc_id order and cut into 64-token context
+    windows — the LLM-pretraining packing step over the north-star
+    pre-tokenized-sequences shape. Output is the exact packed token array
+    per (source, pack_ix) plus token/doc counts, so the driver hash checks
+    boundary-straddling splits token-for-token.
+
+    This slot replaced round-1's agg_min_max: min/max aggregation remains
+    driver-covered via column_stats (per-column stringified min/max) and
+    is a single built-in (F.min/F.max) with no operator logic to guard."""
+    from clp_spark.operators.dedup import md5_hash60
+    from clp_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.transform(
+            F.filter(F.split("text", " "), lambda w: w != F.lit("")),
+            lambda w: F.pmod(md5_hash60(w), F.lit(32768)).cast("int"),
+        ).alias("tokens"),
+    )
+    return pack_sequences(toks, 64, n_tok_col=None).select(
+        "source", "pack_ix", "tokens", "n_tok", "n_docs"
     )
 
 
@@ -854,7 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_stats": q_column_stats,
         # --- aggregation / window / assembly
         "count_by_time": q_count_by_time,
-        "agg_min_max": q_agg_min_max,
+        "seq_packing": q_seq_packing,
         "latest_n": q_latest_n,
         "salted_group_count": q_salted_group_count,
         "multiline_assembly": q_multiline_assembly,
@@ -972,9 +994,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (epoch_ms(ts) // 60000) * 60000 AS bucket_ts, count(*) AS cnt "
             "FROM events GROUP BY 1"
         ),
-        "agg_min_max": (
-            "SELECT event_type, min(value) AS min_val, max(value) AS max_val "
-            "FROM events GROUP BY 1"
+        "seq_packing": (
+            "WITH toks AS (SELECT doc_id, source, "
+            "  list_transform(list_filter(str_split(text, ' '), w -> w <> ''), "
+            "    w -> CAST(CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 32768 "
+            "         AS INTEGER)) AS tokens FROM documents), "
+            "seq AS (SELECT source, tokens, len(tokens)::BIGINT AS n, "
+            "  CAST(sum(len(tokens)) OVER (PARTITION BY source ORDER BY doc_id "
+            "    ROWS UNBOUNDED PRECEDING) - len(tokens) AS BIGINT) AS start "
+            "  FROM toks WHERE len(tokens) > 0), "
+            "spans AS (SELECT source, tokens, start, n, "
+            "  unnest(generate_series(start // 64, (start + n - 1) // 64)) AS pack_ix "
+            "  FROM seq), "
+            "pieces AS (SELECT source, pack_ix, "
+            "  greatest(start, pack_ix * 64) AS abs_from, "
+            "  list_slice(tokens, CAST(greatest(start, pack_ix * 64) - start + 1 AS INTEGER), "
+            "    CAST(least(start + n, (pack_ix + 1) * 64) - start AS INTEGER)) AS piece "
+            "  FROM spans) "
+            "SELECT source, CAST(pack_ix AS BIGINT) AS pack_ix, "
+            "  flatten(list(piece ORDER BY abs_from)) AS tokens, "
+            "  CAST(len(flatten(list(piece ORDER BY abs_from))) AS BIGINT) AS n_tok, "
+            "  count(*)::BIGINT AS n_docs "
+            "FROM pieces GROUP BY source, pack_ix"
         ),
         "latest_n": (
             "SELECT event_id FROM events ORDER BY ts DESC, event_id DESC LIMIT 100"
