@@ -143,12 +143,16 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # warm the JVM + python workers (Arrow-UDF workers only start on first use)
     spark.range(1000).count()
     _materialize(queries["clp_logtype_extract"](spark, sf_dir))
-    # min-of-2 (timeit-style): single-shot timings on this shared-host VM
+    # min-of-reps (timeit-style): single-shot timings on this shared-host VM
     # swing 4-6x when a contention burst lands mid-query; the minimum is the
-    # least-contended observation of the same fixed plan.
+    # least-contended observation of the same fixed plan. 3 reps by default —
+    # measured 2026-08-17: a loaded host (loadavg 10+ from other tenants)
+    # inflated a min-of-2 clp_decode_roundtrip to 14.4 s that re-measures at
+    # 0.8 s warm on the same box minutes later.
+    qreps = int(os.environ.get("SPARK_GRAFT_BENCH_QREPS", "3"))
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(qreps):
             t0 = time.time()
             _materialize(queries[name](spark, sf_dir))
             best = min(best, time.time() - t0)
