@@ -651,7 +651,12 @@ def _lines_df(spark, sf_dir):
         F.pmod("user_id", F.lit(4)).cast("string").alias("file_id"),
         F.col("event_id").alias("line_no"),
         line.alias("line"),
-    )
+        # repartition = a CollapseProject barrier AND the partitioning the
+        # assembly window reuses. Without it the line-construction CASE is
+        # inlined into every one of detect_pattern's 32 branches (no CSE
+        # inside one expression tree) and the generated filter blows janino's
+        # 64 KB method limit, dropping the whole scan stage to interpreted.
+    ).repartition(F.col("file_id"))
 
 
 def q_multiline_assembly(spark, sf_dir):

@@ -47,7 +47,23 @@ def file_pattern_locks(
         F.col(lineno_col).alias("_ln"),
         detect_pattern(F.col(line_col)).alias("_pat"),
     ).where(F.col("_pat").isNotNull())
-    return det.groupBy(file_col).agg(F.min_by("_pat", F.col("_ln")).alias("_lock_pat"))
+    # row_number window, not groupBy(min_by): min_by plans as a partial
+    # SortAggregate whose per-partition sort fuses the 32-pattern
+    # detect_pattern projection into one generated sort_addToSorter method —
+    # janino rejects it (>64 KB) and the whole stage falls back to
+    # interpreted. The explicit repartition pins a stage boundary directly
+    # above the detect projection (otherwise the row_number rewrite,
+    # WindowGroupLimit, plants a map-side partial Sort on top of it and
+    # re-creates the same giant sorter method); the window's sort then runs
+    # post-exchange over just (file, _ln, _pat). Same shuffle count — the
+    # window needed this exchange anyway.
+    w = Window.partitionBy(file_col).orderBy("_ln")
+    return (
+        det.repartition(F.col(file_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(file_col, F.col("_pat").alias("_lock_pat"))
+    )
 
 
 def assemble_multiline(
