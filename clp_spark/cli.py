@@ -218,6 +218,7 @@ def cmd_convert(args) -> None:
         spark, args.inputs, args.output,
         events_per_chunk=args.events_per_chunk,
         lock_patterns=not args.no_pattern_lock,
+        encoding="four" if args.four_byte else "eight",
     )
     print(json.dumps(summary))
 
@@ -276,6 +277,11 @@ def main(argv: list[str] | None = None) -> None:
     cv.add_argument("inputs", nargs="+")
     cv.add_argument("--events-per-chunk", type=int, default=1024)
     cv.add_argument("--no-pattern-lock", action="store_true")
+    cv.add_argument(
+        "--four-byte", action="store_true",
+        help="emit the compact four-byte IR encoding (delta timestamps, "
+        "int32 vars; oversize values demote to dictionary vars)",
+    )
     cv.set_defaults(fn=cmd_convert)
 
     args = ap.parse_args(argv)

@@ -148,6 +148,9 @@ def encode_from_buffer(
 
 
 def _token_spans(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if len(buf) == 0:  # e.g. a batch of only empty messages
+        z = np.zeros(0, dtype=np.int32)
+        return z, z
     nd = _NONDELIM[buf]
     prev_nd = np.empty_like(nd)
     prev_nd[0] = False

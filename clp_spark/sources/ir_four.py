@@ -1,0 +1,326 @@
+"""CLP kv-IR four-byte encoding: conversion + serializer kernels.
+
+The reference ships two unstructured IR encodings (components/core/src/clp/
+ffi/ir_stream/protocol_constants.hpp:40-56, encoding_methods.cpp:174-262
+``four_byte_encoding``): the eight-byte one (ir_stream.py) and this
+compacter four-byte one, used by resource-constrained loggers:
+
+- magic ``FD 2F B5 29``;
+- encoded variables are ``0x18`` + int32 big-endian; an integer outside
+  int32 or a float that needs more than 8 digits / 25 digit-bits DEMOTES to
+  a dictionary variable (encoding_methods.inc ``encode_float_string`` /
+  ``encode_integer_string`` simply fail and the generic encoder falls
+  through), which also flips its logtype placeholder to the dict one;
+- the four-byte float layout (encoding_methods.inc:137-166) is, MSB→LSB:
+  1 bit negative | 25 bits digits | 3 bits num_digits-1 | 3 bits
+  decimal_point_pos-1 (the eight-byte layout is 1|1 unused|54|4|4);
+- timestamps are serialized as DELTAS from the previous event (first event:
+  from the preamble's REFERENCE_TIMESTAMP metadata field), with the
+  smallest signed width that fits: ``0x31`` i8 / ``0x32`` i16 / ``0x33``
+  i32 / ``0x34`` i64 (encoding_methods.cpp:242-261).
+
+Everything here is numpy on the encode kernel's flat columns — O(distinct
+digit-widths) numpy passes, no per-row Python. The Spark entry points stay
+in ir_stream.py (``events_to_ir_df(encoding="four")``); the transposed
+deserializer there handles both encodings and uses ``float4_to_float8`` to
+promote four-byte float values on read (the analog of the reference's
+``encode_four_byte_float_as_eight_byte``, encoding_methods.hpp:75).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from clp_spark.functions.encode_kernel_np import DICT_PH, FLOAT_PH, INT_PH, _ranges
+
+MAGIC_4BYTE = bytes([0xFD, 0x2F, 0xB5, 0x29])
+VAR_4BYTE = 0x18
+TS_DELTA_I8, TS_DELTA_I16, TS_DELTA_I32, TS_DELTA_I64 = 0x31, 0x32, 0x33, 0x34
+
+_DIGITS25_MASK = (1 << 25) - 1
+_DIGITS54_MASK = (1 << 54) - 1
+_I32_MIN, _I32_MAX = -(1 << 31), (1 << 31) - 1
+
+
+def float8_properties(vals: np.ndarray):
+    """(neg, digits, num_digits, decimal_point_pos) of 8-byte float encodings."""
+    u = vals.astype(np.int64).view(np.uint64)
+    dpp = (u & 0xF).astype(np.int64) + 1
+    nd = ((u >> np.uint64(4)) & 0xF).astype(np.int64) + 1
+    digits = ((u >> np.uint64(8)) & np.uint64(_DIGITS54_MASK)).astype(np.int64)
+    neg = (u >> np.uint64(63)).astype(np.int64)
+    return neg, digits, nd, dpp
+
+
+def float4_encode(neg, digits, nd, dpp) -> np.ndarray:
+    """Pack properties into the 4-byte layout; returns int64 holding int32
+    bit patterns (sign-extended, ready for big-endian int32 writes)."""
+    u = (
+        (neg.astype(np.uint32) << np.uint32(31))
+        | (digits.astype(np.uint32) << np.uint32(6))
+        | ((nd.astype(np.uint32) - 1) << np.uint32(3))
+        | (dpp.astype(np.uint32) - 1)
+    )
+    return u.view(np.int32).astype(np.int64)
+
+
+def float4_to_float8(vals: np.ndarray) -> np.ndarray:
+    """Promote 4-byte float encodings (int32 values as int64) to the 8-byte
+    layout — encode_four_byte_float_as_eight_byte (encoding_methods.hpp:75)."""
+    u = vals.astype(np.int32).view(np.uint32)
+    dpp = (u & np.uint32(7)).astype(np.uint64) + 1
+    nd = ((u >> np.uint32(3)) & np.uint32(7)).astype(np.uint64) + 1
+    digits = ((u >> np.uint32(6)) & np.uint32(_DIGITS25_MASK)).astype(np.uint64)
+    neg = (u >> np.uint32(31)).astype(np.uint64)
+    out = (neg << np.uint64(63)) | (digits << np.uint64(8)) | ((nd - 1) << np.uint64(4)) | (dpp - 1)
+    return out.view(np.int64)
+
+
+def _int_demote_strings(vals: np.ndarray):
+    """Decimal byte strings of int64 values (flat data + offsets)."""
+    if len(vals) == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+    s = vals.astype("S")  # fixed-width decimal bytes, NUL-padded
+    w = s.dtype.itemsize
+    mat = s.view(np.uint8).reshape(-1, w)
+    lens = w - (mat == 0).sum(axis=1).astype(np.int64)
+    flat = mat.ravel()
+    keep = flat != 0
+    return flat[keep], np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+
+
+def _float_demote_strings(neg, digits, nd, dpp):
+    """Reconstruct the exact original float strings from 8-byte properties
+    (flat data + offsets): digits zero-padded to num_digits, '.' inserted
+    decimal_point_pos digits from the right, optional leading '-'."""
+    m = len(nd)
+    if m == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+    lens = nd + 1 + neg
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    buf = np.full(int(offs[-1]), ord("."), dtype=np.uint8)
+    starts, ends = offs[:-1], offs[1:]
+    buf[starts[neg == 1]] = ord("-")
+    # scatter digit k (from the right); positions right of the '.' shift by 0,
+    # left of it by 1 (the '.' sits dpp digits from the right)
+    for k in range(int(nd.max())):
+        sel = nd > k
+        dk = (digits[sel] // 10**k) % 10
+        posr = np.where(k < dpp[sel], k, k + 1)
+        buf[ends[sel] - 1 - posr] = (ord("0") + dk).astype(np.uint8)
+    return buf, offs
+
+
+def to_four_byte_columns(
+    lt_data: np.ndarray,
+    lt_offsets: np.ndarray,
+    codes_flat: np.ndarray,
+    var_offsets: np.ndarray,
+    nd_values: np.ndarray,
+    d_data: np.ndarray,
+    d_inner_offsets: np.ndarray,
+):
+    """Convert 8-byte encode-kernel columns to their four-byte equivalents.
+
+    Returns (lt_data4, codes4, nd_values4, d_data4, d_inner_offsets4):
+    ints outside int32 and floats that don't fit the 4-byte layout are
+    demoted to dictionary variables — their value strings spliced into the
+    dict sequence at the right placeholder slots and their logtype
+    placeholder byte rewritten to the dict placeholder (same byte length,
+    so logtype offsets are unchanged).
+    """
+    from clp_spark.functions.decode_kernel_np import _escape_active
+
+    nv = len(codes_flat)
+    codes4 = codes_flat.astype(np.int16).copy()
+    is_int = codes_flat == INT_PH
+    is_flt = codes_flat == FLOAT_PH
+    is_dict = codes_flat == DICT_PH
+    # map non-dict flat slots to nd_values positions
+    nd_ix = np.cumsum(~is_dict) - 1
+    int_vals = np.zeros(nv, dtype=np.int64)
+    int_vals[~is_dict] = nd_values[nd_ix[~is_dict]] if len(nd_values) else 0
+
+    int_keep = is_int & (int_vals >= _I32_MIN) & (int_vals <= _I32_MAX)
+    int_demote = is_int & ~int_keep
+    if is_flt.any():
+        fneg, fdig, fnd, fdpp = float8_properties(int_vals)
+        flt_keep = is_flt & (fnd <= 8) & (fdpp <= 8) & (fdig <= _DIGITS25_MASK)
+    else:
+        fneg = fdig = fnd = fdpp = np.zeros(nv, dtype=np.int64)
+        flt_keep = np.zeros(nv, dtype=bool)
+    flt_demote = is_flt & ~flt_keep
+    demote = int_demote | flt_demote
+    codes4[demote] = DICT_PH
+
+    # new encoded values (int32 range / 4-byte float encodings), in new order
+    keep = int_keep | flt_keep
+    vals4 = np.where(
+        flt_keep,
+        float4_encode(fneg, fdig, np.maximum(fnd, 1), np.maximum(fdpp, 1)),
+        int_vals,
+    )
+    nd_values4 = vals4[keep]
+
+    # new dictionary strings: old dict strings + demotion strings, spliced in
+    # flat placeholder order
+    is_dict4 = is_dict | demote
+    d_lens_old = np.diff(d_inner_offsets).astype(np.int64)
+    di_data, di_offs = _int_demote_strings(int_vals[int_demote])
+    df_data, df_offs = _float_demote_strings(
+        fneg[flt_demote], fdig[flt_demote], fnd[flt_demote], fdpp[flt_demote]
+    )
+    new_lens = np.zeros(nv, dtype=np.int64)
+    new_lens[is_dict] = d_lens_old
+    new_lens[int_demote] = np.diff(di_offs)
+    new_lens[flt_demote] = np.diff(df_offs)
+    lens4 = new_lens[is_dict4]
+    d_inner_offsets4 = np.concatenate([[0], np.cumsum(lens4)]).astype(np.int64)
+    d_data4 = np.zeros(int(d_inner_offsets4[-1]), dtype=np.uint8)
+    new_starts = np.zeros(nv, dtype=np.int64)
+    new_starts[is_dict4] = d_inner_offsets4[:-1]
+
+    def _splice(mask, src_data, src_offs):
+        lens = np.diff(src_offs).astype(np.int64)
+        total = int(lens.sum())
+        if not total:
+            return
+        dest = np.repeat(new_starts[mask], lens) + _ranges(lens)
+        src = np.repeat(src_offs[:-1].astype(np.int64), lens) + _ranges(lens)
+        d_data4[dest] = src_data[src]
+
+    _splice(is_dict, d_data, d_inner_offsets)
+    _splice(int_demote, di_data, di_offs)
+    _splice(flt_demote, df_data, df_offs)
+
+    # rewrite demoted placeholders in the logtype bytes (1 byte → 1 byte)
+    lt_data4 = lt_data.copy()
+    if demote.any():
+        is_ph = (lt_data == INT_PH) | (lt_data == DICT_PH) | (lt_data == FLOAT_PH)
+        esc = _escape_active(lt_data)
+        escaped_next = np.zeros(len(lt_data) + 1, dtype=bool)
+        escaped_next[esc + 1] = True
+        real = np.flatnonzero(is_ph & ~escaped_next[: len(lt_data)])
+        if len(real) != nv:
+            raise ValueError("logtype placeholder count disagrees with codes")
+        lt_data4[real[demote]] = DICT_PH
+    return lt_data4, codes4, nd_values4, d_data4, d_inner_offsets4
+
+
+def make_preamble4(
+    reference_timestamp: int,
+    timestamp_pattern: str = "",
+    pattern_syntax: str = "",
+    tz_id: str = "",
+) -> bytes:
+    """Four-byte-encoding preamble: 4-byte magic + REFERENCE_TIMESTAMP
+    metadata field (encoding_methods.cpp:175-198)."""
+    from clp_spark.sources import ir_stream as irs
+
+    pre8 = irs.make_preamble(
+        timestamp_pattern, pattern_syntax, tz_id,
+        extra={"REFERENCE_TIMESTAMP": str(int(reference_timestamp))},
+    )
+    return MAGIC_4BYTE + pre8[len(MAGIC_4BYTE):]
+
+
+def serialize_ir_core4(
+    ts: np.ndarray,
+    lt_data: np.ndarray,
+    lt_offsets: np.ndarray,
+    codes_flat: np.ndarray,
+    var_offsets: np.ndarray,
+    nd_values: np.ndarray,
+    d_data: np.ndarray,
+    d_inner_offsets: np.ndarray,
+    timestamp_pattern: str = "",
+    pattern_syntax: str = "",
+    tz_id: str = "",
+    eof: bool = True,
+) -> np.ndarray:
+    """Serialize n encoded events into one FOUR-byte-encoding IR blob.
+
+    Accepts the same 8-byte encode-kernel columns as serialize_ir_core and
+    converts internally (demotions included). The chunk's
+    REFERENCE_TIMESTAMP is ts[0], so the first delta is 0 and every chunk
+    stays independently decodable.
+    """
+    from clp_spark.sources.ir_stream import _len_header_sizes, _write_len_tagged
+
+    n = len(ts)
+    if len(lt_offsets) != n + 1 or len(var_offsets) != n + 1:
+        raise ValueError("offset arrays must have n+1 entries")
+    lt_data4, codes4, nd4, d_data4, d_in4 = to_four_byte_columns(
+        lt_data, lt_offsets, codes_flat, var_offsets, nd_values,
+        d_data, d_inner_offsets,
+    )
+    nv = len(codes4)
+    is_dict = codes4 == DICT_PH
+    d_lens = np.diff(d_in4).astype(np.int64)
+    if d_lens.size and int(d_lens.max()) > 0x7FFFFFFF:
+        raise ValueError("dictionary variable longer than INT32_MAX")
+    var_sizes = np.full(nv, 5, dtype=np.int64)  # 0x18 + int32
+    var_sizes[is_dict] = _len_header_sizes(d_lens) + d_lens
+    lt_lens = np.diff(lt_offsets).astype(np.int64)
+    lt_sizes = _len_header_sizes(lt_lens) + lt_lens
+    # timestamp deltas, smallest signed width that fits
+    ref_ts = int(ts[0]) if n else 0
+    deltas = np.diff(ts, prepend=np.int64(ref_ts)).astype(np.int64)
+    ts_sizes = np.select(
+        [
+            (deltas >= -(1 << 7)) & (deltas < (1 << 7)),
+            (deltas >= -(1 << 15)) & (deltas < (1 << 15)),
+            (deltas >= -(1 << 31)) & (deltas < (1 << 31)),
+        ],
+        [2, 3, 5],
+        default=9,
+    ).astype(np.int64)
+    var_counts = np.diff(var_offsets).astype(np.int64)
+    vcs = np.concatenate([[0], np.cumsum(var_sizes)]).astype(np.int64)
+    ev_var_bytes = vcs[var_offsets[1:]] - vcs[var_offsets[:-1]]
+    ev_sizes = ev_var_bytes + lt_sizes + ts_sizes
+    pre = np.frombuffer(
+        make_preamble4(ref_ts, timestamp_pattern, pattern_syntax, tz_id),
+        dtype=np.uint8,
+    )
+    buf = np.zeros(len(pre) + int(ev_sizes.sum()) + (1 if eof else 0), dtype=np.uint8)
+    buf[: len(pre)] = pre
+    ev_starts = len(pre) + np.cumsum(ev_sizes) - ev_sizes
+    if nv:
+        base = np.repeat(vcs[var_offsets[:-1]], var_counts)
+        var_pos = np.repeat(ev_starts, var_counts) + (vcs[:nv] - base)
+        ep = var_pos[~is_dict]
+        buf[ep] = VAR_4BYTE
+        if len(ep):
+            be = nd4.astype(">i4").view(np.uint8).reshape(-1, 4)
+            idx = (ep + 1)[:, None] + np.arange(4, dtype=np.int64)
+            buf[idx.ravel()] = be.ravel()
+        dp = var_pos[is_dict]
+        from clp_spark.sources.ir_stream import (
+            VAR_STR_I32, VAR_STR_U8, VAR_STR_U16,
+        )
+        _write_len_tagged(
+            buf, dp, d_lens, (VAR_STR_U8, VAR_STR_U16, VAR_STR_I32),
+            d_data4, d_in4[:-1].astype(np.int64),
+        )
+    from clp_spark.sources.ir_stream import EOF_BYTE, LT_I32, LT_U8, LT_U16
+
+    lt_pos = ev_starts + ev_var_bytes
+    _write_len_tagged(
+        buf, lt_pos, lt_lens, (LT_U8, LT_U16, LT_I32), lt_data4,
+        lt_offsets[:-1].astype(np.int64),
+    )
+    ts_pos = lt_pos + lt_sizes
+    for width, tag, dt in ((2, TS_DELTA_I8, ">i1"), (3, TS_DELTA_I16, ">i2"),
+                           (5, TS_DELTA_I32, ">i4"), (9, TS_DELTA_I64, ">i8")):
+        m = ts_sizes == width
+        if not m.any():
+            continue
+        p = ts_pos[m]
+        buf[p] = tag
+        be = deltas[m].astype(dt).view(np.uint8).reshape(-1, width - 1)
+        idx = (p + 1)[:, None] + np.arange(width - 1, dtype=np.int64)
+        buf[idx.ravel()] = be.ravel()
+    if eof:
+        buf[-1] = EOF_BYTE
+    return buf

@@ -60,6 +60,9 @@ VAR_STR_U8, VAR_STR_U16, VAR_STR_I32 = 0x11, 0x12, 0x13
 LT_U8, LT_U16, LT_I32 = 0x21, 0x22, 0x23
 TS_VAL = 0x30
 EOF_BYTE = 0x00
+# four-byte-encoding tags (clp_spark.sources.ir_four has the full spec)
+_VAR_4BYTE = 0x18
+_TS_DELTA_I8, _TS_DELTA_I16, _TS_DELTA_I32, _TS_DELTA_I64 = 0x31, 0x32, 0x33, 0x34
 
 # encoding_methods.cpp:100-108 metadata fields; nlohmann::json (std::map)
 # serializes keys in sorted order, compact (dump(-1)).
@@ -69,7 +72,8 @@ _VAR_METHODS = "com.yscope.clp.VariableEncodingMethodsV1"
 
 
 def make_preamble(
-    timestamp_pattern: str = "", pattern_syntax: str = "", tz_id: str = ""
+    timestamp_pattern: str = "", pattern_syntax: str = "", tz_id: str = "",
+    extra: dict | None = None,
 ) -> bytes:
     meta = {
         "TIMESTAMP_PATTERN": timestamp_pattern,
@@ -78,6 +82,7 @@ def make_preamble(
         "VARIABLES_SCHEMA_ID": _VAR_SCHEMA,
         "VARIABLE_ENCODING_METHODS_ID": _VAR_METHODS,
         "VERSION": _VERSION,
+        **(extra or {}),
     }
     payload = json.dumps(
         dict(sorted(meta.items())), separators=(",", ":"), ensure_ascii=False
@@ -218,10 +223,18 @@ def serialize_ir_core(
     return buf
 
 
-def _skip_preamble(blob: np.ndarray) -> tuple[int, dict]:
+def _skip_preamble(blob: np.ndarray) -> tuple[int, dict, bool]:
+    """Returns (body offset, metadata, is_four_byte_encoding)."""
+    from clp_spark.sources.ir_four import MAGIC_4BYTE
+
     if len(blob) < 7:
         raise ValueError("truncated IR preamble")
-    if bytes(blob[:4].tobytes()) != MAGIC_8BYTE:
+    magic = bytes(blob[:4].tobytes())
+    if magic == MAGIC_8BYTE:
+        four = False
+    elif magic == MAGIC_4BYTE:
+        four = True
+    else:
         raise ValueError("bad IR magic")
     if blob[4] != META_ENCODING_JSON:
         raise ValueError("unsupported metadata encoding")
@@ -232,11 +245,15 @@ def _skip_preamble(blob: np.ndarray) -> tuple[int, dict]:
     else:
         raise ValueError("bad metadata length tag")
     meta = json.loads(blob[p : p + ln].tobytes().decode("utf-8"))
-    return p + ln, meta
+    return p + ln, meta, four
 
 
-def _be_read(big: np.ndarray, pos: np.ndarray, nbytes: int) -> np.ndarray:
-    """Gather big-endian ints of fixed width at the given positions."""
+def _be_read(
+    big: np.ndarray, pos: np.ndarray, nbytes: int, signed_small: bool = False
+) -> np.ndarray:
+    """Gather big-endian ints of fixed width at the given positions.
+    1/2-byte reads are unsigned lengths by default; pass signed_small=True
+    for signed values (four-byte-encoding timestamp deltas)."""
     if len(pos) == 0:
         return np.zeros(0, dtype=np.int64)
     idx = pos[:, None] + np.arange(nbytes, dtype=np.int64)
@@ -246,7 +263,10 @@ def _be_read(big: np.ndarray, pos: np.ndarray, nbytes: int) -> np.ndarray:
     if nbytes == 4:
         return raw.copy().view(">i4").ravel().astype(np.int64)
     if nbytes == 2:
-        return raw.copy().view(">u2").ravel().astype(np.int64)
+        kind = ">i2" if signed_small else ">u2"
+        return raw.copy().view(kind).ravel().astype(np.int64)
+    if signed_small:
+        return raw.ravel().view(np.int8).astype(np.int64)
     return raw.ravel().astype(np.int64)
 
 
@@ -271,6 +291,12 @@ def _parse_steps(big, cur, ends, active, acc_blob, acc_kind, acc_val, acc_span):
             acc_blob.append(ai[m]); acc_kind.append(np.zeros(m.sum(), dtype=np.int8))
             acc_val.append(vals); acc_span.append(np.zeros((m.sum(), 2), dtype=np.int64))
             adv[m] = 9
+        m = tags == _VAR_4BYTE
+        if m.any():
+            vals = _be_read(big, p[m] + 1, 4)
+            acc_blob.append(ai[m]); acc_kind.append(np.zeros(m.sum(), dtype=np.int8))
+            acc_val.append(vals); acc_span.append(np.zeros((m.sum(), 2), dtype=np.int64))
+            adv[m] = 5
         for tag, hdr, width, kind in (
             (VAR_STR_U8, 2, 1, 1), (VAR_STR_U16, 3, 2, 1), (VAR_STR_I32, 5, 4, 1),
             (LT_U8, 2, 1, 2), (LT_U16, 3, 2, 2), (LT_I32, 5, 4, 2),
@@ -290,6 +316,19 @@ def _parse_steps(big, cur, ends, active, acc_blob, acc_kind, acc_val, acc_span):
             acc_blob.append(ai[m]); acc_kind.append(np.full(m.sum(), 3, dtype=np.int8))
             acc_val.append(vals); acc_span.append(np.zeros((m.sum(), 2), dtype=np.int64))
             adv[m] = 9
+        # four-byte-encoding timestamp DELTAS (kind 4; made absolute by the
+        # caller via per-blob cumsum from REFERENCE_TIMESTAMP)
+        for tag, width in (
+            (_TS_DELTA_I8, 1), (_TS_DELTA_I16, 2), (_TS_DELTA_I32, 4),
+            (_TS_DELTA_I64, 8),
+        ):
+            m = tags == tag
+            if not m.any():
+                continue
+            vals = _be_read(big, p[m] + 1, width, signed_small=True)
+            acc_blob.append(ai[m]); acc_kind.append(np.full(m.sum(), 4, dtype=np.int8))
+            acc_val.append(vals); acc_span.append(np.zeros((m.sum(), 2), dtype=np.int64))
+            adv[m] = 1 + width
         if (adv == 0).any():
             bad = ai[adv == 0][0]
             raise ValueError(
@@ -327,9 +366,14 @@ def deserialize_ir_many(blobs: list[bytes]) -> dict:
     big = np.concatenate(arrs)
     offs = np.cumsum([0] + [len(a) for a in arrs])[:-1]
     ends = offs + np.array([len(a) for a in arrs], dtype=np.int64)
+    blob_four = np.zeros(nb, dtype=bool)
+    blob_ref_ts = np.zeros(nb, dtype=np.int64)
     for i, a in enumerate(arrs):
-        body, _meta = _skip_preamble(a)
+        body, meta, four = _skip_preamble(a)
         starts[i] = offs[i] + body
+        blob_four[i] = four
+        if four:
+            blob_ref_ts[i] = int(meta.get("REFERENCE_TIMESTAMP", "0"))
     cur = starts.copy()
     active = cur < ends
     # accumulators: one list of small arrays per step, concatenated at the end
@@ -354,11 +398,27 @@ def deserialize_ir_many(blobs: list[bytes]) -> dict:
     # per-blob completeness: a blob's last token must close an event
     if nt:
         last_of_blob = np.flatnonzero(np.diff(np.append(blob_ids, -1)) != 0)
-        if not (kinds[last_of_blob] == 3).all():
+        if not ((kinds[last_of_blob] == 3) | (kinds[last_of_blob] == 4)).all():
             raise ValueError("incomplete IR stream: trailing unclosed event")
-    is_ts = kinds == 3
+    is_ts = kinds >= 3  # 3 = absolute (8-byte enc), 4 = delta (4-byte enc)
     ev_id = np.cumsum(is_ts) - is_ts  # tokens of event j carry ev_id == j
     n_ev = int(is_ts.sum())
+    # delta timestamps → absolute: per-blob cumsum from REFERENCE_TIMESTAMP.
+    # Events are blob-major (stable sort), so a segmented cumsum is one
+    # global cumsum minus each blob's prefix, plus its reference.
+    ts_vals = vals[is_ts].astype(np.int64)
+    if n_ev and blob_four.any():
+        ev_blob = blob_ids[is_ts]
+        is_delta = kinds[is_ts] == 4
+        if is_delta.any():
+            if not np.array_equal(is_delta, blob_four[ev_blob]):
+                raise ValueError("mixed absolute/delta timestamps within a blob")
+            cum = np.cumsum(ts_vals * is_delta)
+            first = np.flatnonzero(np.diff(np.concatenate([[-1], ev_blob])) != 0)
+            seg_base = np.repeat(cum[first] - ts_vals[first] * is_delta[first],
+                                 np.diff(np.append(first, n_ev)))
+            abs_ts = blob_ref_ts[ev_blob] + cum - seg_base
+            ts_vals = np.where(is_delta, abs_ts, ts_vals)
     # exactly one logtype per event, immediately before its timestamp
     ev_end = np.flatnonzero(is_ts)
     if n_ev and not (kinds[np.maximum(ev_end - 1, 0)] == 2).all():
@@ -387,13 +447,32 @@ def deserialize_ir_many(blobs: list[bytes]) -> dict:
     var_mask = kinds < 2
     var_is_dict = kinds[var_mask] == 1
     var_counts = nd_counts + d_counts
+    nd_values = vals[kinds == 0].astype(np.int64)
+    # four-byte float values → 8-byte layout (the reference's
+    # encode_four_byte_float_as_eight_byte): float-ness lives in the logtype
+    # placeholder, so reconstruct codes and promote only FLOAT slots of
+    # four-byte blobs. Ints carry the same value in both encodings.
+    if len(nd_values) and blob_four.any():
+        from clp_spark.functions.encode_kernel_np import FLOAT_PH
+        from clp_spark.sources.ir_four import float4_to_float8
+
+        codes_all, _vo = codes_from_logtypes(lt_data, lt_offsets)
+        if len(codes_all) == len(var_is_dict):
+            nd_codes = codes_all[~var_is_dict]
+            nd_blob = blob_ids[kinds == 0]
+            m = blob_four[nd_blob] & (nd_codes == FLOAT_PH)
+            if m.any():
+                nd_values = nd_values.copy()
+                nd_values[m] = float4_to_float8(nd_values[m])
+        # length mismatch = corrupt placeholders; left for the caller's
+        # cross-check to report with context
     return {
         "n": n_ev,
         "blob_id": blob_ids[is_ts],
-        "ts": vals[is_ts].astype(np.int64),
+        "ts": ts_vals,
         "lt_data": lt_data,
         "lt_offsets": lt_offsets,
-        "nd_values": vals[kinds == 0].astype(np.int64),
+        "nd_values": nd_values,
         "nd_offsets": np.concatenate([[0], np.cumsum(nd_counts)]).astype(np.int64),
         "d_data": d_data,
         "d_inner_offsets": d_inner_offsets,
@@ -403,11 +482,48 @@ def deserialize_ir_many(blobs: list[bytes]) -> dict:
     }
 
 
+def _placeholder_codes_py(lt: bytes) -> list[int]:
+    """Sequential escape-aware placeholder scan (oracle helper)."""
+    out, i = [], 0
+    while i < len(lt):
+        c = lt[i]
+        if c == 0x5C:  # escape: next byte is a literal
+            i += 2
+            continue
+        if c in (0x11, 0x12, 0x13):
+            out.append(c)
+        i += 1
+    return out
+
+
 def deserialize_ir_py(blob: bytes) -> list[dict]:
-    """Sequential reference parser (TEST ORACLE ONLY — per-row Python)."""
+    """Sequential reference parser (TEST ORACLE ONLY — per-row Python).
+    Handles both encodings; four-byte values are promoted to the 8-byte
+    layout and delta timestamps made absolute, mirroring
+    deserialize_ir_many's contract."""
+    from clp_spark.sources.ir_four import (
+        TS_DELTA_I8, TS_DELTA_I16, TS_DELTA_I32, TS_DELTA_I64, VAR_4BYTE,
+        float4_to_float8,
+    )
+
     a = np.frombuffer(blob, dtype=np.uint8)
-    pos, _meta = _skip_preamble(a)
+    pos, meta, four = _skip_preamble(a)
+    prev_ts = int(meta.get("REFERENCE_TIMESTAMP", "0")) if four else 0
+    delta_w = {TS_DELTA_I8: 1, TS_DELTA_I16: 2, TS_DELTA_I32: 4, TS_DELTA_I64: 8}
     events, cur = [], {"encoded_vars": [], "dict_vars": [], "logtype": None}
+
+    def _close(cur):
+        if four:
+            codes = _placeholder_codes_py(cur["logtype"])
+            nd_codes = [c for c in codes if c != 0x12]
+            assert len(nd_codes) == len(cur["encoded_vars"]), "placeholder drift"
+            cur["encoded_vars"] = [
+                int(float4_to_float8(np.array([v], dtype=np.int64))[0])
+                if c == 0x13 else v
+                for c, v in zip(nd_codes, cur["encoded_vars"])
+            ]
+        events.append(cur)
+
     while pos < len(a):
         tag = int(a[pos])
         if tag == EOF_BYTE:
@@ -417,6 +533,20 @@ def deserialize_ir_py(blob: bytes) -> list[dict]:
                 int.from_bytes(a[pos + 1 : pos + 9].tobytes(), "big", signed=True)
             )
             pos += 9
+        elif tag == VAR_4BYTE:
+            cur["encoded_vars"].append(
+                int.from_bytes(a[pos + 1 : pos + 5].tobytes(), "big", signed=True)
+            )
+            pos += 5
+        elif tag in delta_w:
+            w = delta_w[tag]
+            prev_ts += int.from_bytes(
+                a[pos + 1 : pos + 1 + w].tobytes(), "big", signed=True
+            )
+            cur["ts"] = prev_ts
+            pos += 1 + w
+            _close(cur)
+            cur = {"encoded_vars": [], "dict_vars": [], "logtype": None}
         elif tag in (VAR_STR_U8, VAR_STR_U16, VAR_STR_I32):
             w = {VAR_STR_U8: 1, VAR_STR_U16: 2, VAR_STR_I32: 4}[tag]
             ln = int.from_bytes(a[pos + 1 : pos + 1 + w].tobytes(), "big")
@@ -485,6 +615,7 @@ def events_to_ir_df(
     events_per_chunk: int = 1024,
     timestamp_pattern: str = "",
     order_col: str | None = None,
+    encoding: str = "eight",
 ):
     """Encoded events → chunked IR blobs, one row per chunk.
 
@@ -502,7 +633,12 @@ def events_to_ir_df(
     """
     import pyarrow as pa
 
-    pre = make_preamble(timestamp_pattern=timestamp_pattern)
+    if encoding not in ("eight", "four"):
+        raise ValueError("encoding must be 'eight' or 'four'")
+    four = encoding == "four"
+    # four-byte chunks carry a per-chunk REFERENCE_TIMESTAMP, so their
+    # preamble is built inside serialize_ir_core4
+    pre = None if four else make_preamble(timestamp_pattern=timestamp_pattern)
 
     def _fn(batches):
         # per-stream chunk counter, carried across the partition's Arrow
@@ -537,7 +673,7 @@ def events_to_ir_df(
             for rs, re_, sval in zip(run_starts, run_ends, run_streams):
                 for a in range(rs, re_, events_per_chunk):
                     b = min(a + events_per_chunk, re_)
-                    blob = serialize_ir_core(
+                    chunk_args = (
                         ts[a:b],
                         lt_data[lt_offs[a] : lt_offs[b]],
                         lt_offs[a : b + 1] - lt_offs[a],
@@ -547,8 +683,15 @@ def events_to_ir_df(
                         d_data_all[d_in_offs[dv_offs[a]] : d_in_offs[dv_offs[b]]],
                         d_in_offs[dv_offs[a] : dv_offs[b] + 1]
                         - d_in_offs[dv_offs[a]],
-                        preamble=pre,
                     )
+                    if four:
+                        from clp_spark.sources.ir_four import serialize_ir_core4
+
+                        blob = serialize_ir_core4(
+                            *chunk_args, timestamp_pattern=timestamp_pattern
+                        )
+                    else:
+                        blob = serialize_ir_core(*chunk_args, preamble=pre)
                     out_stream.append(sval)
                     ci = next_chunk_ix.get(sval, 0)
                     next_chunk_ix[sval] = ci + 1

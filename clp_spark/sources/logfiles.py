@@ -398,12 +398,14 @@ def convert_to_ir(
     out_dir: str,
     events_per_chunk: int = 1024,
     lock_patterns: bool = True,
+    encoding: str = "eight",
 ) -> dict:
     """Log-converter analog (reference clp_s/log_converter/LogConverter.hpp:
     15-18: text logs → kv-IR files): raw text files → pattern-locked message
-    assembly → CLP encode → chunked 8-byte IR stream rows, one stream per
-    source file, written as parquet of (stream, n_events, ir). The chunks
-    feed `streaming.ingest.run_ir_ingest_stream` or
+    assembly → CLP encode → chunked IR stream rows (8-byte by default,
+    ``encoding="four"`` for the compact four-byte protocol — ir_four.py),
+    one stream per source file, written as parquet of (stream, n_events,
+    ir). The chunks feed `streaming.ingest.run_ir_ingest_stream` or
     `sources.ir_stream.ir_to_events_df`.
     """
     from clp_spark.sources.ir_stream import events_to_ir_df
@@ -425,7 +427,7 @@ def convert_to_ir(
     # recover it — ms ties and timestamp-less continuations)
     chunks = events_to_ir_df(
         enc, "ts", "stream", events_per_chunk=events_per_chunk,
-        order_col="msg_ix",
+        order_col="msg_ix", encoding=encoding,
     )
     chunks.write.mode("overwrite").parquet(out_dir)
     stats = spark.read.parquet(out_dir).agg(

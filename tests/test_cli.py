@@ -122,6 +122,36 @@ def test_search_time_range_single_archive(spark, archive, capsys):
     assert capsys.readouterr().out.strip().splitlines()[-1] == "0"
 
 
+def test_convert_four_byte_roundtrip(spark, tmp_path, capsys):
+    """convert --four-byte emits the compact IR protocol; messages and
+    timestamps survive transit (delta encoding + int/float demotions)."""
+    d = tmp_path / "logs"
+    d.mkdir()
+    lines = [
+        "2016-05-08 07:34:05,251 INFO small 7 big 3000000001 f 0.25",
+        "2016-05-08 07:34:06,000 WARN precise 123456789.123456",
+    ]
+    (d / "a.log").write_text("\n".join(lines) + "\n")
+    out = str(tmp_path / "ir4")
+    cli.main(["convert", out, str(d / "a.log"), "--four-byte"])
+    capsys.readouterr()
+
+    from clp_spark.operators.decode import decode_df
+    from clp_spark.sources.ir_four import MAGIC_4BYTE
+    from clp_spark.sources.ir_stream import ir_to_events_df
+
+    pdf = spark.read.parquet(out).toPandas()
+    assert all(bytes(b[:4]) == MAGIC_4BYTE for b in pdf["ir"])
+    events = ir_to_events_df(spark.read.parquet(out), "ir", "stream")
+    decoded = decode_df(events, ["stream", "ts"]).orderBy("ts")
+    got = [(r["ts"], r["message"]) for r in decoded.collect()]
+    assert [m for _, m in got] == [
+        " INFO small 7 big 3000000001 f 0.25",
+        " WARN precise 123456789.123456",
+    ]
+    assert got[0][0] == 1462692845251 and got[1][0] == 1462692846000
+
+
 def test_convert_preserves_log_order(spark, tmp_path, capsys):
     """The IR a converter emits preserves source log order even when every
     message shares one timestamp (the reference LogConverter writes events
