@@ -107,11 +107,36 @@ KNOWN_PATTERNS: list[TsPattern] = [
     TsPattern("syslog_noyear", rf"({_MON}\s+\d{{1,2}} {_HMS})", "MMM d HH:mm:ss",
               squash_ws=True),
     TsPattern("monthday_ms_noyear", rf"(\d{{2}}-\d{{2}} {_HMS}\.\d{{3}})", "MM-dd HH:mm:ss.SSS"),
+    # E.g. 626515123 — a leading all-digit token is epoch MILLISECONDS
+    # (reference "%#3", TimestampPattern.cpp:189, last in the known list).
+    # Bounded to 18 digits so the long cast can't overflow; token-anchored
+    # (the digits must end the token) so "123abc" is not half-consumed.
+    TsPattern("epoch_ms", r"(\d{1,18})(?=\s|$)", "#epoch_ms"),
 ]
+
+# Constructible-but-not-searched patterns (reference tests them by manual
+# construction only — test-TimestampPattern.cpp:448-478): epoch micro/nano
+# second tokens, truncated to the ms CLP stores. Not in KNOWN_PATTERNS
+# because they are indistinguishable from %#3 by shape.
+EXTRA_PATTERNS: dict[str, TsPattern] = {
+    "epoch_us": TsPattern("epoch_us", r"(\d{1,18})(?=\s|$)", "#epoch_us"),
+    "epoch_ns": TsPattern("epoch_ns", r"(\d{1,18})(?=\s|$)", "#epoch_ns"),
+}
+
+# digits-per-fraction for rendering an epoch pattern back to its token:
+# ms → the value itself; us → ms*10^3; ns → ms*10^6
+_EPOCH_RENDER_MULT = {"#epoch_ms": 1, "#epoch_us": 1_000, "#epoch_ns": 1_000_000}
 
 
 def _parse_one(line: Column, p: TsPattern) -> Column:
     captured = F.regexp_extract(line, p.regex, 2)
+    if p.fmt.startswith("#epoch"):
+        val = captured.cast("long")
+        if p.fmt == "#epoch_us":
+            val = F.floor(val / 1000).cast("long")
+        elif p.fmt == "#epoch_ns":
+            val = F.floor(val / 1_000_000).cast("long")
+        return F.when(captured != "", val).otherwise(F.lit(None))
     if p.comma_ms:
         captured = F.regexp_replace(captured, ",", ".")
     if p.squash_ws:
@@ -189,7 +214,10 @@ def restore_timestamp(
     out = message
     for p in reversed(KNOWN_PATTERNS):
         ts = F.timestamp_millis(ts_ms)
-        rendered = F.date_format(ts, p.render)
+        if p.fmt.startswith("#epoch"):
+            rendered = (ts_ms * _EPOCH_RENDER_MULT[p.fmt]).cast("string")
+        else:
+            rendered = F.date_format(ts, p.render)
         pieces = [F.lit(p.prefix), rendered, F.lit(p.suffix)]
         if p.weekday:
             pieces.insert(0, F.date_format(ts, "EEE "))
@@ -279,6 +307,10 @@ def pandas_head_mask(s, p: TsPattern):
     hit = cap.notna().to_numpy()
     if not hit.any():
         return hit
+    if p.fmt.startswith("#epoch"):
+        import pandas as pd
+
+        return hit & pd.to_numeric(cap, errors="coerce").notna().to_numpy()
     vals = cap[hit]
     if p.comma_ms:
         vals = vals.str.replace(",", ".", regex=False)

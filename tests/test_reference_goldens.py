@@ -1,0 +1,394 @@
+"""Reference-authored golden cases, ported verbatim from the reference's own
+unit tests (inputs + expected outputs transcribed; the C++ harness is not).
+
+Sources:
+- components/core/tests/test-ir_parsing.cpp (variable bounds)
+- components/core/tests/test-encoding_methods.cpp (int/float encodings,
+  both widths)
+- components/core/tests/test-string_utils.cpp (wildcard match table,
+  clean_up_wildcard_search_string)
+- components/core/tests/test-TimestampPattern.cpp (known-pattern search:
+  line → pattern + epoch-ms + content round-trip)
+"""
+
+import numpy as np
+import pytest
+
+from clp_spark.functions.encode_kernel_np import DICT_PH
+from clp_spark.oracle.encoder import (
+    decode_float,
+    encode_float,
+    encode_int,
+    encode_message,
+    variable_bounds,
+)
+from tests.test_search import naive_wildcard_match
+
+# --------------------------------------------------------------------------
+# test-ir_parsing.cpp — get_bounds_of_next_var
+# --------------------------------------------------------------------------
+
+
+class TestVariableBounds:
+    @pytest.mark.parametrize(
+        "msg,expected",
+        [
+            ("", []),
+            ("/", []),
+            ("xyz", []),
+            ("=", []),
+            ("~=x!abc123;1.2%x:+394/-", ["x", "abc123", "1.2", "+394"]),
+            (" ad ff 95 24 0d ff ", ["ad", "ff", "95", "24", "0d", "ff"]),
+            (" text \x11 var123 ", ["var123"]),
+        ],
+    )
+    def test_reference_var_bounds(self, msg, expected):
+        got = [msg[a:b] for a, b in variable_bounds(msg)]
+        assert got == expected
+
+
+# --------------------------------------------------------------------------
+# test-encoding_methods.cpp — integer encodings
+# --------------------------------------------------------------------------
+
+NON_INTEGERS = [
+    "", "a", "-", "+", "-a", "+a", "--", "++",
+    " 1", "- 1", "1 ", "01", "+1",
+    "1u", "1U", "1l", "1L", "1ll", "1LL", "0.0", "-0",
+]
+
+
+class TestIntegerEncoding:
+    @pytest.mark.parametrize(
+        "value", ["0", "-1", "1", str(-(1 << 63)), str((1 << 63) - 1)]
+    )
+    def test_representable_roundtrip(self, value):
+        enc = encode_int(value)
+        assert enc is not None and str(enc) == value  # value-preserving
+
+    @pytest.mark.parametrize(
+        "value", [str(1 << 63), str(-(1 << 63) - 1)]
+    )
+    def test_int64_overflow_rejected(self, value):
+        assert encode_int(value) is None
+
+    @pytest.mark.parametrize("value", NON_INTEGERS)
+    def test_non_integers_rejected(self, value):
+        assert encode_int(value) is None
+
+    @pytest.mark.parametrize(
+        "value,fits",
+        [(str(-(1 << 31)), True), (str((1 << 31) - 1), True),
+         (str(1 << 31), False), (str(-(1 << 31) - 1), False)],
+    )
+    def test_four_byte_int32_bounds(self, value, fits):
+        """4-byte encoding keeps int32-range values; the rest demote to
+        dictionary vars (ir_four.to_four_byte_columns)."""
+        from clp_spark.sources.ir_four import to_four_byte_columns
+
+        enc = encode_message(f"v {value}")
+        lt = enc.logtype.encode()
+        codes = np.array([0x11], dtype=np.int16)
+        _lt4, codes4, nd4, d4, d4off = to_four_byte_columns(
+            np.frombuffer(lt, dtype=np.uint8),
+            np.array([0, len(lt)], dtype=np.int64),
+            codes,
+            np.array([0, 1], dtype=np.int64),
+            np.array(enc.encoded_vars, dtype=np.int64),
+            np.zeros(0, dtype=np.uint8),
+            np.array([0], dtype=np.int64),
+        )
+        if fits:
+            assert codes4.tolist() == [0x11] and nd4.tolist() == [int(value)]
+        else:
+            assert codes4.tolist() == [DICT_PH]
+            assert d4.tobytes() == value.encode()
+
+
+# --------------------------------------------------------------------------
+# test-encoding_methods.cpp — float encodings
+# --------------------------------------------------------------------------
+
+EIGHT_BYTE_FLOATS = [
+    "0.0", "-1.0", "1.0", ".1", "-00.00",
+    "-999999999999999.9", "999999999999999.9",
+    "-.9999999999999999", ".9999999999999999",
+]
+FOUR_BYTE_FLOATS = ["-3355443.1", "3355443.1", "-.33554431", ".33554431"]
+FOUR_BYTE_UNREPRESENTABLE = [
+    "0.33554431", "-0.33554431", "3.3554432", "-3.3554432",
+    "60.000004", "-60.000004",
+]
+NON_FLOATS = [
+    "", "a", "-", "+", "-a", "+a", "--", "++", ".", "1.",
+    " 1.0", "1.0 ", "- 1.0", "+1.0", "1.0l", "1.0L", "1.0.0",
+]
+
+
+def _four_byte_float_fits(value: str) -> bool:
+    from clp_spark.sources.ir_four import _DIGITS25_MASK, float8_properties
+
+    enc = encode_float(value)
+    assert enc is not None, value
+    neg, digits, nd, dpp = float8_properties(np.array([enc], dtype=np.int64))
+    return bool((nd[0] <= 8) and (dpp[0] <= 8) and (digits[0] <= _DIGITS25_MASK))
+
+
+class TestFloatEncoding:
+    @pytest.mark.parametrize("value", EIGHT_BYTE_FLOATS + FOUR_BYTE_FLOATS)
+    def test_eight_byte_roundtrip(self, value):
+        enc = encode_float(value)
+        assert enc is not None
+        assert decode_float(enc) == value  # format-preserving
+
+    @pytest.mark.parametrize("value", FOUR_BYTE_FLOATS)
+    def test_four_byte_representable(self, value):
+        assert _four_byte_float_fits(value)
+
+    @pytest.mark.parametrize("value", FOUR_BYTE_UNREPRESENTABLE)
+    def test_four_byte_unrepresentable(self, value):
+        assert not _four_byte_float_fits(value)
+
+    @pytest.mark.parametrize("value", FOUR_BYTE_FLOATS)
+    def test_four_byte_bit_roundtrip(self, value):
+        """string → 8-byte props → 4-byte layout → promoted 8-byte → string."""
+        from clp_spark.sources.ir_four import (
+            float4_encode, float4_to_float8, float8_properties,
+        )
+
+        enc = np.array([encode_float(value)], dtype=np.int64)
+        neg, digits, nd, dpp = float8_properties(enc)
+        v4 = float4_encode(neg, digits, nd, dpp)
+        v8 = float4_to_float8(v4)
+        assert decode_float(int(v8[0])) == value
+
+    @pytest.mark.parametrize("value", NON_FLOATS)
+    def test_non_floats_rejected(self, value):
+        assert encode_float(value) is None
+
+
+# --------------------------------------------------------------------------
+# test-string_utils.cpp — wildcard matching + query cleanup
+# --------------------------------------------------------------------------
+
+WILDCARD_TABLE = [
+    # (tame, wild, expect) — case-sensitive table, transcribed
+    ("abcd", "a*", True), ("abcd", "*d", True), ("abcd", "*a*", True),
+    ("abcd", "*b*", True), ("abcd", "*d*", True), ("abcd", "*", True),
+    ("abcd", "a?cd", True), ("abcd", "?bcd", True), ("abcd", "abc?", True),
+    ("abcd", "a??d", True), ("abcd", "??cd", True), ("abcd", "ab??", True),
+    ("abcd", "?bc?", True), ("abcdef", "a?c?ef", True), ("abcd", "????", True),
+    ("abcd", "*?bcd", True), ("abcd", "?*bcd", True), ("abcd", "*?cd", True),
+    ("abcd", "?*cd", True), ("abcd", "abc*?", True), ("abcd", "abc?*", True),
+    ("abcd", "ab*?", True), ("abcd", "ab?*", True), ("abcd", "*?", True),
+    ("abcd", "?*", True),
+    ("abcd", "ac*", False), ("abcd", "abc*de", False), ("abcd", "b**d", False),
+    ("abcd", "a**c", False), ("abcd", "b*?d", False), ("abcd", "?cd", False),
+    ("abcd", "ab?", False),
+    ("a*cd", r"a\*cd", True), ("a?cd", r"a\?cd", True),
+    ("a?c*e", r"a\?c\*e", True), ("a\\cd", r"a\\cd", True),
+    ("abc?e", r"a*\?e", True), ("abc*e", r"a*\*e", True),
+    ("abc\\e", r"a*\\e", True),
+    (r"\ab\ab\c?ef", r"*ab\\c\?*", True),
+    (r"\ab\ab\c*ef", r"*ab\\c\**", True),
+    (r"\ab\ab\c\ef", r"*ab\\c\\*", True),
+    ("ab?d", r"\ab?d", True),  # unsupported escape \a silently ignored
+    # "found online" block
+    ("abcccd", "*ccd", True), ("mississipissippi", "*issip*ss*", True),
+    ("xxxx*zzzzzzzzy*f", "xxxx*zzy*fffff", False),
+    ("xxxx*zzzzzzzzy*f", "xxx*zzy*f", True),
+    ("xxxxzzzzzzzzyf", "xxxx*zzy*fffff", False),
+    ("xxxxzzzzzzzzyf", "xxxx*zzy*f", True),
+    ("xyxyxyzyxyz", "xy*z*xyz", True), ("mississippi", "*sip*", True),
+    ("xyxyxyxyz", "xy*xyz", True), ("mississippi", "mi*sip*", True),
+    ("ababac", "*abac*", True), ("aaazz", "a*zz*", True),
+    ("a12b12", "*12*23", False), ("a12b12", "a12b", False),
+    ("a12b12", "*12*12*", True),
+    ("*", "*", True), ("a*abab", "a*b", True), ("a*r", "a*", True),
+    ("a*ar", "a*aar", False),
+    ("XYXYXYZYXYz", "XY*Z*XYz", True), ("missisSIPpi", "*SIP*", True),
+    ("mississipPI", "*issip*PI", True), ("miSsissippi", "mi*sip*", True),
+    ("miSsissippi", "mi*Sip*", False), ("abAbac", "*Abac*", True),
+    ("aAazz", "a*zz*", True), ("A12b12", "*12*23", False),
+    ("a12B12", "*12*12*", True), ("oWn", "*oWn*", True),
+    ("bLah", "bLah", True), ("bLah", "bLaH", False),
+    ("a", "*?", True), ("ab", "*?", True), ("abc", "*?", True),
+    ("a", "??", False), ("ab", "?*?", True), ("ab", "*?*?*", True),
+    ("abcd", "?b*??", True), ("abcd", "?a*??", False),
+    ("abcde", "?*b*?*d*?", True),
+    ("bLah", "bL?h", True), ("bLaaa", "bLa?", False), ("bLah", "bLa?", True),
+    ("bLaH", "?Lah", False), ("bLaH", "?LaH", True),
+    ("aaabbaabbaab", "*aabbaa*a*", True),
+]
+
+CASE_INSENSITIVE_TABLE = [
+    ("abcde", "A?C*", True), ("abcde", "A?c*", True), ("abcde", "a?C*", True),
+    ("mississippi", "*issip*PI", True),
+]
+
+
+class TestWildcardGoldens:
+    @pytest.mark.parametrize("tame,wild,expect", WILDCARD_TABLE)
+    def test_case_sensitive_table(self, tame, wild, expect):
+        assert naive_wildcard_match(tame, wild) is expect
+
+    @pytest.mark.parametrize("tame,wild,expect", CASE_INSENSITIVE_TABLE)
+    def test_case_insensitive_table(self, tame, wild, expect):
+        assert naive_wildcard_match(tame, wild, ignore_case=True) is expect
+
+    def test_spark_agrees_on_table(self, spark):
+        """The JVM-side wildcard_match must agree with the reference table
+        (one job for the whole table)."""
+        from pyspark.sql import functions as F
+
+        from clp_spark.functions.wildcard import wildcard_match
+
+        rows = [(i, t) for i, (t, _w, _e) in enumerate(WILDCARD_TABLE)]
+        df = spark.createDataFrame(rows, "i int, tame string").cache()
+        cols = [
+            F.max(
+                F.when(F.col("i") == i, wildcard_match(F.col("tame"), w))
+            ).alias(f"m{i}")
+            for i, (_t, w, _e) in enumerate(WILDCARD_TABLE)
+        ]
+        got = df.agg(*cols).collect()[0]
+        for i, (_t, _w, expect) in enumerate(WILDCARD_TABLE):
+            assert got[f"m{i}"] is expect, WILDCARD_TABLE[i]
+
+    @pytest.mark.parametrize(
+        "raw,cleaned",
+        [
+            ("test", "test"),
+            ("?est", "?est"),
+            (r"***t**\*s\?t?**", r"*t*\*s\?t?*"),
+            ("***", "*"),
+            ("*?*", "*?*"),
+            ("?", "?"),
+            ("a\\bc\\", "abc"),
+        ],
+    )
+    def test_clean_up_wildcard_search_string(self, raw, cleaned):
+        from clp_spark.functions.wildcard import clean_up_wildcard_query
+
+        assert clean_up_wildcard_query(raw) == cleaned
+
+
+# --------------------------------------------------------------------------
+# test-TimestampPattern.cpp — known-pattern search goldens
+# --------------------------------------------------------------------------
+
+TS_2015_02_01_010203_004 = 1_422_752_523_004
+TS_2015_02_01_010203 = 1_422_752_523_000
+
+TS_GOLDENS = [
+    # (line, repo pattern name, epoch_ms or None=just must parse, roundtrip)
+    ("2015-02-01T01:02:03.004 content after", "iso_T_dot_ms",
+     TS_2015_02_01_010203_004, True),
+    ("2015-02-01T01:02:03,004 content after", "iso_T_comma_ms",
+     TS_2015_02_01_010203_004, True),
+    ("[2015-02-01T01:02:03 content after", "bracket_iso_T_sec",
+     TS_2015_02_01_010203, True),
+    ("[20150201-01:02:03] content after", "bracket_compact",
+     TS_2015_02_01_010203, True),
+    ("2015-02-01 01:02:03,004 content after", "iso_space_comma_ms",
+     TS_2015_02_01_010203_004, True),
+    ("2015-02-01 01:02:03.004 content after", "iso_space_dot_ms",
+     TS_2015_02_01_010203_004, True),
+    ("[2015-02-01 01:02:03,004] content after", "bracketed_comma_ms",
+     TS_2015_02_01_010203_004, True),
+    ("2015-02-01 01:02:03 content after", "iso_space_sec",
+     TS_2015_02_01_010203, True),
+    ("2015/02/01 01:02:03 content after", "slash_space_sec",
+     TS_2015_02_01_010203, True),
+    ("15/02/01 01:02:03 content after", "two_digit_year",
+     TS_2015_02_01_010203, True),
+    ("01 Feb 2015 01:02:03,004 content after", "day_monname_comma_ms",
+     TS_2015_02_01_010203_004, True),
+    ("February 01, 2015 01:02 content after", "full_month_hm",
+     TS_2015_02_01_010203 - 3000, True),
+    ("E [01/Feb/2015:01:02:03 content after", "apache_1tok",
+     TS_2015_02_01_010203, True),
+    ("localhost - - [01/Feb/2015:01:02:03 content after", "apache_3tok",
+     TS_2015_02_01_010203, True),
+    ("INFO [main] 2015-02-01 01:02:03,004 content after", "two_tok_comma_ms",
+     TS_2015_02_01_010203_004, True),
+    ('Started POST "/api/v3/internal/allowed" for 127.0.0.1 at '
+     "2015-02-01 01:02:03 content after", "rails_6tok",
+     TS_2015_02_01_010203, True),
+    ("update-alternatives 2015-02-01 01:02:03 content after", "one_tok_iso",
+     TS_2015_02_01_010203, True),
+    ("<<<2015-02-01 01:02:03:004 content after", "angle_colon_ms",
+     TS_2015_02_01_010203_004, True),
+    # squash_ws patterns: value asserted, byte round-trip skipped (run-of-
+    # spaces not retained — same loss class as the reference's padded %e)
+    ("150201  1:02:03 content after", "compact_2dy",
+     TS_2015_02_01_010203, False),
+    ("Feb 01, 2015  1:02:03 AM content after", "monname_ampm",
+     TS_2015_02_01_010203, False),
+    ("ERROR: apport (pid 4557) Sun Feb  1 01:02:03 2015 content after",
+     "apport_4tok", TS_2015_02_01_010203, False),
+    ("Jan 21 11:56:42", "syslog_noyear", None, False),
+    ("01-21 11:56:42.392", "monthday_ms_noyear", None, True),
+    # %#3: leading all-digit token is epoch milliseconds
+    ("626515123 content after", "epoch_ms", 626_515_123, True),
+]
+
+
+class TestTimestampPatternGoldens:
+    @pytest.fixture(scope="class")
+    def parsed(self, spark):
+        from pyspark.sql import functions as F
+
+        from clp_spark.functions.timestamps import (
+            detect_pattern, parse_timestamp_ms, restore_timestamp,
+            strip_timestamp,
+        )
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.createDataFrame(
+            [(i, line) for i, (line, *_rest) in enumerate(TS_GOLDENS)],
+            "i int, line string",
+        )
+        out = df.select(
+            "i", "line",
+            parse_timestamp_ms(F.col("line")).alias("ts_ms"),
+            detect_pattern(F.col("line")).alias("pat"),
+            strip_timestamp(F.col("line")).alias("stripped"),
+        )
+        out = out.withColumn(
+            "restored",
+            restore_timestamp(F.col("stripped"), F.col("ts_ms"), F.col("pat")),
+        )
+        return {r["i"]: r for r in out.collect()}
+
+    @pytest.mark.parametrize(
+        "ix", range(len(TS_GOLDENS)), ids=[g[1] for g in TS_GOLDENS]
+    )
+    def test_golden(self, parsed, ix):
+        line, name, want_ms, roundtrip = TS_GOLDENS[ix]
+        r = parsed[ix]
+        assert r["pat"] == name, (line, r["pat"])
+        if want_ms is None:
+            assert r["ts_ms"] is not None
+        else:
+            assert r["ts_ms"] == want_ms, (line, r["ts_ms"])
+        if roundtrip:
+            assert r["restored"] == line, (r["stripped"], r["restored"])
+
+    def test_epoch_manual_patterns(self, spark):
+        """%#6 / %#9 truncate to stored ms and re-render zero-padded
+        (test-TimestampPattern.cpp:448-478)."""
+        from pyspark.sql import functions as F
+
+        from clp_spark.functions.timestamps import EXTRA_PATTERNS, _parse_one
+
+        df = spark.createDataFrame([("626515123 content after",)], "line string")
+        us = _parse_one(F.col("line"), EXTRA_PATTERNS["epoch_us"])
+        ns = _parse_one(F.col("line"), EXTRA_PATTERNS["epoch_ns"])
+        r = df.select(us.alias("us"), ns.alias("ns")).collect()[0]
+        assert r["us"] == 626_515 and r["ns"] == 626
+        # re-render: ms * multiplier restores the truncated token width
+        from clp_spark.functions.timestamps import _EPOCH_RENDER_MULT
+
+        assert str(r["us"] * _EPOCH_RENDER_MULT["#epoch_us"]) == "626515000"
+        assert str(r["ns"] * _EPOCH_RENDER_MULT["#epoch_ns"]) == "626000000"

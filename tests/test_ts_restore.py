@@ -48,6 +48,7 @@ CASES = [
     ("weekday", "Mon May 9 07:33:05 2016 body text"),
     ("syslog_noyear", "May 9 07:33:05 host daemon: body"),
     ("monthday_ms_noyear", "05-09 07:33:05.251 body text"),
+    ("epoch_ms", "1462692785251 body text"),
 ]
 
 
