@@ -48,6 +48,69 @@ class TestVariableBounds:
 
 
 # --------------------------------------------------------------------------
+# test-GrepCore.cpp — get_bounds_of_next_potential_var (query tokenization)
+# --------------------------------------------------------------------------
+
+
+def _query_tokens(q):
+    """(text, preceded_by_eq, token) for every token unit of the query."""
+    from clp_spark.operators.search import tokenize_query
+
+    out, prev_const = [], None
+    for kind, u in tokenize_query(q):
+        if kind == "const":
+            prev_const = u
+            continue
+        eq = bool(prev_const) and prev_const[-1] == ("=", False)
+        text = "".join(("\\" + c if e else c) for c, e in u.chars)
+        out.append((text, eq, u))
+        prev_const = None
+    return out
+
+
+class TestGrepQueryTokenization:
+    def test_no_wildcards_golden(self):
+        """' MAC address 95: ad ff 95 24 0d ff =-abc- ' — the reference's
+        potential-variable sequence, with '-abc-' a variable via the
+        equals-sign rule and the hex tokens via the hex rule."""
+        from clp_spark.operators.search import _is_var_content
+
+        toks = _query_tokens(" MAC address 95: ad ff 95 24 0d ff =-abc- ")
+        assert [t for t, _e, _u in toks] == [
+            "MAC", "address", "95", "ad", "ff", "95", "24", "0d", "ff", "-abc-",
+        ]
+        vars_ = [t for t, eq, u in toks if _is_var_content(t, eq)]
+        assert vars_ == ["95", "ad", "ff", "95", "24", "0d", "ff", "-abc-"]
+
+    def test_with_wildcards_golden(self):
+        r"""'~=1\*x\?!abc*123;1.2%x:+394/-=-*abc-' — non-wildcard variables
+        must match the reference exactly; wildcard tokens stay ambiguous
+        (text + var interpretations), a SUPERSET of the reference's
+        is_var flag that the final wildcard verification collapses."""
+        from clp_spark.operators.search import _interpretations, _is_var_content
+
+        toks = _query_tokens(r"~=1\*x\?!abc*123;1.2%x:+394/-=-*abc-")
+        texts = [t for t, _e, _u in toks]
+        assert texts == ["1", "x", "abc*123", "1.2", "x", "+394", "-", "-*abc-"]
+        exact_vars = [
+            t for t, eq, u in toks
+            if not u.has_wildcards and _is_var_content(t, eq)
+        ]
+        assert exact_vars == ["1", "1.2", "+394"]  # reference is_var, minus
+        # the wildcard token "abc*123" (reference is_var=true): ours keeps it
+        # ambiguous — it must still carry a dict-var interpretation
+        by_text = {t: (eq, u) for t, eq, u in toks}
+        # mid-token wildcards ("abc*123" is_var=true, "-*abc-" is_var=false
+        # in the reference) both take our midwild path: the candidate filter
+        # relaxes to '%' and wildcard_match_required is forced (search.py
+        # _build_subquery), which is a sound superset of BOTH reference
+        # classifications — a numeric interpretation is never asserted
+        for t in ("abc*123", "-*abc-"):
+            eq, u = by_text[t]
+            assert _interpretations(u, eq) == ["midwild"], t
+
+
+# --------------------------------------------------------------------------
 # test-encoding_methods.cpp — integer encodings
 # --------------------------------------------------------------------------
 
