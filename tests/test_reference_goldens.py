@@ -231,6 +231,130 @@ class TestFloatEncoding:
 
 
 # --------------------------------------------------------------------------
+# test-EncodedVariableInterpreter.cpp — placeholder-escaping message golden,
+# wildcard-could-be-var tables, case-insensitive dictionary probe
+# --------------------------------------------------------------------------
+
+EVI_VARS = [
+    "4938",                       # small int            → \x11
+    str((1 << 64) - 1) + "0",     # > int64              → \x12 (dictionary)
+    "-25.5196868642755",          # double               → \x13
+    "-00.00",                     # weird double         → \x13
+    "python2.7.3",                # str with numbers     → \x12
+    "\\a1",                       # backslash + numbers  → \x12
+]
+EVI_MSG = (
+    "here is a string with a small int " + EVI_VARS[0]
+    + " and a very large int " + EVI_VARS[1]
+    + " and a double " + EVI_VARS[2]
+    + " and a weird double " + EVI_VARS[3]
+    + " and a str with numbers " + EVI_VARS[4]
+    + " and a str with a backslash and numbers " + EVI_VARS[5]
+    + " and an escape \x5c"
+    + " and an int placeholder \x11"
+    + " and a float placeholder \x13"
+    + " and a dictionary placeholder \x12"
+)
+EVI_LOGTYPE = (
+    "here is a string with a small int \x11"
+    " and a very large int \x12"
+    " and a double \x13"
+    " and a weird double \x13"
+    " and a str with numbers \x12"
+    " and a str with a backslash and numbers \x12"
+    " and an escape \x5c\x5c"
+    " and an int placeholder \x5c\x11"
+    " and a float placeholder \x5c\x13"
+    " and a dictionary placeholder \x5c\x12"
+)
+
+
+class TestEncodedVariableInterpreterGolden:
+    def test_oracle_logtype_and_roundtrip(self):
+        from clp_spark.oracle.encoder import decode_message
+
+        enc = encode_message(EVI_MSG)
+        assert enc.logtype == EVI_LOGTYPE
+        assert enc.dict_vars == [EVI_VARS[1], EVI_VARS[4], EVI_VARS[5]]
+        assert decode_message(enc.logtype, enc.encoded_vars, enc.dict_vars) == EVI_MSG
+
+    def test_numpy_kernel_matches_oracle(self):
+        from clp_spark.functions.encode_kernel_np import encode_core
+
+        buf = np.frombuffer(EVI_MSG.encode(), dtype=np.uint8)
+        raw = encode_core(
+            buf, np.array([0], dtype=np.int64),
+            np.array([len(buf)], dtype=np.int64),
+        )
+        assert raw["lt_data"].tobytes().decode() == EVI_LOGTYPE
+        assert np.asarray(raw["codes"]).tolist() == [
+            0x11, 0x12, 0x13, 0x13, 0x12, 0x12
+        ]
+
+    def test_case_insensitive_dictionary_probe(self, spark):
+        """4 case-variants of 'python2.7.3': ignore_case probe returns all 4,
+        exact returns 1 (reference 'Test multiple matching values')."""
+        from clp_spark.operators.search import _probe_dict
+
+        variants = ["python2.7.3", "Python2.7.3", "PyThOn2.7.3", "PYTHON2.7.3"]
+        var_dict = spark.createDataFrame(
+            [(v,) for v in variants], "var_value string"
+        )
+        assert len(_probe_dict(var_dict, variants[0], True, exact=True)) == 4
+        assert len(_probe_dict(var_dict, variants[0], False, exact=True)) == 1
+
+
+# Cases that map 1:1 onto our per-token interpretation model. The reference
+# functions evaluate a whole candidate string; strings our tokenizer splits
+# into several units ("?1234\\?1", "*⍅*" — the escaped literal / non-ASCII
+# delimiter becomes logtype-const text between tokens) reach the same
+# match set through const+token composition instead and are covered by the
+# archive-search lifecycle tests.
+WILD_COULD_BE_INT = ["?", "*", "*123456789*", "?987", "-12*", "-12?"]
+WILD_MIDWILD_SUPERSET = ["*12*34*56*", "-12?1"]
+WILD_NOT_INT = ["*1abcABC*", "*1.2*"]
+WILD_COULD_BE_FLOAT = ["?", "*", "*123456789*", "-12*", "*25.987*"]
+WILD_NOT_FLOAT = ["*1abcABC*", "*1.4E09*", "*1.4e09*"]
+
+
+def _wild_interps(q: str):
+    """Reference pipeline: relax '?'→'*', tokenize, interpret the single
+    token. Returns its interpretation list ('star' for wildcard-only)."""
+    from clp_spark.operators.search import (
+        _interpretations, _relax_unescaped_question_marks, tokenize_query,
+    )
+
+    units = [u for k, u in tokenize_query(_relax_unescaped_question_marks(q))
+             if k == "token"]
+    assert len(units) == 1, q
+    return _interpretations(units[0], False)
+
+
+class TestWildcardCouldBeVar:
+    @pytest.mark.parametrize("q", WILD_COULD_BE_INT)
+    def test_could_be_int(self, q):
+        assert {"wild_int", "star"} & set(_wild_interps(q)), q
+
+    @pytest.mark.parametrize("q", WILD_MIDWILD_SUPERSET)
+    def test_midwild_superset(self, q):
+        # mid-token wildcards take the midwild path: '%' relaxation + forced
+        # final verify — a superset of the reference's could-be-var TRUE
+        assert _wild_interps(q) == ["midwild"], q
+
+    @pytest.mark.parametrize("q", WILD_NOT_INT)
+    def test_not_int(self, q):
+        assert "wild_int" not in _wild_interps(q), q
+
+    @pytest.mark.parametrize("q", WILD_COULD_BE_FLOAT)
+    def test_could_be_float(self, q):
+        assert {"wild_float", "star"} & set(_wild_interps(q)), q
+
+    @pytest.mark.parametrize("q", WILD_NOT_FLOAT)
+    def test_not_float(self, q):
+        assert "wild_float" not in _wild_interps(q), q
+
+
+# --------------------------------------------------------------------------
 # test-string_utils.cpp — wildcard matching + query cleanup
 # --------------------------------------------------------------------------
 
