@@ -1,0 +1,1029 @@
+"""CLP key-value pair IR (the structured kv-IR format): serializer +
+transposed deserializer, Spark-first.
+
+Format parity targets (reference components/core/src/clp/ffi/ir_stream/):
+- Serializer.cpp:502-560 — stream = 8-byte magic + JSON metadata frame
+  (VERSION "0.1.0" — protocol_constants.hpp Metadata::VersionValue), then
+  IR units, then EOF 0x00.
+- Serializer.cpp:694-768 serialize_schema_tree_node — node insertion unit:
+  type tag (0x71 int / 0x72 float / 0x73 bool / 0x74 str / 0x75
+  unstructured-array / 0x76 obj), parent-id unit (0x60/0x61/0x62 + signed
+  1/2/4-byte id), key string (0x41/0x42/0x43 + u8/u16/u32 length + bytes).
+  Node ids are implicit: insertion order per tree, root = 0
+  (SchemaTree.hpp:244-247).
+- ir_unit_deserialization_methods.cpp:270-445 — log event unit: key-id
+  units (0x65/0x66/0x67 + signed id; NEGATIVE = ones-complement =
+  auto-generated tree), then one value packet per key in key order; an
+  event with no keys is the single byte 0x5E (ValueEmpty).
+- Value packets: 0x51/0x52/0x53/0x54 + signed 1/2/4/8-byte int (smallest
+  fitting width, Serializer.cpp:290-304); 0x56 + raw IEEE double bits;
+  0x57 true / 0x58 false; strings without ' ' as 0x41/0x42/0x43 + len +
+  bytes; strings containing ' ' as 0x5A (ValueEightByteEncodingClpStr) +
+  the unstructured message serialization (encoded vars + logtype, no
+  timestamp — utils.hpp:220-233 serialize_clp_string); 0x5F null.
+- UtcOffsetChange: 0x3F + int64 (decoding_methods.cpp:759) — tolerated on
+  read, never emitted.
+
+Scope notes (documented intentionally):
+- All keys are serialized into the USER-generated schema tree. The
+  reference's auto-generated tree carries logging-library-injected fields;
+  a Spark pipeline passes those as ordinary columns. The deserializer
+  still decodes auto-gen node ids (negative) it may encounter, assigning
+  them to a separate id space.
+- A NULL leaf value is treated as ABSENT (the key is omitted from that
+  event), matching how the reference's DFS only serializes keys present
+  in the record. Empty inner maps (ValueEmpty as a value) are not
+  representable in the leaf-columnar model.
+
+Everything is numpy on flat leaf columns: O(leaves + distinct-widths)
+numpy passes per chunk, no per-row Python. The deserializer is the same
+transposed shape as ir_stream.deserialize_ir_many: the vector axis is
+across blobs; events are segmented from token-class transitions (a value
+token followed by a key/def token closes the event), and key↔value pairing
+is pure index math on the per-event runs.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from clp_spark.functions.encode_kernel_np import _ranges
+
+MAGIC_8BYTE = bytes([0xFD, 0x2F, 0xB5, 0x30])
+KV_VERSION = "0.1.0"
+
+STR_U8, STR_U16, STR_U32 = 0x41, 0x42, 0x43
+VAL_I8, VAL_I16, VAL_I32, VAL_I64 = 0x51, 0x52, 0x53, 0x54
+VAL_FLOAT = 0x56
+VAL_TRUE, VAL_FALSE = 0x57, 0x58
+VAL_CLP_STR8 = 0x5A
+VAL_EMPTY, VAL_NULL = 0x5E, 0x5F
+PARENT_ID_I8, PARENT_ID_I16, PARENT_ID_I32 = 0x60, 0x61, 0x62
+KEY_ID_I8, KEY_ID_I16, KEY_ID_I32 = 0x65, 0x66, 0x67
+NODE_INT, NODE_FLOAT, NODE_BOOL, NODE_STR, NODE_UARRAY, NODE_OBJ = (
+    0x71, 0x72, 0x73, 0x74, 0x75, 0x76,
+)
+UTC_OFFSET_CHANGE = 0x3F
+EOF_BYTE = 0x00
+
+_KIND_TO_NODE_TAG = {
+    "int": NODE_INT, "float": NODE_FLOAT, "bool": NODE_BOOL, "str": NODE_STR,
+}
+
+
+def make_kv_preamble(user_metadata: dict | None = None) -> bytes:
+    """Magic + JSON metadata frame (Serializer.cpp:502-560; nlohmann json =
+    std::map, keys sorted, compact)."""
+    meta = {
+        "VARIABLES_SCHEMA_ID": "com.yscope.clp.VariablesSchemaV2",
+        "VARIABLE_ENCODING_METHODS_ID": "com.yscope.clp.VariableEncodingMethodsV1",
+        "VERSION": KV_VERSION,
+    }
+    if user_metadata is not None:
+        meta["USER_DEFINED_METADATA"] = user_metadata
+    payload = json.dumps(
+        dict(sorted(meta.items())), separators=(",", ":"), ensure_ascii=False,
+        sort_keys=True,
+    ).encode("utf-8")
+    if len(payload) <= 0xFF:
+        hdr = bytes([0x01, 0x11, len(payload)])
+    elif len(payload) <= 0xFFFF:
+        hdr = bytes([0x01, 0x12]) + len(payload).to_bytes(2, "big")
+    else:
+        raise ValueError("metadata longer than 64 KiB")
+    return MAGIC_8BYTE + hdr + payload
+
+
+class Leaf:
+    """One leaf column of a chunk: a key path and n per-event values.
+
+    kind 'int'   → values int64
+    kind 'float' → values float64
+    kind 'bool'  → values bool
+    kind 'str'   → data uint8 + offsets int64 (n+1)
+    valid[e] False ⇒ the key is absent from event e.
+    """
+
+    def __init__(self, path, kind, valid, values=None, data=None, offsets=None):
+        self.path = tuple(path)
+        if kind not in ("int", "float", "bool", "str"):
+            raise ValueError(f"unsupported leaf kind {kind!r}")
+        self.kind = kind
+        self.valid = np.asarray(valid, dtype=bool)
+        self.values = None if values is None else np.asarray(values)
+        self.data = data
+        self.offsets = None if offsets is None else np.asarray(offsets, dtype=np.int64)
+
+
+def _int_sizes(vals: np.ndarray) -> np.ndarray:
+    """Packet size (tag + payload) for ValueInt tiers."""
+    return np.select(
+        [
+            (vals >= -(1 << 7)) & (vals < (1 << 7)),
+            (vals >= -(1 << 15)) & (vals < (1 << 15)),
+            (vals >= -(1 << 31)) & (vals < (1 << 31)),
+        ],
+        [2, 3, 5],
+        default=9,
+    ).astype(np.int64)
+
+
+def _str_hdr_sizes(lens: np.ndarray) -> np.ndarray:
+    return np.where(lens <= 0xFF, 2, np.where(lens <= 0xFFFF, 3, 5)).astype(np.int64)
+
+
+def _id_unit_size(ids: np.ndarray) -> np.ndarray:
+    return np.where(ids <= 0x7F, 2, np.where(ids <= 0x7FFF, 3, 5)).astype(np.int64)
+
+
+def _write_id_units(buf, pos, ids, tags=(KEY_ID_I8, KEY_ID_I16, KEY_ID_I32)):
+    """Key/parent-id units at the given positions (user-gen: positive)."""
+    t8, t16, t32 = tags
+    m8 = ids <= 0x7F
+    m16 = (~m8) & (ids <= 0x7FFF)
+    m32 = ~(m8 | m16)
+    buf[pos[m8]] = t8
+    buf[pos[m8] + 1] = ids[m8].astype(np.uint8)
+    buf[pos[m16]] = t16
+    if m16.any():
+        be = ids[m16].astype(">i2").view(np.uint8).reshape(-1, 2)
+        idx = (pos[m16] + 1)[:, None] + np.arange(2, dtype=np.int64)
+        buf[idx.ravel()] = be.ravel()
+    buf[pos[m32]] = t32
+    if m32.any():
+        be = ids[m32].astype(">i4").view(np.uint8).reshape(-1, 4)
+        idx = (pos[m32] + 1)[:, None] + np.arange(4, dtype=np.int64)
+        buf[idx.ravel()] = be.ravel()
+
+
+def _write_str_packets(buf, pos, lens, data, starts, tags=(STR_U8, STR_U16, STR_U32)):
+    from clp_spark.sources.ir_stream import _write_len_tagged
+
+    _write_len_tagged(buf, pos, lens, tags, data, starts)
+
+
+def _clp_str_parts(data: np.ndarray, offsets: np.ndarray):
+    """encode_core over the given strings → (per-string serialized size,
+    writer(buf, positions)) for 0x5A clp-string value packets (tag + encoded
+    vars in order + logtype; utils.hpp serialize_clp_string)."""
+    from clp_spark.functions.encode_kernel_np import DICT_PH, encode_core
+    from clp_spark.sources.ir_stream import (
+        LT_I32, LT_U8, LT_U16, VAR_8BYTE, VAR_STR_I32, VAR_STR_U8, VAR_STR_U16,
+        _len_header_sizes, _write_len_tagged,
+    )
+
+    n = len(offsets) - 1
+    # encode_core scans token spans over the WHOLE buffer; adjacent strings
+    # with no delimiter between them would fuse tokens across boundaries —
+    # interpose a NUL (a delimiter) between consecutive strings, as the
+    # Arrow kernel's batch layout does
+    lens = np.diff(offsets).astype(np.int64)
+    sep_starts = (offsets[:-1] + np.arange(n, dtype=np.int64)).astype(np.int64)
+    sep_ends = sep_starts + lens
+    buf = np.zeros(int(offsets[-1]) + max(n - 1, 0), dtype=np.uint8)
+    if int(lens.sum()):
+        buf[np.repeat(sep_starts, lens) + _ranges(lens)] = data[
+            np.repeat(offsets[:-1].astype(np.int64), lens) + _ranges(lens)
+        ]
+    data, offsets = buf, None
+    raw = encode_core(data, sep_starts, sep_ends)
+    codes = np.asarray(raw["codes"])
+    var_offsets = np.asarray(raw["var_offsets"], dtype=np.int64)
+    nd_values = np.asarray(raw["nd_values"], dtype=np.int64)
+    d_data = raw["d_data"]
+    d_in = np.asarray(raw["d_inner_offsets"], dtype=np.int64)
+    lt_data = raw["lt_data"]
+    lt_offs = np.asarray(raw["lt_offsets"], dtype=np.int64)
+
+    is_dict = codes == DICT_PH
+    d_lens = np.diff(d_in).astype(np.int64)
+    var_sizes = np.full(len(codes), 9, dtype=np.int64)
+    var_sizes[is_dict] = _len_header_sizes(d_lens) + d_lens
+    vcs = np.concatenate([[0], np.cumsum(var_sizes)]).astype(np.int64)
+    per_msg_var_bytes = vcs[var_offsets[1:]] - vcs[var_offsets[:-1]]
+    lt_lens = np.diff(lt_offs).astype(np.int64)
+    lt_sizes = _len_header_sizes(lt_lens) + lt_lens
+    sizes = 1 + per_msg_var_bytes + lt_sizes  # 0x5A + vars + logtype
+
+    def write(buf: np.ndarray, pos: np.ndarray) -> None:
+        buf[pos] = VAL_CLP_STR8
+        var_counts = np.diff(var_offsets).astype(np.int64)
+        nv = len(codes)
+        if nv:
+            base = np.repeat(vcs[var_offsets[:-1]], var_counts)
+            var_pos = np.repeat(pos + 1, var_counts) + (vcs[:nv] - base)
+            ep = var_pos[~is_dict]
+            buf[ep] = VAR_8BYTE
+            if len(ep):
+                be = nd_values.astype(">i8").view(np.uint8).reshape(-1, 8)
+                idx = (ep + 1)[:, None] + np.arange(8, dtype=np.int64)
+                buf[idx.ravel()] = be.ravel()
+            dp = var_pos[is_dict]
+            _write_len_tagged(
+                buf, dp, d_lens, (VAR_STR_U8, VAR_STR_U16, VAR_STR_I32),
+                d_data, d_in[:-1].astype(np.int64),
+            )
+        lt_pos = pos + 1 + per_msg_var_bytes
+        _write_len_tagged(
+            buf, lt_pos, lt_lens, (LT_U8, LT_U16, LT_I32), lt_data,
+            lt_offs[:-1].astype(np.int64),
+        )
+
+    assert len(sizes) == n
+    return sizes, write
+
+
+def serialize_kv_ir_core(
+    n_events: int,
+    leaves: list[Leaf],
+    preamble: bytes | None = None,
+    eof: bool = True,
+) -> np.ndarray:
+    """Serialize n events of leaf-columnar kv pairs into one kv-IR blob.
+
+    Schema-tree node definitions are interleaved exactly as the reference
+    emits them: each node's insertion unit appears immediately before the
+    first event that uses it. Key order within an event = `leaves` order
+    (ancestors implicitly precede their leaves).
+    """
+    # ---- build the (user) schema tree: obj nodes for ancestor paths, one
+    # typed node per leaf; insertion order = first-use order, parents first
+    nodes = {}  # (path, type_tag) -> node record
+    leaf_node = []
+    for lf in leaves:
+        if len(lf.valid) != n_events:
+            raise ValueError("leaf valid mask length != n_events")
+        if not lf.valid.any():
+            leaf_node.append(None)
+            continue
+        first = int(np.flatnonzero(lf.valid)[0])
+        for depth in range(1, len(lf.path)):
+            k = (lf.path[:depth], NODE_OBJ)
+            if k not in nodes:
+                nodes[k] = {"first": first, "order": len(nodes)}
+            else:
+                nodes[k]["first"] = min(nodes[k]["first"], first)
+        k = (lf.path, _KIND_TO_NODE_TAG[lf.kind])
+        if k in nodes:
+            raise ValueError(f"duplicate leaf path {lf.path}")
+        nodes[k] = {"first": first, "order": len(nodes)}
+        leaf_node.append(k)
+    # ids by (first use, discovery order) with parents before children —
+    # discovery order already puts ancestors first for equal first-use
+    ordered = sorted(nodes.items(), key=lambda kv: (kv[1]["first"], kv[1]["order"]))
+    for i, (k, rec) in enumerate(ordered):
+        rec["id"] = i + 1  # root = 0
+    parent_id = {}
+    for (path, _tag), rec in nodes.items():
+        parent_id[rec["id"]] = (
+            nodes[(path[:-1], NODE_OBJ)]["id"] if len(path) > 1 else 0
+        )
+
+    # ---- per-(leaf,event) value-packet sizes
+    nl = len(leaves)
+    sizes = np.zeros((nl, n_events), dtype=np.int64)  # value packet sizes
+    clp_writers = []  # deferred writers: (leaf_ix, write_fn, positions placeholder)
+    str_meta = []
+    for li, lf in enumerate(leaves):
+        if leaf_node[li] is None:
+            str_meta.append(None)
+            continue
+        v = lf.valid
+        if lf.kind == "int":
+            sizes[li, v] = _int_sizes(lf.values[v].astype(np.int64))
+        elif lf.kind == "float":
+            sizes[li, v] = 9
+        elif lf.kind == "bool":
+            sizes[li, v] = 1
+        else:  # str
+            lens = np.diff(lf.offsets).astype(np.int64)
+            # a string containing ' ' serializes as a clp-string
+            has_space = np.zeros(n_events, dtype=bool)
+            if int(lens.sum()):
+                is_sp = lf.data == 0x20
+                csp = np.concatenate([[0], np.cumsum(is_sp)])
+                has_space = (csp[lf.offsets[1:]] - csp[lf.offsets[:-1]]) > 0
+            plain = v & ~has_space
+            clp = v & has_space
+            sizes[li, plain] = _str_hdr_sizes(lens[plain]) + lens[plain]
+            if clp.any():
+                idx = np.flatnonzero(clp)
+                lens_c = lens[idx]
+                starts_c = lf.offsets[:-1][idx]
+                sub = np.zeros(int(lens_c.sum()), dtype=np.uint8)
+                if len(sub):
+                    sub[:] = lf.data[np.repeat(starts_c, lens_c) + _ranges(lens_c)]
+                sub_offs = np.concatenate([[0], np.cumsum(lens_c)]).astype(np.int64)
+                csizes, writer = _clp_str_parts(sub, sub_offs)
+                sizes[li, idx] = csizes
+                clp_writers.append((li, idx, writer))
+            str_meta.append((lens, has_space))
+            continue
+        str_meta.append(None)
+
+    # ---- event sizes: key-id units + value packets (or lone ValueEmpty)
+    valid_mat = np.stack(
+        [lf.valid if leaf_node[li] is not None else np.zeros(n_events, bool)
+         for li, lf in enumerate(leaves)]
+    ) if nl else np.zeros((0, n_events), dtype=bool)
+    leaf_ids = np.array(
+        [nodes[k]["id"] if k is not None else 0 for k in leaf_node], dtype=np.int64
+    )
+    id_sizes = _id_unit_size(leaf_ids)[:, None] * valid_mat
+    ev_sizes = id_sizes.sum(axis=0) + (sizes * valid_mat).sum(axis=0)
+    empty_ev = ~valid_mat.any(axis=0) if nl else np.ones(n_events, dtype=bool)
+    ev_sizes[empty_ev] = 1  # ValueEmpty
+
+    # ---- node-def unit sizes, attached before their first-use event
+    def _node_def_size(path, tag, rec):
+        key = path[-1].encode("utf-8")
+        return 1 + int(_id_unit_size(np.array([parent_id[rec["id"]]]))[0]) + int(
+            _str_hdr_sizes(np.array([len(key)]))[0]
+        ) + len(key)
+
+    defs_at = np.zeros(n_events, dtype=np.int64)
+    for (path, tag), rec in nodes.items():
+        defs_at[rec["first"]] += _node_def_size(path, tag, rec)
+
+    pre = np.frombuffer(
+        preamble if preamble is not None else make_kv_preamble(), dtype=np.uint8
+    )
+    unit_sizes = defs_at + ev_sizes
+    total = len(pre) + int(unit_sizes.sum()) + (1 if eof else 0)
+    buf = np.zeros(total, dtype=np.uint8)
+    buf[: len(pre)] = pre
+    unit_starts = len(pre) + np.cumsum(unit_sizes) - unit_sizes
+
+    # ---- write node defs (few; python loop over NODES, not rows)
+    def_cursor = unit_starts.copy()
+    for (path, tag), rec in ordered:
+        e = rec["first"]
+        p = int(def_cursor[e])
+        buf[p] = tag
+        pid = np.array([parent_id[rec["id"]]], dtype=np.int64)
+        _write_id_units(
+            buf, np.array([p + 1], dtype=np.int64), pid,
+            tags=(PARENT_ID_I8, PARENT_ID_I16, PARENT_ID_I32),
+        )
+        p2 = p + 1 + int(_id_unit_size(pid)[0])
+        key = np.frombuffer(path[-1].encode("utf-8"), dtype=np.uint8)
+        _write_str_packets(
+            buf, np.array([p2], dtype=np.int64),
+            np.array([len(key)], dtype=np.int64), key,
+            np.array([0], dtype=np.int64),
+        )
+        def_cursor[e] = p2 + int(_str_hdr_sizes(np.array([len(key)]))[0]) + len(key)
+
+    ev_starts = unit_starts + defs_at
+    buf[ev_starts[empty_ev]] = VAL_EMPTY
+
+    # ---- key-id units: per event, ids of valid leaves in leaf order
+    id_cum = np.cumsum(id_sizes, axis=0) - id_sizes  # offset of leaf li's id unit
+    for li in range(nl):
+        if leaf_node[li] is None:
+            continue
+        v = leaves[li].valid
+        pos = ev_starts[v] + id_cum[li, v]
+        _write_id_units(buf, pos, np.full(int(v.sum()), leaf_ids[li], dtype=np.int64))
+
+    # ---- value packets: after all id units, same leaf order
+    vals_base = ev_starts + id_sizes.sum(axis=0)
+    val_cum = np.cumsum(sizes * valid_mat, axis=0) - sizes * valid_mat
+    for li, lf in enumerate(leaves):
+        if leaf_node[li] is None:
+            continue
+        v = lf.valid
+        pos = vals_base + val_cum[li]
+        if lf.kind == "int":
+            vals = lf.values.astype(np.int64)
+            for width, tag, dt in ((2, VAL_I8, ">i1"), (3, VAL_I16, ">i2"),
+                                   (5, VAL_I32, ">i4"), (9, VAL_I64, ">i8")):
+                m = v & (sizes[li] == width)
+                if not m.any():
+                    continue
+                p = pos[m]
+                buf[p] = tag
+                be = vals[m].astype(dt).view(np.uint8).reshape(-1, width - 1)
+                idx = (p + 1)[:, None] + np.arange(width - 1, dtype=np.int64)
+                buf[idx.ravel()] = be.ravel()
+        elif lf.kind == "float":
+            p = pos[v]
+            buf[p] = VAL_FLOAT
+            be = lf.values[v].astype(">f8").view(np.uint8).reshape(-1, 8)
+            idx = (p + 1)[:, None] + np.arange(8, dtype=np.int64)
+            buf[idx.ravel()] = be.ravel()
+        elif lf.kind == "bool":
+            p = pos[v]
+            buf[p[lf.values[v]]] = VAL_TRUE
+            buf[p[~lf.values[v]]] = VAL_FALSE
+        else:
+            lens, has_space = str_meta[li]
+            plain = v & ~has_space
+            if plain.any():
+                idx = np.flatnonzero(plain)
+                _write_str_packets(
+                    buf, pos[plain], lens[idx], lf.data,
+                    lf.offsets[:-1][idx].astype(np.int64),
+                )
+    for li, idx, writer in clp_writers:
+        v = leaves[li].valid
+        pos = vals_base + val_cum[li]
+        writer(buf, pos[idx])
+    if eof:
+        buf[-1] = EOF_BYTE
+    return buf
+
+
+# ---------------------------------------------------------------------------
+# Transposed deserializer
+# ---------------------------------------------------------------------------
+
+# token kinds (internal)
+_K_ENC_VAR, _K_DICT_VAR, _K_LOGTYPE = 0, 1, 2  # inside a clp-string run
+_K_NODE_DEF_BASE = 10  # 10..15 = NODE_INT..NODE_OBJ
+_K_KEY_ID = 20
+_K_INT, _K_FLOAT, _K_BOOL, _K_STR, _K_NULL, _K_EMPTY, _K_CLP = (
+    30, 31, 32, 33, 34, 35, 36,
+)
+_K_UTC = 40
+
+_NODE_TAGS = (NODE_INT, NODE_FLOAT, NODE_BOOL, NODE_STR, NODE_UARRAY, NODE_OBJ)
+
+
+def _kv_parse_steps(big, cur, ends, active, acc):
+    """Advance every active blob's cursor one token per step (same shape as
+    ir_stream._parse_steps; tag sets are disjoint between the two formats
+    except for the clp-string inner tokens, which reuse the unstructured
+    var/logtype framing)."""
+    from clp_spark.sources.ir_stream import (
+        LT_I32, LT_U8, LT_U16, VAR_8BYTE, VAR_STR_I32, VAR_STR_U8, VAR_STR_U16,
+        _be_read,
+    )
+
+    def emit(ai_sel, kind, vals, spans):
+        acc["blob"].append(ai_sel)
+        acc["kind"].append(np.full(len(ai_sel), kind, dtype=np.int8))
+        acc["val"].append(vals)
+        acc["span"].append(spans)
+
+    zspan = lambda m: np.zeros((int(m.sum()), 2), dtype=np.int64)
+    while active.any():
+        ai = np.flatnonzero(active)
+        tags = big[cur[ai]]
+        eof = tags == EOF_BYTE
+        if eof.any():
+            active[ai[eof]] = False
+            ai = ai[~eof]
+            tags = tags[~eof]
+            if len(ai) == 0:
+                continue
+        p = cur[ai]
+        adv = np.zeros(len(ai), dtype=np.int64)
+        # node defs: type tag + parent-id unit + key string — one step
+        for ti, tag in enumerate(_NODE_TAGS):
+            m = tags == tag
+            if not m.any():
+                continue
+            pp = p[m] + 1
+            ptag = big[pp]
+            praw = np.zeros(int(m.sum()), dtype=np.int64)
+            psz = np.zeros(int(m.sum()), dtype=np.int64)
+            for t, w in ((PARENT_ID_I8, 1), (PARENT_ID_I16, 2), (PARENT_ID_I32, 4)):
+                mm = ptag == t
+                if mm.any():
+                    praw[mm] = _be_read(big, pp[mm] + 1, w, signed_small=True)
+                    psz[mm] = 1 + w
+            if (psz == 0).any():
+                raise ValueError("corrupt kv-IR: bad parent-id tag")
+            kp = pp + psz
+            ktag = big[kp]
+            klen = np.zeros(int(m.sum()), dtype=np.int64)
+            khdr = np.zeros(int(m.sum()), dtype=np.int64)
+            for t, w in ((STR_U8, 1), (STR_U16, 2), (STR_U32, 4)):
+                mm = ktag == t
+                if mm.any():
+                    klen[mm] = _be_read(big, kp[mm] + 1, w)
+                    khdr[mm] = 1 + w
+            if (khdr == 0).any():
+                raise ValueError("corrupt kv-IR: bad key-string tag")
+            ks = kp + khdr
+            emit(ai[m], _K_NODE_DEF_BASE + ti, praw,
+                 np.stack([ks, ks + klen], axis=1))
+            adv[m] = 1 + psz + khdr + klen
+        for t, w in ((KEY_ID_I8, 1), (KEY_ID_I16, 2), (KEY_ID_I32, 4)):
+            m = tags == t
+            if m.any():
+                emit(ai[m], _K_KEY_ID,
+                     _be_read(big, p[m] + 1, w, signed_small=True), zspan(m))
+                adv[m] = 1 + w
+        for t, w in ((VAL_I8, 1), (VAL_I16, 2), (VAL_I32, 4), (VAL_I64, 8)):
+            m = tags == t
+            if m.any():
+                emit(ai[m], _K_INT,
+                     _be_read(big, p[m] + 1, w, signed_small=True), zspan(m))
+                adv[m] = 1 + w
+        m = tags == VAL_FLOAT
+        if m.any():
+            emit(ai[m], _K_FLOAT, _be_read(big, p[m] + 1, 8), zspan(m))
+            adv[m] = 9
+        for t, bval in ((VAL_TRUE, 1), (VAL_FALSE, 0)):
+            m = tags == t
+            if m.any():
+                emit(ai[m], _K_BOOL,
+                     np.full(int(m.sum()), bval, dtype=np.int64), zspan(m))
+                adv[m] = 1
+        for t, w in ((STR_U8, 1), (STR_U16, 2), (STR_U32, 4)):
+            m = tags == t
+            if m.any():
+                lens = _be_read(big, p[m] + 1, w)
+                s = p[m] + 1 + w
+                emit(ai[m], _K_STR, np.zeros(int(m.sum()), dtype=np.int64),
+                     np.stack([s, s + lens], axis=1))
+                adv[m] = 1 + w + lens
+        for t, kind in ((VAL_NULL, _K_NULL), (VAL_EMPTY, _K_EMPTY),
+                        (VAL_CLP_STR8, _K_CLP)):
+            m = tags == t
+            if m.any():
+                emit(ai[m], kind, np.zeros(int(m.sum()), dtype=np.int64), zspan(m))
+                adv[m] = 1
+        # clp-string inner tokens (unstructured framing)
+        m = tags == VAR_8BYTE
+        if m.any():
+            emit(ai[m], _K_ENC_VAR, _be_read(big, p[m] + 1, 8), zspan(m))
+            adv[m] = 9
+        for t, hdr, w, kind in (
+            (VAR_STR_U8, 2, 1, _K_DICT_VAR), (VAR_STR_U16, 3, 2, _K_DICT_VAR),
+            (VAR_STR_I32, 5, 4, _K_DICT_VAR),
+            (LT_U8, 2, 1, _K_LOGTYPE), (LT_U16, 3, 2, _K_LOGTYPE),
+            (LT_I32, 5, 4, _K_LOGTYPE),
+        ):
+            m = tags == t
+            if not m.any():
+                continue
+            lens = _be_read(big, p[m] + 1, w)
+            s = p[m] + hdr
+            emit(ai[m], kind, np.zeros(int(m.sum()), dtype=np.int64),
+                 np.stack([s, s + lens], axis=1))
+            adv[m] = hdr + lens
+        m = tags == UTC_OFFSET_CHANGE
+        if m.any():
+            emit(ai[m], _K_UTC, _be_read(big, p[m] + 1, 8), zspan(m))
+            adv[m] = 9
+        if (adv == 0).any():
+            bad = ai[adv == 0][0]
+            raise ValueError(f"corrupt kv-IR tag 0x{int(big[cur[bad]]):02x}")
+        cur[ai] += adv
+        if (cur[ai] > ends[ai]).any():
+            raise ValueError("truncated kv-IR stream")
+
+
+def deserialize_kv_ir_many(blobs: list[bytes]) -> dict:
+    """Transposed parse of many kv-IR blobs → flat leaf rows + node tables.
+
+    Returns:
+      nodes: blob, id, auto, parent, type_tag, key spans resolved to
+             (key_data uint8, key_offsets)
+      rows:  blob, event_ix, node_id, node_auto, vkind (one of 'int' 30 /
+             'float' 31 / 'bool' 32 / 'str' 33 / 'null' 34), int_val,
+             float_val, str_data/str_offsets (empty spans for non-str; clp
+             strings are decoded back to text)
+      n_events: int64 per blob
+    """
+    from clp_spark.sources.ir_stream import _skip_preamble
+
+    nb = len(blobs)
+    empty = {
+        "node_blob": np.zeros(0, np.int64), "node_id": np.zeros(0, np.int64),
+        "node_auto": np.zeros(0, bool), "node_parent": np.zeros(0, np.int64),
+        "node_type": np.zeros(0, np.int64),
+        "key_data": np.zeros(0, np.uint8), "key_offsets": np.zeros(1, np.int64),
+        "row_blob": np.zeros(0, np.int64), "row_event": np.zeros(0, np.int64),
+        "row_node": np.zeros(0, np.int64), "row_auto": np.zeros(0, bool),
+        "row_kind": np.zeros(0, np.int8),
+        "int_val": np.zeros(0, np.int64), "float_val": np.zeros(0, np.float64),
+        "str_data": np.zeros(0, np.uint8), "str_offsets": np.zeros(1, np.int64),
+        "n_events": np.zeros(nb, np.int64),
+    }
+    if nb == 0:
+        return empty
+    arrs = [np.frombuffer(b, dtype=np.uint8) for b in blobs]
+    big = np.concatenate(arrs)
+    offs = np.cumsum([0] + [len(a) for a in arrs])[:-1]
+    ends = offs + np.array([len(a) for a in arrs], dtype=np.int64)
+    starts = np.zeros(nb, dtype=np.int64)
+    for i, a in enumerate(arrs):
+        body, meta, four = _skip_preamble(a)
+        if four:
+            raise ValueError("four-byte kv-IR streams are not supported")
+        if meta.get("VERSION") != KV_VERSION:
+            raise ValueError(
+                f"not a kv-IR stream (VERSION {meta.get('VERSION')!r})"
+            )
+        starts[i] = offs[i] + body
+    cur, active = starts.copy(), starts < ends
+    acc = {"blob": [], "kind": [], "val": [], "span": []}
+    try:
+        _kv_parse_steps(big, cur, ends, active, acc)
+    except IndexError as exc:
+        raise ValueError("truncated kv-IR stream") from exc
+    if not acc["blob"]:
+        return empty
+    blob_ids = np.concatenate(acc["blob"])
+    kinds = np.concatenate(acc["kind"])
+    vals = np.concatenate(acc["val"])
+    spans = np.vstack(acc["span"])
+    order = np.argsort(blob_ids, kind="stable")
+    blob_ids, kinds, vals, spans = (
+        blob_ids[order], kinds[order], vals[order], spans[order]
+    )
+
+    def _flat(m):
+        st = spans[m, 0]
+        lens = (spans[m, 1] - st).astype(np.int64)
+        total = int(lens.sum())
+        data = big[np.repeat(st, lens) + _ranges(lens)] if total else np.zeros(
+            0, np.uint8
+        )
+        return data, np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+
+    # ---- nodes: ids implicit by arrival order per (blob, tree)
+    is_def = (kinds >= _K_NODE_DEF_BASE) & (kinds < _K_NODE_DEF_BASE + 6)
+    node_blob = blob_ids[is_def]
+    praw = vals[is_def]
+    node_auto = praw < 0
+    node_parent = np.where(node_auto, ~praw, praw)
+    # ordinal within (blob, tree): stable order preserved
+    keyed = node_blob * 2 + node_auto
+    node_id = np.ones(len(keyed), dtype=np.int64)
+    if len(keyed):
+        same = np.concatenate([[False], keyed[1:] == keyed[:-1]])
+        # run-relative ordinal: ids restart at 1 per (blob, tree) run —
+        # arrival order within a blob is contiguous after the stable sort
+        grp_start = np.flatnonzero(~same)
+        run_ix = np.cumsum(same) - np.repeat(
+            np.cumsum(same)[grp_start], np.diff(np.append(grp_start, len(keyed)))
+        )
+        node_id = run_ix + 1
+    key_data, key_offsets = _flat(is_def)
+    node_type = np.array(
+        [_NODE_TAGS[k - _K_NODE_DEF_BASE] for k in kinds[is_def]], dtype=np.int64
+    )
+
+    # ---- event segmentation: K=+1, completed value=-1, cum==0 closes
+    is_key = kinds == _K_KEY_ID
+    is_val_end = np.isin(kinds, (_K_INT, _K_FLOAT, _K_BOOL, _K_STR, _K_NULL,
+                                 _K_LOGTYPE))
+    is_empty = kinds == _K_EMPTY
+    contrib = is_key.astype(np.int64) - is_val_end.astype(np.int64)
+    csum = np.cumsum(contrib)
+    blob_first = np.concatenate([[True], blob_ids[1:] != blob_ids[:-1]])
+    base = np.repeat(
+        csum[np.flatnonzero(blob_first)] - contrib[np.flatnonzero(blob_first)],
+        np.diff(np.append(np.flatnonzero(blob_first), len(blob_ids))),
+    )
+    within = csum - base
+    if (within < 0).any():
+        raise ValueError("corrupt kv-IR: value without a key")
+    ev_end = ((within == 0) & is_val_end) | is_empty
+    # event ids: cumulative ends BEFORE this token, reset per blob
+    ends_cum = np.cumsum(ev_end) - ev_end
+    ends_base = np.repeat(
+        ends_cum[np.flatnonzero(blob_first)],
+        np.diff(np.append(np.flatnonzero(blob_first), len(blob_ids))),
+    )
+    event_ix = ends_cum - ends_base
+    n_events = np.zeros(nb, dtype=np.int64)
+    if len(blob_ids):
+        np.add.at(n_events, blob_ids[ev_end], 1)
+    # trailing unclosed tokens?
+    last_of_blob = np.flatnonzero(np.diff(np.append(blob_ids, -1)) != 0)
+    open_mask = ~(
+        ev_end[last_of_blob]
+        | is_def[last_of_blob]
+        | (kinds[last_of_blob] == _K_UTC)
+    )
+    if open_mask.any():
+        raise ValueError("incomplete kv-IR stream: trailing unclosed event")
+
+    # ---- pair k-th key with k-th value head per event
+    is_vhead = np.isin(kinds, (_K_INT, _K_FLOAT, _K_BOOL, _K_STR, _K_NULL)) | (
+        kinds == _K_CLP
+    )
+    # value heads inside clp runs don't exist (inner kinds differ), so
+    # order-of-appearance pairing is exact: both sequences are per-event
+    # contiguous and equal-length (the cum==0 invariant)
+    k_ix = np.flatnonzero(is_key)
+    v_ix = np.flatnonzero(is_vhead)
+    if len(k_ix) != len(v_ix):
+        raise ValueError("corrupt kv-IR: key/value count mismatch")
+    row_blob = blob_ids[k_ix]
+    row_event = event_ix[k_ix]
+    if not np.array_equal(row_event, event_ix[v_ix]) or not np.array_equal(
+        row_blob, blob_ids[v_ix]
+    ):
+        raise ValueError("corrupt kv-IR: key/value event drift")
+    kraw = vals[k_ix]
+    row_auto = kraw < 0
+    row_node = np.where(row_auto, ~kraw, kraw)
+    vk = kinds[v_ix]
+    row_kind = vk.astype(np.int8)
+    int_val = np.where(vk == _K_INT, vals[v_ix], np.where(vk == _K_BOOL, vals[v_ix], 0))
+    float_val = np.where(
+        vk == _K_FLOAT, vals[v_ix].view(np.uint64).astype(">u8").view(np.uint64), 0
+    )
+    # float bits: vals already big-endian-decoded int64 of the raw bits
+    float_val = np.zeros(len(v_ix), dtype=np.float64)
+    fm = vk == _K_FLOAT
+    if fm.any():
+        float_val[fm] = vals[v_ix][fm].view(np.uint64).view(np.float64)
+
+    # ---- string values: plain spans + decoded clp strings, merged per row
+    plain = vk == _K_STR
+    p_data, p_offs = _flat(v_ix[plain]) if plain.any() else (
+        np.zeros(0, np.uint8), np.zeros(1, np.int64)
+    )
+    clp = vk == _K_CLP
+    if clp.any():
+        c_texts = _decode_clp_runs(big, blob_ids, kinds, vals, spans, v_ix[clp])
+    else:
+        c_texts = []
+    lens = np.zeros(len(v_ix), dtype=np.int64)
+    lens[plain] = np.diff(p_offs)
+    c_lens = np.array([len(t) for t in c_texts], dtype=np.int64)
+    lens[clp] = c_lens
+    str_offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    str_data = np.zeros(int(str_offsets[-1]), dtype=np.uint8)
+    if plain.any():
+        dest = np.repeat(str_offsets[:-1][plain], np.diff(p_offs)) + _ranges(
+            np.diff(p_offs).astype(np.int64)
+        )
+        str_data[dest] = p_data
+    if clp.any() and int(c_lens.sum()):
+        cat = np.frombuffer(b"".join(c_texts), dtype=np.uint8)
+        dest = np.repeat(str_offsets[:-1][clp], c_lens) + _ranges(c_lens)
+        str_data[dest] = cat
+    row_kind = np.where(clp, _K_STR, row_kind).astype(np.int8)
+
+    return {
+        "node_blob": node_blob, "node_id": node_id, "node_auto": node_auto,
+        "node_parent": node_parent, "node_type": node_type,
+        "key_data": key_data, "key_offsets": key_offsets,
+        "row_blob": row_blob, "row_event": row_event, "row_node": row_node,
+        "row_auto": row_auto, "row_kind": row_kind,
+        "int_val": int_val.astype(np.int64), "float_val": float_val,
+        "str_data": str_data, "str_offsets": str_offsets,
+        "n_events": n_events,
+    }
+
+
+def _decode_clp_runs(big, blob_ids, kinds, vals, spans, marker_ix):
+    """Decode each 0x5A clp-string run (marker → inner var tokens → logtype)
+    back to text with the vectorized decode kernel. O(markers) assembly +
+    one decode_arrays call."""
+    import pyarrow as pa
+
+    from clp_spark.functions.decode_kernel_np import decode_arrays
+
+    # marker id for every token: index of the last marker at or before it
+    is_m = np.zeros(len(kinds), dtype=bool)
+    is_m[marker_ix] = True
+    mid = np.cumsum(is_m) - 1  # tokens before first marker get -1
+    out_n = len(marker_ix)
+    enc_m = kinds == _K_ENC_VAR
+    dict_m = kinds == _K_DICT_VAR
+    lt_m = kinds == _K_LOGTYPE
+
+    def _flat(m):
+        st = spans[m, 0]
+        lens = (spans[m, 1] - st).astype(np.int64)
+        total = int(lens.sum())
+        data = big[np.repeat(st, lens) + _ranges(lens)] if total else np.zeros(
+            0, np.uint8
+        )
+        return data, np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+
+    lt_data, lt_offs = _flat(lt_m)
+    if int(lt_m.sum()) != out_n:
+        raise ValueError("corrupt kv-IR: clp-string without logtype")
+    # within-marker order is positional; counts per marker
+    enc_counts = np.bincount(mid[enc_m], minlength=out_n).astype(np.int64) if enc_m.any() else np.zeros(out_n, np.int64)
+    dict_counts = np.bincount(mid[dict_m], minlength=out_n).astype(np.int64) if dict_m.any() else np.zeros(out_n, np.int64)
+    d_data, d_in = _flat(dict_m)
+    lt_arr = pa.StringArray.from_buffers(
+        out_n,
+        pa.py_buffer(lt_offs.astype(np.int32).tobytes()),
+        pa.py_buffer(lt_data.tobytes()),
+    )
+    enc_arr = pa.ListArray.from_arrays(
+        pa.array(np.concatenate([[0], np.cumsum(enc_counts)]), type=pa.int32()),
+        pa.array(vals[enc_m].astype(np.int64) if enc_m.any() else np.zeros(0, np.int64)),
+    )
+    d_inner = pa.StringArray.from_buffers(
+        int(dict_counts.sum()),
+        pa.py_buffer(d_in.astype(np.int32).tobytes()),
+        pa.py_buffer(d_data.tobytes()),
+    )
+    dv_arr = pa.ListArray.from_arrays(
+        pa.array(np.concatenate([[0], np.cumsum(dict_counts)]), type=pa.int32()),
+        d_inner,
+    )
+    msgs = decode_arrays(lt_arr, enc_arr, dv_arr)
+    return [m.encode("utf-8") for m in msgs.to_pylist()]
+
+
+# ---------------------------------------------------------------------------
+# Spark surface (mapInArrow both directions, like ir_stream)
+# ---------------------------------------------------------------------------
+
+KV_CHUNK_SCHEMA = "stream string, chunk_ix long, n_events long, ir binary"
+KV_ROW_SCHEMA = (
+    "stream string, chunk_ix long, event_ix long, path string, vtype string, "
+    "int_val long, float_val double, bool_val boolean, str_val string"
+)
+
+
+def _arrow_col_to_leaves(name_path, col, parent_valid):
+    """Recursively flatten an Arrow column into Leaf objects. NULL = the key
+    is absent from that event (see module scope notes)."""
+    import pyarrow as pa
+
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    valid = (
+        np.asarray(col.is_valid().to_numpy(zero_copy_only=False), dtype=bool)
+        & parent_valid
+    )
+    t = col.type
+    if pa.types.is_struct(t):
+        out = []
+        for i in range(t.num_fields):
+            out.extend(
+                _arrow_col_to_leaves(
+                    name_path + (t.field(i).name,), col.field(i), valid
+                )
+            )
+        return out
+    if pa.types.is_integer(t):
+        vals = np.asarray(
+            col.fill_null(0).to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        return [Leaf(name_path, "int", valid, values=vals)]
+    if pa.types.is_floating(t):
+        vals = np.asarray(
+            col.fill_null(0.0).to_numpy(zero_copy_only=False), dtype=np.float64
+        )
+        return [Leaf(name_path, "float", valid, values=vals)]
+    if pa.types.is_boolean(t):
+        vals = np.asarray(
+            col.fill_null(False).to_numpy(zero_copy_only=False), dtype=bool
+        )
+        return [Leaf(name_path, "bool", valid, values=vals)]
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        from clp_spark.sources.ir_stream import _string_parts
+
+        data, offs = _string_parts(col.fill_null(""))
+        return [Leaf(name_path, "str", valid, data=data, offsets=offs)]
+    raise ValueError(f"unsupported kv-IR leaf type {t} at {'.'.join(name_path)}")
+
+
+def events_to_kv_ir_df(
+    df,
+    stream_col: str = "source",
+    events_per_chunk: int = 1024,
+    order_col: str | None = None,
+):
+    """Structured rows → chunked kv-IR blobs, one row per chunk. Every
+    non-stream column becomes a (possibly nested, via StructType) key; NULL
+    values mean the key is absent from that event."""
+    import pyarrow as pa
+
+    def _fn(batches):
+        next_chunk_ix: dict = {}
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            streams = batch.column(stream_col)
+            n = len(batch)
+            sidx = (
+                streams.combine_chunks() if hasattr(streams, "combine_chunks")
+                else streams
+            ).dictionary_encode().indices
+            sarr = sidx.to_numpy(zero_copy_only=False)
+            run_starts = [0] + (np.flatnonzero(np.diff(sarr) != 0) + 1).tolist() if n else []
+            run_ends = run_starts[1:] + [n]
+            run_streams = streams.take(
+                pa.array(run_starts, type=pa.int64())
+            ).to_pylist()
+            all_leaves = []
+            for i, fld in enumerate(batch.schema):
+                if fld.name == stream_col:
+                    continue
+                all_leaves.extend(
+                    _arrow_col_to_leaves(
+                        (fld.name,), batch.column(i), np.ones(n, dtype=bool)
+                    )
+                )
+            out_stream, out_ix, out_n, out_ir = [], [], [], []
+            for rs, re_, sval in zip(run_starts, run_ends, run_streams):
+                for a in range(rs, re_, events_per_chunk):
+                    b = min(a + events_per_chunk, re_)
+                    chunk_leaves = []
+                    for lf in all_leaves:
+                        if lf.kind == "str":
+                            chunk_leaves.append(Leaf(
+                                lf.path, "str", lf.valid[a:b],
+                                data=lf.data[lf.offsets[a]:lf.offsets[b]],
+                                offsets=lf.offsets[a:b + 1] - lf.offsets[a],
+                            ))
+                        else:
+                            chunk_leaves.append(Leaf(
+                                lf.path, lf.kind, lf.valid[a:b],
+                                values=lf.values[a:b],
+                            ))
+                    blob = serialize_kv_ir_core(b - a, chunk_leaves)
+                    out_stream.append(sval)
+                    ci = next_chunk_ix.get(sval, 0)
+                    next_chunk_ix[sval] = ci + 1
+                    out_ix.append(ci)
+                    out_n.append(b - a)
+                    out_ir.append(blob.tobytes())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_stream, type=pa.string()),
+                    pa.array(out_ix, type=pa.int64()),
+                    pa.array(out_n, type=pa.int64()),
+                    pa.array(out_ir, type=pa.binary()),
+                ],
+                ["stream", "chunk_ix", "n_events", "ir"],
+            )
+
+    cols = df.columns
+    sort_cols = [stream_col] + ([order_col] if order_col else [])
+    sel = df.select(*cols).repartition(stream_col).sortWithinPartitions(*sort_cols)
+    return sel.mapInArrow(_fn, KV_CHUNK_SCHEMA)
+
+
+def kv_ir_to_rows_df(df, ir_col: str = "ir", stream_col: str = "stream"):
+    """kv-IR blobs → one row per (event, key): (stream, chunk_ix, event_ix,
+    path, vtype, typed value columns). The inverse view of
+    events_to_kv_ir_df — pivoting on path reconstructs the input columns."""
+    import pyarrow as pa
+
+    kind_names = {_K_INT: "int", _K_FLOAT: "float", _K_BOOL: "bool",
+                  _K_STR: "str", _K_NULL: "null"}
+
+    def _fn(batches):
+        for batch in batches:
+            blobs = batch.column(ir_col).to_pylist()
+            svals = batch.column(stream_col).to_pylist()
+            cvals = (
+                batch.column("chunk_ix").to_pylist()
+                if "chunk_ix" in batch.schema.names else [0] * len(blobs)
+            )
+            out = deserialize_kv_ir_many(blobs)
+            # path per (blob, node): nodes are few — python over NODES only
+            ko = out["key_offsets"]
+            paths: dict = {}
+            for j in range(len(out["node_id"])):
+                b, i = int(out["node_blob"][j]), int(out["node_id"][j])
+                k = out["key_data"][ko[j]:ko[j + 1]].tobytes().decode("utf-8")
+                p = int(out["node_parent"][j])
+                prefix = paths.get((b, p), "") if p else ""
+                paths[(b, i)] = f"{prefix}.{k}" if prefix else k
+            nr = len(out["row_blob"])
+            so = out["str_offsets"]
+            row_paths = [
+                paths[(int(out["row_blob"][r]), int(out["row_node"][r]))]
+                for r in range(nr)
+            ]
+            kinds = out["row_kind"]
+            str_vals = [
+                out["str_data"][so[r]:so[r + 1]].tobytes().decode("utf-8")
+                if kinds[r] == _K_STR else None
+                for r in range(nr)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([svals[b] for b in out["row_blob"]], type=pa.string()),
+                    pa.array([cvals[b] for b in out["row_blob"]], type=pa.int64()),
+                    pa.array(out["row_event"], type=pa.int64()),
+                    pa.array(row_paths, type=pa.string()),
+                    pa.array([kind_names[int(k)] for k in kinds], type=pa.string()),
+                    pa.array(
+                        np.where(np.isin(kinds, (_K_INT,)), out["int_val"], 0),
+                        type=pa.int64(),
+                    ),
+                    pa.array(out["float_val"], type=pa.float64()),
+                    pa.array(
+                        [bool(v) if k == _K_BOOL else None
+                         for k, v in zip(kinds, out["int_val"])],
+                        type=pa.bool_(),
+                    ),
+                    pa.array(str_vals, type=pa.string()),
+                ],
+                ["stream", "chunk_ix", "event_ix", "path", "vtype",
+                 "int_val", "float_val", "bool_val", "str_val"],
+            )
+
+    return df.mapInArrow(_fn, KV_ROW_SCHEMA)

@@ -1,0 +1,258 @@
+"""Structured kv-IR (key-value pair IR) — byte-format goldens, roundtrips,
+corruption handling, and the Spark mapInArrow surface.
+
+Format parity targets: reference components/core/src/clp/ffi/ir_stream/
+Serializer.cpp (node insertion units, value packets, DFS key framing),
+ir_unit_deserialization_methods.cpp (event unit grammar), utils.cpp
+serialize_string, protocol_constants.hpp Payload tags.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from clp_spark.sources import kv_ir as kv
+
+
+def _strcol(vals):
+    data = np.frombuffer(b"".join(v.encode() for v in vals), dtype=np.uint8)
+    offs = np.cumsum([0] + [len(v.encode()) for v in vals]).astype(np.int64)
+    return data, offs
+
+
+def _leaves_simple(n=3):
+    md, mo = _strcol(["took 5 ms", "ok", "x y z"][:n])
+    return [
+        kv.Leaf(("level",), "int", [1] * n, values=np.arange(n) + 3),
+        kv.Leaf(("msg",), "str", [1] * n, data=md, offsets=mo),
+    ]
+
+
+def _rows(out, blob=0):
+    ko, so = out["key_offsets"], out["str_offsets"]
+    keys = [
+        out["key_data"][ko[i]:ko[i + 1]].tobytes().decode()
+        for i in range(len(out["node_id"]))
+    ]
+    par, key = {}, {}
+    for i, p, k, b in zip(out["node_id"], out["node_parent"], keys,
+                          out["node_blob"]):
+        if b == blob:
+            par[int(i)], key[int(i)] = int(p), k
+
+    def path(i):
+        parts = []
+        while i != 0:
+            parts.append(key[i])
+            i = par[i]
+        return ".".join(reversed(parts))
+
+    rows = []
+    for r in range(len(out["row_blob"])):
+        if out["row_blob"][r] != blob:
+            continue
+        k = int(out["row_kind"][r])
+        if k == kv._K_INT:
+            v = int(out["int_val"][r])
+        elif k == kv._K_FLOAT:
+            v = float(out["float_val"][r])
+        elif k == kv._K_BOOL:
+            v = bool(out["int_val"][r])
+        elif k == kv._K_STR:
+            v = out["str_data"][so[r]:so[r + 1]].tobytes().decode()
+        else:
+            v = None
+        rows.append((int(out["row_event"][r]), path(int(out["row_node"][r])), v))
+    return sorted(rows)
+
+
+class TestByteFormat:
+    def test_preamble(self):
+        pre = kv.make_kv_preamble()
+        assert pre[:4] == kv.MAGIC_8BYTE
+        meta = json.loads(pre[7 : 7 + pre[6]].decode())
+        assert meta["VERSION"] == "0.1.0"  # the kv-IR version, not 0.0.2
+
+    def test_single_event_golden(self):
+        """One event, one int leaf 'a'=5: node def (0x71, parent 0x60 00,
+        key 0x41 01 'a'), event (key id 0x65 01, value 0x51 05), EOF."""
+        blob = kv.serialize_kv_ir_core(
+            1, [kv.Leaf(("a",), "int", [True], values=np.array([5]))]
+        ).tobytes()
+        body = blob[7 + blob[6]:]
+        assert body == bytes(
+            [0x71, 0x60, 0x00, 0x41, 0x01, ord("a"), 0x65, 0x01, 0x51, 0x05, 0x00]
+        )
+
+    def test_int_width_tiers(self):
+        vals = [5, -5, 127, -128, 128, 30000, -30000, 1 << 20, -(1 << 20),
+                1 << 40, -(1 << 40)]
+        n = len(vals)
+        blob = kv.serialize_kv_ir_core(
+            1 * n and n,
+            [kv.Leaf(("v",), "int", [1] * n, values=np.array(vals))],
+        ).tobytes()
+        out = kv.deserialize_kv_ir_many([blob])
+        assert [v for _e, _p, v in _rows(out)] == vals
+
+    def test_empty_event_is_value_empty(self):
+        lf = kv.Leaf(("a",), "int", [True, False, True], values=np.array([1, 0, 2]))
+        blob = kv.serialize_kv_ir_core(3, [lf]).tobytes()
+        assert 0x5E in blob  # the middle event
+        out = kv.deserialize_kv_ir_many([blob])
+        assert out["n_events"].tolist() == [3]
+        assert _rows(out) == [(0, "a", 1), (2, "a", 2)]
+
+    def test_interleaved_node_defs(self):
+        """A leaf first used in event 2 must have its node def appear after
+        event 1's bytes (the reference emits defs with the first event that
+        uses the node)."""
+        a = kv.Leaf(("a",), "int", [1, 1, 1], values=np.array([1, 2, 3]))
+        b = kv.Leaf(("b",), "int", [0, 0, 1], values=np.array([0, 0, 9]))
+        blob = kv.serialize_kv_ir_core(3, [a, b]).tobytes()
+        body = blob[7 + blob[6]:]
+        first_event_at = body.index(0x65)
+        b_def_at = body.index(b"\x41\x01b")
+        assert b_def_at > first_event_at
+        out = kv.deserialize_kv_ir_many([blob])
+        assert _rows(out) == [(0, "a", 1), (1, "a", 2), (2, "a", 3), (2, "b", 9)]
+
+    def test_nested_path_obj_nodes(self):
+        lf = kv.Leaf(("x", "y", "z"), "float", [True], values=np.array([1.5]))
+        blob = kv.serialize_kv_ir_core(1, [lf]).tobytes()
+        out = kv.deserialize_kv_ir_many([blob])
+        assert _rows(out) == [(0, "x.y.z", 1.5)]
+        # two Obj nodes + one Float node
+        assert sorted(out["node_type"].tolist()) == [0x72, 0x76, 0x76]
+
+
+class TestRoundTrip:
+    def test_all_kinds(self):
+        md, mo = _strcol(["a b 12", "plain", ""])
+        leaves = [
+            kv.Leaf(("i",), "int", [1, 1, 0], values=np.array([-7, 1 << 33, 0])),
+            kv.Leaf(("f",), "float", [1, 0, 1], values=np.array([0.25, 0, -1e30])),
+            kv.Leaf(("b",), "bool", [1, 1, 0], values=np.array([1, 0, 0], bool)),
+            kv.Leaf(("s",), "str", [1, 1, 1], data=md, offsets=mo),
+        ]
+        blob = kv.serialize_kv_ir_core(3, leaves).tobytes()
+        out = kv.deserialize_kv_ir_many([blob])
+        assert _rows(out) == sorted([
+            (0, "i", -7), (1, "i", 1 << 33),
+            (0, "f", 0.25), (2, "f", -1e30),
+            (0, "b", True), (1, "b", False),
+            (0, "s", "a b 12"), (1, "s", "plain"), (2, "s", ""),
+        ])
+
+    def test_clp_string_values_roundtrip(self):
+        """Strings with spaces serialize as 0x5A clp-strings (vars+logtype)
+        and decode back byte-exactly via the decode kernel."""
+        texts = [
+            "took 123 ms on node-7",
+            "float 0.5 and hex deadbeef",
+            "x y",
+            "big 99999999999999999999 overflows to dict",
+        ]
+        md, mo = _strcol(texts)
+        blob = kv.serialize_kv_ir_core(
+            len(texts),
+            [kv.Leaf(("m",), "str", [1] * len(texts), data=md, offsets=mo)],
+        ).tobytes()
+        assert 0x5A in blob
+        out = kv.deserialize_kv_ir_many([blob])
+        assert [v for _e, _p, v in _rows(out)] == texts
+
+    def test_multi_blob_lockstep(self):
+        b1 = kv.serialize_kv_ir_core(3, _leaves_simple(3)).tobytes()
+        b2 = kv.serialize_kv_ir_core(2, _leaves_simple(2)).tobytes()
+        out = kv.deserialize_kv_ir_many([b1, b2, b1])
+        assert out["n_events"].tolist() == [3, 2, 3]
+        assert _rows(out, 0) == _rows(out, 2)
+        assert len(_rows(out, 1)) == 4
+
+    def test_rejects_unstructured_stream(self):
+        from clp_spark.sources.ir_stream import make_preamble
+
+        with pytest.raises(ValueError, match="VERSION"):
+            kv.deserialize_kv_ir_many([make_preamble() + b"\x00"])
+
+
+class TestCorruption:
+    def test_bad_tag(self):
+        blob = bytearray(kv.serialize_kv_ir_core(1, _leaves_simple(1)).tobytes())
+        body = 7 + blob[6]
+        blob[body] = 0x99
+        with pytest.raises(ValueError, match="corrupt"):
+            kv.deserialize_kv_ir_many([bytes(blob)])
+
+    def test_value_without_key(self):
+        pre = kv.make_kv_preamble()
+        blob = pre + bytes([0x51, 0x05, 0x00])  # a value with no key id
+        with pytest.raises(ValueError, match="value without a key"):
+            kv.deserialize_kv_ir_many([blob])
+
+    def test_unclosed_event(self):
+        pre = kv.make_kv_preamble()
+        # node def + key id, then EOF before the value
+        blob = pre + bytes([0x71, 0x60, 0x00, 0x41, 0x01, ord("a"),
+                            0x65, 0x01, 0x00])
+        with pytest.raises(ValueError, match="unclosed"):
+            kv.deserialize_kv_ir_many([blob])
+
+
+class TestSparkSurface:
+    def test_structured_rows_roundtrip(self, spark):
+        from clp_spark.sources.kv_ir import events_to_kv_ir_df, kv_ir_to_rows_df
+
+        rows = []
+        for i in range(200):
+            rows.append((
+                f"svc{i % 3}", i,
+                None if i % 7 == 0 else i * 1000,
+                {"latency": float(i) * 0.5 if i % 2 else None,
+                 "region": f"r{i % 4}"},
+                f"request {i} took {i * 3} ms" if i % 5 else "nospace",
+                i % 2 == 0,
+            ))
+        df = spark.createDataFrame(
+            rows,
+            "source string, seq long, code long, "
+            "ctx struct<latency double, region string>, msg string, ok boolean",
+        )
+        chunks = events_to_kv_ir_df(df, "source", events_per_chunk=32,
+                                    order_col="seq")
+        pdf = chunks.toPandas()
+        assert (pdf["n_events"] <= 32).all()
+        assert pdf["n_events"].sum() == 200
+        assert all(bytes(b[:4]) == kv.MAGIC_8BYTE for b in pdf["ir"])
+        back = kv_ir_to_rows_df(spark.createDataFrame(pdf)).toPandas()
+        got = {}
+        for _, r in back.iterrows():
+            k = (r["stream"], r["chunk_ix"], r["event_ix"])
+            got.setdefault(k, {})[r["path"]] = r
+        assert len(got) == 200
+        for kvs in got.values():
+            i = int(kvs["seq"]["int_val"])
+            if i % 7 == 0:
+                assert "code" not in kvs  # NULL = absent
+            else:
+                assert int(kvs["code"]["int_val"]) == i * 1000
+            if i % 2:
+                assert kvs["ctx.latency"]["float_val"] == i * 0.5
+            else:
+                assert "ctx.latency" not in kvs
+            assert kvs["ctx.region"]["str_val"] == f"r{i % 4}"
+            expect_msg = f"request {i} took {i * 3} ms" if i % 5 else "nospace"
+            assert kvs["msg"]["str_val"] == expect_msg
+            assert bool(kvs["ok"]["bool_val"]) == (i % 2 == 0)
+
+    def test_plan_is_map_only_plus_one_shuffle(self, spark):
+        from clp_spark.sources.kv_ir import events_to_kv_ir_df
+
+        df = spark.createDataFrame(
+            [(f"s{i % 2}", i) for i in range(10)], "source string, seq long"
+        )
+        plan = events_to_kv_ir_df(df, "source")._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert plan.count("Exchange") == 1  # the per-stream repartition only
