@@ -5,6 +5,8 @@
     python -m clp_spark.cli s <archive-dir> "wildcard query"    # clg / clp s
     python -m clp_spark.cli s-kql <jsonl-path> "kql"            # clp-s s
     python -m clp_spark.cli convert <out-dir> <input-path...>   # log converter (text -> kv-IR)
+    python -m clp_spark.cli kv-import <out-dir> <jsonl...>      # JSON logs -> structured kv-IR
+    python -m clp_spark.cli kv-export <kv-chunks-dir>           # kv-IR -> typed leaf rows
     python -m clp_spark.cli pipeline ...                        # tokens ingest
 
 Reference CLIs: clp c/x (clp/clp/CommandLineArguments.cpp), clg
@@ -210,6 +212,47 @@ def cmd_search_kql(args) -> None:
             print(r["raw"])
 
 
+def cmd_kv_import(args) -> None:
+    """JSON-lines logs → structured kv-IR chunk rows (one stream per file).
+    spark.read.json infers the nested schema; NULL/absent keys are omitted
+    per event (kv_ir.py scope notes)."""
+    from clp_spark.sources.kv_ir import events_to_kv_ir_df
+
+    spark = _spark(args.master)
+    df = (
+        spark.read.option("multiLine", "false").json(args.inputs)
+        .withColumn("_stream", F.input_file_name())
+    )
+    chunks = events_to_kv_ir_df(
+        df, "_stream", events_per_chunk=args.events_per_chunk
+    )
+    chunks.write.mode("overwrite").parquet(args.output)
+    stats = spark.read.parquet(args.output).agg(
+        F.count("*").alias("chunks"),
+        F.sum("n_events").alias("events"),
+        F.sum(F.length("ir")).alias("ir_bytes"),
+    ).collect()[0]
+    print(json.dumps({
+        "chunks": int(stats["chunks"]),
+        "events": int(stats["events"] or 0),
+        "ir_bytes": int(stats["ir_bytes"] or 0),
+    }))
+
+
+def cmd_kv_export(args) -> None:
+    """kv-IR chunk rows → typed leaf rows printed as JSON lines."""
+    from clp_spark.sources.kv_ir import kv_ir_to_rows_df
+
+    spark = _spark(args.master)
+    rows = kv_ir_to_rows_df(spark.read.parquet(args.chunks))
+    if args.count:
+        print(rows.count())
+        return
+    out = rows.orderBy("stream", "chunk_ix", "event_ix", "path").collect()
+    for r in out[: args.limit]:
+        print(json.dumps(r.asDict(), default=str))
+
+
 def cmd_convert(args) -> None:
     from clp_spark.sources.logfiles import convert_to_ir
 
@@ -283,6 +326,22 @@ def main(argv: list[str] | None = None) -> None:
         "int32 vars; oversize values demote to dictionary vars)",
     )
     cv.set_defaults(fn=cmd_convert)
+
+    ki = sub.add_parser(
+        "kv-import", help="JSON-lines logs -> structured kv-IR chunk rows"
+    )
+    ki.add_argument("output")
+    ki.add_argument("inputs", nargs="+")
+    ki.add_argument("--events-per-chunk", type=int, default=1024)
+    ki.set_defaults(fn=cmd_kv_import)
+
+    ke = sub.add_parser(
+        "kv-export", help="structured kv-IR chunk rows -> typed leaf rows"
+    )
+    ke.add_argument("chunks")
+    ke.add_argument("--count", action="store_true")
+    ke.add_argument("--limit", type=int, default=10_000)
+    ke.set_defaults(fn=cmd_kv_export)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -247,6 +247,33 @@ class TestSparkSurface:
             assert kvs["msg"]["str_val"] == expect_msg
             assert bool(kvs["ok"]["bool_val"]) == (i % 2 == 0)
 
+    def test_cli_kv_import_export(self, spark, tmp_path, capsys):
+        """JSON-lines → kv-IR chunks → leaf rows via the CLI."""
+        from clp_spark import cli
+
+        d = tmp_path / "jsonl"
+        d.mkdir()
+        lines = [
+            {"level": "INFO", "ctx": {"latency": 1.5}, "msg": "req 1 took 9 ms"},
+            {"level": "WARN", "msg": "nospace"},
+            {"level": "INFO", "ctx": {"latency": 0.25}, "code": 42},
+        ]
+        (d / "a.jsonl").write_text("\n".join(json.dumps(x) for x in lines) + "\n")
+        out = str(tmp_path / "kv_chunks")
+        cli.main(["kv-import", out, str(d / "a.jsonl")])
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["events"] == 3 and stats["chunks"] == 1
+        cli.main(["kv-export", out, "--count"])
+        # 3 + 2 + 3 leaves (absent keys omitted)
+        assert capsys.readouterr().out.strip().splitlines()[-1] == "8"
+        cli.main(["kv-export", out])
+        rows = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+        by = {(r["event_ix"], r["path"]): r for r in rows}
+        assert by[(0, "msg")]["str_val"] == "req 1 took 9 ms"
+        assert by[(0, "ctx.latency")]["float_val"] == 1.5
+        assert by[(2, "code")]["int_val"] == 42
+        assert (1, "ctx.latency") not in by
+
     def test_plan_is_map_only_plus_one_shuffle(self, spark):
         from clp_spark.sources.kv_ir import events_to_kv_ir_df
 
