@@ -270,8 +270,37 @@ def _be_read(
     return raw.ravel().astype(np.int64)
 
 
+# 256-entry tag LUTs: each step classifies every active blob's tag with a
+# single gather instead of one equality scan per tag value. kind: 0 encoded
+# var, 1 dict var, 2 logtype, 3 absolute ts, 4 delta ts. vw = fixed signed
+# payload width after the tag (0 = none). hw = length-header width for
+# length-prefixed tokens (0 = not length-prefixed).
+_KIND_LUT = np.full(256, -1, dtype=np.int8)
+_VW_LUT = np.zeros(256, dtype=np.int64)
+_HW_LUT = np.zeros(256, dtype=np.int64)
+for _t, _k, _vw in (
+    (VAR_8BYTE, 0, 8), (_VAR_4BYTE, 0, 4), (TS_VAL, 3, 8),
+    (_TS_DELTA_I8, 4, 1), (_TS_DELTA_I16, 4, 2), (_TS_DELTA_I32, 4, 4),
+    (_TS_DELTA_I64, 4, 8),
+):
+    _KIND_LUT[_t] = _k
+    _VW_LUT[_t] = _vw
+for _t, _k, _hw in (
+    (VAR_STR_U8, 1, 1), (VAR_STR_U16, 1, 2), (VAR_STR_I32, 1, 4),
+    (LT_U8, 2, 1), (LT_U16, 2, 2), (LT_I32, 2, 4),
+):
+    _KIND_LUT[_t] = _k
+    _HW_LUT[_t] = _hw
+
+
 def _parse_steps(big, cur, ends, active, acc_blob, acc_kind, acc_val, acc_span):
-    """One transposed parse: advance every active blob's cursor per step."""
+    """One transposed parse: advance every active blob's cursor per step.
+
+    Each blob contributes exactly ONE token per step, so the step's tokens
+    are emitted with a single set of appends (per-blob order is preserved
+    by the caller's stable sort on blob id). LUT classification keeps the
+    per-step cost at ~a dozen numpy calls regardless of how many distinct
+    tags appear."""
     while active.any():
         ai = np.flatnonzero(active)
         tags = big[cur[ai]]
@@ -284,56 +313,36 @@ def _parse_steps(big, cur, ends, active, acc_blob, acc_kind, acc_val, acc_span):
             if len(ai) == 0:
                 continue
         p = cur[ai]
-        adv = np.zeros(len(ai), dtype=np.int64)
-        m = tags == VAR_8BYTE
-        if m.any():
-            vals = _be_read(big, p[m] + 1, 8)
-            acc_blob.append(ai[m]); acc_kind.append(np.zeros(m.sum(), dtype=np.int8))
-            acc_val.append(vals); acc_span.append(np.zeros((m.sum(), 2), dtype=np.int64))
-            adv[m] = 9
-        m = tags == _VAR_4BYTE
-        if m.any():
-            vals = _be_read(big, p[m] + 1, 4)
-            acc_blob.append(ai[m]); acc_kind.append(np.zeros(m.sum(), dtype=np.int8))
-            acc_val.append(vals); acc_span.append(np.zeros((m.sum(), 2), dtype=np.int64))
-            adv[m] = 5
-        for tag, hdr, width, kind in (
-            (VAR_STR_U8, 2, 1, 1), (VAR_STR_U16, 3, 2, 1), (VAR_STR_I32, 5, 4, 1),
-            (LT_U8, 2, 1, 2), (LT_U16, 3, 2, 2), (LT_I32, 5, 4, 2),
-        ):
-            m = tags == tag
-            if not m.any():
-                continue
-            lens = _be_read(big, p[m] + 1, width)
-            s = p[m] + hdr
-            acc_blob.append(ai[m]); acc_kind.append(np.full(m.sum(), kind, dtype=np.int8))
-            acc_val.append(np.zeros(m.sum(), dtype=np.int64))
-            acc_span.append(np.stack([s, s + lens], axis=1))
-            adv[m] = hdr + lens
-        m = tags == TS_VAL
-        if m.any():
-            vals = _be_read(big, p[m] + 1, 8)
-            acc_blob.append(ai[m]); acc_kind.append(np.full(m.sum(), 3, dtype=np.int8))
-            acc_val.append(vals); acc_span.append(np.zeros((m.sum(), 2), dtype=np.int64))
-            adv[m] = 9
-        # four-byte-encoding timestamp DELTAS (kind 4; made absolute by the
-        # caller via per-blob cumsum from REFERENCE_TIMESTAMP)
-        for tag, width in (
-            (_TS_DELTA_I8, 1), (_TS_DELTA_I16, 2), (_TS_DELTA_I32, 4),
-            (_TS_DELTA_I64, 8),
-        ):
-            m = tags == tag
-            if not m.any():
-                continue
-            vals = _be_read(big, p[m] + 1, width, signed_small=True)
-            acc_blob.append(ai[m]); acc_kind.append(np.full(m.sum(), 4, dtype=np.int8))
-            acc_val.append(vals); acc_span.append(np.zeros((m.sum(), 2), dtype=np.int64))
-            adv[m] = 1 + width
-        if (adv == 0).any():
-            bad = ai[adv == 0][0]
+        kinds = _KIND_LUT[tags]
+        if (kinds < 0).any():
+            bad = ai[kinds < 0][0]
             raise ValueError(
                 f"corrupt IR tag 0x{int(big[cur[bad]]):02x} in blob {bad}"
             )
+        vals = np.zeros(len(ai), dtype=np.int64)
+        spans = np.zeros((len(ai), 2), dtype=np.int64)
+        vw = _VW_LUT[tags]
+        for w in (1, 2, 4, 8):
+            m = vw == w
+            if m.any():
+                vals[m] = _be_read(big, p[m] + 1, w, signed_small=True)
+        hw = _HW_LUT[tags]
+        adv = 1 + vw
+        lp = hw > 0
+        if lp.any():
+            lens = np.zeros(len(ai), dtype=np.int64)
+            for w in (1, 2, 4):
+                m = hw == w
+                if m.any():
+                    lens[m] = _be_read(big, p[m] + 1, w)
+            s = p + 1 + hw
+            spans[lp, 0] = s[lp]
+            spans[lp, 1] = s[lp] + lens[lp]
+            adv = adv + hw + lens
+        acc_blob.append(ai)
+        acc_kind.append(kinds)
+        acc_val.append(vals)
+        acc_span.append(spans)
         cur[ai] += adv
         if (cur[ai] > ends[ai]).any():
             raise ValueError("truncated IR stream")
