@@ -452,23 +452,59 @@ _K_UTC = 40
 _NODE_TAGS = (NODE_INT, NODE_FLOAT, NODE_BOOL, NODE_STR, NODE_UARRAY, NODE_OBJ)
 
 
-def _kv_parse_steps(big, cur, ends, active, acc):
-    """Advance every active blob's cursor one token per step (same shape as
-    ir_stream._parse_steps; tag sets are disjoint between the two formats
-    except for the clp-string inner tokens, which reuse the unstructured
-    var/logtype framing)."""
+def _build_kv_luts():
+    """256-entry tag LUTs (same technique as ir_stream._parse_steps): kind,
+    fixed signed payload width, length-header width, constant value."""
     from clp_spark.sources.ir_stream import (
         LT_I32, LT_U8, LT_U16, VAR_8BYTE, VAR_STR_I32, VAR_STR_U8, VAR_STR_U16,
-        _be_read,
     )
 
-    def emit(ai_sel, kind, vals, spans):
-        acc["blob"].append(ai_sel)
-        acc["kind"].append(np.full(len(ai_sel), kind, dtype=np.int8))
-        acc["val"].append(vals)
-        acc["span"].append(spans)
+    kind = np.full(256, -1, dtype=np.int8)
+    vw = np.zeros(256, dtype=np.int64)
+    hw = np.zeros(256, dtype=np.int64)
+    cval = np.zeros(256, dtype=np.int64)
+    for t, k, w in (
+        (KEY_ID_I8, _K_KEY_ID, 1), (KEY_ID_I16, _K_KEY_ID, 2),
+        (KEY_ID_I32, _K_KEY_ID, 4),
+        (VAL_I8, _K_INT, 1), (VAL_I16, _K_INT, 2), (VAL_I32, _K_INT, 4),
+        (VAL_I64, _K_INT, 8),
+        (VAL_FLOAT, _K_FLOAT, 8),
+        (VAR_8BYTE, _K_ENC_VAR, 8),
+        (UTC_OFFSET_CHANGE, _K_UTC, 8),
+    ):
+        kind[t] = k
+        vw[t] = w
+    for t, k, w in (
+        (STR_U8, _K_STR, 1), (STR_U16, _K_STR, 2), (STR_U32, _K_STR, 4),
+        (VAR_STR_U8, _K_DICT_VAR, 1), (VAR_STR_U16, _K_DICT_VAR, 2),
+        (VAR_STR_I32, _K_DICT_VAR, 4),
+        (LT_U8, _K_LOGTYPE, 1), (LT_U16, _K_LOGTYPE, 2), (LT_I32, _K_LOGTYPE, 4),
+    ):
+        kind[t] = k
+        hw[t] = w
+    for t, k, c in (
+        (VAL_TRUE, _K_BOOL, 1), (VAL_FALSE, _K_BOOL, 0),
+        (VAL_NULL, _K_NULL, 0), (VAL_EMPTY, _K_EMPTY, 0),
+        (VAL_CLP_STR8, _K_CLP, 0),
+    ):
+        kind[t] = k
+        cval[t] = c
+    for ti, t in enumerate(_NODE_TAGS):
+        kind[t] = _K_NODE_DEF_BASE + ti
+    return kind, vw, hw, cval
 
-    zspan = lambda m: np.zeros((int(m.sum()), 2), dtype=np.int64)
+
+_KV_KIND_LUT, _KV_VW_LUT, _KV_HW_LUT, _KV_CVAL_LUT = _build_kv_luts()
+
+
+def _kv_parse_steps(big, cur, ends, active, acc):
+    """Advance every active blob's cursor one token per step (same LUT shape
+    as ir_stream._parse_steps — one classify gather + one batched emit per
+    step). Node-definition units (multi-field: type + parent id + key) are
+    handled in a masked sub-branch; they are O(schema nodes), not O(tokens).
+    """
+    from clp_spark.sources.ir_stream import _be_read
+
     while active.any():
         ai = np.flatnonzero(active)
         tags = big[cur[ai]]
@@ -480,16 +516,38 @@ def _kv_parse_steps(big, cur, ends, active, acc):
             if len(ai) == 0:
                 continue
         p = cur[ai]
-        adv = np.zeros(len(ai), dtype=np.int64)
-        # node defs: type tag + parent-id unit + key string — one step
-        for ti, tag in enumerate(_NODE_TAGS):
-            m = tags == tag
-            if not m.any():
-                continue
-            pp = p[m] + 1
+        kinds = _KV_KIND_LUT[tags]
+        if (kinds < 0).any():
+            bad = ai[kinds < 0][0]
+            raise ValueError(f"corrupt kv-IR tag 0x{int(big[cur[bad]]):02x}")
+        vals = _KV_CVAL_LUT[tags].copy()
+        spans = np.zeros((len(ai), 2), dtype=np.int64)
+        vw = _KV_VW_LUT[tags]
+        for w in (1, 2, 4, 8):
+            m = vw == w
+            if m.any():
+                vals[m] = _be_read(big, p[m] + 1, w, signed_small=True)
+        hw = _KV_HW_LUT[tags]
+        adv = 1 + vw
+        lp = hw > 0
+        if lp.any():
+            lens = np.zeros(len(ai), dtype=np.int64)
+            for w in (1, 2, 4):
+                m = hw == w
+                if m.any():
+                    lens[m] = _be_read(big, p[m] + 1, w)
+            s = p + 1 + hw
+            spans[lp, 0] = s[lp]
+            spans[lp, 1] = s[lp] + lens[lp]
+            adv = adv + hw + lens
+        # node defs: type tag + parent-id unit + key string — consumed as
+        # ONE token; few per blob, so the nested width reads stay cheap
+        nd = (kinds >= _K_NODE_DEF_BASE) & (kinds < _K_NODE_DEF_BASE + 6)
+        if nd.any():
+            pp = p[nd] + 1
             ptag = big[pp]
-            praw = np.zeros(int(m.sum()), dtype=np.int64)
-            psz = np.zeros(int(m.sum()), dtype=np.int64)
+            praw = np.zeros(int(nd.sum()), dtype=np.int64)
+            psz = np.zeros(int(nd.sum()), dtype=np.int64)
             for t, w in ((PARENT_ID_I8, 1), (PARENT_ID_I16, 2), (PARENT_ID_I32, 4)):
                 mm = ptag == t
                 if mm.any():
@@ -499,8 +557,8 @@ def _kv_parse_steps(big, cur, ends, active, acc):
                 raise ValueError("corrupt kv-IR: bad parent-id tag")
             kp = pp + psz
             ktag = big[kp]
-            klen = np.zeros(int(m.sum()), dtype=np.int64)
-            khdr = np.zeros(int(m.sum()), dtype=np.int64)
+            klen = np.zeros(int(nd.sum()), dtype=np.int64)
+            khdr = np.zeros(int(nd.sum()), dtype=np.int64)
             for t, w in ((STR_U8, 1), (STR_U16, 2), (STR_U32, 4)):
                 mm = ktag == t
                 if mm.any():
@@ -509,71 +567,14 @@ def _kv_parse_steps(big, cur, ends, active, acc):
             if (khdr == 0).any():
                 raise ValueError("corrupt kv-IR: bad key-string tag")
             ks = kp + khdr
-            emit(ai[m], _K_NODE_DEF_BASE + ti, praw,
-                 np.stack([ks, ks + klen], axis=1))
-            adv[m] = 1 + psz + khdr + klen
-        for t, w in ((KEY_ID_I8, 1), (KEY_ID_I16, 2), (KEY_ID_I32, 4)):
-            m = tags == t
-            if m.any():
-                emit(ai[m], _K_KEY_ID,
-                     _be_read(big, p[m] + 1, w, signed_small=True), zspan(m))
-                adv[m] = 1 + w
-        for t, w in ((VAL_I8, 1), (VAL_I16, 2), (VAL_I32, 4), (VAL_I64, 8)):
-            m = tags == t
-            if m.any():
-                emit(ai[m], _K_INT,
-                     _be_read(big, p[m] + 1, w, signed_small=True), zspan(m))
-                adv[m] = 1 + w
-        m = tags == VAL_FLOAT
-        if m.any():
-            emit(ai[m], _K_FLOAT, _be_read(big, p[m] + 1, 8), zspan(m))
-            adv[m] = 9
-        for t, bval in ((VAL_TRUE, 1), (VAL_FALSE, 0)):
-            m = tags == t
-            if m.any():
-                emit(ai[m], _K_BOOL,
-                     np.full(int(m.sum()), bval, dtype=np.int64), zspan(m))
-                adv[m] = 1
-        for t, w in ((STR_U8, 1), (STR_U16, 2), (STR_U32, 4)):
-            m = tags == t
-            if m.any():
-                lens = _be_read(big, p[m] + 1, w)
-                s = p[m] + 1 + w
-                emit(ai[m], _K_STR, np.zeros(int(m.sum()), dtype=np.int64),
-                     np.stack([s, s + lens], axis=1))
-                adv[m] = 1 + w + lens
-        for t, kind in ((VAL_NULL, _K_NULL), (VAL_EMPTY, _K_EMPTY),
-                        (VAL_CLP_STR8, _K_CLP)):
-            m = tags == t
-            if m.any():
-                emit(ai[m], kind, np.zeros(int(m.sum()), dtype=np.int64), zspan(m))
-                adv[m] = 1
-        # clp-string inner tokens (unstructured framing)
-        m = tags == VAR_8BYTE
-        if m.any():
-            emit(ai[m], _K_ENC_VAR, _be_read(big, p[m] + 1, 8), zspan(m))
-            adv[m] = 9
-        for t, hdr, w, kind in (
-            (VAR_STR_U8, 2, 1, _K_DICT_VAR), (VAR_STR_U16, 3, 2, _K_DICT_VAR),
-            (VAR_STR_I32, 5, 4, _K_DICT_VAR),
-            (LT_U8, 2, 1, _K_LOGTYPE), (LT_U16, 3, 2, _K_LOGTYPE),
-            (LT_I32, 5, 4, _K_LOGTYPE),
-        ):
-            m = tags == t
-            if not m.any():
-                continue
-            lens = _be_read(big, p[m] + 1, w)
-            s = p[m] + hdr
-            emit(ai[m], kind, np.zeros(int(m.sum()), dtype=np.int64),
-                 np.stack([s, s + lens], axis=1))
-            adv[m] = hdr + lens
-        m = tags == UTC_OFFSET_CHANGE
-        if m.any():
-            emit(ai[m], _K_UTC, _be_read(big, p[m] + 1, 8), zspan(m))
-            adv[m] = 9
-        if (adv == 0).any():
-            bad = ai[adv == 0][0]
-            raise ValueError(f"corrupt kv-IR tag 0x{int(big[cur[bad]]):02x}")
+            vals[nd] = praw
+            spans[nd, 0] = ks
+            spans[nd, 1] = ks + klen
+            adv[nd] = 1 + psz + khdr + klen
+        acc["blob"].append(ai)
+        acc["kind"].append(kinds)
+        acc["val"].append(vals)
+        acc["span"].append(spans)
         cur[ai] += adv
         if (cur[ai] > ends[ai]).any():
             raise ValueError("truncated kv-IR stream")
@@ -970,57 +971,72 @@ def kv_ir_to_rows_df(df, ir_col: str = "ir", stream_col: str = "stream"):
     events_to_kv_ir_df — pivoting on path reconstructs the input columns."""
     import pyarrow as pa
 
-    kind_names = {_K_INT: "int", _K_FLOAT: "float", _K_BOOL: "bool",
-                  _K_STR: "str", _K_NULL: "null"}
+    kind_name_table = [""] * 64
+    for k, nm in ((_K_INT, "int"), (_K_FLOAT, "float"), (_K_BOOL, "bool"),
+                  (_K_STR, "str"), (_K_NULL, "null")):
+        kind_name_table[k] = nm
 
     def _fn(batches):
+        kn_arr = pa.array(kind_name_table, type=pa.string())
         for batch in batches:
             blobs = batch.column(ir_col).to_pylist()
-            svals = batch.column(stream_col).to_pylist()
+            svals = batch.column(stream_col)
             cvals = (
-                batch.column("chunk_ix").to_pylist()
-                if "chunk_ix" in batch.schema.names else [0] * len(blobs)
+                batch.column("chunk_ix")
+                if "chunk_ix" in batch.schema.names
+                else pa.array(np.zeros(len(blobs), dtype=np.int64))
             )
             out = deserialize_kv_ir_many(blobs)
             # path per (blob, node): nodes are few — python over NODES only
             ko = out["key_offsets"]
+            nn = len(out["node_id"])
             paths: dict = {}
-            for j in range(len(out["node_id"])):
+            path_list = []
+            for j in range(nn):
                 b, i = int(out["node_blob"][j]), int(out["node_id"][j])
                 k = out["key_data"][ko[j]:ko[j + 1]].tobytes().decode("utf-8")
                 p = int(out["node_parent"][j])
                 prefix = paths.get((b, p), "") if p else ""
                 paths[(b, i)] = f"{prefix}.{k}" if prefix else k
+                path_list.append(paths[(b, i)])
+            # rows → path-table indices, vectorized: nodes arrive blob-major
+            # and id-ordered, so (blob, id) → table index via searchsorted on
+            # the combined key
             nr = len(out["row_blob"])
-            so = out["str_offsets"]
-            row_paths = [
-                paths[(int(out["row_blob"][r]), int(out["row_node"][r]))]
-                for r in range(nr)
-            ]
+            max_id = int(out["node_id"].max()) + 1 if nn else 1
+            node_key = out["node_blob"] * max_id + out["node_id"]
+            row_key = out["row_blob"] * max_id + out["row_node"]
+            order = np.argsort(node_key, kind="stable")
+            pos = np.searchsorted(node_key[order], row_key)
+            if nr and not np.array_equal(node_key[order][pos], row_key):
+                raise ValueError("kv-IR row references an undefined node")
+            path_ix = order[pos] if nr else np.zeros(0, dtype=np.int64)
+            paths_arr = pa.array(path_list, type=pa.string())
             kinds = out["row_kind"]
-            str_vals = [
-                out["str_data"][so[r]:so[r + 1]].tobytes().decode("utf-8")
-                if kinds[r] == _K_STR else None
-                for r in range(nr)
-            ]
+            # string column straight from the flat buffers + a null bitmap
+            # (non-str rows have zero-length spans)
+            is_str = kinds == _K_STR
+            str_arr = pa.StringArray.from_buffers(
+                nr,
+                pa.py_buffer(out["str_offsets"].astype(np.int32).tobytes()),
+                pa.py_buffer(out["str_data"].tobytes()),
+                pa.py_buffer(np.packbits(is_str, bitorder="little").tobytes()),
+            )
+            ridx = pa.array(out["row_blob"], type=pa.int64())
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array([svals[b] for b in out["row_blob"]], type=pa.string()),
-                    pa.array([cvals[b] for b in out["row_blob"]], type=pa.int64()),
+                    pa.compute.take(svals, ridx),
+                    pa.compute.take(cvals, ridx),
                     pa.array(out["row_event"], type=pa.int64()),
-                    pa.array(row_paths, type=pa.string()),
-                    pa.array([kind_names[int(k)] for k in kinds], type=pa.string()),
+                    pa.compute.take(paths_arr, pa.array(path_ix, type=pa.int64())),
+                    pa.compute.take(kn_arr, pa.array(kinds.astype(np.int64))),
                     pa.array(
-                        np.where(np.isin(kinds, (_K_INT,)), out["int_val"], 0),
+                        np.where(kinds == _K_INT, out["int_val"], 0),
                         type=pa.int64(),
                     ),
                     pa.array(out["float_val"], type=pa.float64()),
-                    pa.array(
-                        [bool(v) if k == _K_BOOL else None
-                         for k, v in zip(kinds, out["int_val"])],
-                        type=pa.bool_(),
-                    ),
-                    pa.array(str_vals, type=pa.string()),
+                    pa.array(out["int_val"].astype(bool), mask=kinds != _K_BOOL),
+                    str_arr,
                 ],
                 ["stream", "chunk_ix", "event_ix", "path", "vtype",
                  "int_val", "float_val", "bool_val", "str_val"],
