@@ -117,6 +117,26 @@ def pipeline_bench(spark, sf: str) -> tuple[float, int]:
     return pick, base_rows * amplify
 
 
+def packing_bench(spark, sf: str) -> tuple[float, int]:
+    """Sequence packing throughput over the synthetic sequences table —
+    the tokens-payload headline op (window cumsum + per-pack slice +
+    regroup, operators/packing.py)."""
+    from clp_spark.operators.packing import pack_sequences
+    from clp_spark.sources.synth import ensure_sequences
+
+    seq_path, _ = ensure_sequences(os.path.join(_REPO, "data"), sf)
+    seq = spark.read.parquet(seq_path)
+    n = seq.count()
+    out = pack_sequences(seq, 2048, shards=8)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_QREPS", "3"))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        _materialize(out)
+        best = min(best, time.time() - t0)
+    return best, n
+
+
 HEADLINE = [
     "clp_encode_route_agg",
     "kql_boolean_range",
@@ -159,6 +179,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         timings[name] = round(best, 3)
     pipe_s, pipe_rows = pipeline_bench(spark, _sf_of(sf_dir))
     timings["pipeline_encode_route_agg"] = round(pipe_s, 3)
+    pack_s, pack_rows = packing_bench(spark, _sf_of(sf_dir))
+    timings["seq_packing"] = round(pack_s, 3)
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total",
@@ -169,6 +191,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "cpus": cpus,
         "pipeline_rows": pipe_rows,
         "pipeline_rows_per_sec": round(pipe_rows / pipe_s, 1),
+        "packing_rows_per_sec": round(pack_rows / pack_s, 1),
         # host calibration: best-of-3 single-core encode-kernel rows/sec on a
         # fixed 37.5k-row shard, measured in-process with no Spark involved.
         # This sandbox's VM shares a host — wall times for the SAME code swing
