@@ -110,6 +110,28 @@ class TestByteFormat:
         body = np.frombuffer(blob, dtype=np.uint8)
         assert tag in body.tolist()
 
+    @pytest.mark.parametrize(
+        "delta",
+        [0, -(1 << 7), -(1 << 7) + 1, (1 << 7) - 2, (1 << 7) - 1,
+         -(1 << 15), -(1 << 15) + 1, (1 << 15) - 2, (1 << 15) - 1,
+         -(1 << 31), -(1 << 31) + 1, (1 << 31) - 2, (1 << 31) - 1,
+         -(1 << 63), (1 << 63) - 1],
+    )
+    def test_reference_delta_boundaries(self, delta):
+        """test-ir_encoding_methods.cpp decode_next_message_four_byte_
+        timestamp_delta: every signed-width boundary delta round-trips,
+        with the reference's own tricky message (backslash constant,
+        dict vars, small int/float, a 16-digit float that demotes)."""
+        msg = (b"Static <\\text>, dictVar1, 123, 456345232.7234223, "
+               b"dictVar2, 987, 654.3, end of static text")
+        ts = np.array([0, delta], dtype=np.int64)
+        blob, _ = _serialize4([msg, msg], ts=ts)
+        evs = ir.deserialize_ir_py(blob)
+        assert [e["ts"] for e in evs] == [0, delta]
+        assert _events_to_messages(evs) == [msg.decode()] * 2
+        out = ir.deserialize_ir_many([blob])
+        assert out["ts"].tolist() == [0, delta]
+
     def test_float_layout_golden(self):
         """'-1234567.8': neg=1 digits=12345678 nd=8 dpp=1 → exact bit pattern
         (encoding_methods.inc four-byte branch)."""
