@@ -865,6 +865,17 @@ def _arrow_col_to_leaves(name_path, col, parent_valid):
                 )
             )
         return out
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        # the reference's kv-IR has no timestamp value type — logging
+        # libraries serialize time as integer kv pairs; epoch milliseconds
+        # here (CLP's native resolution, Defs.h epochtime_t)
+        col = col.cast(pa.timestamp("ms")) if pa.types.is_date(t) else col
+        vals = np.asarray(
+            col.cast(pa.timestamp("ms")).cast(pa.int64()).fill_null(0)
+            .to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        return [Leaf(name_path, "int", valid, values=vals)]
     if pa.types.is_integer(t):
         vals = np.asarray(
             col.fill_null(0).to_numpy(zero_copy_only=False), dtype=np.int64

@@ -247,6 +247,21 @@ class TestSparkSurface:
             assert kvs["msg"]["str_val"] == expect_msg
             assert bool(kvs["ok"]["bool_val"]) == (i % 2 == 0)
 
+    def test_timestamp_columns_become_epoch_ms_ints(self, spark):
+        from clp_spark.sources.kv_ir import events_to_kv_ir_df, kv_ir_to_rows_df
+
+        df = spark.sql(
+            "SELECT 's' AS source, x.ts FROM VALUES "
+            "(named_struct('ts', timestamp'2016-05-08 07:34:05.251Z')), "
+            "(named_struct('ts', CAST(NULL AS timestamp))) AS t(x)"
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        chunks = events_to_kv_ir_df(df, "source")
+        rows = kv_ir_to_rows_df(chunks).collect()
+        assert len(rows) == 1  # NULL ts = absent
+        assert rows[0]["vtype"] == "int"
+        assert rows[0]["int_val"] == 1462692845251
+
     def test_cli_kv_import_export(self, spark, tmp_path, capsys):
         """JSON-lines → kv-IR chunks → leaf rows via the CLI."""
         from clp_spark import cli
