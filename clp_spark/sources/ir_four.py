@@ -266,6 +266,14 @@ def serialize_ir_core4(
     # timestamp deltas, smallest signed width that fits
     ref_ts = int(ts[0]) if n else 0
     deltas = np.diff(ts, prepend=np.int64(ref_ts)).astype(np.int64)
+    if n > 1:
+        # a delta beyond int64 wraps silently in numpy; the reference's
+        # serialize_timestamp returns failure instead (encoding_methods.cpp:
+        # 242-261) — detect via sign: a positive step must give a positive
+        # delta and vice versa
+        step_up = ts[1:] > ts[:-1]
+        if ((step_up & (deltas[1:] < 0)) | (~step_up & (deltas[1:] > 0) & (ts[1:] != ts[:-1]))).any():
+            raise ValueError("timestamp delta exceeds int64")
     ts_sizes = np.select(
         [
             (deltas >= -(1 << 7)) & (deltas < (1 << 7)),

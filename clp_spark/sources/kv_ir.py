@@ -731,10 +731,7 @@ def deserialize_kv_ir_many(blobs: list[bytes]) -> dict:
     vk = kinds[v_ix]
     row_kind = vk.astype(np.int8)
     int_val = np.where(vk == _K_INT, vals[v_ix], np.where(vk == _K_BOOL, vals[v_ix], 0))
-    float_val = np.where(
-        vk == _K_FLOAT, vals[v_ix].view(np.uint64).astype(">u8").view(np.uint64), 0
-    )
-    # float bits: vals already big-endian-decoded int64 of the raw bits
+    # float bits: vals already hold the big-endian-decoded raw int64 bits
     float_val = np.zeros(len(v_ix), dtype=np.float64)
     fm = vk == _K_FLOAT
     if fm.any():
