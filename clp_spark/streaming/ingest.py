@@ -150,3 +150,60 @@ def run_ir_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class KvIrBatchWriter:
+    """foreachBatch: decode the micro-batch's STRUCTURED kv-IR blobs
+    (kv_ir.deserialize_kv_ir_many via the mapInArrow surface) and write the
+    typed leaf rows idempotently — the real-time ingestion of the new
+    key-value-pair IR format."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from clp_spark.sources.kv_ir import kv_ir_to_rows_df
+
+        t0 = time.time()
+        batch_df = batch_df.persist()
+        n_blobs = batch_df.count()
+        path = os.path.join(self.out_dir, f"ingest_batch={batch_id}")
+        n_rows = 0
+        if n_blobs > 0:
+            rows = kv_ir_to_rows_df(batch_df, "ir", "stream").persist()
+            n_rows = rows.count()
+            rows.write.mode("overwrite").partitionBy("stream").parquet(path)
+            rows.unpersist()
+        batch_df.unpersist()
+        metrics_dir = os.path.join(self.out_dir, "_ingest_metrics")
+        os.makedirs(metrics_dir, exist_ok=True)
+        rec = {"batch_id": batch_id, "blobs": n_blobs, "rows": n_rows,
+               "wall_s": time.time() - t0, "path": path}
+        tmp = os.path.join(metrics_dir, f"batch{batch_id:06d}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, tmp[:-4])
+
+
+def run_kv_ir_ingest_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Real-time structured kv-IR ingest: an availableNow file stream over
+    parquet files of (stream, ir) kv-chunk rows; each micro-batch decodes
+    to typed leaf rows appended to a per-stream partitioned sink,
+    idempotent per batch id. Same checkpoint-resume semantics as
+    run_ir_ingest_stream."""
+    reader = spark.readStream.schema(IR_CHUNK_ROW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
+    return (
+        stream.writeStream.foreachBatch(KvIrBatchWriter(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -155,3 +155,54 @@ class TestIrStreamingIngest:
         recs = _metrics(out)
         assert sum(r["rows"] for r in recs) == n_docs
         assert all("blobs" in r for r in recs)
+
+
+class TestKvIrStreamingIngest:
+    def test_kv_lifecycle_drain_resume(self, spark, tmp_path):
+        """structured rows → kv-IR chunks (files landing over time) →
+        streamed decode-ingest → typed leaf rows; resume processes only
+        new files, no duplicates."""
+        from clp_spark.sources.kv_ir import events_to_kv_ir_df
+        from clp_spark.streaming.ingest import run_kv_ir_ingest_stream
+
+        rows = [
+            (f"svc{i % 2}", i, f"req {i} took {i * 3} ms",
+             {"latency": i * 0.5, "region": f"r{i % 3}"})
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "source string, seq long, msg string, "
+            "ctx struct<latency double, region string>",
+        )
+        chunks = events_to_kv_ir_df(df, "source", events_per_chunk=50,
+                                    order_col="seq")
+        pdf = chunks.toPandas()
+        in_dir = tmp_path / "kv_in"
+        in_dir.mkdir()
+        half = len(pdf) // 2
+        spark.createDataFrame(pdf.iloc[:half][["stream", "ir"]]).write.parquet(
+            str(in_dir / "d1")
+        )
+        out = str(tmp_path / "kv_rows")
+        ckpt = str(tmp_path / "ckpt_kv")
+        q = run_kv_ir_ingest_stream(spark, str(in_dir) + "/*", out, ckpt)
+        q.awaitTermination(300)
+        spark.createDataFrame(pdf.iloc[half:][["stream", "ir"]]).write.parquet(
+            str(in_dir / "d2")
+        )
+        q = run_kv_ir_ingest_stream(spark, str(in_dir) + "/*", out, ckpt)
+        q.awaitTermination(300)
+        got = spark.read.option("basePath", out).parquet(
+            os.path.join(out, "ingest_batch=*")
+        )
+        # 4 leaves per event (seq, msg, ctx.latency, ctx.region)
+        assert got.count() == 300 * 4
+        # spot-check values survived the stream transit
+        m = {
+            (r["stream"], r["path"], r["int_val"]): r
+            for r in got.where("path = 'seq'").collect()
+        }
+        assert len(m) == 300
+        lat = got.where("path = 'ctx.latency' and float_val = 7.5").collect()
+        assert len(lat) == 1 and lat[0]["vtype"] == "float"
