@@ -1021,6 +1021,23 @@ def kv_ir_to_rows_df(df, ir_col: str = "ir", stream_col: str = "stream"):
             path_ix = order[pos] if nr else np.zeros(0, dtype=np.int64)
             paths_arr = pa.array(path_list, type=pa.string())
             kinds = out["row_kind"]
+            # reference KeyValuePairLogEvent::create validation: a value's
+            # type must match its schema-tree node's type (null attaches to
+            # Obj nodes)
+            ntypes = out["node_type"][path_ix] if nr else np.zeros(0, np.int64)
+            expect = np.select(
+                [kinds == _K_INT, kinds == _K_FLOAT, kinds == _K_BOOL,
+                 kinds == _K_STR, kinds == _K_NULL],
+                [NODE_INT, NODE_FLOAT, NODE_BOOL, NODE_STR, NODE_OBJ],
+                default=0,
+            )
+            if nr and not (ntypes == expect).all():
+                bad = int(np.flatnonzero(ntypes != expect)[0])
+                raise ValueError(
+                    "kv-IR value type does not match its schema-tree node "
+                    f"(node type 0x{int(ntypes[bad]):02x}, value kind "
+                    f"{int(kinds[bad])})"
+                )
             # string column straight from the flat buffers + a null bitmap
             # (non-str rows have zero-length spans)
             is_str = kinds == _K_STR

@@ -298,3 +298,24 @@ class TestSparkSurface:
         plan = events_to_kv_ir_df(df, "source")._jdf.queryExecution(
         ).executedPlan().toString()
         assert plan.count("Exchange") == 1  # the per-stream repartition only
+
+
+class TestNodeTypeValidation:
+    def test_value_type_must_match_node_type(self, spark):
+        """reference ffi_KeyValuePairLogEvent: a value whose type differs
+        from its schema-tree node's type is invalid. Craft a blob whose
+        int-typed node carries a float value."""
+        import numpy as np
+
+        from clp_spark.sources.kv_ir import kv_ir_to_rows_df, make_kv_preamble
+
+        pre = make_kv_preamble()
+        body = bytes([
+            0x71, 0x60, 0x00, 0x41, 0x01, ord("a"),   # int node 'a'
+            0x65, 0x01,                                # key id 1
+            0x56, *([0] * 8),                          # float value (!)
+            0x00,
+        ])
+        df = spark.createDataFrame([("s", pre + body)], "stream string, ir binary")
+        with pytest.raises(Exception, match="does not match"):
+            kv_ir_to_rows_df(df).collect()
