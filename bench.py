@@ -288,187 +288,34 @@ def run_scaling(sf_dir: str) -> None:
     t4 = statistics.median(r["pipeline_rows_per_sec"] for r in runs4)
     eff = statistics.median(pairs)
     rows = runs1[0]["pipeline_rows"]
-    with open(os.path.join(_REPO, "BENCH.md"), "w") as f:
-        f.write(
-            "# BENCH — scaling evidence (N vs 4N cores, sandbox proxy for\n"
-            "N vs 4N executors)\n\n"
-            "Provenance: the N-vs-4N table below is measured by THIS\n"
-            "--scaling run; the later sections (ingest, decode, schema\n"
-            "inference, segment pruning) are recorded one-off measurements\n"
-            "from the dates they cite and are only refreshed when\n"
-            "re-measured, not by re-running --scaling.\n\n"
-            "Same job (parse+encode+route-key+aggregate over the synthetic\n"
-            "sequences table), same input, two parallelism levels. Each run is\n"
-            "taskset-pinned so the whole process tree (JVM + Python workers)\n"
-            "really has N cores — unpinned local-mode comparisons overcount,\n"
-            "because JVM-side Arrow conversion threads use cores outside the\n"
-            "local[N] task slots. Three interleaved (N, 4N) pairs;\n"
-            "efficiency = median of per-pair ratios (pair members share a\n"
-            "contention window on this shared host, so the ratio is stable\n"
-            "where a ratio-of-medians is not; a /proc CPU-accounting\n"
-            "cross-check showed the 4-core run 96% busy with per-row\n"
-            "core-seconds equal to the 1-core run).\n\n"
-            "| parallelism | pinned cores | rows/run | rows/sec (median) |\n"
-            "|---|---|---|---|\n"
-            f"| N  (local[1]) | 1 | {rows} | {t1:,.0f} |\n"
-            f"| 4N (local[4]) | 4 | {rows} | {t4:,.0f} |\n\n"
-            f"**Scaling efficiency** = median over pairs of "
-            f"throughput(4N) / (4 x throughput(N)) = "
-            f"**{eff:.3f}** (target >= 0.8)\n\n"
-            "Context — why N=1: this sandbox VM advertises 32 cores but\n"
-            "sustains only ~20 cores of aggregate compute (a pure-CPU probe\n"
-            "scales 8.0x at 8 procs, 19.6x at 32), and concurrent multi-JVM\n"
-            "load degrades sharply; beyond ~16 threads every workload on this\n"
-            "host stops scaling regardless of implementation. At real\n"
-            "cluster scale the same plan shards by input files per executor\n"
-            "(see clp_spark/plans/pipeline.py scale notes).\n"
-            "\n"
-            "## Multi-point scaling curve (supplementary, measured 2026-08-17)\n"
-            "\n"
-            "Same pinned methodology, steady-state reps, quiet host, single runs:\n"
-            "\n"
-            "| cores | rows | sec | rows/s | rows/s/core |\n"
-            "|---|---|---|---|---|\n"
-            "| 1 | 3.6M | 52.1 | 69,141 | 69.1k |\n"
-            "| 2 | 3.6M | 25.1 | 143,444 | 71.7k |\n"
-            "| 4 | 3.6M | 15.1 | 238,670 | 59.7k |\n"
-            "| 8 | 3.6M | 9.7 | 371,283 | 46.4k |\n"
-            "| 8 | 14.4M | 35.0 | 411,864 | 51.5k |\n"
-            "\n"
-            "The curve fits T(p) = s + w/p with s = ~3.7 s of per-job serial cost\n"
-            "(driver planning, job/stage scheduling, commit, task tail) and w = ~48\n"
-            "core-seconds of parallel work — i.e., the sub-linearity is Amdahl on a\n"
-            "SHORT job, not a shuffle/contention pathology: quadrupling the input at\n"
-            "8 cores raises throughput 11% as the serial share shrinks. A production\n"
-            "ingest runs minutes-to-hours per job, where s/T vanishes; the\n"
-            "per-partition work itself scales at ~0.9+ (pure-kernel probe: 4 pinned\n"
-            "procs run at 90% of 1-proc speed each).\n"
-            "\n"
-            "## JVM tuning: the G1 heap-uncommit pathology (round 2)\n"
-            "\n"
-            "Controlled A/B on the 3M-row encode job (2026-08-17): with\n"
-            "stock G1, the JVM burned 95 s of SYSTEM time per 12 s of wall\n"
-            "(50-70% sys across 32 cores) — G1 uncommits heap regions and\n"
-            "every regrow is a hypervisor EPT page-fault storm. Pre-touched\n"
-            "fixed heap (-Xms=Xmx/2 -XX:+AlwaysPreTouch) + ParallelGC (never\n"
-            "uncommits) cut the same job to ~1 s sys / 2.2 s wall — 1.36M\n"
-            "rows/s encode-only, 2x round-1 end-to-end throughput. Python\n"
-            "workers additionally get MALLOC_MMAP_THRESHOLD_/TRIM=1G so the\n"
-            "numpy kernels reuse heap pages instead of mmap/munmap per Arrow\n"
-            "batch. Both are engine defaults now (session_defaults,\n"
-            "clp_spark/plans/pipeline.py). Round 1's spark.task.cpus=2\n"
-            "workaround is removed: with the GC fix, full task parallelism\n"
-            "measures faster (4.45 s vs 6.12 s median, same box).\n"
-            "\n"
-            "## Host-variance calibration\n"
-            "\n"
-            "This VM shares a host: IDENTICAL code and input measured\n"
-            "4.3 s .. 31 s for the 3M-row pipeline within one hour\n"
-            "(steal time 0-30%). bench.py therefore (a) reports\n"
-            "calib_kernel_rows_per_sec_1core — best-of-3 single-core pure\n"
-            "numpy/Arrow kernel throughput, no Spark — as a same-run host\n"
-            "speed anchor (observed 130k-193k rows/s/core across runs of the\n"
-            "same binary), (b) takes min-of-2 for per-query timings and\n"
-            "median-of-5 for the pipeline. Cross-round comparisons should\n"
-            "normalize pipeline_rows_per_sec by the calib field.\n"
-            "\n"
-            "## Scale-up evidence (fixed 32-core node, growing input)\n"
-            "\n"
-            "Same encode+route-key+aggregate job, unpinned local[32]\n"
-            "(recorded pre-GC-fix with the since-removed task.cpus=2\n"
-            "workaround; post-fix local[32] min-of-5 measures 3.4 s / ~881k\n"
-            "rows/s on the same 3M-row job), single measured run each\n"
-            "(2026-08-17):\n"
-            "\n"
-            "| input rows | sec | rows/sec |\n"
-            "|---|---|---|\n"
-            "| 3,000,000 (sf0.1 ×5) | 4.4 | ~676k |\n"
-            "| 6,000,000 (sf1) | 8.4 | ~715k |\n"
-            "\n"
-            "Throughput *rises* with input size — per-job fixed costs\n"
-            "(planning, AQE, Python-worker spin-up) amortize and the\n"
-            "parallel region dominates; there is no super-linear cost in\n"
-            "the plan (one narrow mapInArrow stage + one partial-agg\n"
-            "shuffle of pre-collapsed (source, logtype) groups).\n"
-            "10^12-row extrapolation: at the measured ~50k rows/s/core\n"
-            "steady state, 8,000 cores (1,000 8-core executors) sustain\n"
-            "~400M rows/s -> ~42 min for 10^12 rows, with per-split\n"
-            "lineage bookkeeping O(splits) and dictionary broadcast sizes\n"
-            "bounded by template count, not row count.\n"
-            "\n"
-            "## Segment-index pruning (measured honestly)\n"
-            "\n"
-            "16-split archive from the sf0.1 sequences corpus; a query whose\n"
-            "logtype lives in ONE segment. The pruned search opened 1/16\n"
-            "split directories; wall time was nevertheless at parity with\n"
-            "the unpruned scan (5.6 s vs 5.7 s, median of 3) because at this\n"
-            "local size the cost is dominated by the driver-side dictionary\n"
-            "probe and the ~300k-entry logtype-dict broadcast, not the data\n"
-            "scan. The index's payoff is file-level: at 10^6 files the\n"
-            "unpruned path must list and open every footer while the pruned\n"
-            "path touches only matching segments - a cost class local\n"
-            "benchmarks cannot exhibit. With the dictionaries persisted\n"
-            "(search_archive_pruned now caches them - CLP's memory-resident\n"
-            "DictionaryReader behavior), the same warm query drops to\n"
-            "1.02 s, a 5.5x latency win confirming probe cost dominated\n"
-            "(2026-08-17).\n"
-            "\n"
-            "## kv-IR stream throughput (round 2)\n"
-            "\n"
-            "events_to_ir_df (encode + chunk + serialize, 600k events,\n"
-            "local[32]): ~380k events/s. ir_to_events_df (transposed\n"
-            "vectorized parse): throughput tracks the parser's vector\n"
-            "width = blobs per task - 453k ev/s at ~37 blobs/task\n"
-            "(1176 x 512-event chunks / 32 partitions) vs 173k at ~5\n"
-            "blobs/task (152 x 4096-event chunks); measured 2026-08-17.\n"
-            "At cluster scale each task carries hundreds of chunks, the\n"
-            "wide regime. Default chunk size is 1024 events.\n"
-            "\n"
-            "## Decode kernel throughput\n"
-            "\n"
-            "mapInArrow numpy decode (buffer-splice reconstruction of\n"
-            "original messages from encoded rows): 3,000,000 rows in 2.74 s\n"
-            "= ~1.10M rows/s on unpinned local[32] (median of 3,\n"
-            "2026-08-17). Decode outruns encode (~676k rows/s) because it\n"
-            "skips tokenization/classification; the round-1 per-row-Python\n"
-            "decode path this replaced was the perf-weak item #3 of\n"
-            "VERDICT r01.\n"
-            "\n"
-            "## JSON schema inference: per-row Python vs JVM variant\n"
-            "\n"
-            "1M records (~30-byte JSON each), local[32], median of 3\n"
-            "(2026-08-17): v1 pandas-UDF json.loads 1.79 s; v2\n"
-            "try_parse_json+schema_of_variant 1.88 s; parse+schema alone\n"
-            "0.43 s (2.3M rows/s). On tiny records the two are at parity -\n"
-            "the v2 path pays a second scan to collect the distinct schema\n"
-            "set before building the canonicalization CASE. It is still the\n"
-            "default ingest path because it removes Python workers from the\n"
-            "pipeline entirely (no Arrow transfer, no per-executor Python\n"
-            "memory, whole-stage codegen end to end), and the JVM parse\n"
-            "advantage grows with record size; the UDF survives as the\n"
-            "differential-test oracle.\n"
-            "\n"
-            "## Full 4-stage ingest at sf1 (6M rows, 8 splits, local[32])\n"
-            "\n"
-            "run_pipeline (encode->dicts->route->agg, every intermediate\n"
-            "written to zstd parquet, per-split lineage): 6,000,000 rows in\n"
-            "79.6 s warm / best observed 68.8 s (round 1: 106 s; the gain is\n"
-            "the round-2 single-pass encode stage - split id computed as a\n"
-            "column + one partitionBy write - plus the GC fix; identical\n"
-            "runs swing 2-4x with host load, see Host-variance calibration).\n"
-            "The run built a\n"
-            "1,081,887-entry logtype dictionary (above the 1M small-dict\n"
-            "threshold -> the range-partitioned parallel rank path executed),\n"
-            "routed all 6M rows, and per-sink aggregate totals matched the\n"
-            "input exactly (measured 2026-08-17, round 2).\n"
-            "\n"
-            "With table_format=\"snapshot\" (per-source snapshot-catalog\n"
-            "sinks, one tagged atomic commit per split): 6,000,000 rows in\n"
-            "36.8 s warm (163k rows/s end-to-end durable ingest, re-measured\n"
-            "2026-08-17 post-GC-fix; 56.8 s pre-fix) - the catalog adds no\n"
-            "overhead over plain partitioned parquet, and the run ends with\n"
-            "8 snapshots + time travel over the sink table.\n"
-        )
+    path = os.path.join(_REPO, "BENCH.md")
+    # Surgical update: replace ONLY the measured table + efficiency line in
+    # the existing BENCH.md, preserving every hand-recorded section (a
+    # round-2 run of the old template-writer silently dropped the newer
+    # one-off measurement sections; recovered from git).
+    import re
+
+    with open(path) as f:
+        doc = f.read()
+    table = (
+        "| parallelism | pinned cores | rows/run | rows/sec (median) |\n"
+        "|---|---|---|---|\n"
+        f"| N  (local[1]) | 1 | {rows} | {t1:,.0f} |\n"
+        f"| 4N (local[4]) | 4 | {rows} | {t4:,.0f} |\n\n"
+        f"**Scaling efficiency** = median over pairs of "
+        f"throughput(4N) / (4 x throughput(N)) = "
+        f"**{eff:.3f}** (target >= 0.8)"
+    )
+    pat = re.compile(
+        r"\| parallelism \| pinned cores.*?\*\*(?:[\d.]+)\*\* \(target >= 0\.8\)",
+        re.S,
+    )
+    if pat.search(doc):
+        doc = pat.sub(lambda _m: table, doc, count=1)
+    else:  # no existing table — append a minimal section
+        doc += "\n## Scaling (N vs 4N pinned cores)\n\n" + table + "\n"
+    with open(path, "w") as f:
+        f.write(doc)
     print(json.dumps({"scaling_efficiency": round(eff, 3),
                       "rows_per_sec_n": t1, "rows_per_sec_4n": t4}))
 
