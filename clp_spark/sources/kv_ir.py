@@ -73,9 +73,13 @@ _KIND_TO_NODE_TAG = {
 }
 
 
-def make_kv_preamble(user_metadata: dict | None = None) -> bytes:
+def make_kv_preamble(
+    user_metadata: dict | None = None, four: bool = False
+) -> bytes:
     """Magic + JSON metadata frame (Serializer.cpp:502-560; nlohmann json =
-    std::map, keys sorted, compact)."""
+    std::map, keys sorted, compact). ``four`` selects the four-byte-encoding
+    magic (the kv Serializer is templated over both encodings; the encoding
+    choice governs how clp-string values pack their variables)."""
     meta = {
         "VARIABLES_SCHEMA_ID": "com.yscope.clp.VariablesSchemaV2",
         "VARIABLE_ENCODING_METHODS_ID": "com.yscope.clp.VariableEncodingMethodsV1",
@@ -93,6 +97,10 @@ def make_kv_preamble(user_metadata: dict | None = None) -> bytes:
         hdr = bytes([0x01, 0x12]) + len(payload).to_bytes(2, "big")
     else:
         raise ValueError("metadata longer than 64 KiB")
+    if four:
+        from clp_spark.sources.ir_four import MAGIC_4BYTE
+
+        return MAGIC_4BYTE + hdr + payload
     return MAGIC_8BYTE + hdr + payload
 
 
@@ -164,10 +172,12 @@ def _write_str_packets(buf, pos, lens, data, starts, tags=(STR_U8, STR_U16, STR_
     _write_len_tagged(buf, pos, lens, tags, data, starts)
 
 
-def _clp_str_parts(data: np.ndarray, offsets: np.ndarray):
+def _clp_str_parts(data: np.ndarray, offsets: np.ndarray, four: bool = False):
     """encode_core over the given strings → (per-string serialized size,
-    writer(buf, positions)) for 0x5A clp-string value packets (tag + encoded
-    vars in order + logtype; utils.hpp serialize_clp_string)."""
+    writer(buf, positions)) for clp-string value packets: 0x5A + 8-byte
+    encoded vars, or 0x59 + 4-byte encoded vars with oversize-value
+    demotion when ``four`` (utils.hpp serialize_clp_string, templated over
+    both encodings)."""
     from clp_spark.functions.encode_kernel_np import DICT_PH, encode_core
     from clp_spark.sources.ir_stream import (
         LT_I32, LT_U8, LT_U16, VAR_8BYTE, VAR_STR_I32, VAR_STR_U8, VAR_STR_U16,
@@ -196,29 +206,39 @@ def _clp_str_parts(data: np.ndarray, offsets: np.ndarray):
     d_in = np.asarray(raw["d_inner_offsets"], dtype=np.int64)
     lt_data = raw["lt_data"]
     lt_offs = np.asarray(raw["lt_offsets"], dtype=np.int64)
+    if four:
+        from clp_spark.sources.ir_four import to_four_byte_columns
 
+        lt_data, codes, nd_values, d_data, d_in = to_four_byte_columns(
+            lt_data, lt_offs, codes, var_offsets, nd_values, d_data, d_in
+        )
+
+    val_tag = 0x59 if four else VAL_CLP_STR8
+    var_tag = 0x18 if four else VAR_8BYTE
+    enc_w = 4 if four else 8
     is_dict = codes == DICT_PH
     d_lens = np.diff(d_in).astype(np.int64)
-    var_sizes = np.full(len(codes), 9, dtype=np.int64)
+    var_sizes = np.full(len(codes), 1 + enc_w, dtype=np.int64)
     var_sizes[is_dict] = _len_header_sizes(d_lens) + d_lens
     vcs = np.concatenate([[0], np.cumsum(var_sizes)]).astype(np.int64)
     per_msg_var_bytes = vcs[var_offsets[1:]] - vcs[var_offsets[:-1]]
     lt_lens = np.diff(lt_offs).astype(np.int64)
     lt_sizes = _len_header_sizes(lt_lens) + lt_lens
-    sizes = 1 + per_msg_var_bytes + lt_sizes  # 0x5A + vars + logtype
+    sizes = 1 + per_msg_var_bytes + lt_sizes  # tag + vars + logtype
 
     def write(buf: np.ndarray, pos: np.ndarray) -> None:
-        buf[pos] = VAL_CLP_STR8
+        buf[pos] = val_tag
         var_counts = np.diff(var_offsets).astype(np.int64)
         nv = len(codes)
         if nv:
             base = np.repeat(vcs[var_offsets[:-1]], var_counts)
             var_pos = np.repeat(pos + 1, var_counts) + (vcs[:nv] - base)
             ep = var_pos[~is_dict]
-            buf[ep] = VAR_8BYTE
+            buf[ep] = var_tag
             if len(ep):
-                be = nd_values.astype(">i8").view(np.uint8).reshape(-1, 8)
-                idx = (ep + 1)[:, None] + np.arange(8, dtype=np.int64)
+                dt = ">i4" if four else ">i8"
+                be = nd_values.astype(dt).view(np.uint8).reshape(-1, enc_w)
+                idx = (ep + 1)[:, None] + np.arange(enc_w, dtype=np.int64)
                 buf[idx.ravel()] = be.ravel()
             dp = var_pos[is_dict]
             _write_len_tagged(
@@ -240,6 +260,7 @@ def serialize_kv_ir_core(
     leaves: list[Leaf],
     preamble: bytes | None = None,
     eof: bool = True,
+    encoding: str = "eight",
 ) -> np.ndarray:
     """Serialize n events of leaf-columnar kv pairs into one kv-IR blob.
 
@@ -316,7 +337,9 @@ def serialize_kv_ir_core(
                 if len(sub):
                     sub[:] = lf.data[np.repeat(starts_c, lens_c) + _ranges(lens_c)]
                 sub_offs = np.concatenate([[0], np.cumsum(lens_c)]).astype(np.int64)
-                csizes, writer = _clp_str_parts(sub, sub_offs)
+                csizes, writer = _clp_str_parts(
+                    sub, sub_offs, four=encoding == "four"
+                )
                 sizes[li, idx] = csizes
                 clp_writers.append((li, idx, writer))
             str_meta.append((lens, has_space))
@@ -348,7 +371,9 @@ def serialize_kv_ir_core(
         defs_at[rec["first"]] += _node_def_size(path, tag, rec)
 
     pre = np.frombuffer(
-        preamble if preamble is not None else make_kv_preamble(), dtype=np.uint8
+        preamble if preamble is not None
+        else make_kv_preamble(four=encoding == "four"),
+        dtype=np.uint8,
     )
     unit_sizes = defs_at + ev_sizes
     total = len(pre) + int(unit_sizes.sum()) + (1 if eof else 0)
@@ -470,6 +495,7 @@ def _build_kv_luts():
         (VAL_I64, _K_INT, 8),
         (VAL_FLOAT, _K_FLOAT, 8),
         (VAR_8BYTE, _K_ENC_VAR, 8),
+        (0x18, _K_ENC_VAR, 4),  # VarFourByteEncoding (inside 0x59 clp-strs)
         (UTC_OFFSET_CHANGE, _K_UTC, 8),
     ):
         kind[t] = k
@@ -486,6 +512,7 @@ def _build_kv_luts():
         (VAL_TRUE, _K_BOOL, 1), (VAL_FALSE, _K_BOOL, 0),
         (VAL_NULL, _K_NULL, 0), (VAL_EMPTY, _K_EMPTY, 0),
         (VAL_CLP_STR8, _K_CLP, 0),
+        (0x59, _K_CLP, 1),  # ValueFourByteEncodingClpStr: cval marks 4-byte
     ):
         kind[t] = k
         cval[t] = c
@@ -615,9 +642,10 @@ def deserialize_kv_ir_many(blobs: list[bytes]) -> dict:
     ends = offs + np.array([len(a) for a in arrs], dtype=np.int64)
     starts = np.zeros(nb, dtype=np.int64)
     for i, a in enumerate(arrs):
-        body, meta, four = _skip_preamble(a)
-        if four:
-            raise ValueError("four-byte kv-IR streams are not supported")
+        # four-byte magic accepted: the encoding choice only governs how
+        # clp-string values pack their vars (0x59/0x18 tags, handled by the
+        # LUT + the promotion in _decode_clp_runs)
+        body, meta, _four = _skip_preamble(a)
         if meta.get("VERSION") != KV_VERSION:
             raise ValueError(
                 f"not a kv-IR stream (VERSION {meta.get('VERSION')!r})"
@@ -814,9 +842,26 @@ def _decode_clp_runs(big, blob_ids, kinds, vals, spans, marker_ix):
         pa.py_buffer(lt_offs.astype(np.int32).tobytes()),
         pa.py_buffer(lt_data.tobytes()),
     )
+    enc_vals = vals[enc_m].astype(np.int64) if enc_m.any() else np.zeros(0, np.int64)
+    # 0x59 (four-byte) clp-strings: promote float values to the 8-byte
+    # layout before decoding — float-ness lives in the logtype placeholders
+    four_marks = vals[marker_ix] == 1
+    if four_marks.any() and len(enc_vals):
+        from clp_spark.functions.encode_kernel_np import DICT_PH, FLOAT_PH
+        from clp_spark.sources.ir_four import float4_to_float8
+        from clp_spark.sources.ir_stream import codes_from_logtypes
+
+        codes, _voffs = codes_from_logtypes(lt_data, lt_offs)
+        nd_codes = codes[codes != DICT_PH]
+        if len(nd_codes) != len(enc_vals):
+            raise ValueError("clp-string var count disagrees with logtype")
+        pm = four_marks[mid[enc_m]] & (nd_codes == FLOAT_PH)
+        if pm.any():
+            enc_vals = enc_vals.copy()
+            enc_vals[pm] = float4_to_float8(enc_vals[pm])
     enc_arr = pa.ListArray.from_arrays(
         pa.array(np.concatenate([[0], np.cumsum(enc_counts)]), type=pa.int32()),
-        pa.array(vals[enc_m].astype(np.int64) if enc_m.any() else np.zeros(0, np.int64)),
+        pa.array(enc_vals),
     )
     d_inner = pa.StringArray.from_buffers(
         int(dict_counts.sum()),
@@ -901,10 +946,15 @@ def events_to_kv_ir_df(
     stream_col: str = "source",
     events_per_chunk: int = 1024,
     order_col: str | None = None,
+    encoding: str = "eight",
 ):
     """Structured rows → chunked kv-IR blobs, one row per chunk. Every
     non-stream column becomes a (possibly nested, via StructType) key; NULL
-    values mean the key is absent from that event."""
+    values mean the key is absent from that event. ``encoding="four"``
+    emits the four-byte-encoding stream (0x59 clp-strings, compact var
+    packing, four-byte magic)."""
+    if encoding not in ("eight", "four"):
+        raise ValueError("encoding must be 'eight' or 'four'")
     import pyarrow as pa
 
     def _fn(batches):
@@ -950,7 +1000,9 @@ def events_to_kv_ir_df(
                                 lf.path, lf.kind, lf.valid[a:b],
                                 values=lf.values[a:b],
                             ))
-                    blob = serialize_kv_ir_core(b - a, chunk_leaves)
+                    blob = serialize_kv_ir_core(
+                        b - a, chunk_leaves, encoding=encoding
+                    )
                     out_stream.append(sval)
                     ci = next_chunk_ix.get(sval, 0)
                     next_chunk_ix[sval] = ci + 1

@@ -319,3 +319,51 @@ class TestNodeTypeValidation:
         df = spark.createDataFrame([("s", pre + body)], "stream string, ir binary")
         with pytest.raises(Exception, match="does not match"):
             kv_ir_to_rows_df(df).collect()
+
+
+class TestFourByteKv:
+    def test_four_byte_clp_strings_roundtrip(self, spark):
+        """encoding='four': four-byte magic, 0x59 clp-strings with 0x18
+        vars; oversize values demote inside the clp-string; decoded rows
+        equal the eight-byte stream's."""
+        from clp_spark.sources.ir_four import MAGIC_4BYTE
+        from clp_spark.sources.kv_ir import events_to_kv_ir_df, kv_ir_to_rows_df
+
+        rows = [
+            (f"s{i % 2}", i,
+             f"req {i} took {i * 0.25:.2f} ms big {3_000_000_000 + i} precise "
+             f"123456789.12345{i % 10}")
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "source string, seq long, msg string")
+
+        def rowset(encoding):
+            chunks = events_to_kv_ir_df(df, "source", events_per_chunk=40,
+                                        order_col="seq", encoding=encoding)
+            pdf = chunks.toPandas()
+            magic = MAGIC_4BYTE if encoding == "four" else kv.MAGIC_8BYTE
+            assert all(bytes(b[:4]) == magic for b in pdf["ir"])
+            got = kv_ir_to_rows_df(spark.createDataFrame(pdf)).collect()
+            return sorted(
+                (r["stream"], r["path"], r["int_val"], r["str_val"])
+                for r in got
+            )
+
+        four = rowset("four")
+        eight = rowset("eight")
+        assert four == eight
+        # the messages decoded exactly (spot-check one)
+        msgs = [s for _st, p, _i, s in four if p == "msg"]
+        assert rows[0][2] in msgs
+
+    def test_four_byte_core_golden(self):
+        """0x59 tag + 0x18 int32 var appear in the four-byte stream."""
+        md, mo = _strcol(["v 7 w"])
+        blob = kv.serialize_kv_ir_core(
+            1, [kv.Leaf(("m",), "str", [True], data=md, offsets=mo)],
+            encoding="four",
+        ).tobytes()
+        body = blob[7 + blob[6]:]
+        assert 0x59 in body and 0x18 in body and 0x5A not in body
+        out = kv.deserialize_kv_ir_many([blob])
+        assert _rows(out) == [(0, "m", "v 7 w")]
