@@ -224,7 +224,8 @@ def cmd_kv_import(args) -> None:
         .withColumn("_stream", F.input_file_name())
     )
     chunks = events_to_kv_ir_df(
-        df, "_stream", events_per_chunk=args.events_per_chunk
+        df, "_stream", events_per_chunk=args.events_per_chunk,
+        encoding="four" if args.four_byte else "eight",
     )
     chunks.write.mode("overwrite").parquet(args.output)
     stats = spark.read.parquet(args.output).agg(
@@ -333,6 +334,11 @@ def main(argv: list[str] | None = None) -> None:
     ki.add_argument("output")
     ki.add_argument("inputs", nargs="+")
     ki.add_argument("--events-per-chunk", type=int, default=1024)
+    ki.add_argument(
+        "--four-byte", action="store_true",
+        help="emit the four-byte-encoding kv-IR stream (compact clp-string "
+        "variable packing)",
+    )
     ki.set_defaults(fn=cmd_kv_import)
 
     ke = sub.add_parser(
