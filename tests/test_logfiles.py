@@ -275,3 +275,58 @@ def test_searchable_after_compress(spark, archive):
     assert got[0]["message"] == (
         "2016-05-08 07:34:06,002 WARN slow response 120 ms from node-7"
     )
+
+
+def test_reference_log_fixture_byte_exact_lifecycle(spark, tmp_path):
+    """The reference's own test_log_files/log.txt content (transcribed:
+    fractional-second timestamps, a multiline message, backslash paths, and
+    a trailing line the known-pattern list reads as an epoch timestamp —
+    '%#3') must compress, search, and extract back byte-exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from clp_spark.operators.search import search_archive
+    from clp_spark.sources.logfiles import compress_text_logs, extract_to_files
+
+    content = (
+        "2016-05-08 07:34:05.251 MyDog123 APet4123\\test.txt\n"
+        "2016-05-08 07:34:05.252 statictext123\n"
+        "2016-05-08 07:34:05.253 123 1.9 GB out of 4.2 GB data\n"
+        "2016-05-08 07:34:05.254 123.123\n"
+        "is multiline\n"
+        "2016-05-08 07:34:05.255 Some Static Text Then MyDog123 "
+        "APet4123\\test.txt Then 123 then 123.123\n"
+        "123123 relative timestamp\n"
+    )
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "log.txt").write_text(content)
+    arch = str(tmp_path / "arch")
+    compress_text_logs(spark, str(d / "log.txt"), arch)
+
+    # multiline head carries its continuation; messages searchable
+    sinks = spark.read.option("basePath", f"{arch}/sinks").parquet(f"{arch}/sinks")
+    lt = spark.read.parquet(f"{arch}/logtype_dict")
+    vd = spark.read.parquet(f"{arch}/var_dict")
+    res = search_archive(
+        sinks.withColumn("doc_id", F.concat_ws("#", "file_id", "msg_ix"))
+        .withColumn("source", F.col("file_id")),
+        lt, vd, "*multiline*",
+    )
+    msgs = [r["message"] for r in res.collect()]
+    assert msgs == ["2016-05-08 07:34:05.254 123.123\nis multiline"]
+    # per-file pattern LOCK (Archive.cpp:293): the file locked the
+    # fractional-second pattern on line 1, so the digit-leading last line
+    # does NOT match the locked pattern and becomes a CONTINUATION of the
+    # previous message — NOT an epoch-%#3 head (that pattern only wins on
+    # files whose FIRST matching line is epoch-shaped)
+    assert sinks.where("ts_ms = 123123").count() == 0
+    last = sinks.orderBy("msg_ix", ascending=False).limit(1).collect()[0]
+    assert sinks.count() == 5  # 7 lines → 5 messages (2 continuations)
+
+    out = str(tmp_path / "extract")
+    extract_to_files(spark, arch, out)
+    files = [f for f in os.listdir(out) if not f.startswith("_")]
+    assert len(files) == 1
+    assert open(os.path.join(out, files[0])).read() == content
