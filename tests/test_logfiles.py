@@ -322,7 +322,6 @@ def test_reference_log_fixture_byte_exact_lifecycle(spark, tmp_path):
     # previous message — NOT an epoch-%#3 head (that pattern only wins on
     # files whose FIRST matching line is epoch-shaped)
     assert sinks.where("ts_ms = 123123").count() == 0
-    last = sinks.orderBy("msg_ix", ascending=False).limit(1).collect()[0]
     assert sinks.count() == 5  # 7 lines → 5 messages (2 continuations)
 
     out = str(tmp_path / "extract")
