@@ -952,7 +952,14 @@ def events_to_kv_ir_df(
     non-stream column becomes a (possibly nested, via StructType) key; NULL
     values mean the key is absent from that event. ``encoding="four"``
     emits the four-byte-encoding stream (0x59 clp-strings, compact var
-    packing, four-byte magic)."""
+    packing, four-byte magic).
+
+    Scale note: the one shuffle repartitions by the stream column, so one
+    giant stream serializes in one task. At 100-TB scale salt hot streams
+    upstream (stream → concat(stream, pmod(xxhash64(order), K))) — chunks
+    are self-contained, so a salted stream's chunks remain independently
+    decodable and the shards merge by chunk_ix at read time (the same
+    mitigation events_to_ir_df documents)."""
     if encoding not in ("eight", "four"):
         raise ValueError("encoding must be 'eight' or 'four'")
     import pyarrow as pa
