@@ -367,3 +367,70 @@ class TestFourByteKv:
         assert 0x59 in body and 0x18 in body and 0x5A not in body
         out = kv.deserialize_kv_ir_many([blob])
         assert _rows(out) == [(0, "m", "v 7 w")]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class TestKvFuzz:
+    @settings(max_examples=30, deadline=None)
+    @given(
+        data=st.data(),
+        n=st.integers(min_value=1, max_value=12),
+        encoding=st.sampled_from(["eight", "four"]),
+    )
+    def test_fuzz_roundtrip(self, data, n, encoding):
+        """Random leaf schemas/validity/values round-trip through both
+        encodings."""
+        leaves = []
+        n_leaves = data.draw(st.integers(min_value=0, max_value=4))
+        for li in range(n_leaves):
+            kind = data.draw(st.sampled_from(["int", "float", "bool", "str"]))
+            valid = data.draw(
+                st.lists(st.booleans(), min_size=n, max_size=n)
+            )
+            path = (f"k{li}",) if li % 2 == 0 else ("nest", f"k{li}")
+            if kind == "int":
+                vals = data.draw(st.lists(
+                    st.integers(min_value=-(1 << 62), max_value=1 << 62),
+                    min_size=n, max_size=n))
+                leaves.append(kv.Leaf(path, "int", valid, values=np.array(vals)))
+            elif kind == "float":
+                vals = data.draw(st.lists(
+                    st.floats(allow_nan=False, allow_infinity=False),
+                    min_size=n, max_size=n))
+                leaves.append(kv.Leaf(path, "float", valid,
+                                      values=np.array(vals, dtype=np.float64)))
+            elif kind == "bool":
+                vals = data.draw(st.lists(st.booleans(), min_size=n, max_size=n))
+                leaves.append(kv.Leaf(path, "bool", valid,
+                                      values=np.array(vals, dtype=bool)))
+            else:
+                vals = data.draw(st.lists(
+                    st.text(alphabet=st.characters(min_codepoint=32,
+                                                   max_codepoint=126),
+                            max_size=30),
+                    min_size=n, max_size=n))
+                d, o = _strcol(vals)
+                leaves.append(kv.Leaf(path, "str", valid, data=d, offsets=o))
+        blob = kv.serialize_kv_ir_core(n, leaves, encoding=encoding).tobytes()
+        out = kv.deserialize_kv_ir_many([blob])
+        assert out["n_events"].tolist() == [n]
+        got = _rows(out)
+        expect = []
+        for li, lf in enumerate(leaves):
+            for e in range(n):
+                if not lf.valid[e]:
+                    continue
+                p = ".".join(lf.path)
+                if lf.kind == "str":
+                    v = lf.data[lf.offsets[e]:lf.offsets[e + 1]].tobytes().decode()
+                elif lf.kind == "int":
+                    v = int(lf.values[e])
+                elif lf.kind == "bool":
+                    v = bool(lf.values[e])
+                else:
+                    v = float(lf.values[e])
+                expect.append((e, p, v))
+        assert got == sorted(expect)
