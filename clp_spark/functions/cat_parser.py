@@ -1,0 +1,232 @@
+"""clp-s CAT timestamp-pattern parser → JVM Column expressions.
+
+The reference's standalone timestamp-parser sub-library
+(components/core/src/clp_s/timestamp_parser/TimestampParser.cpp) defines a
+pattern-template language over backslash specifiers, parsed to NANOSECOND
+epoch values:
+
+  \\y 2-digit year (pivot 69: ≥69 → 1900+, else 2000+ — lines 33-35,1386)
+  \\Y 4-digit year          \\m zero-padded month      \\d zero-padded day
+  \\e space-padded day      \\B{Jan,...} month name set
+  \\A{Sun,...} weekday name set (matched, value ignored)
+  \\H zero-padded 24h hour  \\k space-padded 24h hour
+  \\I zero-padded 12h hour  \\l space-padded 12h hour  \\p AM/PM
+  \\M minute  \\S second  \\J leap second (60 allowed)
+  \\3/\\6/\\9 fixed 3/6/9-digit fraction  \\T variable fraction (≤9 digits)
+  \\E/\\L/\\C/\\N signed epoch seconds/ms/us/ns (fraction sign-distributes)
+  \\z{±HH[:MM] | ±HHMM} literal timezone-offset text, offset applied
+  \\o{NAME,±HHMM} literal timezone-name text, offset applied
+  \\\\ literal backslash; other characters are literals.
+
+Compile-time validation mirrors the reference error taxonomy: control
+characters and '"' are invalid characters; \\b \\f \\n \\r \\t \\u... are
+invalid escape sequences; at most one timezone specifier; \\o requires
+exactly NAME,±HHMM with no spaces.
+
+`parse_cat_timestamp_ns(col, pattern)` returns epoch NANOSECONDS as a long
+Column (NULL when the whole string doesn't match the pattern) — built
+entirely from regexp_extract + make_date/datediff arithmetic, no UDFs.
+Missing calendar fields default to the epoch (year 1970, Jan 1, 00:00:00),
+matching the reference's year-less syslog behavior.
+"""
+
+from __future__ import annotations
+
+import re as _re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_NS = 1_000_000_000
+
+# (regex fragment, captures?) per simple specifier
+_SIMPLE = {
+    "y": r"(\d{2})",
+    "Y": r"(\d{4})",
+    "m": r"(\d{2})",
+    "d": r"(\d{2})",
+    "e": r"([\d ]\d|\d)",
+    "H": r"(\d{2})",
+    "k": r"([\d ]\d|\d)",
+    "I": r"(\d{2})",
+    "l": r"([\d ]\d|\d)",
+    "p": r"(AM|PM)",
+    "M": r"(\d{2})",
+    "S": r"(\d{2})",
+    "J": r"(\d{2})",
+    "3": r"(\d{3})",
+    "6": r"(\d{6})",
+    "9": r"(\d{9})",
+    "T": r"(\d{1,9})",
+    "E": r"(-?\d{1,19})",
+    "L": r"(-?\d{1,19})",
+    "C": r"(-?\d{1,19})",
+    "N": r"(-?\d{1,19})",
+}
+
+_EPOCH_MULT = {"E": _NS, "L": 1_000_000, "C": 1_000, "N": 1}
+_FRAC_MULT = {"3": 1_000_000, "6": 1_000, "9": 1}
+
+
+class CatPatternError(ValueError):
+    pass
+
+
+@dataclass
+class CatPattern:
+    source: str
+    regex: str  # fully anchored
+    groups: list = field(default_factory=list)  # (spec, extra) per group
+    tz_offset_s: int = 0
+
+
+def _parse_tz_offset(text: str) -> int:
+    m = _re.fullmatch(r"([+-])(\d{2})(?::?(\d{2}))?", text)
+    if not m:
+        raise CatPatternError(f"invalid timezone offset {text!r}")
+    sign = 1 if m.group(1) == "+" else -1
+    return sign * (int(m.group(2)) * 3600 + int(m.group(3) or 0) * 60)
+
+
+def compile_cat_pattern(pattern: str) -> CatPattern:
+    out: list[str] = ["^"]
+    groups: list = []
+    tz_seen = False
+    tz_offset = 0
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if ord(c) < 0x20 or c == '"':
+            raise CatPatternError(f"invalid character {c!r} in pattern")
+        if c != "\\":
+            out.append(_re.escape(c))
+            i += 1
+            continue
+        if i + 1 >= n:
+            raise CatPatternError("dangling escape at end of pattern")
+        s = pattern[i + 1]
+        i += 2
+        if s == "\\":
+            out.append(_re.escape("\\"))
+            continue
+        if s in ("A", "B"):
+            if i >= n or pattern[i] != "{":
+                raise CatPatternError(f"\\{s} requires a {{name,...}} set")
+            j = pattern.index("}", i)
+            names = pattern[i + 1 : j].split(",")
+            i = j + 1
+            if not names or any(not nm or " " in nm for nm in names):
+                raise CatPatternError(f"invalid \\{s} name set")
+            alt = "|".join(_re.escape(nm) for nm in names)
+            if s == "A":
+                out.append(f"(?:{alt})")  # matched, value ignored
+            else:
+                out.append(f"({alt})")
+                groups.append(("B", names))
+            continue
+        if s in ("z", "o"):
+            if tz_seen:
+                raise CatPatternError("at most one timezone specifier")
+            tz_seen = True
+            if i >= n or pattern[i] != "{":
+                raise CatPatternError(f"\\{s} requires braces")
+            j = pattern.index("}", i)
+            body = pattern[i + 1 : j]
+            i = j + 1
+            if s == "z":
+                tz_offset = _parse_tz_offset(body)
+                out.append(_re.escape(body))
+            else:
+                parts = body.split(",")
+                if len(parts) != 2 or not parts[0] or " " in body:
+                    raise CatPatternError(f"invalid \\o spec {body!r}")
+                if not _re.fullmatch(r"[+-]\d{4}", parts[1]):
+                    raise CatPatternError(f"invalid timezone offset {parts[1]!r}")
+                tz_offset = _parse_tz_offset(parts[1])
+                out.append(_re.escape(parts[0]))
+            continue
+        if s not in _SIMPLE:
+            raise CatPatternError(f"invalid escape sequence \\{s}")
+        out.append(_SIMPLE[s])
+        groups.append((s, None))
+    out.append("$")
+    return CatPattern(pattern, "".join(out), groups, tz_offset)
+
+
+def parse_cat_timestamp_ns(col: Column, pattern: str | CatPattern) -> Column:
+    """Epoch nanoseconds (long) for strings fully matching the pattern,
+    NULL otherwise."""
+    p = pattern if isinstance(pattern, CatPattern) else compile_cat_pattern(pattern)
+    rx = p.regex
+
+    def grab(ix: int) -> Column:
+        return F.regexp_extract(col, rx, ix + 1)
+
+    year = F.lit(1970)
+    month = F.lit(1)
+    day = F.lit(1)
+    hour12 = None
+    pm = None
+    hour = F.lit(0)
+    minute = F.lit(0)
+    second = F.lit(0)
+    frac_ns = F.lit(0).cast("long")
+    epoch: Column | None = None
+    for ix, (s, extra) in enumerate(p.groups):
+        g = grab(ix)
+        if s == "y":
+            v = g.cast("int")
+            year = F.when(v >= 69, v + 1900).otherwise(v + 2000)
+        elif s == "Y":
+            year = g.cast("int")
+        elif s == "m":
+            month = g.cast("int")
+        elif s == "B":
+            names = extra
+            month = F.array_position(
+                F.array(*[F.lit(nm) for nm in names]), g
+            ).cast("int")
+        elif s in ("d", "e"):
+            day = F.trim(g).cast("int")
+        elif s in ("H", "k"):
+            hour = F.trim(g).cast("int")
+        elif s in ("I", "l"):
+            hour12 = F.trim(g).cast("int")
+        elif s == "p":
+            pm = g == "PM"
+        elif s == "M":
+            minute = g.cast("int")
+        elif s in ("S", "J"):
+            second = g.cast("int")
+        elif s in ("3", "6", "9"):
+            frac_ns = (g.cast("long") * F.lit(_FRAC_MULT[s])).cast("long")
+        elif s == "T":
+            frac_ns = F.rpad(g, 9, "0").cast("long")
+        elif s in _EPOCH_MULT:
+            epoch = g.cast("long") * F.lit(_EPOCH_MULT[s]).cast("long")
+    if hour12 is not None:
+        h = F.pmod(hour12, F.lit(12))
+        hour = F.when(pm if pm is not None else F.lit(False), h + 12).otherwise(h)
+    if epoch is not None:
+        # fraction magnitude takes the integer part's sign: "-X.frac" is
+        # -(X.frac), per the reference golden table
+        sign = F.when(epoch < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+        ns = epoch + sign * frac_ns
+    else:
+        days = F.datediff(
+            F.make_date(year, month, day), F.to_date(F.lit("1970-01-01"))
+        ).cast("long")
+        secs = days * 86400 + hour.cast("long") * 3600 + minute.cast("long") * 60 \
+            + second.cast("long")
+        ns = secs * F.lit(_NS).cast("long") + frac_ns
+    if p.tz_offset_s:
+        ns = ns - F.lit(p.tz_offset_s).cast("long") * F.lit(_NS).cast("long")
+    return F.when(col.rlike(rx), ns).otherwise(F.lit(None).cast("long"))
+
+
+def parse_cat_timestamp_ms(col: Column, pattern: str | CatPattern) -> Column:
+    """Epoch milliseconds (floor division of the ns value — CLP's stored
+    resolution)."""
+    ns = parse_cat_timestamp_ns(col, pattern)
+    return F.floor(ns / F.lit(1_000_000)).cast("long")

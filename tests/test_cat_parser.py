@@ -1,0 +1,150 @@
+"""clp-s CAT timestamp-pattern parser goldens, transcribed from the
+reference's own suite (components/core/src/clp_s/timestamp_parser/test/
+test_TimestampParser.cpp: the 'Timestamps are parsed accurately' table,
+timezone rows, and the pattern-rejection taxonomy)."""
+
+import pytest
+
+from clp_spark.functions.cat_parser import (
+    CatPatternError,
+    compile_cat_pattern,
+    parse_cat_timestamp_ns,
+)
+
+MONTHS = r"\B{Jan,Feb,Mar,Apr,May,Jun,Jul,Aug,Sep,Oct,Nov,Dec}"
+FULL_MONTHS = (
+    r"\B{January,February,March,April,May,June,July,August,September,"
+    r"October,November,December}"
+)
+DAYS = r"\A{Sun,Mon,Tue,Wed,Thu,Fri,Sat}"
+
+ACCURACY = [
+    ("2015-02-01T01:02:03.004", r"\Y-\m-\dT\H:\M:\S.\3", 1_422_752_523_004_000_000),
+    ("2015-02-01T01:02:03.004005", r"\Y-\m-\dT\H:\M:\S.\6", 1_422_752_523_004_005_000),
+    ("2015-02-01T01:02:03.004005006", r"\Y-\m-\dT\H:\M:\S.\9", 1_422_752_523_004_005_006),
+    ("2015-02-01T01:02:03,004", r"\Y-\m-\dT\H:\M:\S,\3", 1_422_752_523_004_000_000),
+    ("[2015-02-01T01:02:03", r"[\Y-\m-\dT\H:\M:\S", 1_422_752_523_000_000_000),
+    ("[20150201-01:02:03]", r"[\Y\m\d-\H:\M:\S]", 1_422_752_523_000_000_000),
+    ("2015-02-01 01:02:03,004", r"\Y-\m-\d \H:\M:\S,\3", 1_422_752_523_004_000_000),
+    ("2015-02-01 01:02:03.004", r"\Y-\m-\d \H:\M:\S.\3", 1_422_752_523_004_000_000),
+    ("[2015-02-01 01:02:03,004]", r"[\Y-\m-\d \H:\M:\S,\3]", 1_422_752_523_004_000_000),
+    ("2015-02-01 01:02:03", r"\Y-\m-\d \H:\M:\S", 1_422_752_523_000_000_000),
+    ("2015/02/01 01:02:03", r"\Y/\m/\d \H:\M:\S", 1_422_752_523_000_000_000),
+    ("15/02/01 01:02:03", r"\y/\m/\d \H:\M:\S", 1_422_752_523_000_000_000),
+    ("150201  1:02:03", r"\y\m\d \k:\M:\S", 1_422_752_523_000_000_000),
+    ("01 Feb 2015 01:02:03,004", rf"\d {MONTHS} \Y \H:\M:\S,\3",
+     1_422_752_523_004_000_000),
+    ("Feb 01, 2015  1:02:03 AM", rf"{MONTHS} \d, \Y \l:\M:\S \p",
+     1_422_752_523_000_000_000),
+    ("Feb 01, 2015 01:02:03 AM", rf"{MONTHS} \d, \Y \I:\M:\S \p",
+     1_422_752_523_000_000_000),
+    ("Feb 01, 2015 12:02:03 AM", rf"{MONTHS} \d, \Y \l:\M:\S \p",
+     1_422_748_923_000_000_000),
+    ("Feb 01, 2015 12:02:03 PM", rf"{MONTHS} \d, \Y \l:\M:\S \p",
+     1_422_792_123_000_000_000),
+    ("February 01, 2015 01:02", rf"{FULL_MONTHS} \d, \Y \H:\M",
+     1_422_752_520_000_000_000),
+    ("[01/Feb/2015:01:02:03", rf"[\d/{MONTHS}/\Y:\H:\M:\S",
+     1_422_752_523_000_000_000),
+    ("Sun Feb  1 01:02:03 2015", rf"{DAYS} {MONTHS} \e \H:\M:\S \Y",
+     1_422_752_523_000_000_000),
+    ("<<<2015-02-01 01:02:03:004", r"<<<\Y-\m-\d \H:\M:\S:\3",
+     1_422_752_523_004_000_000),
+    ("Jan 21 11:56:42", rf"{MONTHS} \d \H:\M:\S", 1_771_002_000_000_000),
+    ("01-21 11:56:42.392", r"\m-\d \H:\M:\S.\3", 1_771_002_392_000_000),
+    ("2015/01/31 15:50:45.123", r"\Y/\m/\d \H:\M:\S.\3", 1_422_719_445_123_000_000),
+    ("2015-01-31T15:50:45", r"\Y-\m-\dT\H:\M:\S", 1_422_719_445_000_000_000),
+    # epoch specifiers
+    ("1762445893", r"\E", 1_762_445_893_000_000_000),
+    ("1762445893001", r"\L", 1_762_445_893_001_000_000),
+    ("1762445893001002", r"\C", 1_762_445_893_001_002_000),
+    ("1762445893001002003", r"\N", 1_762_445_893_001_002_003),
+    ("1762445893.001", r"\E.\3", 1_762_445_893_001_000_000),
+    ("1762445893.001002", r"\E.\6", 1_762_445_893_001_002_000),
+    ("1762445893.001002003", r"\E.\9", 1_762_445_893_001_002_003),
+    ("1762445893.00100201", r"\E.\T", 1_762_445_893_001_002_010),
+    ("1762445893.1", r"\E.\T", 1_762_445_893_100_000_000),
+    ("-1762445893", r"\E", -1_762_445_893_000_000_000),
+    ("-1762445893001", r"\L", -1_762_445_893_001_000_000),
+    ("-1762445893001002", r"\C", -1_762_445_893_001_002_000),
+    ("-1762445893001002003", r"\N", -1_762_445_893_001_002_003),
+    ("-1762445893.001", r"\E.\3", -1_762_445_893_001_000_000),
+    ("-1762445893.00100201", r"\E.\T", -1_762_445_893_001_002_010),
+    ("-1762445893.1", r"\E.\T", -1_762_445_893_100_000_000),
+    # timezones: literal-text specifiers with constant offsets
+    ("Jan 21 11:56:42Z", rf"{MONTHS} \d \H:\M:\SZ", 1_771_002_000_000_000),
+    ("Jan 21 11:56:42 UTC-01", rf"{MONTHS} \d \H:\M:\S UTC\z{{-01}}",
+     1_774_602_000_000_000),
+    ("Jan 21 11:56:42 UTC-01:30", rf"{MONTHS} \d \H:\M:\S UTC\z{{-01:30}}",
+     1_776_402_000_000_000),
+    ("Jan 21 11:56:42 UTC-0130", rf"{MONTHS} \d \H:\M:\S UTC\z{{-0130}}",
+     1_776_402_000_000_000),
+    ("Jan 21 11:56:42 EST", rf"{MONTHS} \d \H:\M:\S \o{{EST,-0500}}",
+     1_789_002_000_000_000),
+    ("Jan 21 11:56:42 UTC+01", rf"{MONTHS} \d \H:\M:\S UTC\z{{+01}}",
+     1_767_402_000_000_000),
+    ("Jan 21 11:56:42 UTC+0130", rf"{MONTHS} \d \H:\M:\S UTC\z{{+0130}}",
+     1_765_602_000_000_000),
+    ("Thu, 21 Dec 2000 16:01:07 +0200",
+     rf"{DAYS}, \d {MONTHS} \Y \H:\M:\S \z{{+0200}}", 977_407_267_000_000_000),
+    ("Thu, 21 Dec 2000 16:01:07 EST",
+     rf"{DAYS}, \d {MONTHS} \Y \H:\M:\S \o{{EST,-0500}}", 977_432_467_000_000_000),
+    # RFC 2822 / 822 variations
+    ("Sat, 09 Mar 2024 15:04:05 -0500",
+     rf"{DAYS}, \d {MONTHS} \Y \H:\M:\S \z{{-0500}}", 1_710_014_645_000_000_000),
+    ("Sat, 09 Mar 2024 15:04 -0500",
+     rf"{DAYS}, \d {MONTHS} \Y \H:\M \z{{-0500}}", 1_710_014_640_000_000_000),
+    ("Sat, 09 Mar 24 15:04:05 -0500",
+     rf"{DAYS}, \d {MONTHS} \y \H:\M:\S \z{{-0500}}", 1_710_014_645_000_000_000),
+    ("Sat,  9 Mar 2024 15:04:05 -0500",
+     rf"{DAYS}, \e {MONTHS} \Y \H:\M:\S \z{{-0500}}", 1_710_014_645_000_000_000),
+    (" 9 Mar 2024 15:04:05 -0500",
+     rf"\e {MONTHS} \Y \H:\M:\S \z{{-0500}}", 1_710_014_645_000_000_000),
+]
+
+
+class TestCatAccuracy:
+    def test_reference_table(self, spark):
+        """All transcribed rows in ONE Spark job."""
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        rows = [(i, s) for i, (s, _p, _e) in enumerate(ACCURACY)]
+        df = spark.createDataFrame(rows, "i int, s string").cache()
+        cols = [
+            F.max(
+                F.when(F.col("i") == i, parse_cat_timestamp_ns(F.col("s"), p))
+            ).alias(f"v{i}")
+            for i, (_s, p, _e) in enumerate(ACCURACY)
+        ]
+        got = df.agg(*cols).collect()[0]
+        for i, (s, p, expect) in enumerate(ACCURACY):
+            assert got[f"v{i}"] == expect, (s, p, got[f"v{i}"], expect)
+
+    def test_no_match_is_null(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([("definitely not a date",)], "s string")
+        v = df.select(
+            parse_cat_timestamp_ns(F.col("s"), r"\Y-\m-\d").alias("v")
+        ).collect()[0]["v"]
+        assert v is None
+
+
+class TestCatRejections:
+    @pytest.mark.parametrize(
+        "pattern",
+        ['"', 'abc"', '"abc', "\x00", "\x01", "\x1f",           # characters
+         r"\b", r"\f", r"\n", r"\r", r"\t", r"\u",              # escapes
+         r"\o{,-0500}", r"\z{-0500}\o{EST,-0500}",              # tz grammar
+         r"\z{-0500}\z{-0400}", r"\o{EST,-0500}\o{UT,+0000}",
+         r"\o{EST}", r"\o{}", r"\o{EST,}", r"\o{ES T,-0500}",
+         r"\o{EST, -0500}", r"\o{EST,-0500,abc}", r"\o{EST,-abc}"],
+    )
+    def test_rejected(self, pattern):
+        with pytest.raises(CatPatternError):
+            compile_cat_pattern(pattern)
+
+    def test_backslash_escape(self):
+        p = compile_cat_pattern(r"\\")
+        assert p.regex == r"^\\$"
