@@ -223,6 +223,15 @@ def cmd_kv_import(args) -> None:
         spark.read.option("multiLine", "false").json(args.inputs)
         .withColumn("_stream", F.input_file_name())
     )
+    if args.timestamp_key:
+        # clp-s --timestamp-key analog: parse the named string key with a
+        # CAT pattern and attach the epoch-ms value as an extra kv pair
+        from clp_spark.functions.cat_parser import parse_cat_timestamp_ms
+
+        key, _, pat = args.timestamp_key.partition(":")
+        if not pat:
+            sys.exit("error: --timestamp-key needs key:CATpattern")
+        df = df.withColumn("_ts_ms", parse_cat_timestamp_ms(F.col(key), pat))
     chunks = events_to_kv_ir_df(
         df, "_stream", events_per_chunk=args.events_per_chunk,
         encoding="four" if args.four_byte else "eight",
@@ -338,6 +347,11 @@ def main(argv: list[str] | None = None) -> None:
         "--four-byte", action="store_true",
         help="emit the four-byte-encoding kv-IR stream (compact clp-string "
         "variable packing)",
+    )
+    ki.add_argument(
+        "--timestamp-key", default=None, metavar="KEY:CATPATTERN",
+        help="parse KEY with a clp-s CAT timestamp pattern and attach the "
+        "epoch-ms value as an extra _ts_ms key (timestamp-dictionary analog)",
     )
     ki.set_defaults(fn=cmd_kv_import)
 

@@ -148,3 +148,32 @@ class TestCatRejections:
     def test_backslash_escape(self):
         p = compile_cat_pattern(r"\\")
         assert p.regex == r"^\\$"
+
+
+class TestKvImportTimestampKey:
+    def test_timestamp_key_attaches_epoch_ms(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from clp_spark import cli
+
+        d = tmp_path / "jl"
+        d.mkdir()
+        recs = [
+            {"t": "2015-02-01 01:02:03,004", "msg": "a b"},
+            {"t": "2015-02-01 01:02:04,000", "msg": "c"},
+        ]
+        (d / "x.jsonl").write_text(
+            "\n".join(_json.dumps(r) for r in recs) + "\n"
+        )
+        out = str(tmp_path / "kv")
+        cli.main([
+            "kv-import", out, str(d / "x.jsonl"),
+            "--timestamp-key", r"t:\Y-\m-\d \H:\M:\S,\3",
+        ])
+        capsys.readouterr()
+        from clp_spark.sources.kv_ir import kv_ir_to_rows_df
+
+        rows = kv_ir_to_rows_df(spark.read.parquet(out)).where(
+            "path = '_ts_ms'"
+        ).orderBy("int_val").collect()
+        assert [r["int_val"] for r in rows] == [1422752523004, 1422752524000]
