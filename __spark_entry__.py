@@ -463,8 +463,18 @@ def q_seq_packing(spark, sf_dir):
             lambda w: F.pmod(md5_hash60(w), F.lit(32768)).cast("int"),
         ).alias("tokens"),
     )
-    return pack_sequences(toks, 64, n_tok_col=None).select(
-        "source", "pack_ix", "tokens", "n_tok", "n_docs"
+    packed = pack_sequences(toks, 64, n_tok_col=None)
+    # tokens is emitted as a comma-joined string (token-for-token exact) so
+    # the driver canonicalizer can sort the result rows — pandas sort_values
+    # cannot hash array-valued columns (CORRECTNESS_r02 `err`).
+    return packed.select(
+        "source",
+        "pack_ix",
+        F.array_join(
+            F.transform("tokens", lambda t: t.cast("string")), ","
+        ).alias("tokens"),
+        "n_tok",
+        "n_docs",
     )
 
 
@@ -1017,7 +1027,7 @@ def oracle_sql() -> dict[str, str]:
             "    CAST(least(start + n, (pack_ix + 1) * 64) - start AS INTEGER)) AS piece "
             "  FROM spans) "
             "SELECT source, CAST(pack_ix AS BIGINT) AS pack_ix, "
-            "  flatten(list(piece ORDER BY abs_from)) AS tokens, "
+            "  array_to_string(flatten(list(piece ORDER BY abs_from)), ',') AS tokens, "
             "  CAST(len(flatten(list(piece ORDER BY abs_from))) AS BIGINT) AS n_tok, "
             "  count(*)::BIGINT AS n_docs "
             "FROM pieces GROUP BY source, pack_ix"

@@ -219,9 +219,15 @@ def cmd_kv_import(args) -> None:
     from clp_spark.sources.kv_ir import events_to_kv_ir_df
 
     spark = _spark(args.master)
+    # _rec_ix preserves within-file record order through the per-stream
+    # repartition (clp-s keeps source record order in the emitted IR;
+    # ADVICE r02). monotonically_increasing_id is (partition_ix << 33) +
+    # row-in-partition, and the JSON reader assigns partition indices in
+    # file-offset order, so sorting by it within a file is source order.
     df = (
         spark.read.option("multiLine", "false").json(args.inputs)
         .withColumn("_stream", F.input_file_name())
+        .withColumn("_rec_ix", F.monotonically_increasing_id())
     )
     if args.timestamp_key:
         # clp-s --timestamp-key analog: parse the named string key with a
@@ -234,6 +240,7 @@ def cmd_kv_import(args) -> None:
         df = df.withColumn("_ts_ms", parse_cat_timestamp_ms(F.col(key), pat))
     chunks = events_to_kv_ir_df(
         df, "_stream", events_per_chunk=args.events_per_chunk,
+        order_col="_rec_ix",
         encoding="four" if args.four_byte else "eight",
     )
     chunks.write.mode("overwrite").parquet(args.output)

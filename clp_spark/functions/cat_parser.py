@@ -173,6 +173,7 @@ def parse_cat_timestamp_ns(col: Column, pattern: str | CatPattern) -> Column:
     second = F.lit(0)
     frac_ns = F.lit(0).cast("long")
     epoch: Column | None = None
+    epoch_text: Column | None = None
     for ix, (s, extra) in enumerate(p.groups):
         g = grab(ix)
         if s == "y":
@@ -205,13 +206,18 @@ def parse_cat_timestamp_ns(col: Column, pattern: str | CatPattern) -> Column:
             frac_ns = F.rpad(g, 9, "0").cast("long")
         elif s in _EPOCH_MULT:
             epoch = g.cast("long") * F.lit(_EPOCH_MULT[s]).cast("long")
+            epoch_text = g
     if hour12 is not None:
         h = F.pmod(hour12, F.lit(12))
         hour = F.when(pm if pm is not None else F.lit(False), h + 12).otherwise(h)
     if epoch is not None:
         # fraction magnitude takes the integer part's sign: "-X.frac" is
-        # -(X.frac), per the reference golden table
-        sign = F.when(epoch < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+        # -(X.frac), per the reference golden table. The sign is read from
+        # the CAPTURED TEXT, not the parsed integer — "-0.5" has integer
+        # part 0, which would otherwise lose the minus (ADVICE r02).
+        sign = F.when(
+            epoch_text.startswith("-"), F.lit(-1)
+        ).otherwise(F.lit(1)).cast("long")
         ns = epoch + sign * frac_ns
     else:
         days = F.datediff(
@@ -227,6 +233,7 @@ def parse_cat_timestamp_ns(col: Column, pattern: str | CatPattern) -> Column:
 
 def parse_cat_timestamp_ms(col: Column, pattern: str | CatPattern) -> Column:
     """Epoch milliseconds (floor division of the ns value — CLP's stored
-    resolution)."""
+    resolution). Division is done in decimal, not double: an 18-digit ns
+    value exceeds 2^53 and a double quotient would be off by a few ms."""
     ns = parse_cat_timestamp_ns(col, pattern)
-    return F.floor(ns / F.lit(1_000_000)).cast("long")
+    return F.floor(ns.cast("decimal(38,0)") / F.lit(1_000_000)).cast("long")

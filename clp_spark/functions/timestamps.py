@@ -131,11 +131,20 @@ _EPOCH_RENDER_MULT = {"#epoch_ms": 1, "#epoch_us": 1_000, "#epoch_ns": 1_000_000
 def _parse_one(line: Column, p: TsPattern) -> Column:
     captured = F.regexp_extract(line, p.regex, 2)
     if p.fmt.startswith("#epoch"):
+        # truncate by dropping trailing digits, not by double division: an
+        # 18-digit ns token exceeds 2^53 and floor(val/1000) in double is
+        # off by a few ms (ADVICE r02). The capture is all digits (no
+        # sign), so dropping the last k digits IS floor division by 10^k;
+        # captures shorter than k digits truncate to 0.
         val = captured.cast("long")
-        if p.fmt == "#epoch_us":
-            val = F.floor(val / 1000).cast("long")
-        elif p.fmt == "#epoch_ns":
-            val = F.floor(val / 1_000_000).cast("long")
+        for fmt, k in (("#epoch_us", 3), ("#epoch_ns", 6)):
+            if p.fmt == fmt:
+                val = F.when(
+                    F.length(captured) > k,
+                    F.substring(
+                        captured, F.lit(1), F.length(captured) - k
+                    ).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
         return F.when(captured != "", val).otherwise(F.lit(None))
     if p.comma_ms:
         captured = F.regexp_replace(captured, ",", ".")

@@ -98,21 +98,6 @@ def glt_route(encoded: DataFrame, out_dir: str, num_buckets: int = 16) -> None:
     )
 
 
-def make_detokenize_udf(vocab_text: list[str]):
-    """tokens array<int32> -> message string; vocab captured once per executor."""
-    vocab_arr = np.asarray(vocab_text, dtype=object)
-
-    @F.pandas_udf("string")
-    def _detok(tokens: pd.Series) -> pd.Series:
-        return pd.Series(
-            ["".join(vocab_arr[np.asarray(t, dtype=np.int64)]) for t in tokens],
-            index=tokens.index,
-            dtype=object,
-        )
-
-    return _detok
-
-
 def make_detok_encode_udf(vocab_text: list[str]):
     """Fused tokens→encoded-struct UDF: detokenize + CLP-encode in one numpy
     pass with no intermediate Python strings (encode_kernel_np.detok_encode_batch)."""

@@ -73,6 +73,19 @@ _KIND_TO_NODE_TAG = {
 }
 
 
+def _check_str_offsets_fit_int32(offsets) -> None:
+    """Arrow StringArray buffers are built from int64 offsets cast to int32;
+    a batch with >2 GiB of cumulative string payload would silently wrap and
+    corrupt every value. Fail loudly instead — callers should shrink
+    `spark.sql.execution.arrow.maxRecordsPerBatch` (or chunk the stream)
+    long before one Arrow batch carries 2 GiB of strings."""
+    if len(offsets) and int(offsets[-1]) > np.iinfo(np.int32).max:
+        raise ValueError(
+            "kv-IR batch carries >2 GiB of string payload in one Arrow "
+            "batch (offset overflow); reduce the Arrow batch size"
+        )
+
+
 def make_kv_preamble(
     user_metadata: dict | None = None, four: bool = False
 ) -> bytes:
@@ -683,18 +696,27 @@ def deserialize_kv_ir_many(blobs: list[bytes]) -> dict:
     praw = vals[is_def]
     node_auto = praw < 0
     node_parent = np.where(node_auto, ~praw, praw)
-    # ordinal within (blob, tree): stable order preserved
+    # ordinal within (blob, tree), counted across the WHOLE blob: the
+    # reference Serializer interleaves auto-gen and user-gen node defs per
+    # event, so ids must NOT restart when consecutive defs switch trees
+    # (ADVICE r02 high: run-relative numbering gave user ids [1,1] for an
+    # interleaved auto/user/auto/user stream). Stable argsort groups each
+    # (blob, tree) while preserving arrival order; rank within the group
+    # is the definition ordinal.
     keyed = node_blob * 2 + node_auto
     node_id = np.ones(len(keyed), dtype=np.int64)
     if len(keyed):
-        same = np.concatenate([[False], keyed[1:] == keyed[:-1]])
-        # run-relative ordinal: ids restart at 1 per (blob, tree) run —
-        # arrival order within a blob is contiguous after the stable sort
-        grp_start = np.flatnonzero(~same)
-        run_ix = np.cumsum(same) - np.repeat(
-            np.cumsum(same)[grp_start], np.diff(np.append(grp_start, len(keyed)))
+        grp_order = np.argsort(keyed, kind="stable")
+        sorted_keyed = keyed[grp_order]
+        grp_first = np.concatenate(
+            [[True], sorted_keyed[1:] != sorted_keyed[:-1]]
         )
-        node_id = run_ix + 1
+        pos = np.arange(len(sorted_keyed), dtype=np.int64)
+        grp_base = np.repeat(
+            pos[grp_first],
+            np.diff(np.append(np.flatnonzero(grp_first), len(sorted_keyed))),
+        )
+        node_id[grp_order] = pos - grp_base + 1
     key_data, key_offsets = _flat(is_def)
     node_type = np.array(
         [_NODE_TAGS[k - _K_NODE_DEF_BASE] for k in kinds[is_def]], dtype=np.int64
@@ -837,6 +859,7 @@ def _decode_clp_runs(big, blob_ids, kinds, vals, spans, marker_ix):
     enc_counts = np.bincount(mid[enc_m], minlength=out_n).astype(np.int64) if enc_m.any() else np.zeros(out_n, np.int64)
     dict_counts = np.bincount(mid[dict_m], minlength=out_n).astype(np.int64) if dict_m.any() else np.zeros(out_n, np.int64)
     d_data, d_in = _flat(dict_m)
+    _check_str_offsets_fit_int32(lt_offs)
     lt_arr = pa.StringArray.from_buffers(
         out_n,
         pa.py_buffer(lt_offs.astype(np.int32).tobytes()),
@@ -863,6 +886,7 @@ def _decode_clp_runs(big, blob_ids, kinds, vals, spans, marker_ix):
         pa.array(np.concatenate([[0], np.cumsum(enc_counts)]), type=pa.int32()),
         pa.array(enc_vals),
     )
+    _check_str_offsets_fit_int32(d_in)
     d_inner = pa.StringArray.from_buffers(
         int(dict_counts.sum()),
         pa.py_buffer(d_in.astype(np.int32).tobytes()),
@@ -1029,6 +1053,11 @@ def events_to_kv_ir_df(
     cols = df.columns
     sort_cols = [stream_col] + ([order_col] if order_col else [])
     sel = df.select(*cols).repartition(stream_col).sortWithinPartitions(*sort_cols)
+    if order_col:
+        # ordering column is bookkeeping, not event data — drop it after the
+        # sort (a projection over a sorted child preserves the ordering),
+        # like events_to_ir_df does
+        sel = sel.drop(order_col)
     return sel.mapInArrow(_fn, KV_CHUNK_SCHEMA)
 
 
@@ -1057,22 +1086,31 @@ def kv_ir_to_rows_df(df, ir_col: str = "ir", stream_col: str = "stream"):
             # path per (blob, node): nodes are few — python over NODES only
             ko = out["key_offsets"]
             nn = len(out["node_id"])
+            # the auto-gen and user-gen schema trees are SEPARATE id spaces
+            # (the reference keeps two SchemaTree instances; auto ids are
+            # ones-complement on the wire) — every lookup key carries the
+            # auto flag so auto node N never collides with user node N
+            # (ADVICE r02 medium).
             paths: dict = {}
             path_list = []
             for j in range(nn):
                 b, i = int(out["node_blob"][j]), int(out["node_id"][j])
+                a = bool(out["node_auto"][j])
                 k = out["key_data"][ko[j]:ko[j + 1]].tobytes().decode("utf-8")
                 p = int(out["node_parent"][j])
-                prefix = paths.get((b, p), "") if p else ""
-                paths[(b, i)] = f"{prefix}.{k}" if prefix else k
-                path_list.append(paths[(b, i)])
-            # rows → path-table indices, vectorized: nodes arrive blob-major
-            # and id-ordered, so (blob, id) → table index via searchsorted on
-            # the combined key
+                prefix = paths.get((b, a, p), "") if p else ""
+                paths[(b, a, i)] = f"{prefix}.{k}" if prefix else k
+                path_list.append(paths[(b, a, i)])
+            # rows → path-table indices, vectorized: (blob, tree, id) →
+            # table index via searchsorted on the combined key
             nr = len(out["row_blob"])
             max_id = int(out["node_id"].max()) + 1 if nn else 1
-            node_key = out["node_blob"] * max_id + out["node_id"]
-            row_key = out["row_blob"] * max_id + out["row_node"]
+            node_key = (
+                out["node_blob"] * 2 + out["node_auto"]
+            ) * max_id + out["node_id"]
+            row_key = (
+                out["row_blob"] * 2 + out["row_auto"]
+            ) * max_id + out["row_node"]
             order = np.argsort(node_key, kind="stable")
             pos = np.searchsorted(node_key[order], row_key)
             if nr and not np.array_equal(node_key[order][pos], row_key):
@@ -1100,6 +1138,7 @@ def kv_ir_to_rows_df(df, ir_col: str = "ir", stream_col: str = "stream"):
             # string column straight from the flat buffers + a null bitmap
             # (non-str rows have zero-length spans)
             is_str = kinds == _K_STR
+            _check_str_offsets_fit_int32(out["str_offsets"])
             str_arr = pa.StringArray.from_buffers(
                 nr,
                 pa.py_buffer(out["str_offsets"].astype(np.int32).tobytes()),

@@ -71,6 +71,10 @@ ACCURACY = [
     ("-1762445893.001", r"\E.\3", -1_762_445_893_001_000_000),
     ("-1762445893.00100201", r"\E.\T", -1_762_445_893_001_002_010),
     ("-1762445893.1", r"\E.\T", -1_762_445_893_100_000_000),
+    # sign edge: integer part "-0" casts to 0 — the minus must come from
+    # the captured TEXT, not the parsed integer (ADVICE r02)
+    ("-0.5", r"\E.\T", -500_000_000),
+    ("-0.001", r"\E.\3", -1_000_000),
     # timezones: literal-text specifiers with constant offsets
     ("Jan 21 11:56:42Z", rf"{MONTHS} \d \H:\M:\SZ", 1_771_002_000_000_000),
     ("Jan 21 11:56:42 UTC-01", rf"{MONTHS} \d \H:\M:\S UTC\z{{-01}}",

@@ -118,6 +118,32 @@ class TestByteFormat:
         out = kv.deserialize_kv_ir_many([blob])
         assert _rows(out) == [(0, "a", 1), (1, "a", 2), (2, "a", 3), (2, "b", 9)]
 
+    # interleaved auto-gen/user-gen defs: one event with keys from BOTH
+    # trees. Wire: auto ids are ones-complement (parent 0xFF = ~0, key-id
+    # 0xFE = ~1); the reference Serializer interleaves the two trees' node
+    # defs per event, so ids must number per (blob, tree) across the WHOLE
+    # blob, not per contiguous run (ADVICE r02 high).
+    _INTERLEAVED_BODY = bytes([
+        0x71, 0x60, 0xFF, 0x41, 0x02, ord("t"), ord("s"),  # auto "ts" par ~0
+        0x71, 0x60, 0x00, 0x41, 0x01, ord("a"),            # user "a"  par 0
+        0x71, 0x60, 0xFF, 0x41, 0x01, ord("x"),            # auto "x"  par ~0
+        0x71, 0x60, 0x00, 0x41, 0x01, ord("b"),            # user "b"  par 0
+        0x65, 0xFE, 0x65, 0x01, 0x65, 0xFD, 0x65, 0x02,    # keys ~1,1,~2,2
+        0x51, 0x05, 0x51, 0x07, 0x51, 0x09, 0x51, 0x0B,    # 5, 7, 9, 11
+        0x00,
+    ])
+
+    def test_interleaved_auto_user_node_ids(self):
+        out = kv.deserialize_kv_ir_many(
+            [kv.make_kv_preamble() + self._INTERLEAVED_BODY]
+        )
+        assert out["node_auto"].tolist() == [True, False, True, False]
+        # per-tree numbering continues across the user/auto interleave
+        assert out["node_id"].tolist() == [1, 1, 2, 2]
+        assert out["row_auto"].tolist() == [True, False, True, False]
+        assert out["row_node"].tolist() == [1, 1, 2, 2]
+        assert out["int_val"].tolist() == [5, 7, 9, 11]
+
     def test_nested_path_obj_nodes(self):
         lf = kv.Leaf(("x", "y", "z"), "float", [True], values=np.array([1.5]))
         blob = kv.serialize_kv_ir_core(1, [lf]).tobytes()
@@ -220,13 +246,18 @@ class TestSparkSurface:
             "source string, seq long, code long, "
             "ctx struct<latency double, region string>, msg string, ok boolean",
         )
+        # dedicated ordering column: it governs within-stream serialization
+        # order but is bookkeeping, NOT event data — it must not appear as a
+        # key in the decoded rows
+        df = df.withColumn("_ord", df["seq"])
         chunks = events_to_kv_ir_df(df, "source", events_per_chunk=32,
-                                    order_col="seq")
+                                    order_col="_ord")
         pdf = chunks.toPandas()
         assert (pdf["n_events"] <= 32).all()
         assert pdf["n_events"].sum() == 200
         assert all(bytes(b[:4]) == kv.MAGIC_8BYTE for b in pdf["ir"])
         back = kv_ir_to_rows_df(spark.createDataFrame(pdf)).toPandas()
+        assert "_ord" not in set(back["path"])
         got = {}
         for _, r in back.iterrows():
             k = (r["stream"], r["chunk_ix"], r["event_ix"])
@@ -246,6 +277,20 @@ class TestSparkSurface:
             expect_msg = f"request {i} took {i * 3} ms" if i % 5 else "nospace"
             assert kvs["msg"]["str_val"] == expect_msg
             assert bool(kvs["ok"]["bool_val"]) == (i % 2 == 0)
+
+    def test_auto_user_id_spaces_stay_separate(self, spark):
+        """Auto-gen node id N and user-gen node id N are DIFFERENT nodes
+        (two SchemaTree instances in the reference); row path resolution
+        must not collide them (ADVICE r02 medium)."""
+        blob = kv.make_kv_preamble() + TestByteFormat._INTERLEAVED_BODY
+        df = spark.createDataFrame(
+            [("s", 0, 1, bytearray(blob))],
+            "stream string, chunk_ix long, n_events long, ir binary",
+        )
+        rows = kv.kv_ir_to_rows_df(df).collect()
+        assert {(r["path"], r["int_val"]) for r in rows} == {
+            ("ts", 5), ("a", 7), ("x", 9), ("b", 11),
+        }
 
     def test_timestamp_columns_become_epoch_ms_ints(self, spark):
         from clp_spark.sources.kv_ir import events_to_kv_ir_df, kv_ir_to_rows_df

@@ -579,3 +579,25 @@ class TestTimestampPatternGoldens:
 
         assert str(r["us"] * _EPOCH_RENDER_MULT["#epoch_us"]) == "626515000"
         assert str(r["ns"] * _EPOCH_RENDER_MULT["#epoch_ns"]) == "626000000"
+
+    def test_epoch_truncation_is_exact_above_2p53(self, spark):
+        """18-digit epoch tokens exceed 2^53: floor(x/1000) computed in
+        double rounds the wrong way (999…9 us → 1e15 ms instead of
+        999999999999999). Truncation must be digit-exact (ADVICE r02)."""
+        from pyspark.sql import functions as F
+
+        from clp_spark.functions.timestamps import EXTRA_PATTERNS, _parse_one
+
+        tok = "999999999999999999"  # 18 nines; double(x) rounds UP to 1e18
+        df = spark.createDataFrame([(tok,)], "line string")
+        r = df.select(
+            _parse_one(F.col("line"), EXTRA_PATTERNS["epoch_us"]).alias("us"),
+            _parse_one(F.col("line"), EXTRA_PATTERNS["epoch_ns"]).alias("ns"),
+        ).collect()[0]
+        assert r["us"] == 999_999_999_999_999
+        assert r["ns"] == 999_999_999_999
+        # sub-k-digit captures floor to 0, not NULL
+        short = spark.createDataFrame([("42",)], "line string").select(
+            _parse_one(F.col("line"), EXTRA_PATTERNS["epoch_ns"]).alias("ns")
+        ).collect()[0]
+        assert short["ns"] == 0
