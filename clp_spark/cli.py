@@ -43,6 +43,24 @@ def cmd_compress(args) -> None:
     )
 
     spark = _spark(args.master)
+    if args.json:
+        # clp-s c: JSONL → per-schema typed tables + ordered-reconstruction
+        # manifest (operators/json_archive.py)
+        from pyspark.sql import functions as F
+
+        from clp_spark.operators.json_archive import compress_jsonl_archive
+
+        df = (
+            spark.read.text(args.inputs)
+            .withColumnRenamed("value", "raw")
+            .withColumn("_rec_ix", F.monotonically_increasing_id())
+        )
+        summary = compress_jsonl_archive(
+            df, "raw", args.archive, order_col="_rec_ix",
+            structurize_arrays=args.structurize_arrays,
+        )
+        print(json.dumps(summary))
+        return
     if args.target_archive_size is not None:
         # archive splitting: <archive> is an archives DIRECTORY; inputs are
         # grouped/cut into archive-sized tasks (searchable via `s <dir>`)
@@ -61,9 +79,22 @@ def cmd_compress(args) -> None:
 
 
 def cmd_extract(args) -> None:
+    from clp_spark.operators.json_archive import is_json_archive
     from clp_spark.sources.logfiles import decompress_file, extract_to_files
 
     spark = _spark(args.master)
+    if is_json_archive(args.archive):
+        # clp-s x: ordered JSONL reconstruction (JsonConstructor parity)
+        from clp_spark.operators.json_archive import reconstruct_jsonl
+
+        out = reconstruct_jsonl(spark, args.archive)
+        if args.output:
+            out.select("json").write.mode("overwrite").text(args.output)
+            print(json.dumps({"output": args.output}))
+        else:
+            for r in out.collect():
+                print(r["json"])
+        return
     if args.output:
         # reference `clp x` semantics: recreate one file per original input
         summary = extract_to_files(
@@ -256,6 +287,24 @@ def cmd_kv_import(args) -> None:
     }))
 
 
+def cmd_kv_search(args) -> None:
+    """Direct KQL search over kv-IR chunk rows (clp-s kv_ir_search parity:
+    no archive build, no aggregations); prints matching events' leaf rows
+    as JSON lines."""
+    from clp_spark.operators.kv_ir_search import search_kv_ir
+
+    spark = _spark(args.master)
+    rows = search_kv_ir(
+        spark.read.parquet(args.chunks), args.query,
+        ignore_case=args.ignore_case,
+    )
+    if args.count:
+        print(rows.select("stream", "chunk_ix", "event_ix").distinct().count())
+        return
+    for r in rows.toJSON().toLocalIterator():
+        print(r)
+
+
 def cmd_kv_export(args) -> None:
     """kv-IR chunk rows → typed leaf rows printed as JSON lines."""
     from clp_spark.sources.kv_ir import kv_ir_to_rows_df
@@ -297,6 +346,12 @@ def main(argv: list[str] | None = None) -> None:
         help="split the input into archives of ~this raw size; <archive> "
         "becomes a directory of archives",
     )
+    c.add_argument(
+        "--json", action="store_true",
+        help="clp-s mode: inputs are JSONL; build per-schema typed tables "
+        "with ordered reconstruction (x) support",
+    )
+    c.add_argument("--structurize-arrays", action="store_true")
     c.set_defaults(fn=cmd_compress)
 
     x = sub.add_parser("x", help="decompress an archive back to messages")
@@ -369,6 +424,15 @@ def main(argv: list[str] | None = None) -> None:
     ke.add_argument("--count", action="store_true")
     ke.add_argument("--limit", type=int, default=10_000)
     ke.set_defaults(fn=cmd_kv_export)
+
+    si = sub.add_parser(
+        "s-ir", help="direct KQL search over kv-IR chunks (no archive)"
+    )
+    si.add_argument("chunks")
+    si.add_argument("query")
+    si.add_argument("-i", "--ignore-case", action="store_true")
+    si.add_argument("--count", action="store_true")
+    si.set_defaults(fn=cmd_kv_search)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -1,0 +1,231 @@
+"""clp-s JSON-archive compression + ordered decompression (`clp-s c` / `x`).
+
+Reference semantics: clp-s compresses dynamic JSONL into per-schema typed
+tables and reconstructs the ORIGINAL records in ingestion order
+(components/core/src/clp_s/JsonConstructor.hpp:34-68 `store()` /
+`construct_in_order()`; regressions test-clp_s-end_to_end.cpp and
+test-clp_s-delta-encode-log-order.cpp — the latter pins record ORDER across
+interleaved schemas).
+
+Spark-first shape:
+
+- **Compress** — records grouped by their exact variant schema
+  (schema_of_variant), each group parsed ONCE with from_json into its typed
+  struct (the clp-s ERT table), written as one parquet table per schema id.
+  An ingestion-order index (``log_event_idx``) rides along every row — the
+  reference's JsonSerializer stores the same per-record index so
+  construct_in_order can k-way-merge the tables back.
+- **Reconstruct** — per schema, a single JVM expression rebuilds the nested
+  record: F.struct(...) follows the schema tree, unstructured-array leaves
+  (stored as their JSON text, exactly like the reference's array dictionary
+  keeps stringified arrays) re-enter via parse_json, JSON-null /
+  empty-object leaves re-emit as variant constants, and to_json(...,
+  ignoreNullFields=false) serializes. Union of schema tables ordered by
+  log_event_idx = the original stream. No per-row Python anywhere.
+
+Fidelity contract (what the round-trip preserves exactly): record ORDER,
+the key SET per record, every value (ints/floats/bools/strings/nulls/
+arrays/nested objects, including arrays of mixed types). Key ORDER within
+an object is canonicalized to sorted order — the same canonical order the
+variant encoding itself uses — because schema_of_variant does not retain
+source key order. Structural equality (parsed-JSON equality) plus order is
+the tested invariant, matching the reference's end-to-end regression.
+
+Scale notes (100 TB): the schema-grouping premise is clp-s's own — distinct
+schemas << records — so each group write is one partitioned scan; the
+only wide operation in reconstruction is the final orderBy(log_event_idx),
+Spark's range-partitioned sort (the distributed analog of the reference's
+single-node k-way merge). Reconstruct per archive (the reference does too:
+one JsonConstructor per archive) and concatenate archives externally.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clp_spark.operators.json_search import JsonArchive
+
+IDX_COL = "log_event_idx"
+_SCALAR_ID = "__scalar__"
+_MANIFEST = "manifest.json"
+
+
+def _schema_id(leaves: list[tuple[tuple[str, ...], str]]) -> str:
+    sig = ";".join(".".join(p) + ":" + k for p, k in leaves)
+    return hashlib.md5(sig.encode()).hexdigest()[:16]
+
+
+def compress_jsonl_archive(
+    df: DataFrame,
+    raw_col: str,
+    out_dir: str,
+    order_col: str | None = None,
+    structurize_arrays: bool = False,
+    on_invalid: str = "error",
+) -> dict:
+    """JSONL rows → per-schema typed parquet tables + manifest.
+
+    ``order_col`` supplies the ingestion-order index (monotone within the
+    stream); when None a monotonically_increasing_id is attached — stable
+    for a file-backed scan, whose partition indices follow file offsets.
+    Returns {"schemas": n, "rows": n, "invalid": n, "dir": out_dir}.
+    """
+    if on_invalid not in ("error", "skip"):
+        raise ValueError("on_invalid must be 'error' or 'skip'")
+    src = df.withColumn(
+        IDX_COL,
+        F.col(order_col).cast("long") if order_col
+        else F.monotonically_increasing_id(),
+    )
+    archive = JsonArchive(
+        src, raw_col, structurize_arrays, cache=True, keep_cols=(IDX_COL,)
+    )
+    manifest: dict = {
+        "structurize_arrays": structurize_arrays,
+        "schemas": [],
+    }
+    total_rows = 0
+    scalar_parts: list[DataFrame] = []
+    for grp in archive.schema_groups:
+        typed = grp["part"].drop("__v__", "__raw__")
+        data_cols = [c for c in typed.columns if c != IDX_COL]
+        if not data_cols:
+            # scalar/array/empty-object ROOT records: no typed columns to
+            # project — store the canonical JSON of the whole variant
+            # (to_json(variant) is exact; the reference stores such records
+            # through the root node the same way)
+            scalar_parts.append(
+                grp["part"].select(
+                    F.col(IDX_COL), F.to_json("__v__").alias("__txt__")
+                )
+            )
+            continue
+        sid = _schema_id(grp["leaves"])
+        path = os.path.join(out_dir, f"schema_id={sid}")
+        typed.write.mode("overwrite").parquet(path)
+        n = typed.sparkSession.read.parquet(path).count()
+        total_rows += n
+        manifest["schemas"].append(
+            {
+                "schema_id": sid,
+                "ddl": grp["ddl"],
+                "leaves": [[list(p), k] for p, k in grp["leaves"]],
+                "rows": n,
+            }
+        )
+    if scalar_parts:
+        merged = scalar_parts[0]
+        for p in scalar_parts[1:]:
+            merged = merged.unionAll(p)
+        path = os.path.join(out_dir, f"schema_id={_SCALAR_ID}")
+        merged.write.mode("overwrite").parquet(path)
+        n = merged.sparkSession.read.parquet(path).count()
+        total_rows += n
+        manifest["schemas"].append(
+            {"schema_id": _SCALAR_ID, "ddl": None, "leaves": None, "rows": n}
+        )
+    n_input = archive._staged.count()
+    invalid = n_input - total_rows
+    if invalid and on_invalid == "error":
+        raise ValueError(f"{invalid} input rows are not valid JSON")
+    manifest["invalid"] = invalid
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    return {
+        "schemas": len(manifest["schemas"]),
+        "rows": total_rows,
+        "invalid": invalid,
+        "dir": out_dir,
+    }
+
+
+def is_json_archive(archive_dir: str) -> bool:
+    return os.path.exists(os.path.join(archive_dir, _MANIFEST))
+
+
+def _rebuild_expr(
+    df: DataFrame,
+    leaves: list[tuple[tuple[str, ...], str]],
+    structurize_arrays: bool,
+) -> Column:
+    """Schema-tree leaves → one nested-struct expression whose to_json is
+    the original record (JsonSerializer inverse). Leaf order is the sorted
+    order _parse_variant_ddl emits — the same canonical key order the
+    variant encoding uses."""
+
+    def leaf_expr(col: Column, kind: str) -> Column:
+        if kind == "null":
+            return F.parse_json(F.lit("null"))
+        if kind == "emptyobj":
+            return F.parse_json(F.lit("{}"))
+        if kind.startswith("array:"):
+            elem = kind[len("array:"):]
+            if structurize_arrays and elem:
+                return col  # typed array<T>: to_json renders it directly
+            # unstructured arrays were stored as their JSON text (the
+            # reference's array dictionary stores stringified arrays too)
+            return F.parse_json(col)
+        return col
+
+    def build(
+        group: list[tuple[tuple[str, ...], str]], getter, depth: int
+    ) -> list[Column]:
+        # group: leaves sharing the path prefix consumed so far; getter(name)
+        # returns the Column for a child field at this depth
+        fields: list[Column] = []
+        i = 0
+        while i < len(group):
+            seg = group[i][0][depth]
+            j = i
+            while j < len(group) and group[j][0][depth] == seg:
+                j += 1
+            sub = group[i:j]
+            child = getter(seg)
+            if len(sub) == 1 and len(sub[0][0]) == depth + 1:
+                fields.append(leaf_expr(child, sub[0][1]).alias(seg))
+            else:
+                inner = build(sub, child.getField, depth + 1)
+                fields.append(F.struct(*inner).alias(seg))
+            i = j
+        return fields
+
+    nonroot = [(p, k) for p, k in leaves if p]
+    return F.to_json(
+        F.struct(*build(nonroot, lambda name: df[name], 0)),
+        {"ignoreNullFields": "false"},
+    )
+
+
+def reconstruct_jsonl(
+    spark: SparkSession, archive_dir: str, ordered: bool = True
+) -> DataFrame:
+    """JSON archive → (log_event_idx, json) in ingestion order — the
+    JsonConstructor.construct_in_order analog. ``ordered=False`` skips the
+    final sort for consumers that re-sort or merge downstream."""
+    with open(os.path.join(archive_dir, _MANIFEST)) as f:
+        manifest = json.load(f)
+    out: DataFrame | None = None
+    for entry in manifest["schemas"]:
+        tbl = spark.read.parquet(
+            os.path.join(archive_dir, f"schema_id={entry['schema_id']}")
+        )
+        if entry["schema_id"] == _SCALAR_ID:
+            part = tbl.select(F.col(IDX_COL), F.col("__txt__").alias("json"))
+        else:
+            leaves = [(tuple(p), k) for p, k in entry["leaves"]]
+            part = tbl.select(
+                F.col(IDX_COL),
+                _rebuild_expr(
+                    tbl, leaves, manifest["structurize_arrays"]
+                ).alias("json"),
+            )
+        out = part if out is None else out.unionAll(part)
+    if out is None:
+        raise ValueError(f"empty JSON archive at {archive_dir}")
+    return out.orderBy(IDX_COL) if ordered else out

@@ -159,6 +159,7 @@ class JsonArchive:
         metadata: dict[str, object] | None = None,
         cache: bool = True,
         timestamp_key: str | None = None,
+        keep_cols: tuple[str, ...] = (),
     ):
         """timestamp_key designates the authoritative timestamp column
         (clp-s --timestamp-key / TimestampDictionary): it is normalized to
@@ -167,7 +168,11 @@ class JsonArchive:
         ms, kql._parse_timestamp) compare in one unit."""
         self.metadata = metadata or {}
         self.timestamp_key = timestamp_key
+        # keep_cols: bookkeeping columns (e.g. an ingestion-order index)
+        # carried through grouping untouched — never part of the typed
+        # record projection or search resolution
         staged = df.select(
+            *[df[c] for c in keep_cols],
             F.col(raw_col).alias("__raw__"),
             F.try_parse_json(F.col(raw_col)).alias("__v__"),
         ).withColumn("__ddl__", F.schema_of_variant(F.col("__v__")))
@@ -183,7 +188,12 @@ class JsonArchive:
         ]
         if len(ddls) > MAX_DISTINCT_SCHEMAS:
             raise ValueError("too many distinct JSON schemas")
+        self._staged = staged
+        self._keep_cols = keep_cols
         self.tables: list[tuple[DataFrame, list[tuple[tuple[str, ...], str]]]] = []
+        # schema_groups carries the full (ddl, leaves) bookkeeping per table
+        # for consumers that need the schema tree (archive reconstruction)
+        self.schema_groups: list[dict] = []
         for ddl in ddls:
             if ddl == "<invalid>":
                 continue
@@ -191,9 +201,15 @@ class JsonArchive:
             schema, array_leaves = _leaves_to_struct(leaves, structurize_arrays)
             part = staged.where(F.col("__ddl__") == ddl).drop("__ddl__")
             if len(schema.fields) > 0:
+                clash = set(f.name for f in schema.fields) & set(keep_cols)
+                if clash:
+                    raise ValueError(
+                        f"record keys collide with keep_cols: {sorted(clash)}"
+                    )
                 part = part.select(
-                    "__raw__", "__v__", F.from_json("__raw__", schema).alias("__rec__")
-                ).select("__raw__", "__v__", "__rec__.*")
+                    *keep_cols, "__raw__", "__v__",
+                    F.from_json("__raw__", schema).alias("__rec__"),
+                ).select(*keep_cols, "__raw__", "__v__", "__rec__.*")
             for name, val in self.metadata.items():
                 part = part.withColumn(name, F.lit(val))
             if timestamp_key and timestamp_key in part.columns:
@@ -206,6 +222,10 @@ class JsonArchive:
                     norm = F.col(timestamp_key).cast("long")
                 part = part.withColumn(timestamp_key, norm)
             self.tables.append((part, array_leaves))
+            self.schema_groups.append(
+                {"ddl": ddl, "leaves": leaves, "part": part,
+                 "array_leaves": array_leaves}
+            )
 
     def search(self, query: str, ignore_case: bool = False) -> DataFrame:
         """→ matching records (raw JSON), clp-s result semantics."""

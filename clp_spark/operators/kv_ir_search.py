@@ -1,0 +1,210 @@
+"""Direct KQL search over kv-IR streams — no archive build in between.
+
+Reference: clp-s can search a kv-IR stream directly
+(components/core/src/clp_s/kv_ir_search.hpp:26-46 `search_kv_ir_stream`,
+kv_ir_search.cpp): the query is compiled once, each deserialized log event
+is evaluated against it, and matching events are emitted. Aggregations are
+NOT supported on this path (kv_ir_search.hpp documents the same limit) —
+use the archive lifecycle for those.
+
+Spark shape: the transposed kv-IR parser (sources/kv_ir.py) already yields
+one row per (event, leaf) — the long format. A KQL query compiles into
+
+1. per-ROW atom flags: for each (column-pattern, op, literal) atom, a
+   boolean of "this leaf row satisfies the atom" (path match × typed value
+   predicate, reusing kql._value_pred on the vtype-dispatched value
+   columns);
+2. ONE groupBy (stream, chunk_ix, event_ix) aggregating max() of every
+   atom flag and of every path-existence flag (map-side partial agg —
+   events are contiguous within a chunk, so the shuffle carries one row
+   per event, not per leaf);
+3. the query's boolean formula evaluated over the aggregated flags, with
+   clp-s NOT semantics (SchemaMatch pushes NOT into the filter: `NOT a: b`
+   still requires path `a` to exist — exist-flag AND NOT match-flag);
+4. a left-semi join of the decoded rows against the matching event keys,
+   so only matching events' content is materialized.
+
+At 100-TB the plan is: narrow mapInArrow decode → one keyed shuffle on
+(stream, chunk_ix, event_ix) → broadcast-or-shuffle semi join. Chunks are
+self-contained, so the decode parallelizes per chunk-row with no skew
+beyond chunk sizing.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+)
+
+from clp_spark.operators.kql import (
+    BoolOp,
+    Filter,
+    Lit,
+    Node,
+    Not,
+    _value_pred,
+    parse_kql,
+)
+
+_EVENT_KEY = ("stream", "chunk_ix", "event_ix")
+
+
+def _seg_rx(pat: str) -> str:
+    """One path segment's KQL wildcard → regex over a dotted-path segment
+    (kql._seg_match semantics, constrained to not cross '.' separators)."""
+    rx: list[str] = []
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\" and i + 1 < len(pat):
+            rx.append(re.escape(pat[i + 1]))
+            i += 2
+            continue
+        if c == "*":
+            rx.append("[^.]*")
+        elif c == "?":
+            rx.append("[^.]")
+        else:
+            rx.append(re.escape(c))
+        i += 1
+    return "".join(rx)
+
+
+def _path_pred(pattern: list[str] | None) -> Column:
+    """Column-descriptor → predicate over the dotted `path` column.
+    A bare '*' segment matches 0+ levels (SchemaMatch.cpp); other segments
+    wildcard-match exactly one level."""
+    if pattern is None or pattern == ["*"]:
+        return F.lit(True)
+    if not any("*" in s or "?" in s or "\\" in s for s in pattern):
+        return F.col("path") == ".".join(pattern)
+    # match against path + '.' so every level (including the last) carries
+    # a trailing dot — '*' segments then translate uniformly to 0+ levels
+    parts: list[str] = []
+    for seg in pattern:
+        if seg == "*":
+            parts.append("(?:[^.]+\\.)*")
+        else:
+            parts.append(_seg_rx(seg) + "\\.")
+    rx = "^" + "".join(parts) + "$"
+    return F.concat(F.col("path"), F.lit(".")).rlike(rx)
+
+
+def _atom_flag(lit: Lit, op: str, ignore_case: bool) -> Column:
+    """Row-level typed value predicate, dispatched on vtype. Mirrors the
+    wide-table compile: each clp-s value type is its own column family."""
+    v = F.col("vtype")
+    preds = [
+        (v == "int", _value_pred(F.col("int_val"), LongType(), lit, op,
+                                 ignore_case)),
+        (v == "float", _value_pred(F.col("float_val"), DoubleType(), lit, op,
+                                   ignore_case)),
+        (v == "str", _value_pred(F.col("str_val"), StringType(), lit, op,
+                                 ignore_case)),
+    ]
+    if op == ":":
+        # booleans have no range semantics (NarrowTypes drops the pairing)
+        preds.append(
+            (v == "bool",
+             _value_pred(F.col("bool_val"), BooleanType(), lit, op,
+                         ignore_case))
+        )
+    if op == ":" and not lit.quoted and lit.value == "null":
+        # `a: null` matches VOID leaves (the row exists with vtype null)
+        return v == "null"
+    if op == ":" and not lit.quoted and lit.value == "*":
+        # existence: any non-null leaf (wide-table `col.isNotNull()` parity)
+        return v != "null"
+    out = F.lit(False)
+    for cond, p in preds:
+        out = out | (cond & F.coalesce(p, F.lit(False)))
+    return out
+
+
+class _Compiler:
+    """Collects row-level atom/exist flags and builds the per-event
+    formula over their aggregated max()."""
+
+    def __init__(self, ignore_case: bool):
+        self.ignore_case = ignore_case
+        self.row_flags: dict[str, Column] = {}
+        self._n = 0
+
+    def _add(self, col: Column) -> str:
+        name = f"__f{self._n}__"
+        self._n += 1
+        self.row_flags[name] = col
+        return name
+
+    def _filter_flags(self, node: Filter) -> tuple[list[str], str]:
+        ppred = _path_pred(node.column)
+        names = [
+            self._add(
+                ppred & _atom_flag(lit, node.op, self.ignore_case)
+            )
+            for lit in node.values
+        ]
+        exist = self._add(ppred)
+        return names, exist
+
+    def compile(self, node: Node, neg: bool = False) -> Column:
+        if isinstance(node, BoolOp):
+            lhs = self.compile(node.lhs, neg)
+            rhs = self.compile(node.rhs, neg)
+            # De Morgan under neg
+            want_and = (node.op == "AND") != neg
+            return (lhs & rhs) if want_and else (lhs | rhs)
+        if isinstance(node, Not):
+            return self.compile(node.child, not neg)
+        assert isinstance(node, Filter)
+        names, exist = self._filter_flags(node)
+        flags = [F.col(n) for n in names]
+        if node.list_mode == "and":
+            m = flags[0]
+            for q in flags[1:]:
+                m = m & q
+        else:
+            m = flags[0]
+            for q in flags[1:]:
+                m = m | q
+            if node.list_mode == "not":
+                m = F.col(exist) & ~m
+        if neg:
+            # clp-s NOT pushes into the filter: the path must still exist
+            # in the event (SchemaMatch; `NOT a: b` → {records with a≠b})
+            return F.col(exist) & ~m
+        return m
+
+
+def search_kv_ir(
+    chunks: DataFrame,
+    query: str,
+    ignore_case: bool = False,
+    ir_col: str = "ir",
+    stream_col: str = "stream",
+) -> DataFrame:
+    """KQL over kv-IR chunk rows → the decoded leaf rows of MATCHING events
+    (same schema as kv_ir_to_rows_df). Aggregations are unsupported, like
+    the reference's kv-IR direct-search path."""
+    from clp_spark.sources.kv_ir import kv_ir_to_rows_df
+
+    rows = kv_ir_to_rows_df(chunks, ir_col=ir_col, stream_col=stream_col)
+    comp = _Compiler(ignore_case)
+    formula = comp.compile(parse_kql(query))
+    if not comp.row_flags:
+        return rows.where(F.lit(False))
+    flagged = rows.select(
+        *_EVENT_KEY, *[c.alias(n) for n, c in comp.row_flags.items()]
+    )
+    per_event = flagged.groupBy(*_EVENT_KEY).agg(
+        *[F.max(n).alias(n) for n in comp.row_flags]
+    )
+    hits = per_event.where(formula).select(*_EVENT_KEY)
+    return rows.join(hits, list(_EVENT_KEY), "left_semi")

@@ -1,0 +1,118 @@
+"""clp-s JSON-archive compress → reconstruct lifecycle.
+
+Reference regressions mirrored: test-clp_s-end_to_end.cpp (round-trip
+structural equality) and test-clp_s-delta-encode-log-order.cpp (record
+ORDER preserved across interleaved schemas); JsonConstructor.hpp:34-68
+construct_in_order semantics.
+"""
+
+import json
+
+import pytest
+
+from clp_spark.operators.json_archive import (
+    compress_jsonl_archive,
+    is_json_archive,
+    reconstruct_jsonl,
+)
+
+MIXED_LINES = [
+    '{"ts": 1, "msg": "hello world", "ctx": {"lat": 1.5, "region": "us"}}',
+    '{"ts": 2, "msg": "no ctx", "code": 404}',
+    '{"ts": 3, "msg": "hello again", "ctx": {"lat": 2.5, "region": "eu"}}',
+    '{"arr": [1, 2, 3], "tag": "ints"}',
+    '{"arr": [1, {"x": 2}, null, "mix"], "tag": "mixed"}',
+    '{"nul": null, "emp": {}, "b": true}',
+    '{"deep": {"a": {"b": {"c": -7}}}}',
+    '{"esc": "quote \\" slash \\\\ tab \\t end", "f": -0.125}',
+    "5",
+    '"bare string"',
+    "[10, 20]",
+    "{}",
+    '{"ts": 4, "msg": "fourth", "code": 500}',
+    '{"big": 9007199254740993}',
+]
+
+
+def _roundtrip(spark, tmp_path, lines, **kw):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(lines)],
+                               "ord long, raw string")
+    out = str(tmp_path / "jarchive")
+    stats = compress_jsonl_archive(df, "raw", out, order_col="ord", **kw)
+    assert stats["invalid"] == 0
+    back = reconstruct_jsonl(spark, out).collect()
+    return stats, back
+
+
+class TestRoundTrip:
+    def test_structural_equality_and_order(self, spark, tmp_path):
+        stats, back = _roundtrip(spark, tmp_path, MIXED_LINES)
+        assert stats["rows"] == len(MIXED_LINES)
+        # ORDER: log_event_idx sequence is exactly the input order
+        assert [r["log_event_idx"] for r in back] == list(range(len(MIXED_LINES)))
+        # STRUCTURE: every reconstructed record parses equal to its input
+        for r, line in zip(back, MIXED_LINES):
+            assert json.loads(r["json"]) == json.loads(line), (r["json"], line)
+
+    def test_structurize_arrays_roundtrip(self, spark, tmp_path):
+        _, back = _roundtrip(spark, tmp_path, MIXED_LINES,
+                             structurize_arrays=True)
+        for r, line in zip(back, MIXED_LINES):
+            assert json.loads(r["json"]) == json.loads(line)
+
+    def test_interleaved_schema_order(self, spark, tmp_path):
+        """delta-encode-log-order: alternating schemas must come back in
+        source order, not grouped by schema table."""
+        lines = []
+        for i in range(60):
+            if i % 3 == 0:
+                lines.append(json.dumps({"a": i}))
+            elif i % 3 == 1:
+                lines.append(json.dumps({"b": {"x": i}, "s": f"v{i}"}))
+            else:
+                lines.append(json.dumps({"c": [i, i + 1]}))
+        _, back = _roundtrip(spark, tmp_path, lines)
+        assert [json.loads(r["json"]) for r in back] == [
+            json.loads(x) for x in lines
+        ]
+
+    def test_invalid_json_raises_or_skips(self, spark, tmp_path):
+        lines = ['{"a": 1}', "not json at all {{{"]
+        df = spark.createDataFrame([(i, s) for i, s in enumerate(lines)],
+                                   "ord long, raw string")
+        with pytest.raises(ValueError, match="not valid JSON"):
+            compress_jsonl_archive(df, "raw", str(tmp_path / "e"),
+                                   order_col="ord")
+        stats = compress_jsonl_archive(df, "raw", str(tmp_path / "s"),
+                                       order_col="ord", on_invalid="skip")
+        assert stats["invalid"] == 1 and stats["rows"] == 1
+
+    def test_is_json_archive_detection(self, spark, tmp_path):
+        _roundtrip(spark, tmp_path, ['{"a": 1}'])
+        assert is_json_archive(str(tmp_path / "jarchive"))
+        assert not is_json_archive(str(tmp_path))
+
+    def test_no_per_row_python_in_reconstruction(self, spark, tmp_path):
+        """The reconstruction plan is pure JVM expressions — no Python
+        evals (BatchEvalPython/ArrowEvalPython) anywhere."""
+        _roundtrip(spark, tmp_path, MIXED_LINES)
+        df = reconstruct_jsonl(spark, str(tmp_path / "jarchive"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+
+
+class TestCli:
+    def test_cli_json_compress_extract(self, spark, tmp_path, capsys):
+        from clp_spark import cli
+
+        src = tmp_path / "in.jsonl"
+        src.write_text("\n".join(MIXED_LINES) + "\n")
+        arch = str(tmp_path / "arch")
+        cli.main(["c", "--json", arch, str(src)])
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["rows"] == len(MIXED_LINES)
+        cli.main(["x", arch])
+        out_lines = capsys.readouterr().out.strip().splitlines()
+        assert len(out_lines) == len(MIXED_LINES)
+        for got, want in zip(out_lines, MIXED_LINES):
+            assert json.loads(got) == json.loads(want)

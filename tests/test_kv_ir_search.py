@@ -1,0 +1,167 @@
+"""kv-IR direct search (operators/kv_ir_search.py) — parity with
+compress-then-search over the same records.
+
+Reference: kv_ir_search.hpp:26-46 search_kv_ir_stream — query compiled
+once, events evaluated during deserialization, aggregations unsupported.
+The differential here: the SAME records as (a) kv-IR chunks searched with
+search_kv_ir and (b) JSONL searched with the archive path (search_jsonl);
+matched id-sets must agree query-for-query.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from clp_spark.operators.kv_ir_search import search_kv_ir
+from clp_spark.sources import kv_ir as kv
+
+
+def _records():
+    recs = []
+    for i in range(60):
+        recs.append(
+            {
+                "id": i,
+                "a": i % 5,
+                "b": {"x": i * 10, "tag": f"t{i % 3}"},
+                "msg": f"req {i} took {i * 2} ms" if i % 4 else f"idle {i}",
+                "flag": i % 2 == 0,
+                "ratio": i * 0.25,
+            }
+        )
+    return recs
+
+
+QUERIES = [
+    "a: 3",
+    "NOT a: 3",
+    "b.x > 400",
+    "b.x >= 100 AND b.x <= 300",
+    'msg: "req*"',
+    'msg: "idle*" OR a: 1',
+    "flag: true",
+    "NOT flag: true",
+    "b.tag: t2 AND NOT a: 0",
+    "ratio > 10.5",
+    "b.*: t1",
+    "*: 7",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    recs = _records()
+    jdf = spark.createDataFrame(
+        [(json.dumps(r),) for r in recs], "raw string"
+    )
+    sdf = spark.createDataFrame(
+        [
+            (
+                f"s{r['id'] % 2}",
+                r["id"],
+                r["id"],
+                r["a"],
+                {"x": r["b"]["x"], "tag": r["b"]["tag"]},
+                r["msg"],
+                r["flag"],
+                r["ratio"],
+            )
+            for r in recs
+        ],
+        "source string, ord long, id long, a long, "
+        "b struct<x: long, tag: string>, msg string, flag boolean, "
+        "ratio double",
+    )
+    chunks = kv.events_to_kv_ir_df(sdf, "source", events_per_chunk=16,
+                                   order_col="ord").toPandas()
+    return jdf, spark.createDataFrame(chunks)
+
+
+class TestDifferential:
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_matches_archive_search(self, spark, corpus, q):
+        from clp_spark.operators.json_search import search_jsonl
+
+        jdf, chunks = corpus
+        want = {
+            json.loads(r["raw"])["id"]
+            for r in search_jsonl(jdf, "raw", q).collect()
+        }
+        got_rows = search_kv_ir(chunks, q)
+        got = {
+            int(r["int_val"])
+            for r in got_rows.where(F.col("path") == "id").collect()
+        }
+        assert got == want, q
+
+
+class TestSemantics:
+    def test_not_requires_path_exists(self, spark):
+        """`NOT a: b` only matches events where `a` EXISTS (SchemaMatch
+        pushes NOT into the filter; reference expectation NOT a: b → {0})."""
+        sdf = spark.createDataFrame(
+            [("s", 0, 5), ("s", 1, None)],
+            "source string, id long, a long",
+        )
+        chunks = kv.events_to_kv_ir_df(sdf, "source")  # NULL = key absent
+        hit = search_kv_ir(chunks, "NOT a: 3")
+        ids = {int(r["int_val"]) for r in
+               hit.where(F.col("path") == "id").collect()}
+        assert ids == {0}
+
+    def test_null_value_match(self, spark):
+        """`n: null` matches a VOID leaf; `n: *` does not (existence means
+        a non-null value, wide-table isNotNull parity)."""
+        pre = kv.make_kv_preamble()
+        body = bytes([
+            0x71, 0x60, 0x00, 0x41, 0x02, ord("i"), ord("d"),  # int "id"
+            0x76, 0x60, 0x00, 0x41, 0x01, ord("n"),            # obj "n"
+            0x65, 0x01, 0x65, 0x02, 0x51, 0x07, 0x5F,          # id=7, n=null
+            0x00,
+        ])
+        df = spark.createDataFrame(
+            [("s", 0, 1, bytearray(pre + body))],
+            "stream string, chunk_ix long, n_events long, ir binary",
+        )
+        null_hits = search_kv_ir(df, "n: null").collect()
+        assert {int(r["int_val"]) for r in null_hits
+                if r["path"] == "id"} == {7}
+        assert search_kv_ir(df, "n: *").count() == 0
+        assert search_kv_ir(df, "id: *").count() > 0
+
+    def test_no_aggregation_one_shuffle_pair(self, spark):
+        """Plan shape: decode (map) → one event-key aggregate exchange →
+        semi join. No Python eval beyond the decode mapInArrow."""
+        sdf = spark.createDataFrame(
+            [("s", i, i % 3) for i in range(30)],
+            "source string, id long, a long",
+        )
+        chunks = kv.events_to_kv_ir_df(sdf, "source")
+        plan = search_kv_ir(chunks, "a: 1")._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 0
+
+
+class TestCli:
+    def test_cli_s_ir(self, spark, tmp_path, capsys):
+        from clp_spark import cli
+
+        d = tmp_path / "jsonl"
+        d.mkdir()
+        lines = [
+            {"level": "INFO", "code": 1},
+            {"level": "WARN", "code": 2},
+            {"level": "INFO", "code": 3},
+        ]
+        (d / "a.jsonl").write_text(
+            "\n".join(json.dumps(x) for x in lines) + "\n"
+        )
+        out = str(tmp_path / "kv_chunks")
+        cli.main(["kv-import", out, str(d / "a.jsonl")])
+        capsys.readouterr()
+        cli.main(["s-ir", out, "level: INFO"])
+        rows = [json.loads(x) for x in
+                capsys.readouterr().out.strip().splitlines()]
+        codes = {r["int_val"] for r in rows if r["path"] == "code"}
+        assert codes == {1, 3}
