@@ -70,6 +70,7 @@ EOF_BYTE = 0x00
 
 _KIND_TO_NODE_TAG = {
     "int": NODE_INT, "float": NODE_FLOAT, "bool": NODE_BOOL, "str": NODE_STR,
+    "uarray": NODE_UARRAY,
 }
 
 
@@ -124,12 +125,14 @@ class Leaf:
     kind 'float' → values float64
     kind 'bool'  → values bool
     kind 'str'   → data uint8 + offsets int64 (n+1)
+    kind 'uarray'→ like 'str' (the array's JSON text), but the node is
+                   UnstructuredArray and values always clp-encode
     valid[e] False ⇒ the key is absent from event e.
     """
 
     def __init__(self, path, kind, valid, values=None, data=None, offsets=None):
         self.path = tuple(path)
-        if kind not in ("int", "float", "bool", "str"):
+        if kind not in ("int", "float", "bool", "str", "uarray"):
             raise ValueError(f"unsupported leaf kind {kind!r}")
         self.kind = kind
         self.valid = np.asarray(valid, dtype=bool)
@@ -331,14 +334,19 @@ def serialize_kv_ir_core(
             sizes[li, v] = 9
         elif lf.kind == "bool":
             sizes[li, v] = 1
-        else:  # str
+        else:  # str / uarray
             lens = np.diff(lf.offsets).astype(np.int64)
-            # a string containing ' ' serializes as a clp-string
-            has_space = np.zeros(n_events, dtype=bool)
-            if int(lens.sum()):
-                is_sp = lf.data == 0x20
-                csp = np.concatenate([[0], np.cumsum(is_sp)])
-                has_space = (csp[lf.offsets[1:]] - csp[lf.offsets[:-1]]) > 0
+            # a string containing ' ' serializes as a clp-string; an
+            # unstructured array ALWAYS does (Serializer.cpp
+            # serialize_value_array uses the clp text encoding throughout)
+            if lf.kind == "uarray":
+                has_space = np.ones(n_events, dtype=bool)
+            else:
+                has_space = np.zeros(n_events, dtype=bool)
+                if int(lens.sum()):
+                    is_sp = lf.data == 0x20
+                    csp = np.concatenate([[0], np.cumsum(is_sp)])
+                    has_space = (csp[lf.offsets[1:]] - csp[lf.offsets[:-1]]) > 0
             plain = v & ~has_space
             clp = v & has_space
             sizes[li, plain] = _str_hdr_sizes(lens[plain]) + lens[plain]
@@ -911,7 +919,7 @@ KV_ROW_SCHEMA = (
 )
 
 
-def _arrow_col_to_leaves(name_path, col, parent_valid):
+def _arrow_col_to_leaves(name_path, col, parent_valid, uarray_paths=frozenset()):
     """Recursively flatten an Arrow column into Leaf objects. NULL = the key
     is absent from that event (see module scope notes)."""
     import pyarrow as pa
@@ -927,7 +935,8 @@ def _arrow_col_to_leaves(name_path, col, parent_valid):
         for i in range(t.num_fields):
             out.extend(
                 _arrow_col_to_leaves(
-                    name_path + (t.field(i).name,), col.field(i), valid
+                    name_path + (t.field(i).name,), col.field(i), valid,
+                    uarray_paths,
                 )
             )
         return out
@@ -961,7 +970,12 @@ def _arrow_col_to_leaves(name_path, col, parent_valid):
         from clp_spark.sources.ir_stream import _string_parts
 
         data, offs = _string_parts(col.fill_null(""))
-        return [Leaf(name_path, "str", valid, data=data, offsets=offs)]
+        # array columns were stringified to their JSON text Spark-side
+        # (events_to_kv_ir_df); they serialize as clp-encoded strings on
+        # UnstructuredArray nodes, exactly like the reference's
+        # serialize_value_array (Serializer.cpp:186-195,386)
+        kind = "uarray" if name_path in uarray_paths else "str"
+        return [Leaf(name_path, kind, valid, data=data, offsets=offs)]
     raise ValueError(f"unsupported kv-IR leaf type {t} at {'.'.join(name_path)}")
 
 
@@ -987,6 +1001,43 @@ def events_to_kv_ir_df(
     if encoding not in ("eight", "four"):
         raise ValueError("encoding must be 'eight' or 'four'")
     import pyarrow as pa
+    from pyspark.sql import functions as SF
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    # array/map columns (at any nesting depth) serialize as their JSON text
+    # on UnstructuredArray nodes — the reference's serialize_value_array
+    # does exactly this (arrays become clp-encoded JSON strings). The
+    # stringify happens JVM-side (to_json) before the Arrow hop.
+    uarray_paths: set[tuple] = set()
+
+    def _has_container(t) -> bool:
+        if isinstance(t, (ArrayType, MapType)):
+            return True
+        if isinstance(t, StructType):
+            return any(_has_container(f.dataType) for f in t.fields)
+        return False
+
+    def _xform(col, t, path):
+        if isinstance(t, (ArrayType, MapType)):
+            uarray_paths.add(path)
+            return SF.to_json(col)
+        if isinstance(t, StructType) and _has_container(t):
+            rebuilt = SF.struct(*[
+                _xform(col.getField(f.name), f.dataType,
+                       path + (f.name,)).alias(f.name)
+                for f in t.fields
+            ])
+            return SF.when(col.isNotNull(), rebuilt)
+        return col
+
+    if any(_has_container(f.dataType) for f in df.schema.fields
+           if f.name != stream_col):
+        df = df.select(*[
+            df[f.name] if f.name == stream_col
+            else _xform(df[f.name], f.dataType, (f.name,)).alias(f.name)
+            for f in df.schema.fields
+        ])
+    uarray_paths = frozenset(uarray_paths)
 
     def _fn(batches):
         next_chunk_ix: dict = {}
@@ -1011,7 +1062,8 @@ def events_to_kv_ir_df(
                     continue
                 all_leaves.extend(
                     _arrow_col_to_leaves(
-                        (fld.name,), batch.column(i), np.ones(n, dtype=bool)
+                        (fld.name,), batch.column(i), np.ones(n, dtype=bool),
+                        uarray_paths,
                     )
                 )
             out_stream, out_ix, out_n, out_ir = [], [], [], []
@@ -1020,9 +1072,9 @@ def events_to_kv_ir_df(
                     b = min(a + events_per_chunk, re_)
                     chunk_leaves = []
                     for lf in all_leaves:
-                        if lf.kind == "str":
+                        if lf.kind in ("str", "uarray"):
                             chunk_leaves.append(Leaf(
-                                lf.path, "str", lf.valid[a:b],
+                                lf.path, lf.kind, lf.valid[a:b],
                                 data=lf.data[lf.offsets[a]:lf.offsets[b]],
                                 offsets=lf.offsets[a:b + 1] - lf.offsets[a],
                             ))
@@ -1128,8 +1180,12 @@ def kv_ir_to_rows_df(df, ir_col: str = "ir", stream_col: str = "stream"):
                 [NODE_INT, NODE_FLOAT, NODE_BOOL, NODE_STR, NODE_OBJ],
                 default=0,
             )
-            if nr and not (ntypes == expect).all():
-                bad = int(np.flatnonzero(ntypes != expect)[0])
+            # clp-encoded strings also attach to UnstructuredArray nodes
+            # (the reference serializes arrays as clp-encoded JSON text)
+            is_uarr = (kinds == _K_STR) & (ntypes == NODE_UARRAY)
+            ok = (ntypes == expect) | is_uarr
+            if nr and not ok.all():
+                bad = int(np.flatnonzero(~ok)[0])
                 raise ValueError(
                     "kv-IR value type does not match its schema-tree node "
                     f"(node type 0x{int(ntypes[bad]):02x}, value kind "
@@ -1152,7 +1208,13 @@ def kv_ir_to_rows_df(df, ir_col: str = "ir", stream_col: str = "stream"):
                     pa.compute.take(cvals, ridx),
                     pa.array(out["row_event"], type=pa.int64()),
                     pa.compute.take(paths_arr, pa.array(path_ix, type=pa.int64())),
-                    pa.compute.take(kn_arr, pa.array(kinds.astype(np.int64))),
+                    pa.compute.if_else(
+                        pa.array(is_uarr),
+                        pa.scalar("uarray", type=pa.string()),
+                        pa.compute.take(
+                            kn_arr, pa.array(kinds.astype(np.int64))
+                        ),
+                    ),
                     pa.array(
                         np.where(kinds == _K_INT, out["int_val"], 0),
                         type=pa.int64(),

@@ -278,6 +278,34 @@ class TestSparkSurface:
             assert kvs["msg"]["str_val"] == expect_msg
             assert bool(kvs["ok"]["bool_val"]) == (i % 2 == 0)
 
+    def test_unstructured_arrays_roundtrip(self, spark):
+        """Array columns serialize as clp-encoded JSON text on
+        UnstructuredArray nodes (Serializer.cpp serialize_value_array:186,
+        SchemaTreeNodeUnstructuredArray:745) and decode back with vtype
+        'uarray' and the exact JSON text."""
+        from clp_spark.sources.kv_ir import events_to_kv_ir_df, kv_ir_to_rows_df
+
+        df = spark.createDataFrame(
+            [
+                ("s", 0, [1, 2, 3], [{"x": 1}], {"inner": [4, 5]}),
+                ("s", 1, [], None, {"inner": None}),
+            ],
+            "source string, id long, nums array<long>, "
+            "objs array<struct<x: long>>, ctx struct<inner: array<long>>",
+        )
+        chunks = events_to_kv_ir_df(df, "source")
+        blob = bytes(chunks.collect()[0]["ir"])
+        assert 0x75 in blob  # NODE_UARRAY defs on the wire
+        back = kv_ir_to_rows_df(chunks).toPandas()
+        by = {(int(r["event_ix"]), r["path"]): r for _, r in back.iterrows()}
+        assert by[(0, "nums")]["vtype"] == "uarray"
+        assert by[(0, "nums")]["str_val"] == "[1,2,3]"
+        assert by[(0, "objs")]["str_val"] == '[{"x":1}]'
+        assert by[(0, "ctx.inner")]["str_val"] == "[4,5]"
+        assert by[(1, "nums")]["str_val"] == "[]"
+        assert (1, "objs") not in by  # NULL array = absent key
+        assert (1, "ctx.inner") not in by
+
     def test_auto_user_id_spaces_stay_separate(self, spark):
         """Auto-gen node id N and user-gen node id N are DIFFERENT nodes
         (two SchemaTree instances in the reference); row path resolution
@@ -315,7 +343,7 @@ class TestSparkSurface:
         d.mkdir()
         lines = [
             {"level": "INFO", "ctx": {"latency": 1.5}, "msg": "req 1 took 9 ms"},
-            {"level": "WARN", "msg": "nospace"},
+            {"level": "WARN", "msg": "nospace", "tags": [1, 2]},
             {"level": "INFO", "ctx": {"latency": 0.25}, "code": 42},
         ]
         (d / "a.jsonl").write_text("\n".join(json.dumps(x) for x in lines) + "\n")
@@ -324,13 +352,15 @@ class TestSparkSurface:
         stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert stats["events"] == 3 and stats["chunks"] == 1
         cli.main(["kv-export", out, "--count"])
-        # 3 + 2 + 3 leaves (absent keys omitted)
-        assert capsys.readouterr().out.strip().splitlines()[-1] == "8"
+        # 3 + 3 + 3 leaves (absent keys omitted; tags array is one leaf)
+        assert capsys.readouterr().out.strip().splitlines()[-1] == "9"
         cli.main(["kv-export", out])
         rows = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
         by = {(r["event_ix"], r["path"]): r for r in rows}
         assert by[(0, "msg")]["str_val"] == "req 1 took 9 ms"
         assert by[(0, "ctx.latency")]["float_val"] == 1.5
+        assert by[(1, "tags")]["vtype"] == "uarray"
+        assert by[(1, "tags")]["str_val"] == "[1,2]"
         assert by[(2, "code")]["int_val"] == 42
         assert (1, "ctx.latency") not in by
 

@@ -166,17 +166,19 @@ class TestKvIrStreamingIngest:
         from clp_spark.streaming.ingest import run_kv_ir_ingest_stream
 
         rows = [
-            (f"svc{i % 2}", i, f"req {i} took {i * 3} ms",
+            (f"svc{i % 2}", i, i, f"req {i} took {i * 3} ms",
              {"latency": i * 0.5, "region": f"r{i % 3}"})
             for i in range(300)
         ]
         df = spark.createDataFrame(
             rows,
-            "source string, seq long, msg string, "
+            "source string, ord long, seq long, msg string, "
             "ctx struct<latency double, region string>",
         )
+        # ord is the serialization-order column (dropped from the data);
+        # seq stays a data key
         chunks = events_to_kv_ir_df(df, "source", events_per_chunk=50,
-                                    order_col="seq")
+                                    order_col="ord")
         pdf = chunks.toPandas()
         in_dir = tmp_path / "kv_in"
         in_dir.mkdir()
