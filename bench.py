@@ -117,6 +117,54 @@ def pipeline_bench(spark, sf: str) -> tuple[float, int]:
     return pick, base_rows * amplify
 
 
+def kv_deser_bench(spark, cpus: int) -> dict:
+    """Structured kv-IR deserialize: Spark path vs the pure parse loop on
+    the same blobs (VERDICT r02 perf-weak item — the Spark path must sit
+    within ~2x of the profiled loop per core, not 10x behind on cold
+    arenas)."""
+    from pyspark.sql import functions as F
+
+    from clp_spark.sources.kv_ir import (
+        deserialize_kv_ir_many,
+        events_to_kv_ir_df,
+        kv_ir_to_rows_df,
+    )
+
+    n = 200_000
+    df = spark.range(n).select(
+        F.concat(F.lit("svc"), (F.col("id") % 4).cast("string")).alias("source"),
+        F.col("id").alias("ord"),
+        F.col("id").alias("seq"),
+        (F.col("id") * 0.5).alias("ratio"),
+        (F.col("id") % 2 == 0).alias("flag"),
+        F.struct((F.col("id") % 7).alias("x")).alias("ctx"),
+        F.concat(F.lit("req "), F.col("id").cast("string"),
+                 F.lit(" took "), (F.col("id") * 3).cast("string"),
+                 F.lit(" ms")).alias("msg"),
+    )
+    pdf = events_to_kv_ir_df(df, "source", events_per_chunk=1024,
+                             order_col="ord").toPandas()
+    blobs = [bytes(b) for b in pdf["ir"]]
+    loop_s = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        deserialize_kv_ir_many(blobs)
+        loop_s = min(loop_s, time.time() - t0)
+    cdf = spark.createDataFrame(pdf).repartition(cpus).persist()
+    cdf.count()
+    spark_s = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        kv_ir_to_rows_df(cdf).count()
+        spark_s = min(spark_s, time.time() - t0)
+    cdf.unpersist()
+    return {
+        "kv_deser_loop_ev_per_sec_1core": round(n / loop_s, 1),
+        "kv_deser_spark_ev_per_sec": round(n / spark_s, 1),
+        "kv_deser_spark_ev_per_sec_per_core": round(n / spark_s / cpus, 1),
+    }
+
+
 def packing_bench(spark, sf: str) -> tuple[float, int]:
     """Sequence packing throughput over the synthetic sequences table —
     the tokens-payload headline op (window cumsum + per-pack slice +
@@ -222,6 +270,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "pipeline_contended_retries": pipe_retries,
         "packing_rows_per_sec": round(pack_rows / pack_s, 1),
         "calib_kernel_rows_per_sec_1core": calib,
+        **kv_deser_bench(spark, cpus),
     }
     spark.stop()
     return result

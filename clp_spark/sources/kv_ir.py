@@ -550,49 +550,93 @@ def _kv_parse_steps(big, cur, ends, active, acc):
     as ir_stream._parse_steps — one classify gather + one batched emit per
     step). Node-definition units (multi-field: type + parent id + key) are
     handled in a masked sub-branch; they are O(schema nodes), not O(tokens).
+
+    Allocation discipline (BENCH r02 finding): a chunked stream takes
+    thousands of steps per batch, and ~24 fresh token-length temporaries
+    per step triggered a first-touch page-fault storm on cold malloc
+    arenas (10× wall on the Spark path vs the profiled loop). The hot
+    per-step arrays are therefore PREALLOCATED once per call and reused as
+    views, the active set is maintained compactly (no flatnonzero per
+    step), and results accumulate into grow-doubling output buffers
+    instead of one small array per step.
     """
     from clp_spark.sources.ir_stream import _be_read
 
-    while active.any():
-        ai = np.flatnonzero(active)
-        tags = big[cur[ai]]
+    ai = np.flatnonzero(active).astype(np.int64)
+    pos = cur[ai].copy()
+    end_a = ends[ai].copy()
+    nb = len(ai)
+    if nb == 0:
+        return
+    # per-step scratch (views [:k] each step)
+    tags_s = np.empty(nb, np.uint8)
+    kinds_s = np.empty(nb, np.int8)
+    vals_s = np.empty(nb, np.int64)
+    vw_s = np.empty(nb, np.int64)
+    hw_s = np.empty(nb, np.int64)
+    lens_s = np.empty(nb, np.int64)
+    adv_s = np.empty(nb, np.int64)
+    sp0_s = np.empty(nb, np.int64)
+    sp1_s = np.empty(nb, np.int64)
+    # grow-doubling output accumulator
+    cap = max(4096, 4 * nb)
+    o_blob = np.empty(cap, np.int64)
+    o_kind = np.empty(cap, np.int8)
+    o_val = np.empty(cap, np.int64)
+    o_sp = np.empty((cap, 2), np.int64)
+    n_out = 0
+    while len(ai):
+        k = len(ai)
+        tags = tags_s[:k]
+        np.take(big, pos, out=tags)
         eof = tags == EOF_BYTE
         if eof.any():
-            active[ai[eof]] = False
-            ai = ai[~eof]
-            tags = tags[~eof]
-            if len(ai) == 0:
-                continue
-        p = cur[ai]
-        kinds = _KV_KIND_LUT[tags]
+            keep = ~eof
+            ai, pos, end_a = ai[keep], pos[keep], end_a[keep]
+            k = len(ai)
+            if k == 0:
+                break
+            tags = tags_s[:k]
+            np.take(big, pos, out=tags)
+        kinds = kinds_s[:k]
+        np.take(_KV_KIND_LUT, tags, out=kinds)
         if (kinds < 0).any():
-            bad = ai[kinds < 0][0]
-            raise ValueError(f"corrupt kv-IR tag 0x{int(big[cur[bad]]):02x}")
-        vals = _KV_CVAL_LUT[tags].copy()
-        spans = np.zeros((len(ai), 2), dtype=np.int64)
-        vw = _KV_VW_LUT[tags]
+            bad = int(tags[kinds < 0][0])
+            raise ValueError(f"corrupt kv-IR tag 0x{bad:02x}")
+        vals = vals_s[:k]
+        np.take(_KV_CVAL_LUT, tags, out=vals)
+        sp0, sp1 = sp0_s[:k], sp1_s[:k]
+        sp0[:] = 0
+        sp1[:] = 0
+        vw = vw_s[:k]
+        np.take(_KV_VW_LUT, tags, out=vw)
         for w in (1, 2, 4, 8):
             m = vw == w
             if m.any():
-                vals[m] = _be_read(big, p[m] + 1, w, signed_small=True)
-        hw = _KV_HW_LUT[tags]
-        adv = 1 + vw
+                vals[m] = _be_read(big, pos[m] + 1, w, signed_small=True)
+        hw = hw_s[:k]
+        np.take(_KV_HW_LUT, tags, out=hw)
+        adv = adv_s[:k]
+        adv[:] = 1
+        adv += vw
         lp = hw > 0
         if lp.any():
-            lens = np.zeros(len(ai), dtype=np.int64)
+            lens = lens_s[:k]
+            lens[:] = 0
             for w in (1, 2, 4):
                 m = hw == w
                 if m.any():
-                    lens[m] = _be_read(big, p[m] + 1, w)
-            s = p + 1 + hw
-            spans[lp, 0] = s[lp]
-            spans[lp, 1] = s[lp] + lens[lp]
-            adv = adv + hw + lens
+                    lens[m] = _be_read(big, pos[m] + 1, w)
+            s = pos[lp] + 1 + hw[lp]
+            sp0[lp] = s
+            sp1[lp] = s + lens[lp]
+            adv += hw
+            adv += lens
         # node defs: type tag + parent-id unit + key string — consumed as
         # ONE token; few per blob, so the nested width reads stay cheap
         nd = (kinds >= _K_NODE_DEF_BASE) & (kinds < _K_NODE_DEF_BASE + 6)
         if nd.any():
-            pp = p[nd] + 1
+            pp = pos[nd] + 1
             ptag = big[pp]
             praw = np.zeros(int(nd.sum()), dtype=np.int64)
             psz = np.zeros(int(nd.sum()), dtype=np.int64)
@@ -616,16 +660,30 @@ def _kv_parse_steps(big, cur, ends, active, acc):
                 raise ValueError("corrupt kv-IR: bad key-string tag")
             ks = kp + khdr
             vals[nd] = praw
-            spans[nd, 0] = ks
-            spans[nd, 1] = ks + klen
+            sp0[nd] = ks
+            sp1[nd] = ks + klen
             adv[nd] = 1 + psz + khdr + klen
-        acc["blob"].append(ai)
-        acc["kind"].append(kinds)
-        acc["val"].append(vals)
-        acc["span"].append(spans)
-        cur[ai] += adv
-        if (cur[ai] > ends[ai]).any():
+        if n_out + k > cap:
+            cap = max(cap * 2, n_out + k)
+            o_blob = np.concatenate([o_blob[:n_out], np.empty(cap - n_out, np.int64)])
+            o_kind = np.concatenate([o_kind[:n_out], np.empty(cap - n_out, np.int8)])
+            o_val = np.concatenate([o_val[:n_out], np.empty(cap - n_out, np.int64)])
+            o_sp = np.concatenate(
+                [o_sp[:n_out], np.empty((cap - n_out, 2), np.int64)]
+            )
+        o_blob[n_out:n_out + k] = ai
+        o_kind[n_out:n_out + k] = kinds
+        o_val[n_out:n_out + k] = vals
+        o_sp[n_out:n_out + k, 0] = sp0
+        o_sp[n_out:n_out + k, 1] = sp1
+        n_out += k
+        pos += adv
+        if (pos > end_a).any():
             raise ValueError("truncated kv-IR stream")
+    acc["blob"].append(o_blob[:n_out])
+    acc["kind"].append(o_kind[:n_out].astype(np.int64))
+    acc["val"].append(o_val[:n_out])
+    acc["span"].append(o_sp[:n_out])
 
 
 def deserialize_kv_ir_many(blobs: list[bytes]) -> dict:
