@@ -14,6 +14,9 @@ win where alternations overlap (Java regex alternation is leftmost-first).
 
 from __future__ import annotations
 
+import re
+from dataclasses import dataclass, field
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -53,4 +56,253 @@ def custom_schema_encode(
         *keep,
         schema_logtype(m, rules).alias("logtype"),
         schema_variables(m, rules).alias("variables"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# log-surgeon schema FILES (`--schema-path`)
+# ---------------------------------------------------------------------------
+# Grammar parity with log-surgeon's SchemaParser as exercised by the
+# reference's test suite (tests/test-ParserWithUserSchema.cpp,
+# tests/test_schema_files/*, config/schemas.txt):
+#
+#   // comment lines and blank lines are skipped
+#   delimiters:<chars>        every character after the colon — INCLUDING a
+#                             leading space — is a delimiter; \t \r \n \\
+#                             escapes apply (config/schemas.txt relies on the
+#                             space-after-colon being a delimiter)
+#   timestamp:<regex>         header rule: matches a line-leading timestamp
+#   header:(?<timestamp>...)  header rule, named-capture form
+#   <name>:<regex>            variable rule; named capture groups are an
+#                             error outside header rules ("the schema rule
+#                             '<x>' has a regex pattern containing capture
+#                             groups"); repeated names union
+#
+# Log-parser validation (clp::load_lexer_from_file semantics): a schema file
+# used for parsing MUST carry a delimiters line; non-header rules must not
+# contain delimiter characters as literals (the lexer tokenizes on
+# delimiters first, so such a rule could never match a whole token).
+
+_NAME_RX = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_ESCAPES = {"t": "\t", "r": "\r", "n": "\n", "\\": "\\", "v": "\v", "f": "\f"}
+
+
+class SchemaFileError(ValueError):
+    pass
+
+
+@dataclass
+class SchemaFile:
+    delimiters: str | None = None
+    rules: list[tuple[str, str]] = field(default_factory=list)  # file order
+    headers: list[str] = field(default_factory=list)  # timestamp regexes
+
+
+def _unescape_delims(spec: str) -> str:
+    out: list[str] = []
+    i = 0
+    while i < len(spec):
+        c = spec[i]
+        if c == "\\" and i + 1 < len(spec):
+            out.append(_ESCAPES.get(spec[i + 1], spec[i + 1]))
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    # delimiters are a SET; dedupe preserving first occurrence
+    seen: list[str] = []
+    for c in out:
+        if c not in seen:
+            seen.append(c)
+    return "".join(seen)
+
+
+def _named_group_count(pattern: str) -> int:
+    return len(re.findall(r"\(\?<[A-Za-z]", pattern))
+
+
+def parse_schema_file(text: str) -> SchemaFile:
+    """Schema-file text → SchemaFile (syntax only; see load_log_schema for
+    the log-parser validations)."""
+    sf = SchemaFile()
+    any_content = False
+    for ln, raw in enumerate(text.splitlines(), start=1):
+        line = raw.rstrip("\r\n")
+        stripped = line.strip()
+        if not stripped or stripped.startswith("//"):
+            continue
+        any_content = True
+        m = _NAME_RX.match(line)
+        if not m or len(line) == len(m.group(0)) or line[m.end()] != ":":
+            col = (m.end() if m else 0) + 1
+            raise SchemaFileError(
+                f"Schema:{ln}:{col}: error: expected ':' before "
+                f"{line[col - 1:col] or 'end of line'!r} token\n{line}"
+            )
+        name = m.group(0)
+        body = line[m.end() + 1:]
+        if name == "delimiters":
+            sf.delimiters = _unescape_delims(body)
+            continue
+        if name == "header":
+            g = re.match(r"\(\?<timestamp>(.*)\)\s*$", body)
+            if not g:
+                raise SchemaFileError(
+                    f"Schema:{ln}: error: header rule must be a single "
+                    "(?<timestamp>...) capture"
+                )
+            sf.headers.append(g.group(1))
+            continue
+        if name == "timestamp":
+            sf.headers.append(body)
+            continue
+        sf.rules.append((name, body))
+    if not any_content:
+        raise SchemaFileError("Schema:1:1: error: empty file")
+    return sf
+
+
+_REGEX_META = set(".*+?()[]{}|^$\\")
+
+
+def _delimiter_in_pattern(pattern: str, delims: str) -> str | None:
+    """First delimiter char appearing as a LITERAL in the pattern (outside
+    character classes and escapes), else None. A bare regex metacharacter
+    is SYNTAX (e.g. `-?` where '?' is a delimiter), not a literal; an
+    escaped one (`\\*`) IS a literal."""
+    i = 0
+    in_class = False
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            esc = pattern[i + 1] if i + 1 < len(pattern) else ""
+            lit = _ESCAPES.get(esc)
+            if lit is None and esc and not esc.isalnum():
+                lit = esc  # escaped punctuation = that literal char
+            if not in_class and lit is not None and lit in delims:
+                return lit
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            i += 1
+            continue
+        if c in delims and c not in _REGEX_META:
+            return c
+        i += 1
+    return None
+
+
+def load_log_schema(text: str) -> SchemaFile:
+    """Parse + validate a schema file for LOG PARSING (the clp
+    load_lexer_from_file gate)."""
+    sf = parse_schema_file(text)
+    if sf.delimiters is None:
+        raise SchemaFileError(
+            'When using --schema-path, "delimiters:" line must be used.'
+        )
+    for name, pattern in sf.rules:
+        n = _named_group_count(pattern)
+        if n:
+            raise SchemaFileError(
+                f"error: the schema rule '{name}' has a regex pattern "
+                f"containing capture groups (found {n})."
+            )
+        bad = _delimiter_in_pattern(pattern, sf.delimiters)
+        if bad is not None:
+            raise SchemaFileError(
+                f"error: the schema rule '{name}' contains the delimiter "
+                f"{bad!r} in its regex pattern."
+            )
+    return sf
+
+
+def _delim_char_class(delims: str) -> str:
+    return "".join(
+        "\\" + c if c in "]\\^-[&" else c for c in delims
+    )
+
+
+def _localize_dots(pattern: str, cc: str) -> str:
+    """Bare '.' outside character classes → the negated-delimiter class.
+    log-surgeon matches rules against ONE token (the lexer splits on
+    delimiters first), so '.' can never cross a delimiter; plain-regex
+    '.*' would."""
+    out: list[str] = []
+    i = 0
+    in_class = False
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            out.append(pattern[i:i + 2])
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            out.append(c)
+        elif c == "[":
+            in_class = True
+            out.append(c)
+        elif c == ".":
+            out.append(f"[^{cc}]")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def schema_file_rules(sf: SchemaFile) -> list[tuple[str, str]]:
+    """Variable rules anchored to whole tokens: a variable must span
+    delimiter-to-delimiter (log-surgeon lexes on delimiters first, then
+    classifies whole tokens). Java lookaround keeps the combined
+    alternation a single JVM regex."""
+    cc = _delim_char_class(sf.delimiters or "")
+    if not cc:
+        return list(sf.rules)
+    pre = f"(?:^|(?<=[{cc}]))"
+    post = f"(?:$|(?=[{cc}]))"
+    return [
+        (name, f"{pre}(?:{_localize_dots(p, cc)}){post}")
+        for name, p in sf.rules
+    ]
+
+
+def schema_timestamp_token(msg_col: Column, sf: SchemaFile) -> Column:
+    """First header rule's line-leading timestamp token, else NULL."""
+    out = F.lit(None).cast("string")
+    for rx in reversed(sf.headers):
+        tok = F.regexp_extract(msg_col, "^(" + rx + ")", 1)
+        out = F.when(tok != "", tok).otherwise(out)
+    return out
+
+
+def schema_file_encode(
+    df: DataFrame, msg_col: str, schema_text: str,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Full --schema-path encode: (keep..., ts_token, logtype, variables)
+    using the schema file's delimiters, header rules, and variable rules."""
+    sf = load_log_schema(schema_text)
+    keep = keep or []
+    m = F.col(msg_col)
+    body = m
+    if sf.headers:
+        ts = schema_timestamp_token(m, sf)
+        body = F.when(
+            ts.isNotNull(), F.substring(m, F.length(ts) + 1, F.length(m))
+        ).otherwise(m)
+    else:
+        ts = F.lit(None).cast("string")
+    rules = schema_file_rules(sf)
+    return df.select(
+        *keep,
+        ts.alias("ts_token"),
+        schema_logtype(body, rules).alias("logtype"),
+        schema_variables(body, rules).alias("variables"),
     )

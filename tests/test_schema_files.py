@@ -1,0 +1,194 @@
+"""log-surgeon schema-FILE grammar goldens, transcribed from the
+reference's suite (tests/test-ParserWithUserSchema.cpp +
+tests/test_schema_files/* + config/schemas.txt). Fixture contents are
+reproduced verbatim; expectations mirror the reference's REQUIRE_THROWS /
+REQUIRE_NOTHROW outcomes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from clp_spark.operators.custom_schema import (
+    SchemaFileError,
+    load_log_schema,
+    parse_schema_file,
+    schema_file_encode,
+    schema_file_rules,
+    schema_timestamp_token,
+)
+
+REAL_SCHEMA = r"""// Delimiters
+delimiters: \r\n
+
+// First set of variables
+timestamp:[0-9]{4}\-[0-9]{2}\-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}[,\.][0-9]{0,3}
+int:\-{0,1}[0-9]+
+float:\-{0,1}[0-9]+\.[0-9]+
+
+// Second set of variables
+hex:[a-fA-F]+
+hasNumber:[^ \r\n]*\d[^ \r\n]*
+equals:=[^ \r\n]*[a-zA-Z0-9][^ \r\n]*
+"""
+
+SCHEMA_WITH_DELIMITERS = r"""delimiters: ,\r\n
+identifier:(My.og)\d{3}APet[0-9]*\\test\.txt
+timestamp:[0-9]{4}\-[0-9]{2}\-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}\.[0-9]{3}
+serverName:(S|s)erver[0-9]*
+int:[0-9]+
+float:[0-9]+\.[0-9]+"""
+
+SCHEMA_WITHOUT_DELIMITERS = r"""identifier:(My.og)\d{3}\sAPet[0-9]*\\test\.txt
+timestamp:[0-9]{4}\-[0-9]{2}\-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}\.[0-9]{3}
+serverName:(S|s)erver[0-9]*
+int:[0-9]+
+float:[0-9]+\.[0-9]+"""
+
+COLON_MISSING = """delimiters:
+float:[0-9]+\\.[0-9]+
+int [0-9]+"""
+
+MULTICHAR_TOKEN = """// Delimiters
+delimiters : \\r\\n"""
+
+SINGLE_CAPTURE = r"""delimiters: \r\n
+
+capture:[A-Za-z]+(?<group>\d+)"""
+
+MULTI_CAPTURE = r"""delimiters: \r\n
+
+multicapture:text(?<group0>var0)text(?<group1>var1)text"""
+
+DELIMITER_IN_REGEX = r"""delimiters: =,\r\n
+equals:.*=.*
+identifier:(My.og)\d{3}APet[0-9]*\\test\.txt
+timestamp:[0-9]{4}\-[0-9]{2}\-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}\.[0-9]{3}
+serverName:(S|s)erver[0-9]*
+int:[0-9]+
+float:[0-9]+\.[0-9]+"""
+
+CONFIG_SCHEMAS = (
+    "// Delimiters\n"
+    "delimiters: \\t\\r\\n!\"#$%&'()*,:;<>?@[]^_`{}|~\n"
+    "\n"
+    "// Headers (using the `timestamp` capture keyword)\n"
+    "header:(?<timestamp>\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}"
+    "(\\.\\d{3}){0,1})\n"
+    "header:(?<timestamp>\\[\\d{8}-\\d{2}:\\d{2}:\\d{2}\\])\n"
+    "\n"
+    "int:-?\\d+\n"
+    "float:-?\\d+\\.\\d+\n"
+    "\n"
+    "hex:[a-fA-F]+\n"
+    "hasNumber:.*\\d.*\n"
+)
+
+
+class TestSchemaParser:
+    def test_empty_file(self):
+        with pytest.raises(SchemaFileError, match="empty file"):
+            parse_schema_file("")
+        with pytest.raises(SchemaFileError, match="empty file"):
+            parse_schema_file("// only a comment\n\n")
+
+    def test_colon_missing(self):
+        """reference: Schema:3:4: error: expected ... before ' ' token"""
+        with pytest.raises(SchemaFileError, match=r"Schema:3:4"):
+            parse_schema_file(COLON_MISSING)
+
+    def test_multicharacter_token(self):
+        """reference: Schema:2:11: error: expected ':' before ' ' token"""
+        with pytest.raises(SchemaFileError, match=r"Schema:2:11"):
+            parse_schema_file(MULTICHAR_TOKEN)
+
+    def test_real_schema_parses(self):
+        sf = parse_schema_file(REAL_SCHEMA)
+        assert sf.delimiters == " \r\n"
+        assert [n for n, _ in sf.rules] == [
+            "int", "float", "hex", "hasNumber", "equals",
+        ]
+        assert len(sf.headers) == 1
+
+    def test_schema_with_delimiters_loads(self):
+        sf = load_log_schema(SCHEMA_WITH_DELIMITERS)
+        assert set(sf.delimiters) == {" ", ",", "\r", "\n"}
+
+    def test_without_delimiters_rejected_for_parsing(self):
+        """reference: 'When using --schema-path, \"delimiters:\" line must
+        be used.'"""
+        parse_schema_file(SCHEMA_WITHOUT_DELIMITERS)  # syntax is fine
+        with pytest.raises(SchemaFileError, match="delimiters"):
+            load_log_schema(SCHEMA_WITHOUT_DELIMITERS)
+
+    def test_single_capture_group_rejected(self):
+        with pytest.raises(
+            SchemaFileError,
+            match=r"'capture' has a regex pattern containing capture "
+                  r"groups \(found 1\)",
+        ):
+            load_log_schema(SINGLE_CAPTURE)
+
+    def test_multiple_capture_groups_rejected(self):
+        with pytest.raises(SchemaFileError, match=r"\(found 2\)"):
+            load_log_schema(MULTI_CAPTURE)
+
+    def test_delimiter_in_regex_rejected(self):
+        with pytest.raises(
+            SchemaFileError, match=r"'equals' contains the delimiter"
+        ):
+            load_log_schema(DELIMITER_IN_REGEX)
+
+    def test_config_schemas_load(self):
+        """reference: REQUIRE_NOTHROW on config/schemas.txt"""
+        sf = load_log_schema(CONFIG_SCHEMAS)
+        assert len(sf.headers) == 2
+        assert " " in sf.delimiters and "\t" in sf.delimiters
+        assert "=" not in sf.delimiters  # so equals-style rules stay legal
+
+
+class TestSchemaEncode:
+    def test_config_schema_encode(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("2015-01-31 15:50:45.392 task 12 took 0.335 s at 0xdeadbeef",),
+                ("[20150131-15:50:45] worker spawned pid 4242",),
+                ("no timestamp here count 7",),
+            ],
+            "line string",
+        )
+        out = schema_file_encode(df, "line", CONFIG_SCHEMAS).collect()
+        assert out[0]["ts_token"] == "2015-01-31 15:50:45.392"
+        assert out[1]["ts_token"] == "[20150131-15:50:45]"
+        assert out[2]["ts_token"] is None
+        assert out[0]["variables"] == ["12", "0.335", "0xdeadbeef"]
+        assert out[1]["variables"] == ["4242"]
+        assert out[2]["variables"] == ["7"]
+        assert "\x12" in out[0]["logtype"] and "task" in out[0]["logtype"]
+
+    def test_whole_token_anchoring(self, spark):
+        """A variable rule only matches a WHOLE delimiter-bounded token —
+        log-surgeon lexes on delimiters first, then classifies tokens."""
+        schema = "delimiters: \\r\\n\nhex:[a-fA-F]+\n"
+        sf = load_log_schema(schema)
+        df = spark.createDataFrame(
+            [("deadbeef stuck42 cafe",)], "line string"
+        )
+        from clp_spark.operators.custom_schema import schema_variables
+
+        got = df.select(
+            schema_variables(F.col("line"), schema_file_rules(sf)).alias("v")
+        ).collect()[0]["v"]
+        # 'stuck42' contains hex letters but is not a whole hex token;
+        # 'deadbeef' and 'cafe' are
+        assert got == ["deadbeef", "cafe"]
+
+    def test_rule_priority_is_file_order(self, spark):
+        sf = load_log_schema(
+            "delimiters: \\r\\n\nfloat:[0-9]+\\.[0-9]+\nint:[0-9]+\n"
+        )
+        from clp_spark.operators.custom_schema import schema_variables
+
+        df = spark.createDataFrame([("a 12.5 b 7",)], "line string")
+        got = df.select(
+            schema_variables(F.col("line"), schema_file_rules(sf)).alias("v")
+        ).collect()[0]["v"]
+        assert got == ["12.5", "7"]
