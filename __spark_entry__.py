@@ -232,23 +232,6 @@ def q_formatted_float_roundtrip(spark, sf_dir):
     )
 
 
-def q_dict_var_ids_attach(spark, sf_dir):
-    """Aligned dict-var id arrays (CLP stores var *ids* in encoded rows —
-    VariableDictionaryWriter insert-or-get): build the var dictionary with
-    deterministic sorted ids, attach per-row id arrays aligned with
-    dict_vars, emit exploded (doc_id, pos, var_id)."""
-    from clp_spark.operators.dictionary import assign_sorted_ids, attach_dict_var_ids
-
-    enc = _encoded_docs(spark, sf_dir).where(F.col("doc_id") < 50)
-    var_dict = assign_sorted_ids(
-        enc.select(F.explode("dict_vars").alias("var_value")), "var_value", "var_id"
-    )
-    out = attach_dict_var_ids(enc, var_dict, ["doc_id"])
-    return out.select(
-        "doc_id", F.posexplode("dict_var_ids").alias("pos", "var_id")
-    )
-
-
 def q_clp_logtype_dict_ids(spark, sf_dir):
     """Deterministic sorted dense dictionary ids (distributed rank path)."""
     from clp_spark.operators.dictionary import assign_sorted_ids
@@ -302,17 +285,6 @@ def q_wildcard_search(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return docs.where(wildcard_match(F.col("text"), "*spark*join*")).select("doc_id")
-
-
-def q_wildcard_variants(spark, sf_dir):
-    """'?' single-char wildcard + --ignore-case in one query (merged from the
-    round-1 wildcard_single_char / wildcard_ignore_case entries)."""
-    from clp_spark.functions.wildcard import wildcard_match
-
-    docs = _t(spark, sf_dir, "documents")
-    return docs.where(
-        wildcard_match(F.col("text"), "*FA?T*", ignore_case=True)
-    ).select("doc_id")
 
 
 def q_kql_boolean_range(spark, sf_dir):
@@ -369,24 +341,6 @@ def q_glt_bucket_counts(spark, sf_dir):
 
 
 _LOG_LEVELS = ["DEBUG", "INFO", "WARN", "ERROR"]
-
-
-def q_log_level_filter(spark, sf_dir):
-    """Log-level filter (reference README.md:64-68 — log-viewer verbosity
-    threshold; level parsed at ingest): embed a level token in the message,
-    re-extract it as an ordinal, keep level >= WARN."""
-    docs = _t(spark, sf_dir, "documents")
-    lv_arr = F.array(*[F.lit(x) for x in _LOG_LEVELS])
-    msg = F.concat(
-        F.element_at(lv_arr, (F.pmod("doc_id", F.lit(4)) + 1).cast("int")),
-        F.lit(" "),
-        F.col("text"),
-    )
-    level_id = F.array_position(lv_arr, F.regexp_extract(msg, r"^(\w+) ", 1))
-    return (
-        docs.select(F.col("doc_id"), level_id.alias("level_id"))
-        .where(F.col("level_id") >= 3)
-    )
 
 
 def q_ts_range_filter(spark, sf_dir):
@@ -752,6 +706,132 @@ def q_golden_kql_search(spark, sf_dir):
     return out
 
 
+def q_golden_float_search(spark, sf_dir):
+    """The reference's formatted-float search regression
+    (test-clp_s-search.cpp:260-295) as one driver query: all 9 golden
+    queries over the FormattedFloat corpus; oracle = the reference's own
+    expected-id table as literal VALUES. Replaces round-2's
+    wildcard_variants slot (wildcard coverage stays driver-graded via
+    wildcard_search + pytest's 209-golden sweep)."""
+    import json as _json
+
+    from clp_spark.operators.json_search import JsonArchive
+    from clp_spark.sources.golden import FLOAT_QUERIES, FLOAT_RECORDS, METADATA
+
+    df = spark.createDataFrame(
+        [(_json.dumps(r),) for r in FLOAT_RECORDS], "raw string"
+    )
+    archive = JsonArchive(df, "raw", metadata=METADATA)
+    out = None
+    for i, (q, _expected) in enumerate(FLOAT_QUERIES):
+        hit = archive.search(q).select(
+            F.lit(i).cast("long").alias("q_ix"),
+            F.get_json_object("raw", "$.idx").cast("long").alias("idx"),
+        )
+        out = hit if out is None else out.unionAll(hit)
+    return out
+
+
+def q_golden_ts_search(spark, sf_dir):
+    """The reference's timestamp search regression
+    (test-clp_s-search.cpp:297-357): float-epoch records (suite 0) and
+    digit-string epoch-ms records (suite 1), searched with timestamp()
+    literals through the timestamp_key normalization. Replaces round-2's
+    clp_archive_search_icase slot (ignore-case stays pytest-covered)."""
+    import json as _json
+
+    from clp_spark.operators.json_search import JsonArchive
+    from clp_spark.sources.golden import (
+        FLOAT_TS_QUERIES,
+        FLOAT_TS_RECORDS,
+        INT_TS_QUERIES,
+        INT_TS_RECORDS,
+        METADATA,
+    )
+
+    out = None
+    for suite, (records, queries) in enumerate(
+        [(FLOAT_TS_RECORDS, FLOAT_TS_QUERIES),
+         (INT_TS_RECORDS, INT_TS_QUERIES)]
+    ):
+        df = spark.createDataFrame(
+            [(_json.dumps(r),) for r in records], "raw string"
+        )
+        archive = JsonArchive(
+            df, "raw", metadata=METADATA, timestamp_key="timestamp"
+        )
+        for i, (q, _expected) in enumerate(queries):
+            hit = archive.search(q).select(
+                F.lit(suite).cast("long").alias("suite"),
+                F.lit(i).cast("long").alias("q_ix"),
+                F.get_json_object("raw", "$.idx").cast("long").alias("idx"),
+            )
+            out = hit if out is None else out.unionAll(hit)
+    return out
+
+
+def q_json_archive_roundtrip(spark, sf_dir):
+    """clp-s JSON-archive lifecycle (operators/json_archive.py): build
+    JSONL from events, compress into per-schema typed tables, reconstruct
+    in ingestion order (JsonConstructor.construct_in_order parity), then
+    re-extract the typed fields from the reconstructed JSON. A lost key,
+    corrupted value, or broken idx pairing breaks the hash. Replaces
+    round-2's log_level_filter slot (a single built-in filter, still
+    embedded in the entry flagship)."""
+    import tempfile
+
+    from clp_spark.operators.json_archive import (
+        compress_jsonl_archive,
+        reconstruct_jsonl,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.pmod(F.col("event_id"), F.lit(7)) == 0)
+    raw = ev.select(
+        F.col("event_id"),
+        F.concat(
+            F.lit('{"meta":{"type":"'), F.col("event_type"),
+            F.lit('"},"ids":['), F.col("event_id").cast("string"),
+            F.lit(","), F.col("user_id").cast("string"),
+            F.lit('],"value":'), F.col("value").cast("string"), F.lit("}"),
+        ).alias("raw"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="clp_json_arch_")
+    compress_jsonl_archive(raw, "raw", out_dir, order_col="event_id")
+    rec = reconstruct_jsonl(spark, out_dir)
+    return rec.select(
+        F.col("log_event_idx"),
+        F.get_json_object("json", "$.meta.type").alias("etype"),
+        F.get_json_object("json", "$.ids[1]").cast("long").alias("uid"),
+        F.get_json_object("json", "$.value").cast("double").alias("val"),
+    )
+
+
+def q_kv_ir_direct_search(spark, sf_dir):
+    """kv-IR direct search (kv_ir_search.hpp parity): serialize events into
+    structured kv-IR chunks, search them with KQL WITHOUT building an
+    archive, return the matching events' ids. Replaces round-2's
+    dict_var_ids_attach slot (uniqueness contract stays pytest-covered and
+    clp_dict_var_counts keeps the dictionary family driver-graded)."""
+    from clp_spark.operators.kv_ir_search import search_kv_ir
+    from clp_spark.sources.kv_ir import events_to_kv_ir_df
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.pmod(F.col("event_id"), F.lit(5)) == 0
+    ).select(
+        "event_type",
+        F.col("event_id").alias("ord"),
+        "event_id",
+        "user_id",
+        "value",
+    )
+    chunks = events_to_kv_ir_df(ev, "event_type", events_per_chunk=512,
+                                order_col="ord")
+    hits = search_kv_ir(chunks, "value > 50 AND NOT user_id: 7")
+    return hits.where(F.col("path") == "event_id").select(
+        F.col("stream"), F.col("int_val").alias("event_id")
+    )
+
+
 def _build_archive(spark, sf_dir):
     """Encode documents into an in-memory archive (sinks + dictionaries)."""
     _ensure_workers_have_package(spark)
@@ -793,17 +873,6 @@ def q_clp_archive_search_var(spark, sf_dir):
 
     sinks, lt, vd = _build_archive(spark, sf_dir)
     out = search_archive(sinks, lt, vd, "* node-3 *")
-    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
-
-
-def q_clp_archive_search_icase(spark, sf_dir):
-    """Case-insensitive archive search (--ignore-case: dictionary probes and
-    final verification lower-cased, reference clg CommandLineArguments /
-    Query.hpp ignore_case)."""
-    from clp_spark.operators.search import search_archive
-
-    sinks, lt, vd = _build_archive(spark, sf_dir)
-    out = search_archive(sinks, lt, vd, "*FAST*SCAN*", ignore_case=True)
     return out.select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
@@ -859,7 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clp_encode_route_agg": q_clp_encode_route_agg,
         "clp_dict_var_counts": q_clp_dict_var_counts,
         "clp_logtype_dict_ids": q_clp_logtype_dict_ids,
-        "dict_var_ids_attach": q_dict_var_ids_attach,
+        "kv_ir_direct_search": q_kv_ir_direct_search,
         "clp_int_var_sum": q_clp_int_var_sum,
         "clp_float_encodings": q_clp_float_encodings,
         "formatted_float_roundtrip": q_formatted_float_roundtrip,
@@ -868,11 +937,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- archive search lifecycle (compile → probe → filter → decode → verify)
         "clp_archive_search": q_clp_archive_search,
         "clp_archive_search_var": q_clp_archive_search_var,
-        "clp_archive_search_icase": q_clp_archive_search_icase,
         "golden_kql_search": q_golden_kql_search,
+        "golden_float_search": q_golden_float_search,
+        "golden_ts_search": q_golden_ts_search,
         # --- search / filter surface
         "wildcard_search": q_wildcard_search,
-        "wildcard_variants": q_wildcard_variants,
         "regex_search": q_regex_search,
         "json_array_search": q_json_array_search,
         "subsequence_match": q_subsequence_match,
@@ -881,7 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_nested": q_kql_nested,
         "kql_wildcard_column": q_kql_wildcard_column,
         "ts_range_filter": q_ts_range_filter,
-        "log_level_filter": q_log_level_filter,
+        "json_archive_roundtrip": q_json_archive_roundtrip,
         "metadata_prefilter": q_metadata_prefilter,
         "sql_surface": q_sql_surface,
         # --- schema / structure / storage layout
@@ -963,16 +1032,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, doc_id * 37 + n_chars / 8.0 AS v "
             "FROM documents WHERE doc_id < 200))"
         ),
-        "dict_var_ids_attach": (
-            f"WITH dv AS (SELECT doc_id, unnest({_ORACLE_DICTVARS}) AS var_value, "
-            f"generate_subscripts({_ORACLE_DICTVARS}, 1) - 1 AS pos "
-            "FROM documents WHERE doc_id < 50), "
-            "vdi AS (SELECT var_value, dense_rank() OVER (ORDER BY var_value) - 1 "
-            "AS var_id FROM (SELECT DISTINCT var_value FROM dv)) "
-            "SELECT doc_id, pos, var_id FROM dv JOIN vdi USING (var_value)"
+        "kv_ir_direct_search": (
+            "SELECT event_type AS stream, event_id FROM events "
+            "WHERE event_id % 5 = 0 AND value > 50 AND user_id <> 7"
+        ),
+        "json_archive_roundtrip": (
+            "SELECT event_id AS log_event_idx, event_type AS etype, "
+            "user_id AS uid, value AS val FROM events WHERE event_id % 7 = 0"
         ),
         "wildcard_search": "SELECT doc_id FROM documents WHERE text LIKE '%spark%join%'",
-        "wildcard_variants": "SELECT doc_id FROM documents WHERE text ILIKE '%FA_T%'",
         "kql_boolean_range": (
             "SELECT event_id FROM events WHERE (event_type = 'click' "
             "OR event_type = 'purchase') AND value > 50"
@@ -984,10 +1052,6 @@ def oracle_sql() -> dict[str, str]:
         "ts_range_filter": (
             "SELECT event_id FROM events WHERE ts BETWEEN TIMESTAMP '2024-01-02 00:00:00' "
             "AND TIMESTAMP '2024-01-03 00:00:00'"
-        ),
-        "log_level_filter": (
-            "SELECT doc_id, CAST((doc_id % 4) + 1 AS BIGINT) AS level_id FROM documents "
-            "WHERE (doc_id % 4) + 1 >= 3"
         ),
         "subsequence_match": (
             "SELECT doc_id FROM documents WHERE "
@@ -1249,15 +1313,51 @@ def oracle_sql() -> dict[str, str]:
         "clp_archive_search_var": (
             f"SELECT doc_id FROM documents WHERE {_ORACLE_MSG} LIKE '% node-3 %'"
         ),
-        "clp_archive_search_icase": (
-            f"SELECT doc_id FROM documents WHERE {_ORACLE_MSG} ILIKE '%FAST%SCAN%'"
-        ),
+        "golden_float_search": _golden_pairs_sql("FLOAT_QUERIES"),
+        "golden_ts_search": _golden_ts_pairs_sql(),
         "streaming_count_by_time": (
             "SELECT (epoch_ms(ts) // 60000) * 60000 AS bucket_ts, count(*) AS cnt "
             "FROM events GROUP BY 1"
         ),
         "embedding_ann_lsh": _ann_lsh_oracle_sql(),
     }
+
+
+def _golden_pairs_sql(which: str) -> str:
+    """Expected (q_ix, idx) VALUES for a golden sub-suite — the reference's
+    own matched-id table (test-clp_s-search.cpp:260-295)."""
+    import clp_spark.sources.golden as G
+
+    queries = getattr(G, which)
+    pairs = [
+        (i, idx)
+        for i, (_q, expected) in enumerate(queries)
+        for idx in sorted(expected)
+    ]
+    vals = ", ".join(f"({i}, {x})" for i, x in pairs)
+    return (
+        "SELECT CAST(q_ix AS BIGINT) AS q_ix, CAST(idx AS BIGINT) AS idx "
+        f"FROM (VALUES {vals}) t(q_ix, idx)"
+    )
+
+
+def _golden_ts_pairs_sql() -> str:
+    """Expected (suite, q_ix, idx) VALUES for the timestamp sub-suites
+    (test-clp_s-search.cpp:297-357): suite 0 = float epoch, 1 = int ms."""
+    from clp_spark.sources.golden import FLOAT_TS_QUERIES, INT_TS_QUERIES
+
+    triples = [
+        (s, i, idx)
+        for s, queries in enumerate([FLOAT_TS_QUERIES, INT_TS_QUERIES])
+        for i, (_q, expected) in enumerate(queries)
+        for idx in sorted(expected)
+    ]
+    vals = ", ".join(f"({s}, {i}, {x})" for s, i, x in triples)
+    return (
+        "SELECT CAST(suite AS BIGINT) AS suite, CAST(q_ix AS BIGINT) AS q_ix, "
+        "CAST(idx AS BIGINT) AS idx "
+        f"FROM (VALUES {vals}) t(suite, q_ix, idx)"
+    )
 
 
 def _golden_oracle_sql() -> str:

@@ -91,6 +91,10 @@ def compress_jsonl_archive(
     }
     total_rows = 0
     scalar_parts: list[DataFrame] = []
+    # Variant DDLs are finer than the typed schema (every DECIMAL(p,s) is
+    # its own DDL but the SAME float column) — groups with an identical
+    # (path, kind) signature are ONE clp-s schema and merge into one table.
+    merged: dict[str, dict] = {}
     for grp in archive.schema_groups:
         typed = grp["part"].drop("__v__", "__raw__")
         data_cols = [c for c in typed.columns if c != IDX_COL]
@@ -106,15 +110,21 @@ def compress_jsonl_archive(
             )
             continue
         sid = _schema_id(grp["leaves"])
+        if sid in merged:
+            merged[sid]["typed"] = merged[sid]["typed"].unionByName(typed)
+        else:
+            merged[sid] = {"typed": typed, "leaves": grp["leaves"],
+                           "ddl": grp["ddl"]}
+    for sid, entry in merged.items():
         path = os.path.join(out_dir, f"schema_id={sid}")
-        typed.write.mode("overwrite").parquet(path)
-        n = typed.sparkSession.read.parquet(path).count()
+        entry["typed"].write.mode("overwrite").parquet(path)
+        n = entry["typed"].sparkSession.read.parquet(path).count()
         total_rows += n
         manifest["schemas"].append(
             {
                 "schema_id": sid,
-                "ddl": grp["ddl"],
-                "leaves": [[list(p), k] for p, k in grp["leaves"]],
+                "ddl": entry["ddl"],
+                "leaves": [[list(p), k] for p, k in entry["leaves"]],
                 "rows": n,
             }
         )

@@ -175,7 +175,17 @@ class JsonArchive:
             *[df[c] for c in keep_cols],
             F.col(raw_col).alias("__raw__"),
             F.try_parse_json(F.col(raw_col)).alias("__v__"),
-        ).withColumn("__ddl__", F.schema_of_variant(F.col("__v__")))
+        ).withColumn(
+            "__ddl__",
+            # canonicalize decimal shapes: every DECIMAL(p,s) is the same
+            # float column in clp-s terms (_parse_variant_ddl maps both to
+            # 'float'); without this, 8.0 and 15.12 land in different
+            # schema groups and group count explodes with numeric variety
+            F.regexp_replace(
+                F.schema_of_variant(F.col("__v__")),
+                r"DECIMAL\(\d+,\s*\d+\)", "DOUBLE",
+            ),
+        )
         staged = staged.withColumn(
             "__ddl__",
             F.when(F.col("__v__").isNull(), F.lit("<invalid>")).otherwise(F.col("__ddl__")),

@@ -57,3 +57,65 @@ METADATA = {
     "_file_split_number": 0,
     "_archive_creator_id": "test-uuid",
 }
+
+
+# --- formatted-float sub-suite (test-clp_s-search.cpp:260-295) -------------
+
+FLOAT_RECORDS: list[dict] = [
+    {"idx": 0, "msg": "xxx", "formattedFloatValue": -1.000000e3},
+    {"idx": 1, "msg": "aaa", "formattedFloatValue": -1.000000e-2},
+    {"idx": 2, "msg": "bbb", "formattedFloatValue": -1.000000e-30},
+    {"idx": 3, "msg": "ccc", "formattedFloatValue": 0.0},
+    {"idx": 4, "msg": "ddd", "formattedFloatValue": 0.0},
+    {"idx": 5, "msg": "eee", "formattedFloatValue": 0.0},
+    {"idx": 6, "msg": "fff", "formattedFloatValue": 1.000000e-16},
+    {"idx": 7, "msg": "ggg", "formattedFloatValue": 0.0000000000000001},
+    {"idx": 8, "msg": "hhh", "formattedFloatValue": 2.000000},
+    {"idx": 9, "msg": "iii", "formattedFloatValue": 3e3},
+    {"idx": 10, "msg": "jjj", "formattedFloatValue": 4.000000e3},
+    {"idx": 11, "msg": "kkk", "formattedFloatValue": 5.000000000000001e3},
+    {"idx": 12, "msg": "lll", "formattedFloatValue": 5.000000000000002e3},
+]
+
+FLOAT_QUERIES: list[tuple[str, set[int]]] = [
+    (r"NOT formattedFloatValue: 0", {0, 1, 2, 6, 7, 8, 9, 10, 11, 12}),
+    (r"formattedFloatValue: 0", {3, 4, 5}),
+    (r"formattedFloatValue: 1e-16", {6, 7}),
+    (r"formattedFloatValue > 0.00", {6, 7, 8, 9, 10, 11, 12}),
+    (r"formattedFloatValue > 5000.000000000001", {12}),
+    (r"formattedFloatValue < 0.00 AND formattedFloatValue >= -0.01", {1, 2}),
+    (r"idx: 0 AND NOT formattedFloatValue: -1000.0", set()),
+    (r'msg: "xxx" AND formattedFloatValue: 3000.0', set()),
+    (r'msg: "xxx" OR formattedFloatValue: 3000.0', {0, 9}),
+]
+
+# --- timestamp sub-suite (test-clp_s-search.cpp:297-357) -------------------
+
+FLOAT_TS_RECORDS: list[dict] = [
+    {"idx": 0, "timestamp": 1759417024.1},
+    {"idx": 1, "timestamp": 1759417024.2},
+    {"idx": 2, "timestamp": 1759417024.3},
+]
+
+FLOAT_TS_QUERIES: list[tuple[str, set[int]]] = [
+    (r'timestamp < timestamp("1759417024.4")', {0, 1, 2}),
+    (r'timestamp > timestamp("1759417023.1")', {0, 1, 2}),
+    (r'timestamp > timestamp("1759417024")', {0, 1, 2}),
+    (r'timestamp > timestamp("1759417024.1") AND '
+     r'timestamp < timestamp("1759417024.3")', {1}),
+]
+
+INT_TS_RECORDS: list[dict] = [
+    {"idx": 0, "timestamp": "1759417024100"},
+    {"idx": 1, "timestamp": "1759417024200"},
+    {"idx": 2, "timestamp": "1759417024300"},
+]
+
+INT_TS_QUERIES: list[tuple[str, set[int]]] = [
+    (r'timestamp < timestamp("1759417024400")', {0, 1, 2}),
+    (r'timestamp > timestamp("1759417023100")', {0, 1, 2}),
+    (r'timestamp > timestamp("1759417024000")', {0, 1, 2}),
+    (r'timestamp > timestamp("1759417024100") AND '
+     r'timestamp < timestamp("1759417024300")', {1}),
+    (r'timestamp > timestamp("1759417024.299")', {2}),
+]

@@ -14,108 +14,18 @@ import pytest
 
 from clp_spark.operators.json_search import JsonArchive
 
-FILENAME = "test_log_files/test_search.jsonl"
-
-MAIN_RECORDS = [
-    {"idx": 0, "a": "clp string"},
-    {"idx": 1, "msg": 'Msg 1: "Abc123"'},
-    {"idx": 2, "msg": "Msg 2: 'Abc123'"},
-    {"idx": 3, "msg": "Msg 3: \nAbc123"},
-    {"idx": 4, "msg": "Msg 4: \\Abc123"},
-    {"idx": 5, "msg": "Msg 5: \rAbc123"},
-    {"idx": 6, "msg": "Msg 6: \tAbc123"},
-    {"idx": 7, "arr": [{"a": 999}, {"b": 1001}]},
-    {"idx": 8, "arr": {"a": 999, "b": 1001}},
-    {"idx": 9, "var_string": "a", "clp_string": "a b", "float": 1.1, "int": 1,
-     "bool": True, "array": [], "object": {}},
-    {"idx": 10, "ambiguous_varstring": "abcde"},
-    {"idx": 11, "ambiguous_varstring": "ae"},
-    {"idx": 12, "ambiguous_varstring": "a*e"},
-    {"idx": 13, "one": 1},
-]
-
-# (query, expected idx set) — test-clp_s-search.cpp:206-233 verbatim, with
-# the $_filename literal adapted to this fixture's path
-MAIN_QUERIES = [
-    (r"NOT a: b", {0}),
-    (r'msg: "Msg 1: \"Abc123\""', {1}),
-    (r"""msg: "Msg 2: 'Abc123'" """, {2}),
-    (r'msg: "Msg 3: \nAbc123"', {3}),
-    (r'msg: "Msg 4: \\Abc123"', {4}),
-    (r'msg: "Msg 5: \rAbc123"', {5}),
-    (r'msg: "Msg 6: \tAbc123"', {6}),
-    (r'msg: "*Abc123*"', {1, 2, 3, 4, 5, 6}),
-    (r"arr.b > 1000", {7, 8}),
-    (r"var_string: *", {9}),
-    (r"clp_string: *", {9}),
-    (f'$_filename: "{FILENAME}" AND $_file_split_number: 0 AND '
-     r"$_archive_creator_id: * AND idx: 0", {0}),
-    (r'idx: 0 AND NOT $_filename: "clp string"', {0}),
-    (r'idx: 0 AND NOT $*._filename.*: "clp string"', {0}),
-    (r'($_filename: file OR $_file_split_number: 1 OR $_archive_creator_id > 0) AND '
-     r'idx: 0 OR idx: timestamp("1")', {1}),
-    (r'ambiguous_varstring: "a*e"', {10, 11, 12}),
-    (r'ambiguous_varstring: "a\*e"', {12}),
-    (r"idx: * AND NOT idx: null AND idx: 0", {0}),
-    (r"one > 0.9 AND one < 1.1 AND one: 1.0", {13}),
-]
-
-FLOAT_RECORDS = [
-    {"idx": 0, "msg": "xxx", "formattedFloatValue": -1.000000e3},
-    {"idx": 1, "msg": "aaa", "formattedFloatValue": -1.000000e-2},
-    {"idx": 2, "msg": "bbb", "formattedFloatValue": -1.000000e-30},
-    {"idx": 3, "msg": "ccc", "formattedFloatValue": 0.0},
-    {"idx": 4, "msg": "ddd", "formattedFloatValue": 0.0},
-    {"idx": 5, "msg": "eee", "formattedFloatValue": 0.0},
-    {"idx": 6, "msg": "fff", "formattedFloatValue": 1.000000e-16},
-    {"idx": 7, "msg": "ggg", "formattedFloatValue": 0.0000000000000001},
-    {"idx": 8, "msg": "hhh", "formattedFloatValue": 2.000000},
-    {"idx": 9, "msg": "iii", "formattedFloatValue": 3e3},
-    {"idx": 10, "msg": "jjj", "formattedFloatValue": 4.000000e3},
-    {"idx": 11, "msg": "kkk", "formattedFloatValue": 5.000000000000001e3},
-    {"idx": 12, "msg": "lll", "formattedFloatValue": 5.000000000000002e3},
-]
-
-FLOAT_QUERIES = [
-    (r"NOT formattedFloatValue: 0", {0, 1, 2, 6, 7, 8, 9, 10, 11, 12}),
-    (r"formattedFloatValue: 0", {3, 4, 5}),
-    (r"formattedFloatValue: 1e-16", {6, 7}),
-    (r"formattedFloatValue > 0.00", {6, 7, 8, 9, 10, 11, 12}),
-    (r"formattedFloatValue > 5000.000000000001", {12}),
-    (r"formattedFloatValue < 0.00 AND formattedFloatValue >= -0.01", {1, 2}),
-    (r"idx: 0 AND NOT formattedFloatValue: -1000.0", set()),
-    (r'msg: "xxx" AND formattedFloatValue: 3000.0', set()),
-    (r'msg: "xxx" OR formattedFloatValue: 3000.0', {0, 9}),
-]
-
-FLOAT_TS_RECORDS = [
-    {"idx": 0, "timestamp": 1759417024.1},
-    {"idx": 1, "timestamp": 1759417024.2},
-    {"idx": 2, "timestamp": 1759417024.3},
-]
-
-FLOAT_TS_QUERIES = [
-    (r'timestamp < timestamp("1759417024.4")', {0, 1, 2}),
-    (r'timestamp > timestamp("1759417023.1")', {0, 1, 2}),
-    (r'timestamp > timestamp("1759417024")', {0, 1, 2}),
-    (r'timestamp > timestamp("1759417024.1") AND timestamp < timestamp("1759417024.3")', {1}),
-]
-
-INT_TS_RECORDS = [
-    {"idx": 0, "timestamp": "1759417024100"},
-    {"idx": 1, "timestamp": "1759417024200"},
-    {"idx": 2, "timestamp": "1759417024300"},
-]
-
-INT_TS_QUERIES = [
-    (r'timestamp < timestamp("1759417024400")', {0, 1, 2}),
-    (r'timestamp > timestamp("1759417023100")', {0, 1, 2}),
-    (r'timestamp > timestamp("1759417024000")', {0, 1, 2}),
-    (r'timestamp > timestamp("1759417024100") AND timestamp < timestamp("1759417024300")', {1}),
-    (r'timestamp > timestamp("1759417024.299")', {2}),
-]
-
-META = {"_filename": FILENAME, "_file_split_number": 0, "_archive_creator_id": "test-uuid"}
+from clp_spark.sources.golden import (
+    FILENAME,
+    FLOAT_QUERIES,
+    FLOAT_RECORDS,
+    FLOAT_TS_QUERIES,
+    FLOAT_TS_RECORDS,
+    INT_TS_QUERIES,
+    INT_TS_RECORDS,
+    MAIN_QUERIES,
+    MAIN_RECORDS,
+    METADATA as META,
+)
 
 
 def _archive(spark, records, **kw):
