@@ -226,9 +226,27 @@ def cmd_search(args) -> None:
 
 
 def cmd_search_kql(args) -> None:
+    from clp_spark.operators.json_archive import is_json_archive
     from clp_spark.operators.json_search import search_jsonl
 
     spark = _spark(args.master)
+    if is_json_archive(args.input):
+        # compressed JSON archive: search the typed tables directly
+        # (clp-s `s <archive>` — no raw JSON re-parse)
+        from clp_spark.operators.json_archive import search_json_archive
+
+        res = search_json_archive(
+            spark, args.input, args.query,
+            ignore_case=args.ignore_case,
+            timestamp_key=args.timestamp_key,
+        )
+        if args.count:
+            print(res.count())
+        else:
+            out = res.limit(args.limit) if args.limit is not None else res
+            for r in out.collect():
+                print(r["json"])
+        return
     df = spark.read.text(args.input).withColumnRenamed("value", "raw")
     res = search_jsonl(
         df, "raw", args.query,
@@ -376,13 +394,16 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--tle", type=int, default=None, metavar="EPOCH_MS")
     s.set_defaults(fn=cmd_search)
 
-    sk = sub.add_parser("s-kql", help="KQL search over JSONL input")
+    sk = sub.add_parser(
+        "s-kql", help="KQL search over JSONL input or a compressed JSON archive"
+    )
     sk.add_argument("input")
     sk.add_argument("query")
     sk.add_argument("--ignore-case", action="store_true")
     sk.add_argument("--structurize-arrays", action="store_true")
     sk.add_argument("--count", action="store_true")
     sk.add_argument("--limit", type=int, default=None)
+    sk.add_argument("--timestamp-key", default=None)
     sk.set_defaults(fn=cmd_search_kql)
 
     cv = sub.add_parser(

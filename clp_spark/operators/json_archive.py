@@ -129,12 +129,12 @@ def compress_jsonl_archive(
             }
         )
     if scalar_parts:
-        merged = scalar_parts[0]
+        scal = scalar_parts[0]
         for p in scalar_parts[1:]:
-            merged = merged.unionAll(p)
+            scal = scal.unionAll(p)
         path = os.path.join(out_dir, f"schema_id={_SCALAR_ID}")
-        merged.write.mode("overwrite").parquet(path)
-        n = merged.sparkSession.read.parquet(path).count()
+        scal.write.mode("overwrite").parquet(path)
+        n = scal.sparkSession.read.parquet(path).count()
         total_rows += n
         manifest["schemas"].append(
             {"schema_id": _SCALAR_ID, "ddl": None, "leaves": None, "rows": n}
@@ -239,3 +239,89 @@ def reconstruct_jsonl(
     if out is None:
         raise ValueError(f"empty JSON archive at {archive_dir}")
     return out.orderBy(IDX_COL) if ordered else out
+
+
+def search_json_archive(
+    spark: SparkSession,
+    archive_dir: str,
+    query: str,
+    ignore_case: bool = False,
+    timestamp_key: str | None = None,
+) -> DataFrame:
+    """KQL search over a COMPRESSED JSON archive on disk — the clp-s
+    `s <archive> <query>` path: no raw JSON is re-parsed; each non-pruned
+    schema's typed parquet table is scanned with the compiled predicate
+    (schema-match pruning means a schema whose columns can't satisfy the
+    query costs zero I/O beyond its manifest entry). Matching records are
+    returned as (log_event_idx, json) via the same ordered reconstruction
+    as `x`.
+
+    Array-leaf probes: unstructured arrays were stored as their JSON text;
+    a variant of just the array subtree is synthesized per schema so the
+    shared compile path (json_search._array_probe) works unchanged.
+    Scalar-root records carry no keys and are never matched (same as the
+    wide path, where they contribute no typed columns).
+
+    ``timestamp_key`` applies clp-s's timestamp normalization (double =
+    epoch seconds → ms; digit strings → ms) to the named column for
+    comparisons, without altering the reconstructed output.
+    """
+    from clp_spark.operators.json_search import JsonArchive
+    from clp_spark.operators.kql import parse_kql
+    from pyspark.sql.types import DoubleType
+
+    with open(os.path.join(archive_dir, _MANIFEST)) as f:
+        manifest = json.load(f)
+    structurize = manifest["structurize_arrays"]
+    ast = parse_kql(query)
+    # borrow JsonArchive's compiler without (re)building an in-memory
+    # archive; metadata maps the order column so bare-value filters skip it
+    compiler = JsonArchive.__new__(JsonArchive)
+    compiler.metadata = {IDX_COL: None}
+    compiler.timestamp_key = timestamp_key
+    out: DataFrame | None = None
+    for entry in manifest["schemas"]:
+        if entry["schema_id"] == _SCALAR_ID:
+            continue
+        tbl = spark.read.parquet(
+            os.path.join(archive_dir, f"schema_id={entry['schema_id']}")
+        )
+        leaves = [(tuple(p), k) for p, k in entry["leaves"]]
+        # reconstruction expression FIRST, from the untouched typed columns
+        work = tbl.withColumn(
+            "__json__", _rebuild_expr(tbl, leaves, structurize)
+        )
+        arr_leaves = [
+            (p, k[len("array:"):]) for p, k in leaves
+            if k.startswith("array:")
+        ]
+        if arr_leaves:
+            varr = _rebuild_expr(
+                tbl, [(p, k) for p, k in leaves if k.startswith("array:")],
+                structurize,
+            )
+            work = work.withColumn("__v__", F.parse_json(varr))
+        if timestamp_key and timestamp_key in work.columns:
+            ts_t = {
+                f.name: f.dataType for f in work.schema.fields
+            }[timestamp_key]
+            if isinstance(ts_t, DoubleType):
+                norm = F.round(F.col(timestamp_key) * 1000).cast("long")
+            else:
+                norm = F.col(timestamp_key).cast("long")
+            work = work.withColumn(timestamp_key, norm)
+        pred = compiler._compile(work, ast, ignore_case, arr_leaves)
+        if pred is None:
+            continue  # schema pruned
+        hit = work.where(pred).select(
+            F.col(IDX_COL).alias("log_event_idx"),
+            F.col("__json__").alias("json"),
+        )
+        out = hit if out is None else out.unionAll(hit)
+    if out is None:
+        return (
+            reconstruct_jsonl(spark, archive_dir, ordered=False)
+            .where(F.lit(False))
+            .select("log_event_idx", "json")
+        )
+    return out

@@ -116,3 +116,85 @@ class TestCli:
         assert len(out_lines) == len(MIXED_LINES)
         for got, want in zip(out_lines, MIXED_LINES):
             assert json.loads(got) == json.loads(want)
+
+
+class TestDiskSearch:
+    """clp-s `s <archive>` parity: KQL over the stored typed tables must
+    match the in-memory wide path on the same records, query for query."""
+
+    QUERIES = [
+        "ts: 2",
+        "NOT ts: 2",
+        "ctx.lat > 2.0",
+        'msg: "hello*"',
+        "code: *",
+        "b: true",
+        "deep.a.b.c < 0",
+        "nul: null",
+        "ts: 1 OR code: 500",
+    ]
+
+    @pytest.fixture(scope="class")
+    def disk_archive(self, spark, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("dsearch")
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(MIXED_LINES)], "ord long, raw string"
+        )
+        out = str(tmp / "arch")
+        compress_jsonl_archive(df, "raw", out, order_col="ord")
+        return df, out
+
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_differential_vs_wide_path(self, spark, disk_archive, q):
+        from clp_spark.operators.json_archive import search_json_archive
+        from clp_spark.operators.json_search import search_jsonl
+
+        df, arch = disk_archive
+        want = {
+            json.dumps(json.loads(r["raw"]), sort_keys=True)
+            for r in search_jsonl(df, "raw", q).collect()
+            if not isinstance(json.loads(r["raw"]), (int, str, list))
+        }
+        got = {
+            json.dumps(json.loads(r["json"]), sort_keys=True)
+            for r in search_json_archive(spark, arch, q).collect()
+        }
+        assert got == want, q
+
+    def test_array_probe_from_disk(self, spark, disk_archive):
+        from clp_spark.operators.json_archive import search_json_archive
+
+        _, arch = disk_archive
+        hits = search_json_archive(spark, arch, "arr.x: 2").collect()
+        assert len(hits) == 1
+        assert json.loads(hits[0]["json"])["tag"] == "mixed"
+
+    def test_timestamp_key_from_disk(self, spark, tmp_path):
+        from clp_spark.operators.json_archive import search_json_archive
+
+        lines = [
+            '{"idx": 0, "timestamp": 1759417024.1}',
+            '{"idx": 1, "timestamp": 1759417024.2}',
+            '{"idx": 2, "timestamp": 1759417024.3}',
+        ]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(lines)], "ord long, raw string"
+        )
+        arch = str(tmp_path / "tsarch")
+        compress_jsonl_archive(df, "raw", arch, order_col="ord")
+        hits = search_json_archive(
+            spark, arch,
+            'timestamp > timestamp("1759417024.1") AND '
+            'timestamp < timestamp("1759417024.3")',
+            timestamp_key="timestamp",
+        ).collect()
+        assert [json.loads(r["json"])["idx"] for r in hits] == [1]
+        # reconstruction output keeps the ORIGINAL (un-normalized) value
+        assert json.loads(hits[0]["json"])["timestamp"] == 1759417024.2
+
+    def test_cli_search_archive(self, spark, disk_archive, capsys):
+        from clp_spark import cli
+
+        _, arch = disk_archive
+        cli.main(["s-kql", arch, "ts: *", "--count"])
+        assert capsys.readouterr().out.strip().splitlines()[-1] == "4"
