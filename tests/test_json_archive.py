@@ -198,3 +198,50 @@ class TestDiskSearch:
         _, arch = disk_archive
         cli.main(["s-kql", arch, "ts: *", "--count"])
         assert capsys.readouterr().out.strip().splitlines()[-1] == "4"
+
+
+class TestFuzzRoundTrip:
+    def test_random_json_corpus_roundtrips(self, spark, tmp_path):
+        """Property: ANY JSONL corpus round-trips with order + structure
+        preserved. One deterministic seeded corpus (hypothesis's spark
+        overhead per example is prohibitive, so we draw many shapes into
+        ONE archive instead of many tiny ones)."""
+        import random
+
+        rng = random.Random(20260818)
+
+        def scalar():
+            return rng.choice([
+                rng.randint(-2**62, 2**62),
+                rng.random() * 10 ** rng.randint(-10, 10),
+                rng.choice([True, False]),
+                None,
+                "".join(rng.choice(' abc"\\\n\té中') for _ in
+                        range(rng.randint(0, 12))),
+            ])
+
+        def value(depth):
+            r = rng.random()
+            if depth > 2 or r < 0.5:
+                return scalar()
+            if r < 0.75:
+                return [value(depth + 1) for _ in range(rng.randint(0, 4))]
+            return {
+                f"k{rng.randint(0, 5)}": value(depth + 1)
+                for _ in range(rng.randint(0, 4))
+            }
+
+        lines = []
+        for _ in range(120):
+            r = rng.random()
+            if r < 0.1:
+                lines.append(json.dumps(scalar()))
+            else:
+                lines.append(json.dumps(
+                    {f"k{rng.randint(0, 8)}": value(0)
+                     for _ in range(rng.randint(0, 5))}
+                ))
+        _, back = _roundtrip(spark, tmp_path, lines)
+        assert [r["log_event_idx"] for r in back] == list(range(len(lines)))
+        for r, line in zip(back, lines):
+            assert json.loads(r["json"]) == json.loads(line), (r["json"], line)
