@@ -150,18 +150,48 @@ def kv_deser_bench(spark, cpus: int) -> dict:
         t0 = time.time()
         deserialize_kv_ir_many(blobs)
         loop_s = min(loop_s, time.time() - t0)
-    cdf = spark.createDataFrame(pdf).repartition(cpus).persist()
+    # Spark path measured on a REPLICATED set (16x = 3.2M events): at 200k
+    # events the whole parse is ~1.7 core-seconds, so on 32 cores the wall
+    # is pure job overhead and per-core efficiency is meaningless. The
+    # replicate factor keeps compute >> overhead without inflating the
+    # single-core loop rep.
+    rep = 16
+    import pandas as pd
+
+    big_pdf = pd.concat([pdf] * rep, ignore_index=True)
+    n_spark = n * rep
+    cdf = spark.createDataFrame(big_pdf).repartition(cpus * 4).persist()
     cdf.count()
     spark_s = float("inf")
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.time()
         kv_ir_to_rows_df(cdf).count()
         spark_s = min(spark_s, time.time() - t0)
     cdf.unpersist()
+    # Same job throttled to 8 concurrent tasks (partition count bounds
+    # local-mode concurrency): isolates single-box memory bandwidth + JVM
+    # oversubscription from the engine's own per-core cost. On a real
+    # cluster each executor is a separate host, so the 8-task per-core
+    # figure is the representative one; the full-width figure shows the
+    # one-box ceiling.
+    cdf8 = spark.createDataFrame(big_pdf).repartition(8).persist()
+    cdf8.count()
+    spark8_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        kv_ir_to_rows_df(cdf8).count()
+        spark8_s = min(spark8_s, time.time() - t0)
+    cdf8.unpersist()
+    per_core = n_spark / spark_s / cpus
+    per_core8 = n_spark / spark8_s / 8
+    loop_rate = n / loop_s
     return {
-        "kv_deser_loop_ev_per_sec_1core": round(n / loop_s, 1),
-        "kv_deser_spark_ev_per_sec": round(n / spark_s, 1),
-        "kv_deser_spark_ev_per_sec_per_core": round(n / spark_s / cpus, 1),
+        "kv_deser_loop_ev_per_sec_1core": round(loop_rate, 1),
+        "kv_deser_spark_events": n_spark,
+        "kv_deser_spark_ev_per_sec": round(n_spark / spark_s, 1),
+        "kv_deser_spark_ev_per_sec_per_core": round(per_core, 1),
+        "kv_deser_spark8_ev_per_sec_per_core": round(per_core8, 1),
+        "kv_deser_per_core_vs_loop_8task": round(per_core8 / loop_rate, 3),
     }
 
 

@@ -116,6 +116,26 @@ def cmd_search(args) -> None:
 
     if args.count_by_time is not None and args.count_by_time <= 0:
         sys.exit("error: --count-by-time needs a positive bucket size in ms")
+    if getattr(args, "regex", False):
+        # regex front-end (reference clp::regex_utils::regex_to_wildcard):
+        # a translatable regex becomes a wildcard query and rides the
+        # dictionary-first path — dict probe + segment pruning instead of
+        # a full scan. Untranslatable patterns fail with the reference's
+        # error semantics rather than silently degrading.
+        from clp_spark.functions.regex_translate import (
+            RegexTranslationError, TranslatorConfig, regex_to_wildcard,
+        )
+
+        try:
+            args.query = regex_to_wildcard(
+                args.query,
+                TranslatorConfig(
+                    case_insensitive_wildcard=args.ignore_case,
+                    add_prefix_suffix_wildcards=True,
+                ),
+            )
+        except RegexTranslationError as exc:
+            sys.exit(f"error: regex not translatable to wildcard: {exc}")
     spark = _spark(args.master)
     # archives DIRECTORY (clg semantics: search every archive, time-pruned)
     # vs a single archive dir — detected by where sinks/ lives
@@ -384,6 +404,11 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("archive")
     s.add_argument("query")
     s.add_argument("--ignore-case", action="store_true")
+    s.add_argument(
+        "--regex", action="store_true",
+        help="treat QUERY as a regex; translate to a CLP wildcard query "
+             "(clp regex_utils parity) so it rides the dictionary-first path",
+    )
     s.add_argument("--count", action="store_true")
     s.add_argument("--count-by-time", type=int, default=None, metavar="BUCKET_MS")
     s.add_argument("--limit", type=int, default=None)

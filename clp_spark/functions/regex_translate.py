@@ -1,0 +1,210 @@
+"""Regex → CLP-wildcard translation.
+
+Parity with the reference's `clp::regex_utils::regex_to_wildcard`
+(components/core/src/clp/regex_utils/regex_translation_utils.cpp:354-426,
+constants.hpp:28-46, ErrorCode.cpp:17-63; goldens in
+components/core/tests/test-regex_utils.cpp).
+
+Why this exists on a Spark engine: a regex that reduces to a CLP wildcard
+query can take the dictionary-first search path (probe the logtype/variable
+dictionaries, prune segments, verify survivors) instead of an rlike full
+scan — at 100 TB that is the difference between touching the dictionaries
+(MBs) and touching every message. `try_regex_to_wildcard` is the planner
+hook: translatable → wildcard fast path, otherwise the caller falls back to
+`rlike`.
+
+The translator is a small driver-side FSM over the *query string* (never
+row data), so a plain Python loop is the right tool — query strings are a
+few hundred bytes, not a dataset.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+from typing import Optional
+
+# The set of regex metacharacters that may be escape-prefixed to act as a
+# literal (reference constants.hpp:41).
+_REGEX_ESCAPABLE = set("*+?|^$.{}[]()<>-_/=!\\")
+# Wildcard metacharacters that must stay escaped in the output
+# (constants.hpp:44).
+_WILDCARD_META = set("?*\\")
+# Metacharacters escapable inside a regex character set (constants.hpp:47).
+_CHARSET_ESCAPABLE = set("^-]\\")
+
+
+class RegexTranslationError(ValueError):
+    """Raised when a regex pattern has no CLP-wildcard equivalent."""
+
+    def __init__(self, code: "ErrorCode", message: str) -> None:
+        super().__init__(f"{code.name}: {message}")
+        self.code = code
+
+
+class ErrorCode(Enum):
+    """Mirrors clp::regex_utils::ErrorCodeEnum (ErrorCode.hpp)."""
+
+    ILLEGAL_STATE = "IllegalState"
+    UNTRANSLATABLE_STAR = "UntranslatableStar"
+    UNTRANSLATABLE_PLUS = "UntranslatablePlus"
+    UNSUPPORTED_QUESTION_MARK = "UnsupportedQuestionMark"
+    UNSUPPORTED_PIPE = "UnsupportedPipe"
+    ILLEGAL_CARET = "IllegalCaret"
+    ILLEGAL_DOLLAR_SIGN = "IllegalDollarSign"
+    ILLEGAL_ESCAPE_SEQUENCE = "IllegalEscapeSequence"
+    UNMATCHED_PARENTHESIS = "UnmatchedParenthesis"
+    INCOMPLETE_CHARSET_STRUCTURE = "IncompleteCharsetStructure"
+    UNSUPPORTED_CHARSET_PATTERN = "UnsupportedCharsetPattern"
+
+
+def _fail(code: ErrorCode, message: str) -> None:
+    raise RegexTranslationError(code, message)
+
+
+def _append_literal(ch: str, out: list[str]) -> None:
+    """Append one literal char, escaping wildcard metacharacters
+    (regex_translation_utils.cpp append_char_to_wildcard)."""
+    if ch in _WILDCARD_META:
+        out.append("\\")
+    out.append(ch)
+
+
+def _opposite_case_pair(ch0: str, ch1: str) -> bool:
+    return ch0.isascii() and ch0.isalpha() and ch1.isascii() and ch1.isalpha() and (
+        ch0.lower() == ch1.lower() and ch0 != ch1
+    )
+
+
+@dataclass(frozen=True)
+class TranslatorConfig:
+    """Mirrors RegexToWildcardTranslatorConfig.hpp."""
+
+    case_insensitive_wildcard: bool = False
+    add_prefix_suffix_wildcards: bool = False
+
+
+def regex_to_wildcard(regex: str, config: TranslatorConfig | None = None) -> str:
+    """Translate `regex` to a CLP wildcard query string, or raise
+    RegexTranslationError with the reference's error code.
+
+    FSM states follow the reference exactly: Normal / Dot / Escaped /
+    Charset / CharsetEscaped / End.
+    """
+    cfg = config or TranslatorConfig()
+    if not regex:
+        return ""
+
+    out: list[str] = []
+    i = 0
+    n = len(regex)
+    if regex[0] == "^":
+        i = 1
+    elif cfg.add_prefix_suffix_wildcards:
+        out.append("*")
+
+    # state: one of "normal", "dot", "escaped", "charset", "charset_escaped", "end"
+    state = "normal"
+    charset_begin = -1  # index of first char inside [ ... ]
+
+    while i < n:
+        ch = regex[i]
+        if state == "normal":
+            if ch == ".":
+                state = "dot"
+            elif ch == "\\":
+                state = "escaped"
+            elif ch == "[":
+                charset_begin = i + 1
+                state = "charset"
+            elif ch == "$":
+                state = "end"
+            elif ch == "*":
+                _fail(ErrorCode.UNTRANSLATABLE_STAR,
+                      "regex `*` repeats a token zero-or-more times; only `.*` maps to a wildcard")
+            elif ch == "+":
+                _fail(ErrorCode.UNTRANSLATABLE_PLUS,
+                      "regex `+` repeats a token one-or-more times; only `.+` maps to a wildcard")
+            elif ch == "?":
+                _fail(ErrorCode.UNSUPPORTED_QUESTION_MARK,
+                      "regex `?` makes the preceding token optional; no single wildcard equivalent")
+            elif ch == "|":
+                _fail(ErrorCode.UNSUPPORTED_PIPE,
+                      "regex alternation has no single-wildcard equivalent")
+            elif ch == "^":
+                _fail(ErrorCode.ILLEGAL_CARET, "start anchor `^` mid-string")
+            elif ch == ")":
+                _fail(ErrorCode.UNMATCHED_PARENTHESIS, "unmatched closing `)`")
+            else:
+                out.append(ch)
+        elif state == "dot":
+            if ch == "*":
+                out.append("*")
+            elif ch == "+":
+                out.append("?")
+                out.append("*")
+            else:
+                out.append("?")
+                i -= 1  # re-handle this char in Normal state
+            state = "normal"
+        elif state == "escaped":
+            if ch not in _REGEX_ESCAPABLE:
+                _fail(ErrorCode.ILLEGAL_ESCAPE_SEQUENCE,
+                      "only escapes of regex metacharacters are supported")
+            _append_literal(ch, out)
+            state = "normal"
+        elif state == "charset":
+            if ch == "\\":
+                state = "charset_escaped"
+            elif ch == "]":
+                charset_len = i - charset_begin
+                if charset_len == 0 or charset_len > 2:
+                    _fail(ErrorCode.UNSUPPORTED_CHARSET_PATTERN,
+                          "only single-character-reducible charsets are supported")
+                ch0 = regex[charset_begin]
+                if charset_len == 1:
+                    if ch0 in ("^", "\\"):
+                        _fail(ErrorCode.UNSUPPORTED_CHARSET_PATTERN,
+                              "bare `^`/`\\` charset is not a literal")
+                    parsed = ch0
+                else:
+                    ch1 = regex[charset_begin + 1]
+                    if ch0 == "\\" and ch1 in _CHARSET_ESCAPABLE:
+                        parsed = ch1
+                    elif cfg.case_insensitive_wildcard and _opposite_case_pair(ch0, ch1):
+                        parsed = ch0 if ch0 > ch1 else ch1  # the lowercase one
+                    else:
+                        _fail(ErrorCode.UNSUPPORTED_CHARSET_PATTERN,
+                              "charset does not reduce to a single character")
+                _append_literal(parsed, out)
+                charset_begin = -1
+                state = "normal"
+            # any other char: stay in charset (content is validated at `]`)
+        elif state == "charset_escaped":
+            state = "charset"
+        elif state == "end":
+            if ch != "$":
+                _fail(ErrorCode.ILLEGAL_DOLLAR_SIGN, "end anchor `$` mid-string")
+        else:  # pragma: no cover
+            _fail(ErrorCode.ILLEGAL_STATE, "unrecognized state")
+        i += 1
+
+    # final cleanup (regex_translation_utils.cpp final_state_cleanup)
+    if state == "dot":
+        out.append("?")
+    elif state in ("charset", "charset_escaped"):
+        _fail(ErrorCode.INCOMPLETE_CHARSET_STRUCTURE, "unterminated `[` charset")
+    if state != "end" and cfg.add_prefix_suffix_wildcards:
+        out.append("*")
+    return "".join(out)
+
+
+def try_regex_to_wildcard(
+    regex: str, config: TranslatorConfig | None = None
+) -> Optional[str]:
+    """Planner hook: the wildcard query if `regex` is translatable, else
+    None (caller falls back to an rlike scan)."""
+    try:
+        return regex_to_wildcard(regex, config)
+    except RegexTranslationError:
+        return None

@@ -545,145 +545,147 @@ def _build_kv_luts():
 _KV_KIND_LUT, _KV_VW_LUT, _KV_HW_LUT, _KV_CVAL_LUT = _build_kv_luts()
 
 
-def _kv_parse_steps(big, cur, ends, active, acc):
-    """Advance every active blob's cursor one token per step (same LUT shape
-    as ir_stream._parse_steps — one classify gather + one batched emit per
-    step). Node-definition units (multi-field: type + parent id + key) are
-    handled in a masked sub-branch; they are O(schema nodes), not O(tokens).
+def _build_kv_scan_luts():
+    """Python-list LUTs for the sequential boundary scan: fixed total
+    advance (1 + value width) for header-less tokens, length-header width
+    for string-ish tokens, and node-def membership."""
+    adv = [0] * 256
+    hw = [0] * 256
+    ndef = [False] * 256
+    for t in range(256):
+        k = int(_KV_KIND_LUT[t])
+        if k < 0:
+            continue
+        if _K_NODE_DEF_BASE <= k < _K_NODE_DEF_BASE + 6:
+            ndef[t] = True
+        elif int(_KV_HW_LUT[t]) > 0:
+            hw[t] = int(_KV_HW_LUT[t])
+        else:
+            adv[t] = 1 + int(_KV_VW_LUT[t])
+    pw = [0] * 256
+    for t, w in ((PARENT_ID_I8, 1), (PARENT_ID_I16, 2), (PARENT_ID_I32, 4)):
+        pw[t] = w
+    kw = [0] * 256
+    for t, w in ((STR_U8, 1), (STR_U16, 2), (STR_U32, 4)):
+        kw[t] = w
+    return adv, hw, ndef, pw, kw
 
-    Allocation discipline (BENCH r02 finding): a chunked stream takes
-    thousands of steps per batch, and ~24 fresh token-length temporaries
-    per step triggered a first-touch page-fault storm on cold malloc
-    arenas (10× wall on the Spark path vs the profiled loop). The hot
-    per-step arrays are therefore PREALLOCATED once per call and reused as
-    views, the active set is maintained compactly (no flatnonzero per
-    step), and results accumulate into grow-doubling output buffers
-    instead of one small array per step.
-    """
+
+_KV_ADV_L, _KV_HW_L, _KV_NDEF_L, _KV_PW_L, _KV_KW_L = _build_kv_scan_luts()
+
+
+def _kv_scan_blob(b: bytes, pos: int, end: int, starts: list) -> None:
+    """Sequential token-boundary scan of ONE blob: appends each token's
+    start offset to `starts`. This is the only inherently sequential part
+    of the parse; everything value-shaped is extracted afterwards in one
+    vectorized pass (`_kv_extract_tokens`).
+
+    Design note (BENCH r02/r03): the old parser advanced all blobs one
+    token per step with ~30 numpy calls per step, so its effective speed
+    was proportional to blobs-per-call — great for thousands of short
+    blobs, 10x too slow for a Spark task holding a handful of long chunks.
+    A tight bytes loop costs ~0.3 us/token regardless of blob count, and
+    each Spark task scans its own blobs independently, so the path scales
+    with cores instead of with lane width."""
+    adv_l, hw_l = _KV_ADV_L, _KV_HW_L
+    ndef_l, pw_l, kw_l = _KV_NDEF_L, _KV_PW_L, _KV_KW_L
+    append = starts.append
+    while pos < end:
+        tag = b[pos]
+        a = adv_l[tag]
+        if a:
+            append(pos)
+            pos += a
+            continue
+        h = hw_l[tag]
+        if h:
+            append(pos)
+            hend = pos + 1 + h
+            if hend > end:
+                raise ValueError("truncated kv-IR stream")
+            pos = hend + int.from_bytes(b[pos + 1:hend], "big")
+            continue
+        if tag == EOF_BYTE:
+            return
+        if ndef_l[tag]:
+            # node def = ONE token: type tag + parent-id unit + key string
+            append(pos)
+            p1 = pos + 1
+            if p1 >= end:
+                raise ValueError("truncated kv-IR stream")
+            w = pw_l[b[p1]]
+            if not w:
+                raise ValueError("corrupt kv-IR: bad parent-id tag")
+            kp = p1 + 1 + w
+            if kp >= end:
+                raise ValueError("truncated kv-IR stream")
+            kh = kw_l[b[kp]]
+            if not kh:
+                raise ValueError("corrupt kv-IR: bad key-string tag")
+            khe = kp + 1 + kh
+            if khe > end:
+                raise ValueError("truncated kv-IR stream")
+            pos = khe + int.from_bytes(b[kp + 1:khe], "big")
+            continue
+        raise ValueError(f"corrupt kv-IR tag 0x{tag:02x}")
+    if pos > end:
+        raise ValueError("truncated kv-IR stream")
+
+
+def _kv_extract_tokens(big, starts):
+    """Vectorized value/span extraction for ALL tokens at once (the scan
+    already proved every token well-formed and in-bounds). Returns
+    (kinds int64, vals int64, spans [k,2] int64)."""
     from clp_spark.sources.ir_stream import _be_read
 
-    ai = np.flatnonzero(active).astype(np.int64)
-    pos = cur[ai].copy()
-    end_a = ends[ai].copy()
-    nb = len(ai)
-    if nb == 0:
-        return
-    # per-step scratch (views [:k] each step)
-    tags_s = np.empty(nb, np.uint8)
-    kinds_s = np.empty(nb, np.int8)
-    vals_s = np.empty(nb, np.int64)
-    vw_s = np.empty(nb, np.int64)
-    hw_s = np.empty(nb, np.int64)
-    lens_s = np.empty(nb, np.int64)
-    adv_s = np.empty(nb, np.int64)
-    sp0_s = np.empty(nb, np.int64)
-    sp1_s = np.empty(nb, np.int64)
-    # grow-doubling output accumulator
-    cap = max(4096, 4 * nb)
-    o_blob = np.empty(cap, np.int64)
-    o_kind = np.empty(cap, np.int8)
-    o_val = np.empty(cap, np.int64)
-    o_sp = np.empty((cap, 2), np.int64)
-    n_out = 0
-    while len(ai):
-        k = len(ai)
-        tags = tags_s[:k]
-        np.take(big, pos, out=tags)
-        eof = tags == EOF_BYTE
-        if eof.any():
-            keep = ~eof
-            ai, pos, end_a = ai[keep], pos[keep], end_a[keep]
-            k = len(ai)
-            if k == 0:
-                break
-            tags = tags_s[:k]
-            np.take(big, pos, out=tags)
-        kinds = kinds_s[:k]
-        np.take(_KV_KIND_LUT, tags, out=kinds)
-        if (kinds < 0).any():
-            bad = int(tags[kinds < 0][0])
-            raise ValueError(f"corrupt kv-IR tag 0x{bad:02x}")
-        vals = vals_s[:k]
-        np.take(_KV_CVAL_LUT, tags, out=vals)
-        sp0, sp1 = sp0_s[:k], sp1_s[:k]
-        sp0[:] = 0
-        sp1[:] = 0
-        vw = vw_s[:k]
-        np.take(_KV_VW_LUT, tags, out=vw)
-        for w in (1, 2, 4, 8):
-            m = vw == w
+    k = len(starts)
+    tags = big[starts]
+    kinds = _KV_KIND_LUT[tags].astype(np.int64)
+    vals = _KV_CVAL_LUT[tags].astype(np.int64)
+    vw = _KV_VW_LUT[tags]
+    for w in (1, 2, 4, 8):
+        m = vw == w
+        if m.any():
+            vals[m] = _be_read(big, starts[m] + 1, w, signed_small=True)
+    hw = _KV_HW_LUT[tags]
+    sp0 = np.zeros(k, np.int64)
+    sp1 = np.zeros(k, np.int64)
+    lp = hw > 0
+    if lp.any():
+        lens = np.zeros(k, np.int64)
+        for w in (1, 2, 4):
+            m = hw == w
             if m.any():
-                vals[m] = _be_read(big, pos[m] + 1, w, signed_small=True)
-        hw = hw_s[:k]
-        np.take(_KV_HW_LUT, tags, out=hw)
-        adv = adv_s[:k]
-        adv[:] = 1
-        adv += vw
-        lp = hw > 0
-        if lp.any():
-            lens = lens_s[:k]
-            lens[:] = 0
-            for w in (1, 2, 4):
-                m = hw == w
-                if m.any():
-                    lens[m] = _be_read(big, pos[m] + 1, w)
-            s = pos[lp] + 1 + hw[lp]
-            sp0[lp] = s
-            sp1[lp] = s + lens[lp]
-            adv += hw
-            adv += lens
-        # node defs: type tag + parent-id unit + key string — consumed as
-        # ONE token; few per blob, so the nested width reads stay cheap
-        nd = (kinds >= _K_NODE_DEF_BASE) & (kinds < _K_NODE_DEF_BASE + 6)
-        if nd.any():
-            pp = pos[nd] + 1
-            ptag = big[pp]
-            praw = np.zeros(int(nd.sum()), dtype=np.int64)
-            psz = np.zeros(int(nd.sum()), dtype=np.int64)
-            for t, w in ((PARENT_ID_I8, 1), (PARENT_ID_I16, 2), (PARENT_ID_I32, 4)):
-                mm = ptag == t
-                if mm.any():
-                    praw[mm] = _be_read(big, pp[mm] + 1, w, signed_small=True)
-                    psz[mm] = 1 + w
-            if (psz == 0).any():
-                raise ValueError("corrupt kv-IR: bad parent-id tag")
-            kp = pp + psz
-            ktag = big[kp]
-            klen = np.zeros(int(nd.sum()), dtype=np.int64)
-            khdr = np.zeros(int(nd.sum()), dtype=np.int64)
-            for t, w in ((STR_U8, 1), (STR_U16, 2), (STR_U32, 4)):
-                mm = ktag == t
-                if mm.any():
-                    klen[mm] = _be_read(big, kp[mm] + 1, w)
-                    khdr[mm] = 1 + w
-            if (khdr == 0).any():
-                raise ValueError("corrupt kv-IR: bad key-string tag")
-            ks = kp + khdr
-            vals[nd] = praw
-            sp0[nd] = ks
-            sp1[nd] = ks + klen
-            adv[nd] = 1 + psz + khdr + klen
-        if n_out + k > cap:
-            cap = max(cap * 2, n_out + k)
-            o_blob = np.concatenate([o_blob[:n_out], np.empty(cap - n_out, np.int64)])
-            o_kind = np.concatenate([o_kind[:n_out], np.empty(cap - n_out, np.int8)])
-            o_val = np.concatenate([o_val[:n_out], np.empty(cap - n_out, np.int64)])
-            o_sp = np.concatenate(
-                [o_sp[:n_out], np.empty((cap - n_out, 2), np.int64)]
-            )
-        o_blob[n_out:n_out + k] = ai
-        o_kind[n_out:n_out + k] = kinds
-        o_val[n_out:n_out + k] = vals
-        o_sp[n_out:n_out + k, 0] = sp0
-        o_sp[n_out:n_out + k, 1] = sp1
-        n_out += k
-        pos += adv
-        if (pos > end_a).any():
-            raise ValueError("truncated kv-IR stream")
-    acc["blob"].append(o_blob[:n_out])
-    acc["kind"].append(o_kind[:n_out].astype(np.int64))
-    acc["val"].append(o_val[:n_out])
-    acc["span"].append(o_sp[:n_out])
+                lens[m] = _be_read(big, starts[m] + 1, w)
+        s = starts[lp] + 1 + hw[lp]
+        sp0[lp] = s
+        sp1[lp] = s + lens[lp]
+    nd = (kinds >= _K_NODE_DEF_BASE) & (kinds < _K_NODE_DEF_BASE + 6)
+    if nd.any():
+        pp = starts[nd] + 1
+        ptag = big[pp]
+        nnd = int(nd.sum())
+        praw = np.zeros(nnd, np.int64)
+        psz = np.zeros(nnd, np.int64)
+        for t, w in ((PARENT_ID_I8, 1), (PARENT_ID_I16, 2), (PARENT_ID_I32, 4)):
+            mm = ptag == t
+            if mm.any():
+                praw[mm] = _be_read(big, pp[mm] + 1, w, signed_small=True)
+                psz[mm] = 1 + w
+        kp = pp + psz
+        ktag = big[kp]
+        klen = np.zeros(nnd, np.int64)
+        khdr = np.zeros(nnd, np.int64)
+        for t, w in ((STR_U8, 1), (STR_U16, 2), (STR_U32, 4)):
+            mm = ktag == t
+            if mm.any():
+                klen[mm] = _be_read(big, kp[mm] + 1, w)
+                khdr[mm] = 1 + w
+        ks = kp + khdr
+        vals[nd] = praw
+        sp0[nd] = ks
+        sp1[nd] = ks + klen
+    return kinds, vals, np.stack([sp0, sp1], axis=1)
 
 
 def deserialize_kv_ir_many(blobs: list[bytes]) -> dict:
@@ -719,7 +721,8 @@ def deserialize_kv_ir_many(blobs: list[bytes]) -> dict:
     big = np.concatenate(arrs)
     offs = np.cumsum([0] + [len(a) for a in arrs])[:-1]
     ends = offs + np.array([len(a) for a in arrs], dtype=np.int64)
-    starts = np.zeros(nb, dtype=np.int64)
+    start_arrays = []
+    blob_counts = np.zeros(nb, dtype=np.int64)
     for i, a in enumerate(arrs):
         # four-byte magic accepted: the encoding choice only governs how
         # clp-string values pack their vars (0x59/0x18 tags, handled by the
@@ -729,23 +732,18 @@ def deserialize_kv_ir_many(blobs: list[bytes]) -> dict:
             raise ValueError(
                 f"not a kv-IR stream (VERSION {meta.get('VERSION')!r})"
             )
-        starts[i] = offs[i] + body
-    cur, active = starts.copy(), starts < ends
-    acc = {"blob": [], "kind": [], "val": [], "span": []}
-    try:
-        _kv_parse_steps(big, cur, ends, active, acc)
-    except IndexError as exc:
-        raise ValueError("truncated kv-IR stream") from exc
-    if not acc["blob"]:
+        b = blobs[i] if isinstance(blobs[i], bytes) else bytes(blobs[i])
+        lst: list = []
+        _kv_scan_blob(b, body, len(b), lst)
+        blob_counts[i] = len(lst)
+        if lst:
+            start_arrays.append(np.array(lst, dtype=np.int64) + offs[i])
+    if not start_arrays:
         return empty
-    blob_ids = np.concatenate(acc["blob"])
-    kinds = np.concatenate(acc["kind"])
-    vals = np.concatenate(acc["val"])
-    spans = np.vstack(acc["span"])
-    order = np.argsort(blob_ids, kind="stable")
-    blob_ids, kinds, vals, spans = (
-        blob_ids[order], kinds[order], vals[order], spans[order]
-    )
+    # blob-major sequential order by construction — no sort needed
+    starts_all = np.concatenate(start_arrays)
+    blob_ids = np.repeat(np.arange(nb, dtype=np.int64), blob_counts)
+    kinds, vals, spans = _kv_extract_tokens(big, starts_all)
 
     def _flat(m):
         st = spans[m, 0]
@@ -1171,19 +1169,120 @@ def events_to_kv_ir_df(
     return sel.mapInArrow(_fn, KV_CHUNK_SCHEMA)
 
 
+_KIND_NAME_TABLE = [""] * 64
+for _k, _nm in ((_K_INT, "int"), (_K_FLOAT, "float"), (_K_BOOL, "bool"),
+                (_K_STR, "str"), (_K_NULL, "null")):
+    _KIND_NAME_TABLE[_k] = _nm
+del _k, _nm
+
+
+def blobs_to_leaf_batch(blobs, svals, cvals):
+    """Decode kv-IR blobs into ONE Arrow RecordBatch of leaf rows
+    (KV_ROW_SCHEMA). Module-level so the per-core cost is profilable
+    outside Spark; kv_ir_to_rows_df is a thin mapInArrow wrapper."""
+    import pyarrow as pa
+
+    kn_arr = pa.array(_KIND_NAME_TABLE, type=pa.string())
+    out = deserialize_kv_ir_many(blobs)
+    # path per (blob, node): nodes are few — python over NODES only
+    ko = out["key_offsets"]
+    nn = len(out["node_id"])
+    # the auto-gen and user-gen schema trees are SEPARATE id spaces
+    # (the reference keeps two SchemaTree instances; auto ids are
+    # ones-complement on the wire) — every lookup key carries the
+    # auto flag so auto node N never collides with user node N
+    # (ADVICE r02 medium).
+    paths: dict = {}
+    path_list = []
+    for j in range(nn):
+        b, i = int(out["node_blob"][j]), int(out["node_id"][j])
+        a = bool(out["node_auto"][j])
+        k = out["key_data"][ko[j]:ko[j + 1]].tobytes().decode("utf-8")
+        p = int(out["node_parent"][j])
+        prefix = paths.get((b, a, p), "") if p else ""
+        paths[(b, a, i)] = f"{prefix}.{k}" if prefix else k
+        path_list.append(paths[(b, a, i)])
+    # rows → path-table indices, vectorized: (blob, tree, id) →
+    # table index via searchsorted on the combined key
+    nr = len(out["row_blob"])
+    max_id = int(out["node_id"].max()) + 1 if nn else 1
+    node_key = (
+        out["node_blob"] * 2 + out["node_auto"]
+    ) * max_id + out["node_id"]
+    row_key = (
+        out["row_blob"] * 2 + out["row_auto"]
+    ) * max_id + out["row_node"]
+    order = np.argsort(node_key, kind="stable")
+    pos = np.searchsorted(node_key[order], row_key)
+    if nr and not np.array_equal(node_key[order][pos], row_key):
+        raise ValueError("kv-IR row references an undefined node")
+    path_ix = order[pos] if nr else np.zeros(0, dtype=np.int64)
+    paths_arr = pa.array(path_list, type=pa.string())
+    kinds = out["row_kind"]
+    # reference KeyValuePairLogEvent::create validation: a value's
+    # type must match its schema-tree node's type (null attaches to
+    # Obj nodes)
+    ntypes = out["node_type"][path_ix] if nr else np.zeros(0, np.int64)
+    expect = np.select(
+        [kinds == _K_INT, kinds == _K_FLOAT, kinds == _K_BOOL,
+         kinds == _K_STR, kinds == _K_NULL],
+        [NODE_INT, NODE_FLOAT, NODE_BOOL, NODE_STR, NODE_OBJ],
+        default=0,
+    )
+    # clp-encoded strings also attach to UnstructuredArray nodes
+    # (the reference serializes arrays as clp-encoded JSON text)
+    is_uarr = (kinds == _K_STR) & (ntypes == NODE_UARRAY)
+    ok = (ntypes == expect) | is_uarr
+    if nr and not ok.all():
+        bad = int(np.flatnonzero(~ok)[0])
+        raise ValueError(
+            "kv-IR value type does not match its schema-tree node "
+            f"(node type 0x{int(ntypes[bad]):02x}, value kind "
+            f"{int(kinds[bad])})"
+        )
+    # string column straight from the flat buffers + a null bitmap
+    # (non-str rows have zero-length spans)
+    is_str = kinds == _K_STR
+    _check_str_offsets_fit_int32(out["str_offsets"])
+    str_arr = pa.StringArray.from_buffers(
+        nr,
+        pa.py_buffer(out["str_offsets"].astype(np.int32).tobytes()),
+        pa.py_buffer(out["str_data"].tobytes()),
+        pa.py_buffer(np.packbits(is_str, bitorder="little").tobytes()),
+    )
+    ridx = pa.array(out["row_blob"], type=pa.int64())
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.compute.take(svals, ridx),
+            pa.compute.take(cvals, ridx),
+            pa.array(out["row_event"], type=pa.int64()),
+            pa.compute.take(paths_arr, pa.array(path_ix, type=pa.int64())),
+            pa.compute.if_else(
+                pa.array(is_uarr),
+                pa.scalar("uarray", type=pa.string()),
+                pa.compute.take(
+                    kn_arr, pa.array(kinds.astype(np.int64))
+                ),
+            ),
+            pa.array(
+                np.where(kinds == _K_INT, out["int_val"], 0),
+                type=pa.int64(),
+            ),
+            pa.array(out["float_val"], type=pa.float64()),
+            pa.array(out["int_val"].astype(bool), mask=kinds != _K_BOOL),
+            str_arr,
+        ],
+        ["stream", "chunk_ix", "event_ix", "path", "vtype",
+         "int_val", "float_val", "bool_val", "str_val"],
+    )
+
 def kv_ir_to_rows_df(df, ir_col: str = "ir", stream_col: str = "stream"):
     """kv-IR blobs → one row per (event, key): (stream, chunk_ix, event_ix,
     path, vtype, typed value columns). The inverse view of
     events_to_kv_ir_df — pivoting on path reconstructs the input columns."""
     import pyarrow as pa
 
-    kind_name_table = [""] * 64
-    for k, nm in ((_K_INT, "int"), (_K_FLOAT, "float"), (_K_BOOL, "bool"),
-                  (_K_STR, "str"), (_K_NULL, "null")):
-        kind_name_table[k] = nm
-
     def _fn(batches):
-        kn_arr = pa.array(kind_name_table, type=pa.string())
         for batch in batches:
             blobs = batch.column(ir_col).to_pylist()
             svals = batch.column(stream_col)
@@ -1192,97 +1291,7 @@ def kv_ir_to_rows_df(df, ir_col: str = "ir", stream_col: str = "stream"):
                 if "chunk_ix" in batch.schema.names
                 else pa.array(np.zeros(len(blobs), dtype=np.int64))
             )
-            out = deserialize_kv_ir_many(blobs)
-            # path per (blob, node): nodes are few — python over NODES only
-            ko = out["key_offsets"]
-            nn = len(out["node_id"])
-            # the auto-gen and user-gen schema trees are SEPARATE id spaces
-            # (the reference keeps two SchemaTree instances; auto ids are
-            # ones-complement on the wire) — every lookup key carries the
-            # auto flag so auto node N never collides with user node N
-            # (ADVICE r02 medium).
-            paths: dict = {}
-            path_list = []
-            for j in range(nn):
-                b, i = int(out["node_blob"][j]), int(out["node_id"][j])
-                a = bool(out["node_auto"][j])
-                k = out["key_data"][ko[j]:ko[j + 1]].tobytes().decode("utf-8")
-                p = int(out["node_parent"][j])
-                prefix = paths.get((b, a, p), "") if p else ""
-                paths[(b, a, i)] = f"{prefix}.{k}" if prefix else k
-                path_list.append(paths[(b, a, i)])
-            # rows → path-table indices, vectorized: (blob, tree, id) →
-            # table index via searchsorted on the combined key
-            nr = len(out["row_blob"])
-            max_id = int(out["node_id"].max()) + 1 if nn else 1
-            node_key = (
-                out["node_blob"] * 2 + out["node_auto"]
-            ) * max_id + out["node_id"]
-            row_key = (
-                out["row_blob"] * 2 + out["row_auto"]
-            ) * max_id + out["row_node"]
-            order = np.argsort(node_key, kind="stable")
-            pos = np.searchsorted(node_key[order], row_key)
-            if nr and not np.array_equal(node_key[order][pos], row_key):
-                raise ValueError("kv-IR row references an undefined node")
-            path_ix = order[pos] if nr else np.zeros(0, dtype=np.int64)
-            paths_arr = pa.array(path_list, type=pa.string())
-            kinds = out["row_kind"]
-            # reference KeyValuePairLogEvent::create validation: a value's
-            # type must match its schema-tree node's type (null attaches to
-            # Obj nodes)
-            ntypes = out["node_type"][path_ix] if nr else np.zeros(0, np.int64)
-            expect = np.select(
-                [kinds == _K_INT, kinds == _K_FLOAT, kinds == _K_BOOL,
-                 kinds == _K_STR, kinds == _K_NULL],
-                [NODE_INT, NODE_FLOAT, NODE_BOOL, NODE_STR, NODE_OBJ],
-                default=0,
-            )
-            # clp-encoded strings also attach to UnstructuredArray nodes
-            # (the reference serializes arrays as clp-encoded JSON text)
-            is_uarr = (kinds == _K_STR) & (ntypes == NODE_UARRAY)
-            ok = (ntypes == expect) | is_uarr
-            if nr and not ok.all():
-                bad = int(np.flatnonzero(~ok)[0])
-                raise ValueError(
-                    "kv-IR value type does not match its schema-tree node "
-                    f"(node type 0x{int(ntypes[bad]):02x}, value kind "
-                    f"{int(kinds[bad])})"
-                )
-            # string column straight from the flat buffers + a null bitmap
-            # (non-str rows have zero-length spans)
-            is_str = kinds == _K_STR
-            _check_str_offsets_fit_int32(out["str_offsets"])
-            str_arr = pa.StringArray.from_buffers(
-                nr,
-                pa.py_buffer(out["str_offsets"].astype(np.int32).tobytes()),
-                pa.py_buffer(out["str_data"].tobytes()),
-                pa.py_buffer(np.packbits(is_str, bitorder="little").tobytes()),
-            )
-            ridx = pa.array(out["row_blob"], type=pa.int64())
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.compute.take(svals, ridx),
-                    pa.compute.take(cvals, ridx),
-                    pa.array(out["row_event"], type=pa.int64()),
-                    pa.compute.take(paths_arr, pa.array(path_ix, type=pa.int64())),
-                    pa.compute.if_else(
-                        pa.array(is_uarr),
-                        pa.scalar("uarray", type=pa.string()),
-                        pa.compute.take(
-                            kn_arr, pa.array(kinds.astype(np.int64))
-                        ),
-                    ),
-                    pa.array(
-                        np.where(kinds == _K_INT, out["int_val"], 0),
-                        type=pa.int64(),
-                    ),
-                    pa.array(out["float_val"], type=pa.float64()),
-                    pa.array(out["int_val"].astype(bool), mask=kinds != _K_BOOL),
-                    str_arr,
-                ],
-                ["stream", "chunk_ix", "event_ix", "path", "vtype",
-                 "int_val", "float_val", "bool_val", "str_val"],
-            )
+            yield blobs_to_leaf_batch(blobs, svals, cvals)
 
     return df.mapInArrow(_fn, KV_ROW_SCHEMA)
+

@@ -175,3 +175,21 @@ def test_convert_preserves_log_order(spark, tmp_path, capsys):
     got = [r["message"] for r in decoded.collect()]
     want = [f" INFO ordered message {i:04d}" for i in range(300)]
     assert got == want
+
+
+def test_search_regex_translated(archive, capsys):
+    """--regex translates via clp regex_utils parity and rides the wildcard
+    path: `failure code .` → `*failure code ?*` (prefix/suffix wildcards
+    added, `.` → `?`)."""
+    cli.main(["s", archive, "failure code .", "--regex", "--count"])
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "1"
+    # anchored regex suppresses the implicit wildcards → no match (the
+    # message has a timestamp prefix)
+    cli.main(["s", archive, "^failure code 7$", "--regex", "--count"])
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "0"
+
+
+def test_search_regex_untranslatable_errors(archive):
+    with pytest.raises(SystemExit) as ei:
+        cli.main(["s", archive, "failure|success", "--regex"])
+    assert "not translatable" in str(ei.value)

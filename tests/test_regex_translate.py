@@ -1,0 +1,114 @@
+"""Golden port of the reference's regex→wildcard translator suite
+(components/core/tests/test-regex_utils.cpp, all 6 TEST_CASEs verbatim).
+
+The C++ raw-string goldens are transcribed as Python strings with the same
+byte content; every `test_translation_value` / `test_translation_error`
+call maps 1:1 to an assertion here.
+"""
+
+import pytest
+
+from clp_spark.functions.regex_translate import (
+    ErrorCode,
+    RegexTranslationError,
+    TranslatorConfig,
+    regex_to_wildcard,
+    try_regex_to_wildcard,
+)
+
+CI = TranslatorConfig(case_insensitive_wildcard=True)
+ANCHOR = TranslatorConfig(add_prefix_suffix_wildcards=True)
+
+
+def err_of(regex, config=None):
+    with pytest.raises(RegexTranslationError) as ei:
+        regex_to_wildcard(regex, config)
+    return ei.value.code
+
+
+# test-regex_utils.cpp:50-57 — simple_translations
+def test_simple_translations():
+    assert regex_to_wildcard("") == ""
+    assert regex_to_wildcard("xyz") == "xyz"
+    assert regex_to_wildcard(". xyz .* zyx .") == "? xyz * zyx ?"
+    assert regex_to_wildcard(". xyz .+ zyx .*") == "? xyz ?* zyx *"
+
+
+# test-regex_utils.cpp:59-67 — unescaped_metachar
+def test_unescaped_metachar():
+    assert err_of(".? xyz .* zyx .") == ErrorCode.UNSUPPORTED_QUESTION_MARK
+    assert err_of(". xyz .** zyx .") == ErrorCode.UNTRANSLATABLE_STAR
+    assert err_of(". xyz .*+ zyx .") == ErrorCode.UNTRANSLATABLE_PLUS
+    assert err_of(". xyz |.* zyx .") == ErrorCode.UNSUPPORTED_PIPE
+    assert err_of(". xyz ^.* zyx .") == ErrorCode.ILLEGAL_CARET
+    assert err_of(". xyz $.* zyx .") == ErrorCode.ILLEGAL_DOLLAR_SIGN
+    # normal-state `)` (regex_translation_utils.cpp:207)
+    assert err_of("xy)z") == ErrorCode.UNMATCHED_PARENTHESIS
+
+
+# test-regex_utils.cpp:69-80 — escaped_metachar
+def test_escaped_metachar():
+    assert regex_to_wildcard("<>-_/=!") == "<>-_/=!"
+    assert regex_to_wildcard(r"\<\>\-\_\/\=\!") == "<>-_/=!"
+    assert (
+        regex_to_wildcard("\\*\\+\\?\\|\\^\\$\\.\\{\\}\\[\\]\\(\\)\\<\\>\\-\\_\\/\\=\\!\\\\")
+        == "\\*+\\?|^$.{}[]()<>-_/=!\\\\"
+    )
+    assert err_of("abc\\Qdefghi\\Ejkl") == ErrorCode.ILLEGAL_ESCAPE_SEQUENCE
+
+
+# test-regex_utils.cpp:82-103 — charset
+def test_charset():
+    assert regex_to_wildcard("x[y]z") == "xyz"
+    assert regex_to_wildcard("x[\\^]z") == "x^z"
+    assert regex_to_wildcard("x[\\]]z") == "x]z"
+    assert regex_to_wildcard("x[-]z") == "x-z"
+    assert regex_to_wildcard("x[\\-]z") == "x-z"
+    assert regex_to_wildcard("x[\\\\]z") == "x\\\\z"
+    assert regex_to_wildcard("[a][b][\\^][-][\\-][\\]][\\\\][c][d]") == "ab^--]\\\\cd"
+
+    assert err_of("x[]y") == ErrorCode.UNSUPPORTED_CHARSET_PATTERN
+    assert err_of("x[a-z]y") == ErrorCode.UNSUPPORTED_CHARSET_PATTERN
+    assert err_of("x[^^]y") == ErrorCode.UNSUPPORTED_CHARSET_PATTERN
+    assert err_of("x[^0-9]y") == ErrorCode.UNSUPPORTED_CHARSET_PATTERN
+    assert err_of("[xX][yY]") == ErrorCode.UNSUPPORTED_CHARSET_PATTERN
+    assert err_of("ch:[a-zA-Z0-9]") == ErrorCode.UNSUPPORTED_CHARSET_PATTERN
+
+    assert err_of("[\\") == ErrorCode.INCOMPLETE_CHARSET_STRUCTURE
+    assert err_of("[\\\\") == ErrorCode.INCOMPLETE_CHARSET_STRUCTURE
+    assert err_of("[xX") == ErrorCode.INCOMPLETE_CHARSET_STRUCTURE
+    assert err_of("ch:[a-zA-Z0-9") == ErrorCode.INCOMPLETE_CHARSET_STRUCTURE
+
+
+# test-regex_utils.cpp:105-125 — case_insensitive_config
+def test_case_insensitive_config():
+    assert regex_to_wildcard("[xX][yY]", CI) == "xy"
+    assert regex_to_wildcard("[Yy][Xx]", CI) == "yx"
+    assert regex_to_wildcard("[aA][Bb][Cc]", CI) == "abc"
+    assert regex_to_wildcard("[aA][Bb][\\^][-][\\]][Cc][dD]", CI) == "ab^-]cd"
+
+    assert err_of("[xX") == ErrorCode.INCOMPLETE_CHARSET_STRUCTURE
+    assert err_of("[aA][Bb][^[-[\\[Cc[dD", CI) == ErrorCode.INCOMPLETE_CHARSET_STRUCTURE
+    assert err_of("ch:[a-zA-Z0-9]") == ErrorCode.UNSUPPORTED_CHARSET_PATTERN
+    assert err_of("[aA][Bb][^[-[\\[Cc[dD]", CI) == ErrorCode.UNSUPPORTED_CHARSET_PATTERN
+
+
+# test-regex_utils.cpp:127-139 — anchor_config
+def test_anchor_config():
+    assert regex_to_wildcard("^", ANCHOR) == "*"
+    assert regex_to_wildcard("$", ANCHOR) == "*"
+    assert regex_to_wildcard("^xyz$", ANCHOR) == "xyz"
+    assert regex_to_wildcard("xyz", ANCHOR) == "*xyz*"
+    assert regex_to_wildcard("xyz$$", ANCHOR) == "*xyz"
+    assert err_of("xyz$zyx$", ANCHOR) == ErrorCode.ILLEGAL_DOLLAR_SIGN
+
+
+def test_try_hook():
+    assert try_regex_to_wildcard("err .* code") == "err * code"
+    assert try_regex_to_wildcard("err|warn") is None
+
+
+def test_leading_caret_without_config_is_consumed():
+    # regex_translation_utils.cpp:380-384: `^` as the first char is always
+    # consumed, independent of add_prefix_suffix_wildcards.
+    assert regex_to_wildcard("^xyz") == "xyz"
