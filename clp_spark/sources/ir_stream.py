@@ -293,59 +293,74 @@ for _t, _k, _hw in (
     _HW_LUT[_t] = _hw
 
 
-def _parse_steps(big, cur, ends, active, acc_blob, acc_kind, acc_val, acc_span):
-    """One transposed parse: advance every active blob's cursor per step.
+_ADV_L = [0] * 256
+_HW_L = [0] * 256
+for _t in range(256):
+    if _KIND_LUT[_t] >= 0:
+        if _HW_LUT[_t]:
+            _HW_L[_t] = int(_HW_LUT[_t])
+        else:
+            _ADV_L[_t] = 1 + int(_VW_LUT[_t])
+del _t
 
-    Each blob contributes exactly ONE token per step, so the step's tokens
-    are emitted with a single set of appends (per-blob order is preserved
-    by the caller's stable sort on blob id). LUT classification keeps the
-    per-step cost at ~a dozen numpy calls regardless of how many distinct
-    tags appear."""
-    while active.any():
-        ai = np.flatnonzero(active)
-        tags = big[cur[ai]]
-        # EOF
-        eof = tags == EOF_BYTE
-        if eof.any():
-            active[ai[eof]] = False
-            ai = ai[~eof]
-            tags = tags[~eof]
-            if len(ai) == 0:
-                continue
-        p = cur[ai]
-        kinds = _KIND_LUT[tags]
-        if (kinds < 0).any():
-            bad = ai[kinds < 0][0]
-            raise ValueError(
-                f"corrupt IR tag 0x{int(big[cur[bad]]):02x} in blob {bad}"
-            )
-        vals = np.zeros(len(ai), dtype=np.int64)
-        spans = np.zeros((len(ai), 2), dtype=np.int64)
-        vw = _VW_LUT[tags]
-        for w in (1, 2, 4, 8):
-            m = vw == w
+
+def _scan_blob(b: bytes, pos: int, end: int, starts: list, blob_ix: int) -> None:
+    """Sequential token-boundary scan of ONE blob (appends token start
+    offsets). Two-pass design shared with kv_ir._kv_scan_blob: the scan is
+    the only sequential part (~0.3 us/token, independent of how many blobs
+    a task holds); values/spans are extracted afterwards in one vectorized
+    pass. The old one-token-per-step transposed loop cost O(steps x numpy
+    overhead) and collapsed when a Spark task held few long blobs."""
+    adv_l, hw_l = _ADV_L, _HW_L
+    append = starts.append
+    while pos < end:
+        tag = b[pos]
+        a = adv_l[tag]
+        if a:
+            append(pos)
+            pos += a
+            continue
+        h = hw_l[tag]
+        if h:
+            append(pos)
+            hend = pos + 1 + h
+            if hend > end:
+                raise ValueError("truncated IR stream")
+            pos = hend + int.from_bytes(b[pos + 1:hend], "big")
+            continue
+        if tag == EOF_BYTE:
+            return
+        raise ValueError(f"corrupt IR tag 0x{tag:02x} in blob {blob_ix}")
+    if pos > end:
+        raise ValueError("truncated IR stream")
+
+
+def _extract_tokens(big, starts):
+    """Vectorized value/span extraction for ALL tokens at once (the scan
+    already proved them well-formed). Returns (kinds int8, vals int64,
+    spans [k,2] int64)."""
+    k = len(starts)
+    tags = big[starts]
+    kinds = _KIND_LUT[tags]
+    vals = np.zeros(k, dtype=np.int64)
+    vw = _VW_LUT[tags]
+    for w in (1, 2, 4, 8):
+        m = vw == w
+        if m.any():
+            vals[m] = _be_read(big, starts[m] + 1, w, signed_small=True)
+    hw = _HW_LUT[tags]
+    spans = np.zeros((k, 2), dtype=np.int64)
+    lp = hw > 0
+    if lp.any():
+        lens = np.zeros(k, dtype=np.int64)
+        for w in (1, 2, 4):
+            m = hw == w
             if m.any():
-                vals[m] = _be_read(big, p[m] + 1, w, signed_small=True)
-        hw = _HW_LUT[tags]
-        adv = 1 + vw
-        lp = hw > 0
-        if lp.any():
-            lens = np.zeros(len(ai), dtype=np.int64)
-            for w in (1, 2, 4):
-                m = hw == w
-                if m.any():
-                    lens[m] = _be_read(big, p[m] + 1, w)
-            s = p + 1 + hw
-            spans[lp, 0] = s[lp]
-            spans[lp, 1] = s[lp] + lens[lp]
-            adv = adv + hw + lens
-        acc_blob.append(ai)
-        acc_kind.append(kinds)
-        acc_val.append(vals)
-        acc_span.append(spans)
-        cur[ai] += adv
-        if (cur[ai] > ends[ai]).any():
-            raise ValueError("truncated IR stream")
+                lens[m] = _be_read(big, starts[m] + 1, w)
+        s = starts[lp] + 1 + hw[lp]
+        spans[lp, 0] = s
+        spans[lp, 1] = s + lens[lp]
+    return kinds, vals, spans
 
 
 def deserialize_ir_many(blobs: list[bytes]) -> dict:
@@ -383,26 +398,26 @@ def deserialize_ir_many(blobs: list[bytes]) -> dict:
         blob_four[i] = four
         if four:
             blob_ref_ts[i] = int(meta.get("REFERENCE_TIMESTAMP", "0"))
-    cur = starts.copy()
-    active = cur < ends
-    # accumulators: one list of small arrays per step, concatenated at the end
-    acc_blob, acc_kind, acc_val, acc_span = [], [], [], []
     # kind: 0 = encoded var, 1 = dict var, 2 = logtype, 3 = timestamp
-    try:
-        _parse_steps(big, cur, ends, active, acc_blob, acc_kind, acc_val, acc_span)
-    except IndexError as exc:  # a gather ran off the stream's end
-        raise ValueError("truncated IR stream") from exc
-    # assemble — fully vectorized, no per-event Python. Stable-sort all
-    # tokens by blob id (step order is already sequential per blob within
-    # each accumulator append), then split on timestamp tokens.
-    blob_ids = np.concatenate(acc_blob) if acc_blob else np.zeros(0, dtype=np.int64)
-    kinds = np.concatenate(acc_kind) if acc_kind else np.zeros(0, dtype=np.int8)
-    vals = np.concatenate(acc_val) if acc_val else np.zeros(0, dtype=np.int64)
-    spans = np.vstack(acc_span) if acc_span else np.zeros((0, 2), dtype=np.int64)
-    order = np.argsort(blob_ids, kind="stable")
-    blob_ids, kinds, vals, spans = (
-        blob_ids[order], kinds[order], vals[order], spans[order]
-    )
+    start_arrays = []
+    blob_counts = np.zeros(nb, dtype=np.int64)
+    for i in range(nb):
+        b = blobs[i] if isinstance(blobs[i], bytes) else bytes(blobs[i])
+        lst: list = []
+        _scan_blob(b, int(starts[i] - offs[i]), len(b), lst, i)
+        blob_counts[i] = len(lst)
+        if lst:
+            start_arrays.append(np.array(lst, dtype=np.int64) + offs[i])
+    # assemble — blob-major sequential order by construction
+    if start_arrays:
+        starts_all = np.concatenate(start_arrays)
+        blob_ids = np.repeat(np.arange(nb, dtype=np.int64), blob_counts)
+        kinds, vals, spans = _extract_tokens(big, starts_all)
+    else:
+        blob_ids = np.zeros(0, dtype=np.int64)
+        kinds = np.zeros(0, dtype=np.int8)
+        vals = np.zeros(0, dtype=np.int64)
+        spans = np.zeros((0, 2), dtype=np.int64)
     nt = len(kinds)
     # per-blob completeness: a blob's last token must close an event
     if nt:
