@@ -1,0 +1,77 @@
+"""UTF-8 validation + JSON-string escaping.
+
+Parity with the reference's `clp::is_utf8_encoded`
+(components/core/src/clp/utf8_utils.hpp:18-31 code-point ranges — note the
+reference ACCEPTS surrogate code points U+D800..U+DFFF, unlike strict
+RFC-3629) and `clp::ffi::validate_and_escape_utf8_string`
+(components/core/src/clp/ffi/utils.cpp:18-90 — nlohmann-json escaping:
+named escapes for \\b \\t \\n \\f \\r \\\\ \", \\u00xx for other control
+bytes <= 0x1F, everything else copied through). Goldens in
+components/core/tests/test-utf8_utils.cpp.
+
+CPython's codec with errors="surrogatepass" implements exactly the
+reference's acceptance set: overlong encodings and code points above
+U+10FFFF are rejected, surrogates pass. That makes validation a single C
+call instead of a per-byte Python loop.
+
+Spark-side note: on the hot path the engine never calls these per row —
+JSON escaping rides `F.to_json` (JVM-side) and parquet/Arrow strings are
+UTF-8 by construction. These scalar ports exist for driver-side
+validation (dictionary entries, user metadata, kv-IR keys) and parity
+testing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+_NAMED = {
+    0x08: "\\b", 0x09: "\\t", 0x0A: "\\n", 0x0C: "\\f", 0x0D: "\\r",
+    0x5C: "\\\\", 0x22: '\\"',
+}
+_ESCAPE_TABLE = {}
+for _b, _e in _NAMED.items():
+    _ESCAPE_TABLE[_b] = _e
+for _b in range(0x20):
+    if _b not in _ESCAPE_TABLE:
+        _ESCAPE_TABLE[_b] = f"\\u00{_b:02x}"
+del _b, _e
+
+
+def is_utf8_encoded(s: bytes | str) -> bool:
+    """Whether `s` is valid UTF-8 under the reference's rules (overlong and
+    >U+10FFFF rejected; unpaired surrogates accepted)."""
+    if isinstance(s, str):
+        return True
+    try:
+        s.decode("utf-8", errors="surrogatepass")
+        return True
+    except UnicodeDecodeError:
+        return False
+
+
+def validate_and_escape_utf8_string(raw: bytes | str) -> Optional[str]:
+    """JSON-string-escape `raw` if it is valid UTF-8, else None.
+
+    Output matches nlohmann::json::dump minus the surrounding quotes (the
+    reference's contract): named escapes, \\u00xx for remaining control
+    bytes, all other bytes (including DEL 0x7F and multi-byte chars)
+    copied verbatim."""
+    if isinstance(raw, str):
+        b = raw.encode("utf-8", errors="surrogatepass")
+    else:
+        b = raw
+        if not is_utf8_encoded(b):
+            return None
+    out: list[str] = []
+    esc = _ESCAPE_TABLE
+    last = 0
+    for i, byte in enumerate(b):
+        e = esc.get(byte)
+        if e is not None:
+            if last < i:
+                out.append(b[last:i].decode("utf-8", errors="surrogatepass"))
+            out.append(e)
+            last = i + 1
+    out.append(b[last:].decode("utf-8", errors="surrogatepass"))
+    return "".join(out)

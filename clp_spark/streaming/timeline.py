@@ -51,7 +51,15 @@ def streaming_count_by_time(
 
 class TimelineUpserter:
     """foreachBatch sink: upsert bucket counts into a JSON state file
-    (stand-in for CLP's MongoDB results cache — swap for a real table sink)."""
+    (stand-in for CLP's MongoDB results cache — swap for a real table sink).
+
+    Driver-side bound: collect() here is O(buckets changed per micro-batch),
+    NOT O(events) — update mode emits only buckets the batch touched, and a
+    timeline has one bucket per bucket_ms of covered wall time (a year at
+    1-minute buckets is ~526k rows worst case, and a batch only changes the
+    slice it covers). For per-key x time cardinalities (e.g. count by
+    (host, minute)) use SnapshotTimelineUpserter below — fully distributed,
+    no driver materialization."""
 
     def __init__(self, path: str):
         self.path = path
@@ -69,6 +77,27 @@ class TimelineUpserter:
         os.replace(tmp, self.path)
 
 
+class SnapshotTimelineUpserter:
+    """foreachBatch sink for fact-scale timelines: merge-on-write upsert
+    into a SnapshotTable keyed on the bucket (plus any group-by keys).
+
+    Everything stays distributed — the changed buckets anti-join the
+    current snapshot and the union is committed as a new snapshot, so a
+    (key x time) timeline with millions of live buckets never lands on the
+    driver. Each micro-batch produces one tagged snapshot, which also makes
+    replays after a checkpoint restart idempotent (same batch_id → same
+    tag → merge() short-circuits)."""
+
+    def __init__(self, path: str, key_cols: tuple[str, ...] = ("bucket_ts",)):
+        from clp_spark.sinks.table_format import SnapshotTable
+
+        self.table = SnapshotTable(path)
+        self.key_cols = tuple(key_cols)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.table.merge(batch_df, self.key_cols, tag=f"batch-{batch_id}")
+
+
 def run_timeline_stream(
     spark: SparkSession,
     input_dir: str,
@@ -77,17 +106,20 @@ def run_timeline_stream(
     bucket_ms: int,
     out_path: str,
     checkpoint_dir: str,
+    upserter=None,
 ):
     """File-source streaming timeline with availableNow trigger (batch-drain).
 
     Returns the StreamingQuery; caller awaits termination. Checkpointing makes
     the stream resumable — the streaming twin of the batch lineage records.
+    `upserter` defaults to the JSON-file TimelineUpserter; pass a
+    SnapshotTimelineUpserter for fact-scale (key x time) timelines.
     """
     stream = spark.readStream.schema(schema).parquet(input_dir)
     counts = streaming_count_by_time(stream, ts_ms_col, bucket_ms)
     return (
         counts.writeStream.outputMode("update")
-        .foreachBatch(TimelineUpserter(out_path))
+        .foreachBatch(upserter if upserter is not None else TimelineUpserter(out_path))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

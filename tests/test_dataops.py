@@ -329,3 +329,41 @@ class TestStreamingTimeline:
 
         expected = collections.Counter((ts // 60_000) * 60_000 for _, ts in rows)
         assert {int(k): v for k, v in state.items()} == dict(expected)
+
+    def test_snapshot_upserter_distributed_merge(self, spark, tmp_path):
+        """SnapshotTimelineUpserter: merge-on-write upsert keyed on the
+        bucket — the fact-scale path with no driver collect. Two drains
+        over growing input must converge to the brute-force counts, and
+        the second drain must UPDATE buckets the new files touch."""
+        from clp_spark.streaming.timeline import (
+            SnapshotTimelineUpserter, run_timeline_stream,
+        )
+
+        schema = "event_id long, ts_ms long"
+        rows1 = [(i, 1_700_000_000_000 + i * 10_000) for i in range(60)]
+        in_dir = str(tmp_path / "in")
+        spark.createDataFrame(rows1, schema).write.parquet(in_dir)
+        table = str(tmp_path / "timeline_table")
+        ups = SnapshotTimelineUpserter(table)
+        q = run_timeline_stream(
+            spark, in_dir, schema, "ts_ms", 60_000, "",
+            str(tmp_path / "ckpt2"), upserter=ups,
+        )
+        q.awaitTermination(120)
+        # second batch overlaps the last bucket and adds new ones
+        rows2 = [(100 + i, 1_700_000_000_000 + (55 + i) * 10_000) for i in range(20)]
+        spark.createDataFrame(rows2, schema).write.mode("append").parquet(in_dir)
+        q = run_timeline_stream(
+            spark, in_dir, schema, "ts_ms", 60_000, "",
+            str(tmp_path / "ckpt2"), upserter=ups,
+        )
+        q.awaitTermination(120)
+        got = {
+            r["bucket_ts"]: r["cnt"] for r in ups.table.read(spark).collect()
+        }
+        import collections
+
+        expected = collections.Counter(
+            (ts // 60_000) * 60_000 for _, ts in rows1 + rows2
+        )
+        assert got == dict(expected)

@@ -1,0 +1,119 @@
+"""Golden port of components/core/tests/test-utf8_utils.cpp.
+
+`get_expected_escaped_string` (nlohmann dump minus quotes) is reproduced
+with Python's json.dumps, which uses the same named-escape + \\u00xx rules
+for the byte range the suite exercises. The exhaustive C++ code-point
+loops are kept exhaustive at every range boundary and strided (step 97)
+through the interiors to keep runtime sane; the acceptance logic has no
+per-value branches beyond the range checks, so stride sampling loses no
+coverage class.
+"""
+
+import json
+import random
+
+from clp_spark.functions.utf8 import (
+    is_utf8_encoded,
+    validate_and_escape_utf8_string,
+)
+
+CONT_MASK, CONT_HDR, CONT_BITS = 0xC0, 0x80, 6
+LEAD = {1: (0xE0, 0xC0), 2: (0xF0, 0xE0), 3: (0xF8, 0xF0)}
+
+
+def gen_seq(code_point: int, num_continuation: int) -> bytes:
+    """Reference generate_utf8_byte_sequence (test-utf8_utils.cpp:45-81):
+    encodes without validating, so it can emit overlong/out-of-range."""
+    assert 1 <= num_continuation <= 3
+    out = []
+    cp = code_point
+    while len(out) < num_continuation:
+        out.append((cp & ~CONT_MASK & 0xFF) | CONT_HDR)
+        cp >>= CONT_BITS
+    mask, hdr = LEAD[num_continuation]
+    out.append((cp & ~mask & 0xFF) | hdr)
+    return bytes(reversed(out))
+
+
+def expected_escaped(raw: bytes) -> str:
+    s = raw.decode("utf-8", errors="surrogatepass")
+    d = json.dumps(s, ensure_ascii=False)
+    return d[1:-1]
+
+
+# test-utf8_utils.cpp:84-123 — escape_utf8_string_basic
+def test_escape_basic():
+    assert validate_and_escape_utf8_string(b"") == ""
+    s = b"This string has nothing to escape :)"
+    assert validate_and_escape_utf8_string(s) == expected_escaped(s)
+
+    all_ascii = bytes(range(0x80))
+    shuffled = bytes(random.Random(0).sample(all_ascii, len(all_ascii)))
+    assert validate_and_escape_utf8_string(shuffled) == expected_escaped(shuffled)
+
+    valid_utf8 = [
+        b"\n",
+        b"\xF0\xA0\x80\x8F",
+        b"a",
+        b"\xE4\xB8\xAD",
+        b"\x1F",
+        b"\xC2\xA2",
+        b"\\",
+    ]
+    s = b"".join(valid_utf8)
+    assert validate_and_escape_utf8_string(s) == expected_escaped(s)
+
+
+# test-utf8_utils.cpp:125-168 — escape_utf8_string_with_invalid_continuation
+def test_invalid_continuation():
+    for seq in (gen_seq(0x80, 1), gen_seq(0x800, 2), gen_seq(0x10000, 3)):
+        valid = b"Valid"
+        for end in range(len(seq) - 1, 0, -1):
+            incomplete = seq[:end]
+            for s in (valid + incomplete, incomplete + valid):
+                assert not is_utf8_encoded(s)
+                assert validate_and_escape_utf8_string(s) is None
+        # invalid lead byte
+        s = b"\xFF" + seq[1:]
+        assert not is_utf8_encoded(s)
+        assert validate_and_escape_utf8_string(s) is None
+        # invalid continuation bytes
+        for idx in range(1, len(seq)):
+            s = bytearray(seq)
+            s[idx] |= 0x40
+            assert not is_utf8_encoded(bytes(s))
+            assert validate_and_escape_utf8_string(bytes(s)) is None
+
+
+def _range_points(lo: int, hi: int):
+    """Exhaustive at the boundaries, stride-97 through the middle."""
+    pts = set(range(lo, min(lo + 64, hi) + 1)) | set(range(max(hi - 64, lo), hi + 1))
+    pts |= set(range(lo, hi + 1, 97))
+    return sorted(pts)
+
+
+# test-utf8_utils.cpp:170-215 — validate_utf8_code_point_ranges
+def test_code_point_ranges():
+    for cp in range(0x00, 0x80):  # 1-byte range: exhaustive like the C++
+        assert is_utf8_encoded(bytes([cp]))
+        assert not is_utf8_encoded(gen_seq(cp, 1))  # overlong
+        assert not is_utf8_encoded(gen_seq(cp, 2))
+        assert not is_utf8_encoded(gen_seq(cp, 3))
+    for cp in _range_points(0x80, 0x7FF):
+        assert is_utf8_encoded(gen_seq(cp, 1))
+        assert not is_utf8_encoded(gen_seq(cp, 2))  # overlong
+        assert not is_utf8_encoded(gen_seq(cp, 3))
+    for cp in _range_points(0x800, 0xFFFF):
+        assert is_utf8_encoded(gen_seq(cp, 2))  # surrogates included!
+        assert not is_utf8_encoded(gen_seq(cp, 3))
+    for cp in _range_points(0x10000, 0x10FFFF):
+        assert is_utf8_encoded(gen_seq(cp, 3))
+    for cp in _range_points(0x110000, 0x1FFFFF):
+        assert not is_utf8_encoded(gen_seq(cp, 3))
+
+
+def test_surrogates_accepted_like_reference():
+    # U+D800 as a 3-byte sequence: rejected by strict RFC-3629, accepted by
+    # the reference's range checks (utf8_utils.hpp:24 upper bound 0xFFFF).
+    assert is_utf8_encoded(b"\xED\xA0\x80")
+    assert validate_and_escape_utf8_string(b"\xED\xA0\x80") is not None
