@@ -168,30 +168,18 @@ def kv_deser_bench(spark, cpus: int) -> dict:
         kv_ir_to_rows_df(cdf).count()
         spark_s = min(spark_s, time.time() - t0)
     cdf.unpersist()
-    # Same job throttled to 8 concurrent tasks (partition count bounds
-    # local-mode concurrency): isolates single-box memory bandwidth + JVM
-    # oversubscription from the engine's own per-core cost. On a real
-    # cluster each executor is a separate host, so the 8-task per-core
-    # figure is the representative one; the full-width figure shows the
-    # one-box ceiling.
-    cdf8 = spark.createDataFrame(big_pdf).repartition(8).persist()
-    cdf8.count()
-    spark8_s = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        kv_ir_to_rows_df(cdf8).count()
-        spark8_s = min(spark8_s, time.time() - t0)
-    cdf8.unpersist()
+    # Per-core honesty: the full-width figure runs 32 python workers + the
+    # JVM on one 32-cpu box, so it reports the box ceiling, not the
+    # engine's per-core cost. The clean per-core + N-vs-4N numbers come
+    # from `--scaling` (taskset-pinned subprocess sessions, see
+    # run_scaling / kv_deser_pinned) and land in BENCH.md.
     per_core = n_spark / spark_s / cpus
-    per_core8 = n_spark / spark8_s / 8
     loop_rate = n / loop_s
     return {
         "kv_deser_loop_ev_per_sec_1core": round(loop_rate, 1),
         "kv_deser_spark_events": n_spark,
         "kv_deser_spark_ev_per_sec": round(n_spark / spark_s, 1),
-        "kv_deser_spark_ev_per_sec_per_core": round(per_core, 1),
-        "kv_deser_spark8_ev_per_sec_per_core": round(per_core8, 1),
-        "kv_deser_per_core_vs_loop_8task": round(per_core8 / loop_rate, 3),
+        "kv_deser_spark_ev_per_sec_per_core_fullwidth": round(per_core, 1),
     }
 
 
@@ -363,6 +351,56 @@ def _pinned_run(cores: str, cpus: int, sf_dir: str, amplify: int = 6) -> dict:
     return json.loads(lines[-1])
 
 
+def _pinned_kv_run(cores: str, cpus: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    out = subprocess.run(
+        ["taskset", "-c", cores, sys.executable, os.path.abspath(__file__),
+         "--kv-deser-only"],
+        capture_output=True, text=True, env=env, cwd=_REPO,
+    )
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"pinned kv run (cores={cores}) failed rc={out.returncode}; "
+            f"stderr tail: {out.stderr.strip()[-2000:]}"
+        )
+    return json.loads(lines[-1])
+
+
+def run_kv_scaling() -> dict:
+    """kv-IR structured deserialize at 1 vs 4 taskset-pinned cores
+    (interleaved pairs, median ratio — same methodology as the pipeline
+    scaling). Also reports the Spark path's 1-pinned-core throughput vs
+    the pure parse loop on the same blobs: the clean 'Spark overhead'
+    figure (the in-run full-width number only shows the one-box ceiling)."""
+    import statistics
+
+    pairs, vs_loop = [], []
+    r1s, r4s = [], []
+    for _ in range(2):
+        r1 = _pinned_kv_run("0", 1)
+        r4 = _pinned_kv_run("0-3", 4)
+        r1s.append(r1)
+        r4s.append(r4)
+        pairs.append(
+            r4["kv_deser_spark_ev_per_sec"] / (4 * r1["kv_deser_spark_ev_per_sec"])
+        )
+        vs_loop.append(
+            r1["kv_deser_spark_ev_per_sec"] / r1["kv_deser_loop_ev_per_sec_1core"]
+        )
+    return {
+        "kv_scaling_efficiency_1v4": round(statistics.median(pairs), 3),
+        "kv_spark_1core_vs_loop": round(statistics.median(vs_loop), 3),
+        "kv_spark_ev_per_sec_1core": statistics.median(
+            r["kv_deser_spark_ev_per_sec"] for r in r1s
+        ),
+        "kv_spark_ev_per_sec_4core": statistics.median(
+            r["kv_deser_spark_ev_per_sec"] for r in r4s
+        ),
+    }
+
+
 def run_scaling(sf_dir: str) -> None:
     """N vs 4N cores (taskset-pinned so total CPU is truly constrained),
     same job, same input → BENCH.md.
@@ -419,19 +457,48 @@ def run_scaling(sf_dir: str) -> None:
         doc += "\n## Scaling (N vs 4N pinned cores)\n\n" + table + "\n"
     with open(path, "w") as f:
         f.write(doc)
+    kv = run_kv_scaling()
+    kv_block = (
+        "<!-- kv-deser-scaling -->\n"
+        "### kv-IR structured deserialize (pinned 1 vs 4 cores)\n\n"
+        f"- Spark path, 1 pinned core: {kv['kv_spark_ev_per_sec_1core']:,.0f} ev/s "
+        f"(= {kv['kv_spark_1core_vs_loop']:.2f}x the pure parse loop on the same "
+        "blobs — the residual is Arrow transfer + JVM count, not the parser)\n"
+        f"- Spark path, 4 pinned cores: {kv['kv_spark_ev_per_sec_4core']:,.0f} ev/s\n"
+        f"- **Scaling efficiency 1→4 = {kv['kv_scaling_efficiency_1v4']:.3f}** "
+        "(median of interleaved pairs)\n"
+        "<!-- /kv-deser-scaling -->"
+    )
+    kv_pat = re.compile(r"<!-- kv-deser-scaling -->.*?<!-- /kv-deser-scaling -->", re.S)
+    with open(path) as f:
+        doc = f.read()
+    if kv_pat.search(doc):
+        doc = kv_pat.sub(lambda _m: kv_block, doc, count=1)
+    else:
+        doc += "\n" + kv_block + "\n"
+    with open(path, "w") as f:
+        f.write(doc)
     print(json.dumps({"scaling_efficiency": round(eff, 3),
-                      "rows_per_sec_n": t1, "rows_per_sec_4n": t4}))
+                      "rows_per_sec_n": t1, "rows_per_sec_4n": t4, **kv}))
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--kv-deser-only", action="store_true")
     args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if args.scaling:
         run_scaling(sf_dir)
+        return
+    if args.kv_deser_only:
+        spark = make_spark(cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(1000).count()
+        print(json.dumps(kv_deser_bench(spark, cpus)))
+        spark.stop()
         return
     if args.pipeline_only:
         spark = make_spark(cpus)

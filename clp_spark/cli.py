@@ -85,14 +85,20 @@ def cmd_extract(args) -> None:
     spark = _spark(args.master)
     if is_json_archive(args.archive):
         # clp-s x: ordered JSONL reconstruction (JsonConstructor parity)
-        from clp_spark.operators.json_archive import reconstruct_jsonl
+        from clp_spark.operators.json_archive import (
+            reconstruct_jsonl, reconstruct_jsonl_chunks,
+        )
 
-        out = reconstruct_jsonl(spark, args.archive)
         if args.output:
-            out.select("json").write.mode("overwrite").text(args.output)
-            print(json.dumps({"output": args.output}))
+            # construct_in_order file naming: {archive_id}_{first}_{last+1}
+            # .jsonl; --target-ordered-chunk-size splits on byte size
+            summary = reconstruct_jsonl_chunks(
+                spark, args.archive, args.output,
+                target_chunk_size=args.target_ordered_chunk_size or 0,
+            )
+            print(json.dumps({**summary, "output": args.output}))
         else:
-            for r in out.collect():
+            for r in reconstruct_jsonl(spark, args.archive).collect():
                 print(r["json"])
         return
     if args.output:
@@ -396,6 +402,12 @@ def main(argv: list[str] | None = None) -> None:
     x.add_argument("archive")
     x.add_argument("--file", default=None)
     x.add_argument("-o", "--output", default=None)
+    x.add_argument(
+        "--target-ordered-chunk-size", type=int, default=0, metavar="BYTES",
+        help="JSON archives: split the ordered reconstruction into "
+             "~BYTES-sized {archive_id}_{first}_{last+1}.jsonl chunk files "
+             "(0 = one file, clp-s default)",
+    )
     x.set_defaults(fn=cmd_extract)
 
     s = sub.add_parser(

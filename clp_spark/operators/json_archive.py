@@ -325,3 +325,115 @@ def search_json_archive(
             .select("log_event_idx", "json")
         )
     return out
+
+
+def reconstruct_jsonl_chunks(
+    spark: SparkSession,
+    archive_dir: str,
+    out_dir: str,
+    target_chunk_size: int = 0,
+    archive_id: str | None = None,
+) -> dict:
+    """`clp-s x --ordered [--target-ordered-chunk-size N]` analog: write the
+    ordered reconstruction as `{archive_id}_{first}_{last+1}.jsonl` chunk
+    files (reference JsonConstructor::construct_in_order,
+    components/core/src/clp_s/JsonConstructor.cpp:64-191 — last index
+    exclusive, records never split across chunks).
+
+    Chunk assignment divergence, documented: the reference finalizes a
+    chunk when its greedily-accumulated byte count reaches the target — an
+    inherently sequential fold. Here chunks split where the GLOBAL byte
+    offset crosses a multiple of the target (a record straddling the
+    boundary stays with its starting chunk), which is one distributed pass:
+    per-partition byte sums (O(partitions) to the driver) + a
+    partition-local running sum. Chunk sizes are ~target either way; only
+    the boundary drift differs, and the reference pins no boundary
+    behavior in its tests (test-clp_s-end_to_end.cpp uses target 0).
+
+    Write shape: records hash-partition by chunk id and sort inside each
+    task, so chunk files materialize in parallel with no driver data
+    movement; the driver only renames O(chunks) part files.
+
+    Returns {"chunks": n, "rows": n, "files": [names...]}.
+    """
+    import shutil
+    from urllib.parse import unquote
+
+    from pyspark.sql.window import Window
+
+    aid = archive_id or os.path.basename(os.path.normpath(archive_dir))
+    df = reconstruct_jsonl(spark, archive_dir, ordered=False)
+    if not target_chunk_size:
+        assign = df.select(F.lit(0).alias("_chunk"), F.col(IDX_COL), "json")
+    else:
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        part = (
+            df.repartitionByRange(shuffle_n, F.col(IDX_COL))
+            .sortWithinPartitions(IDX_COL)
+            .withColumn("_pid", F.spark_partition_id())
+            .withColumn("_len", F.octet_length("json") + F.lit(1))
+            .persist()  # pin the sampled range boundaries: the per-partition
+            # sums and the final pass MUST see identical partitioning
+        )
+        psums = {
+            r["_pid"]: r["s"]
+            for r in part.groupBy("_pid").agg(F.sum("_len").alias("s")).collect()
+        }
+        prefix, acc = {}, 0
+        for pid in sorted(psums):
+            prefix[pid] = acc
+            acc += psums[pid]
+        off_map = F.create_map(
+            *[F.lit(x) for pid, off in prefix.items() for x in (pid, off)]
+        )
+        w = (
+            Window.partitionBy("_pid")
+            .orderBy(IDX_COL)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum_before = off_map[F.col("_pid")] + F.coalesce(
+            F.sum("_len").over(w), F.lit(0)
+        )
+        assign = part.select(
+            F.floor(cum_before / F.lit(target_chunk_size)).alias("_chunk"),
+            F.col(IDX_COL),
+            "json",
+        )
+    bounds = {
+        r["_chunk"]: (r["lo"], r["hi"])
+        for r in assign.groupBy("_chunk")
+        .agg(F.min(IDX_COL).alias("lo"), F.max(IDX_COL).alias("hi"))
+        .collect()
+    }
+    staging = os.path.join(out_dir, "_staging")
+    (
+        assign.repartition("_chunk")
+        .sortWithinPartitions("_chunk", IDX_COL)
+        .select("_chunk", "json")
+        .write.mode("overwrite")
+        .partitionBy("_chunk")
+        .text(staging)
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    names = []
+    total = 0
+    for entry in sorted(os.scandir(staging), key=lambda e: e.name):
+        if not (entry.is_dir() and entry.name.startswith("_chunk=")):
+            continue
+        cid = int(unquote(entry.name[len("_chunk="):]))
+        lo, hi = bounds[cid]
+        name = f"{aid}_{lo}_{hi + 1}.jsonl"
+        parts = sorted(
+            p.path for p in os.scandir(entry.path) if p.name.startswith("part-")
+        )
+        dst = os.path.join(out_dir, name)
+        with open(dst, "wb") as w_out:
+            for p in parts:
+                with open(p, "rb") as r_in:
+                    shutil.copyfileobj(r_in, w_out)
+        total += sum(1 for _ in open(dst, "rb"))
+        names.append(name)
+    shutil.rmtree(staging, ignore_errors=True)
+    if target_chunk_size:
+        part.unpersist()
+    return {"chunks": len(names), "rows": total, "files": sorted(names)}

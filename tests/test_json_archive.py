@@ -245,3 +245,83 @@ class TestFuzzRoundTrip:
         assert [r["log_event_idx"] for r in back] == list(range(len(lines)))
         for r, line in zip(back, lines):
             assert json.loads(r["json"]) == json.loads(line), (r["json"], line)
+
+
+class TestChunkedReconstruction:
+    """construct_in_order chunked output (JsonConstructor.cpp:64-191):
+    {archive_id}_{first}_{last+1}.jsonl naming, records never split,
+    concatenation of chunks == the full ordered reconstruction."""
+
+    def _archive(self, spark, tmp_path, n=200):
+        lines = [
+            json.dumps({"ts": i, "msg": f"event {i} " + "x" * (i % 17)})
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(lines)], "ord long, raw string"
+        )
+        out = str(tmp_path / "jarch")
+        compress_jsonl_archive(df, "raw", out, order_col="ord")
+        return out, lines
+
+    def test_single_file_when_no_target(self, spark, tmp_path):
+        from clp_spark.operators.json_archive import reconstruct_jsonl_chunks
+
+        arch, lines = self._archive(spark, tmp_path, n=30)
+        outdir = str(tmp_path / "out0")
+        s = reconstruct_jsonl_chunks(spark, arch, outdir)
+        assert s["chunks"] == 1 and s["rows"] == 30
+        assert s["files"] == ["jarch_0_30.jsonl"]
+        got = open(f"{outdir}/jarch_0_30.jsonl").read().splitlines()
+        assert [json.loads(g) for g in got] == [json.loads(x) for x in lines]
+
+    def test_chunked_order_and_naming(self, spark, tmp_path):
+        from clp_spark.operators.json_archive import reconstruct_jsonl_chunks
+
+        arch, lines = self._archive(spark, tmp_path, n=200)
+        outdir = str(tmp_path / "out1")
+        s = reconstruct_jsonl_chunks(
+            spark, arch, outdir, target_chunk_size=1200
+        )
+        assert s["chunks"] > 3 and s["rows"] == 200
+        # file names tile [0, 200) contiguously: first_last+1 ranges chain
+        import re as _re
+
+        spans = sorted(
+            tuple(map(int, _re.match(r"jarch_(\d+)_(\d+)\.jsonl", f).groups()))
+            for f in s["files"]
+        )
+        assert spans[0][0] == 0 and spans[-1][1] == 200
+        for (a, b), (c, d) in zip(spans, spans[1:]):
+            assert b == c
+        # concatenation in span order == full ordered reconstruction
+        all_lines = []
+        for a, b in spans:
+            chunk = open(f"{outdir}/jarch_{a}_{b}.jsonl").read().splitlines()
+            assert len(chunk) == b - a  # idx is contiguous here
+            all_lines.extend(chunk)
+        assert [json.loads(g) for g in all_lines] == [
+            json.loads(x) for x in lines
+        ]
+        # every chunk but the last carries ~target bytes (>= one record,
+        # never split): size must be within one max-record of the target
+        sizes = [
+            sum(len(ln) + 1 for ln in open(f"{outdir}/jarch_{a}_{b}.jsonl")
+                .read().splitlines())
+            for a, b in spans
+        ]
+        max_rec = max(len(x) + 1 for x in lines)
+        for sz in sizes[:-1]:
+            assert sz <= 1200 + max_rec
+
+    def test_cli_chunked_extract(self, spark, tmp_path, capsys):
+        from clp_spark import cli
+
+        arch, lines = self._archive(spark, tmp_path, n=50)
+        outdir = str(tmp_path / "cliout")
+        cli.main([
+            "x", arch, "-o", outdir,
+            "--target-ordered-chunk-size", "600",
+        ])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["rows"] == 50 and out["chunks"] >= 2
