@@ -281,3 +281,42 @@ class TestSparkSurface:
             r["text"] for r in docs.limit(2000).select("text").collect()
         )
         assert got == want
+
+
+class TestScanRobustness:
+    """Truncation/corruption fuzz for the two-pass text-IR scanner (same
+    contract as kv_ir's: ValueError or a clean prefix, never garbage)."""
+
+    def _blob(self):
+        return _serialize([b"alpha 1 beta", b"gamma 2.5 delta", b"eps 3"])[0]
+
+    def test_every_truncation_point(self):
+        blob = self._blob()
+        full = ir.deserialize_ir_many([blob])
+        body_start = 7 + blob[6]
+        for cut in range(body_start + 1, len(blob)):
+            t = blob[:cut]
+            try:
+                out = ir.deserialize_ir_many([t])
+            except ValueError:
+                continue
+            # events are closed by their timestamp token, so any accepted
+            # prefix must reproduce a prefix of the full event sequence
+            n = out["n"]
+            assert n <= full["n"]
+            assert out["ts"].tolist() == full["ts"].tolist()[:n]
+            assert out["lt_offsets"].tolist() == full["lt_offsets"].tolist()[:n + 1]
+
+    def test_flipped_byte_never_hangs(self):
+        import random
+
+        blob = bytearray(self._blob())
+        body_start = 7 + blob[6]
+        rnd = random.Random(11)
+        for _ in range(200):
+            b = bytearray(blob)
+            b[rnd.randrange(body_start, len(b))] = rnd.randrange(256)
+            try:
+                ir.deserialize_ir_many([bytes(b)])
+            except ValueError:
+                pass

@@ -509,3 +509,49 @@ class TestKvFuzz:
                     v = float(lf.values[e])
                 expect.append((e, p, v))
         assert got == sorted(expect)
+
+
+class TestScanRobustness:
+    """Boundary-scan hardening: every truncation of a valid stream must
+    either raise ValueError (truncated/corrupt) or decode a clean prefix —
+    never crash, hang, or return garbage rows. Guards the two-pass parser's
+    in-bounds reasoning (the extract pass trusts the scan)."""
+
+    def _blob(self):
+        n = 6
+        leaves = [
+            kv.Leaf(("a",), "int", [True] * n, values=np.arange(n) * 1000),
+            kv.Leaf(("m",), "str", [True] * n,
+                    **dict(zip(("data", "offsets"),
+                               _strcol([f"msg {i} end" for i in range(n)])))),
+        ]
+        return kv.serialize_kv_ir_core(n, leaves).tobytes()
+
+    def test_every_truncation_point(self):
+        blob = self._blob()
+        full = kv.deserialize_kv_ir_many([blob])
+        full_rows = _rows(full)
+        body_start = 7 + blob[6]
+        for cut in range(body_start + 1, len(blob)):
+            t = blob[:cut]
+            try:
+                out = kv.deserialize_kv_ir_many([t])
+            except ValueError:
+                continue
+            got = _rows(out)
+            assert got == full_rows[:len(got)], f"cut={cut} not a prefix"
+
+    def test_flipped_tag_never_hangs(self):
+        blob = bytearray(self._blob())
+        body_start = 7 + blob[6]
+        import random
+
+        rnd = random.Random(7)
+        for _ in range(200):
+            b = bytearray(blob)
+            pos = rnd.randrange(body_start, len(b))
+            b[pos] = rnd.randrange(256)
+            try:
+                kv.deserialize_kv_ir_many([bytes(b)])
+            except ValueError:
+                pass  # corrupt/truncated is the contract
