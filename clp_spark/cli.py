@@ -251,10 +251,79 @@ def cmd_search(args) -> None:
             print(r["message"])
 
 
+def _kql_agg_flags(args) -> list[str]:
+    return [
+        f for f, on in (
+            ("count", args.count),
+            ("count-by-time", args.count_by_time is not None),
+            ("min", args.min is not None),
+            ("max", args.max is not None),
+            ("unique", args.unique is not None),
+        ) if on
+    ]
+
+
+def _kql_aggregate(res, json_col: str, args) -> bool:
+    """clp-s search aggregators (--count / --count-by-time / --min / --max /
+    --unique, mutually exclusive — reference CommandLineArguments.cpp:783-798,
+    1166-1184; aggregators.hpp:66-183). Returns True if an aggregate flag
+    handled the output.
+
+    min/max keep the reference's EXACT cross-type int64/double ordering
+    (int_float_compare.hpp): integral and float values aggregate in
+    separate typed passes and the two candidates are combined with
+    Python's exact numeric comparison — never a lossy cast of int64 to
+    double."""
+    field = args.min or args.max or args.unique
+    if field is not None and any(c in field for c in "*?"):
+        sys.exit("error: the --min, --max, and --unique field must not "
+                 "contain wildcards")
+    if args.count:
+        print(res.count())
+        return True
+    if args.count_by_time is not None:
+        from clp_spark.operators.aggregate import count_by_time
+
+        if not args.timestamp_key:
+            sys.exit("error: --count-by-time needs --timestamp-key")
+        key = args.timestamp_key.split(":", 1)[0]
+        ts = F.get_json_object(F.col(json_col), "$." + key).cast("long")
+        rows = count_by_time(
+            res.where(ts.isNotNull()), ts, args.count_by_time
+        ).orderBy("bucket_ts").collect()
+        for r in rows:
+            print(r["bucket_ts"], r["cnt"])
+        return True
+    if field is None:
+        return False
+    v = F.get_json_object(F.col(json_col), "$." + field)
+    vals = res.select(v.alias("v")).where(F.col("v").isNotNull())
+    if args.unique is not None:
+        for r in vals.distinct().orderBy("v").collect():
+            print(r["v"])
+        return True
+    agg = F.min if args.min is not None else F.max
+    integral = F.col("v").rlike(r"^-?\d+$")
+    row = vals.agg(
+        agg(F.when(integral, F.col("v").cast("long"))).alias("i"),
+        agg(F.when(~integral, F.col("v").cast("double"))).alias("d"),
+    ).collect()[0]
+    cands = [x for x in (row["i"], row["d"]) if x is not None]
+    if not cands:
+        sys.exit("error: field matched no records")
+    pick = min(cands) if args.min is not None else max(cands)
+    print(int(pick) if isinstance(pick, int) else pick)
+    return True
+
+
 def cmd_search_kql(args) -> None:
     from clp_spark.operators.json_archive import is_json_archive
     from clp_spark.operators.json_search import search_jsonl
 
+    flags = _kql_agg_flags(args)
+    if len(flags) > 1:
+        sys.exit("error: the --count, --count-by-time, --min, --max, and "
+                 "--unique options are mutually exclusive")
     spark = _spark(args.master)
     if is_json_archive(args.input):
         # compressed JSON archive: search the typed tables directly
@@ -266,9 +335,7 @@ def cmd_search_kql(args) -> None:
             ignore_case=args.ignore_case,
             timestamp_key=args.timestamp_key,
         )
-        if args.count:
-            print(res.count())
-        else:
+        if not _kql_aggregate(res, "json", args):
             out = res.limit(args.limit) if args.limit is not None else res
             for r in out.collect():
                 print(r["json"])
@@ -279,9 +346,7 @@ def cmd_search_kql(args) -> None:
         ignore_case=args.ignore_case,
         structurize_arrays=args.structurize_arrays,
     )
-    if args.count:
-        print(res.count())
-    else:
+    if not _kql_aggregate(res, "raw", args):
         out = res.limit(args.limit) if args.limit is not None else res
         for r in out.collect():
             print(r["raw"])
@@ -439,6 +504,13 @@ def main(argv: list[str] | None = None) -> None:
     sk.add_argument("--ignore-case", action="store_true")
     sk.add_argument("--structurize-arrays", action="store_true")
     sk.add_argument("--count", action="store_true")
+    sk.add_argument(
+        "--count-by-time", type=int, default=None, metavar="BUCKET_MS",
+        help="count matches per time bucket (needs --timestamp-key)",
+    )
+    sk.add_argument("--min", default=None, metavar="FIELD")
+    sk.add_argument("--max", default=None, metavar="FIELD")
+    sk.add_argument("--unique", default=None, metavar="FIELD")
     sk.add_argument("--limit", type=int, default=None)
     sk.add_argument("--timestamp-key", default=None)
     sk.set_defaults(fn=cmd_search_kql)

@@ -193,3 +193,59 @@ def test_search_regex_untranslatable_errors(archive):
     with pytest.raises(SystemExit) as ei:
         cli.main(["s", archive, "failure|success", "--regex"])
     assert "not translatable" in str(ei.value)
+
+
+class TestKqlAggregators:
+    """clp-s search aggregator flags (--count-by-time/--min/--max/--unique,
+    CommandLineArguments.cpp:783-798; aggregators.hpp:90-183) on both the
+    raw-JSONL and compressed-archive inputs."""
+
+    @pytest.fixture(scope="class")
+    def jsonl(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("kqlagg")
+        p = d / "logs.jsonl"
+        lines = [
+            '{"ts": 1000, "lvl": "INFO", "ms": 5}',
+            '{"ts": 61000, "lvl": "ERROR", "ms": 9007199254740993}',
+            '{"ts": 62000, "lvl": "ERROR", "ms": 2.5}',
+            '{"ts": 122000, "lvl": "INFO", "ms": -3}',
+        ]
+        p.write_text("\n".join(lines) + "\n")
+        return str(p)
+
+    def test_count_by_time(self, jsonl, capsys):
+        cli.main(["s-kql", jsonl, "*", "--count-by-time", "60000",
+                  "--timestamp-key", "ts"])
+        out = capsys.readouterr().out.strip().splitlines()
+        assert out == ["0 1", "60000 2", "120000 1"]
+
+    def test_min_max_exact_cross_type(self, jsonl, capsys):
+        # max must pick the int64 9007199254740993 EXACTLY (a double cast
+        # would round it to ...992 and tie wrongly against floats)
+        cli.main(["s-kql", jsonl, "*", "--max", "ms"])
+        assert capsys.readouterr().out.strip() == "9007199254740993"
+        cli.main(["s-kql", jsonl, "*", "--min", "ms"])
+        assert capsys.readouterr().out.strip() == "-3"
+        cli.main(["s-kql", jsonl, 'lvl: "ERROR"', "--min", "ms"])
+        assert capsys.readouterr().out.strip() == "2.5"
+
+    def test_unique(self, jsonl, capsys):
+        cli.main(["s-kql", jsonl, "*", "--unique", "lvl"])
+        assert capsys.readouterr().out.strip().splitlines() == ["ERROR", "INFO"]
+
+    def test_mutually_exclusive(self, jsonl):
+        with pytest.raises(SystemExit) as ei:
+            cli.main(["s-kql", jsonl, "*", "--count", "--min", "ms"])
+        assert "mutually exclusive" in str(ei.value)
+
+    def test_wildcard_field_rejected(self, jsonl):
+        with pytest.raises(SystemExit) as ei:
+            cli.main(["s-kql", jsonl, "*", "--min", "m*"])
+        assert "must not contain wildcards" in str(ei.value)
+
+    def test_archive_min(self, jsonl, tmp_path, capsys):
+        arch = str(tmp_path / "agg_arch")
+        cli.main(["c", arch, jsonl, "--json"])
+        capsys.readouterr()
+        cli.main(["s-kql", arch, 'lvl: "ERROR"', "--max", "ms"])
+        assert capsys.readouterr().out.strip() == "9007199254740993"
