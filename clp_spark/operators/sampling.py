@@ -1,0 +1,131 @@
+"""Training-corpus curation operators: benchmark decontamination and
+deterministic quota sampling.
+
+These sit beside dedup.py in the LLM-pipeline suite. Both are pure
+DataFrame compositions (no Python on the row path) and both are exact —
+each has an engine-independent SQL oracle in tests.
+
+Decontamination (the GPT-3/Dolma recipe): drop any training document that
+shares at least one word n-gram with a held-out evaluation set. At corpus
+scale the eval side is tiny (benchmarks are thousands of rows), so its
+distinct shingles broadcast; the training side explodes to (doc, shingle)
+once and left-semi joins the broadcast — one shuffle-free pass over the
+big side after the explode's own map work.
+
+Quota sampling: keep at most `quota` documents per stratum (source,
+domain, language...), chosen by a seeded hash of the id so the sample is
+deterministic across runs and cluster sizes — no `rand()`, which would
+make resume/backfill non-reproducible. One shuffle on the stratum key;
+for heavily skewed strata the hash-rank window degrades to a single task
+per stratum, so `threshold_sample` offers the scalable variant: an
+approximate Bernoulli keep-rate per stratum computed from exact counts
+(O(strata) driver rows), no window at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def _strict_shingles(df: DataFrame, keep_cols: list, text_col: str, n: int):
+    """(keep_cols..., shingle) — word n-grams, STRICT: a document with
+    fewer than n words yields none (unlike dedup.with_shingle_array, which
+    pads short docs to one whole-text shingle — right for near-dup
+    signatures, wrong here: sub-n-gram overlap is not contamination
+    evidence)."""
+    words = df.select(*keep_cols, F.split(F.col(text_col), r"\s+").alias("_w"))
+    k = F.size("_w") - F.lit(n - 1)
+    sh = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(F.slice(F.col("_w"), i + 1, n), " "),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    return words.select(*keep_cols, F.explode(sh.alias("_sh")).alias("shingle"))
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+) -> DataFrame:
+    """ids of training docs sharing >=1 word n-gram with the benchmark set.
+
+    13-grams are the published decontamination default; documents with
+    fewer than n words produce no shingles and never match.
+    """
+    bcol = bench_text_col or text_col
+    bsh = _strict_shingles(bench, [], bcol, n).distinct()
+    dsh = _strict_shingles(docs, [F.col(id_col)], text_col, n)
+    return (
+        dsh.join(F.broadcast(bsh), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+) -> DataFrame:
+    """docs minus every document flagged by contaminated_ids."""
+    bad = contaminated_ids(docs, bench, id_col, text_col, bench_text_col, n)
+    return docs.join(bad, id_col, "left_anti")
+
+
+def quota_sample(
+    df: DataFrame,
+    stratum_col: str,
+    quota: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """At most `quota` rows per stratum, deterministically: rows rank by
+    xxhash64(id, seed) inside their stratum and the lowest `quota` win.
+    Exact and stable under reshuffling/resume; one shuffle on the stratum.
+    A stratum with billions of rows serializes its window into one task —
+    use threshold_sample for that shape."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= quota)
+        .drop("_rk")
+    )
+
+
+def threshold_sample(
+    df: DataFrame,
+    stratum_col: str,
+    quota: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    slack: float = 1.0,
+) -> DataFrame:
+    """Scalable approximate quota sampling: per-stratum keep-rate =
+    min(1, slack * quota / count) applied as a deterministic hash
+    threshold — a pure map filter after an O(strata) count aggregate, no
+    window, no per-stratum serialization. Expected kept ≈ quota per
+    stratum (binomial spread ~sqrt(quota)); raise `slack` and compose with
+    quota_sample on the (already small) survivors for an exact cap."""
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    # uniform [0,1) from the hash's low 40 bits — deterministic per id+seed
+    u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 40))
+         / F.lit(float(1 << 40)))
+    rate = F.least(F.lit(1.0), F.lit(float(quota)) * F.lit(slack) / F.col("_n"))
+    return (
+        df.join(F.broadcast(counts), stratum_col)
+        .where(u < rate)
+        .drop("_n")
+    )

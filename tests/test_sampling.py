@@ -1,0 +1,148 @@
+"""Decontamination + quota sampling over the documents table, each checked
+against an engine-independent oracle (DuckDB n-gram SQL / brute-force
+Python)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from clp_spark.operators.sampling import (
+    contaminated_ids,
+    decontaminate,
+    quota_sample,
+    threshold_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+
+
+class TestDecontaminate:
+    N = 5  # the sf0.001 texts are short; 13-grams would match nothing
+
+    def test_vs_duckdb_ngram_oracle(self, spark, docs):
+        # benchmark = a slice of the corpus itself → guaranteed overlap
+        bench = docs.orderBy("doc_id").limit(8).select(
+            F.col("text").alias("q")
+        )
+        got = sorted(
+            r["doc_id"]
+            for r in contaminated_ids(
+                docs, bench, text_col="text", bench_text_col="q", n=self.N
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+        )
+        con.execute(
+            "CREATE VIEW bench AS SELECT text AS q FROM documents "
+            "ORDER BY doc_id LIMIT 8"
+        )
+        ngram_sql = """
+            SELECT id, unnest([
+                array_to_string(words[i : i + {n} - 1], ' ')
+                for i in range(1, len(words) - {n} + 2)
+            ]) AS shingle
+            FROM (
+                SELECT {idc} AS id,
+                       string_split_regex({txt}, '\\s+') AS words
+                FROM {tbl}
+            )
+            WHERE len(words) >= {n}
+        """
+        expect = sorted(
+            r[0]
+            for r in con.execute(
+                "SELECT DISTINCT d.id FROM ("
+                + ngram_sql.format(idc="doc_id", txt="text",
+                                   tbl="documents", n=self.N)
+                + ") d JOIN ("
+                + ngram_sql.format(idc="0", txt="q", tbl="bench", n=self.N)
+                + ") b USING (shingle) ORDER BY 1"
+            ).fetchall()
+        )
+        assert got == expect and len(got) >= 8
+
+    def test_decontaminate_removes_exactly_flagged(self, spark, docs):
+        bench = docs.limit(5).select(F.col("text").alias("q"))
+        bad = {
+            r["doc_id"]
+            for r in contaminated_ids(
+                docs, bench, bench_text_col="q", n=self.N
+            ).collect()
+        }
+        kept = {
+            r["doc_id"]
+            for r in decontaminate(
+                docs, bench, bench_text_col="q", n=self.N
+            ).collect()
+        }
+        allids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+        assert kept == allids - bad
+
+    def test_short_docs_never_match(self, spark):
+        docs = spark.createDataFrame(
+            [("a", "one two three"), ("b", "one two three four five six")],
+            "doc_id string, text string",
+        )
+        bench = spark.createDataFrame([("one two three",)], "q string")
+        got = contaminated_ids(docs, bench, bench_text_col="q", n=5).collect()
+        assert got == []  # 3-word overlap is not 5-gram evidence
+
+
+class TestQuotaSample:
+    def test_exact_quota_and_determinism(self, spark, docs):
+        s1 = quota_sample(docs, "source", 7, seed=3)
+        s2 = quota_sample(docs.repartition(13), "source", 7, seed=3)
+        r1 = sorted(r["doc_id"] for r in s1.collect())
+        r2 = sorted(r["doc_id"] for r in s2.collect())
+        assert r1 == r2  # deterministic under reshuffling
+        per = s1.groupBy("source").count().collect()
+        full = dict(docs.groupBy("source").count().collect())
+        for r in per:
+            assert r["count"] == min(7, full[r["source"]])
+
+    def test_brute_force_parity(self, spark):
+        """Winners == the quota lowest (xxhash64(id, seed), id) per stratum,
+        recomputed brute-force from Spark's own hash values."""
+        rows = [(f"d{i}", f"s{i % 3}") for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id string, source string")
+        got = sorted(
+            r["doc_id"] for r in quota_sample(df, "source", 4, seed=1).collect()
+        )
+        hashed = df.select(
+            "doc_id", "source",
+            F.xxhash64(F.col("doc_id"), F.lit(1)).alias("h"),
+        ).collect()
+        by_stratum: dict = {}
+        for r in hashed:
+            by_stratum.setdefault(r["source"], []).append((r["h"], r["doc_id"]))
+        expect = sorted(
+            d for lst in by_stratum.values() for _, d in sorted(lst)[:4]
+        )
+        assert got == expect
+
+    def test_threshold_sample_statistics(self, spark):
+        n = 4000
+        df = spark.range(n).select(
+            F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+            (F.col("id") % 2).cast("string").alias("source"),
+        )
+        out = threshold_sample(df, "source", 200, seed=5)
+        per = dict(out.groupBy("source").count().collect())
+        for s, c in per.items():
+            assert 120 <= c <= 300, (s, c)  # ~200 ± binomial spread
+        # deterministic
+        out2 = threshold_sample(df.repartition(7), "source", 200, seed=5)
+        assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+            r["doc_id"] for r in out2.collect()
+        )
+        # quota >= stratum size keeps everything
+        assert threshold_sample(df, "source", 10**6).count() == n
