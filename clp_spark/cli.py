@@ -36,6 +36,9 @@ def _spark(master: str) -> SparkSession:
 
 
 def cmd_compress(args) -> None:
+    from clp_spark.sources.network import localize_inputs
+
+    args.inputs = localize_inputs(args.inputs)
     from clp_spark.sources.logfiles import (
         compress_text_logs,
         compress_text_logs_multi,
@@ -353,6 +356,9 @@ def cmd_search_kql(args) -> None:
 
 
 def cmd_kv_import(args) -> None:
+    from clp_spark.sources.network import localize_inputs
+
+    args.inputs = localize_inputs(args.inputs)
     """JSON-lines logs → structured kv-IR chunk rows (one stream per file).
     spark.read.json infers the nested schema; NULL/absent keys are omitted
     per event (kv_ir.py scope notes)."""
@@ -429,6 +435,9 @@ def cmd_kv_export(args) -> None:
 
 
 def cmd_convert(args) -> None:
+    from clp_spark.sources.network import localize_inputs
+
+    args.inputs = localize_inputs(args.inputs)
     from clp_spark.sources.logfiles import convert_to_ir
 
     spark = _spark(args.master)

@@ -1,0 +1,115 @@
+"""HTTP network reader (clp::NetworkReader parity: ranged GET from an
+offset, Range-refused detection, retry-resume) against a local
+http.server — the same approach as the reference's test-NetworkReader.cpp
+but self-hosted so no internet is needed."""
+
+import http.server
+import json
+import os
+import threading
+
+import pytest
+
+from clp_spark.functions.utf8 import is_utf8_encoded  # noqa: F401 (env sanity)
+from clp_spark.sources.network import (
+    NetworkReaderError,
+    fetch_to_local,
+    is_url,
+    localize_inputs,
+    open_url,
+)
+
+PAYLOAD = b"".join(
+    f"2016-05-08 07:34:{i % 60:02d},{i:03d} INFO line {i} of the corpus\n".encode()
+    for i in range(500)
+)
+
+
+class RangeHandler(http.server.BaseHTTPRequestHandler):
+    support_range = True
+
+    def do_GET(self):  # noqa: N802
+        rng = self.headers.get("Range")
+        body = PAYLOAD
+        if rng and self.support_range:
+            start = int(rng.split("=")[1].rstrip("-").split("-")[0])
+            body = PAYLOAD[start:]
+            self.send_response(206)
+            self.send_header(
+                "Content-Range", f"bytes {start}-{len(PAYLOAD)-1}/{len(PAYLOAD)}"
+            )
+        else:
+            self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):  # silence
+        pass
+
+
+class NoRangeHandler(RangeHandler):
+    support_range = False
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), RangeHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def norange_server():
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), NoRangeHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_is_url():
+    assert is_url("http://x/y") and is_url("https://x/y")
+    assert not is_url("/tmp/x") and not is_url("s3a://bucket/x")
+
+
+def test_fetch_full(server, tmp_path):
+    p = fetch_to_local(f"{server}/logs.txt", str(tmp_path))
+    assert open(p, "rb").read() == PAYLOAD
+
+
+def test_fetch_from_offset(server, tmp_path):
+    p = fetch_to_local(f"{server}/logs.txt", str(tmp_path), offset=100)
+    assert open(p, "rb").read() == PAYLOAD[100:]
+
+
+def test_offset_refused_is_an_error(norange_server, tmp_path):
+    # NetworkReader.hpp:187-189: nonzero offset + HTTP 200 = failure, not a
+    # silent full re-download
+    with pytest.raises(NetworkReaderError, match="ignored Range"):
+        open_url(f"{norange_server}/logs.txt", offset=7)
+    with pytest.raises(NetworkReaderError):
+        fetch_to_local(f"{norange_server}/logs.txt", str(tmp_path), offset=7)
+
+
+def test_localize_inputs_mixed(server, tmp_path):
+    local = str(tmp_path / "a.log")
+    open(local, "w").write("x\n")
+    out = localize_inputs([local, f"{server}/remote.log"], str(tmp_path))
+    assert out[0] == local
+    assert open(out[1], "rb").read() == PAYLOAD
+
+
+def test_cli_compress_from_url(server, tmp_path, capsys):
+    """End to end: `c` ingests an http:// log like the reference's
+    network-capable input path."""
+    from clp_spark import cli
+
+    arch = str(tmp_path / "netarch")
+    cli.main(["c", arch, f"{server}/corpus.log"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["messages"] == 500
+    cli.main(["s", arch, "*line 499 of*", "--count"])
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "1"
