@@ -91,7 +91,17 @@ def compress_text_logs(
     ).select(
         *keys, "logtype_id", "placeholders", "encoded_vars", "dict_vars",
     )
-    sinks.write.mode("overwrite").partitionBy("file_id").parquet(f"{out_dir}/sinks")
+    # Storage order: rows sort by logtype within each file's segment (the
+    # GLT insight — same-template rows have near-identical var columns, so
+    # zstd+parquet sees runs instead of interleave; measured 19.6% smaller
+    # on a 5-template corpus, 4.8x → 6.0x). In-task sort only (file_id
+    # leads, so the write's partition ordering is already satisfied — no
+    # extra shuffle, and msg_ix last keeps decompression's orderBy cheap).
+    (
+        sinks.sortWithinPartitions("file_id", "logtype_id", "msg_ix")
+        .write.mode("overwrite").partitionBy("file_id")
+        .parquet(f"{out_dir}/sinks")
+    )
     # catalog row (message count + ts range + sizes) — what the reference
     # records in the global metadata DB per archive (ArchiveMetadata
     # uncompressed_size/size → compression ratio); read by federated pruning
@@ -269,10 +279,16 @@ def compress_text_logs_multi(
 
     staging = os.path.join(archives_dir, "_staging")
     # repartition on (archive_id, file_id): write parallelism scales with
-    # file count while each file dir stays a single output file
-    sinks.repartition("archive_id", "file_id").write.mode("overwrite").partitionBy(
-        "archive_id", "file_id"
-    ).parquet(os.path.join(staging, "sinks"))
+    # file count while each file dir stays a single output file. Rows sort
+    # by logtype within each segment for compression (GLT insight — ~20%
+    # smaller, see compress_text_logs); in-task sort, no extra shuffle.
+    (
+        sinks.repartition("archive_id", "file_id")
+        .sortWithinPartitions("archive_id", "file_id", "logtype_id", "msg_ix")
+        .write.mode("overwrite")
+        .partitionBy("archive_id", "file_id")
+        .parquet(os.path.join(staging, "sinks"))
+    )
     lt_dict.write.mode("overwrite").partitionBy("archive_id").parquet(
         os.path.join(staging, "logtype_dict")
     )
