@@ -269,9 +269,16 @@ def route_stage(
         t0 = time.time()
         encoded = spark.read.parquet(f"{out_dir}/encoded/split={b}")
         enriched = enrich_with_logtype_ids(encoded, logtype_dict, broadcast=True)
-        sel = enriched.select(
-            "doc_id", "source", "logtype_id", "placeholders", "encoded_vars", "dict_vars"
-        ).repartition(F.col("source"), F.pmod(F.xxhash64("doc_id"), F.lit(8)))
+        sel = (
+            enriched.select(
+                "doc_id", "source", "logtype_id", "placeholders",
+                "encoded_vars", "dict_vars",
+            )
+            .repartition(F.col("source"), F.pmod(F.xxhash64("doc_id"), F.lit(8)))
+            # same-logtype rows adjacent inside each sink file (GLT layout,
+            # ~20% smaller zstd parquet — see BENCH.md round 3); in-task sort
+            .sortWithinPartitions("source", "logtype_id")
+        )
         if tbl is not None:
             version = tbl.commit(sel, "append", ("source",), tag=f"route-split-{b}")
             written = tbl.read_added(spark, version)
