@@ -110,6 +110,13 @@ def fetch_to_local(
 
 
 def localize_inputs(paths: list[str], spool_dir: str | None = None) -> list[str]:
-    """CLI front door: URLs fetch to a local spool, filesystem paths pass
+    """CLI front door: URLs fetch to a local spool (S3 HTTP URLs presign
+    first when AWS credentials are in the environment — sources/s3.py
+    SigV4, the reference's NetworkAuth flow), filesystem paths pass
     through untouched."""
-    return [fetch_to_local(p, spool_dir) if is_url(p) else p for p in paths]
+    from clp_spark.sources.s3 import presign_if_s3
+
+    return [
+        fetch_to_local(presign_if_s3(p), spool_dir) if is_url(p) else p
+        for p in paths
+    ]
