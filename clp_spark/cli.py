@@ -319,6 +319,45 @@ def _kql_aggregate(res, json_col: str, args) -> bool:
     return True
 
 
+def _apply_projection(res, json_col: str, paths: list[str]):
+    """clp-s `--projection COLUMN...` (CommandLineArguments.cpp:759-765,
+    search/Projection.hpp:24-79): output only the given leaf columns,
+    nested structure preserved, absent keys omitted. Wildcards and
+    duplicate columns are rejected like the reference; values that are
+    objects/structured arrays are unsupported there and unvalidated here.
+
+    Typed via Spark's variant (`parse_json` + `try_variant_get`) so
+    numbers/bools/strings keep their JSON types in the projected output
+    (a `get_json_object` string round-trip would quote numbers). One
+    divergence, documented: a record where EVERY projected leaf under a
+    prefix is absent emits `"prefix":{}` rather than omitting the prefix.
+    """
+    seen = set()
+    for p in paths:
+        if any(c in p for c in "*?"):
+            sys.exit("error: projection columns must not contain wildcards")
+        if p in seen:
+            sys.exit(f"error: duplicate projection column: {p}")
+        seen.add(p)
+    v = F.parse_json(F.col(json_col))
+    tree: dict = {}
+    for p in paths:
+        parts = p.split(".")
+        node = tree
+        for q in parts[:-1]:
+            node = node.setdefault(q, {})
+        node[parts[-1]] = p
+    def build(node):
+        fields = []
+        for k, sub in node.items():
+            if isinstance(sub, dict):
+                fields.append(build(sub).alias(k))
+            else:
+                fields.append(F.try_variant_get(v, "$." + sub, "variant").alias(k))
+        return F.struct(*fields)
+    return res.withColumn(json_col, F.to_json(build(tree)))
+
+
 def cmd_search_kql(args) -> None:
     from clp_spark.operators.json_archive import is_json_archive
     from clp_spark.operators.json_search import search_jsonl
@@ -339,6 +378,8 @@ def cmd_search_kql(args) -> None:
             timestamp_key=args.timestamp_key,
         )
         if not _kql_aggregate(res, "json", args):
+            if args.projection:
+                res = _apply_projection(res, "json", args.projection)
             out = res.limit(args.limit) if args.limit is not None else res
             for r in out.collect():
                 print(r["json"])
@@ -350,6 +391,8 @@ def cmd_search_kql(args) -> None:
         structurize_arrays=args.structurize_arrays,
     )
     if not _kql_aggregate(res, "raw", args):
+        if args.projection:
+            res = _apply_projection(res, "raw", args.projection)
         out = res.limit(args.limit) if args.limit is not None else res
         for r in out.collect():
             print(r["raw"])
@@ -521,6 +564,11 @@ def main(argv: list[str] | None = None) -> None:
     sk.add_argument("--max", default=None, metavar="FIELD")
     sk.add_argument("--unique", default=None, metavar="FIELD")
     sk.add_argument("--limit", type=int, default=None)
+    sk.add_argument(
+        "--projection", nargs="+", default=None, metavar="COLUMN",
+        help="project only the given leaf columns in matching results "
+             "(dotted paths; no wildcards)",
+    )
     sk.add_argument("--timestamp-key", default=None)
     sk.set_defaults(fn=cmd_search_kql)
 

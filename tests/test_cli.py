@@ -249,3 +249,38 @@ class TestKqlAggregators:
         capsys.readouterr()
         cli.main(["s-kql", arch, 'lvl: "ERROR"', "--max", "ms"])
         assert capsys.readouterr().out.strip() == "9007199254740993"
+
+
+class TestProjection:
+    """clp-s --projection (CommandLineArguments.cpp:759-765): only the
+    given leaf columns in matching results, nested structure preserved,
+    JSON types intact, wildcards/duplicates rejected."""
+
+    @pytest.fixture(scope="class")
+    def jsonl(self, tmp_path_factory):
+        p = tmp_path_factory.mktemp("proj") / "logs.jsonl"
+        p.write_text(
+            '{"ts": 1, "req": {"path": "/a", "ms": 5}, "lvl": "INFO"}\n'
+            '{"ts": 2, "req": {"path": "/b"}, "lvl": "ERROR"}\n'
+        )
+        return str(p)
+
+    def test_projection_types_and_nesting(self, jsonl, capsys):
+        cli.main(["s-kql", jsonl, "*", "--projection", "req.ms", "lvl"])
+        out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+        assert {"req": {"ms": 5}, "lvl": "INFO"} in out
+        assert {"req": {}, "lvl": "ERROR"} in out  # absent leaf omitted
+
+    def test_projection_on_archive(self, jsonl, tmp_path, capsys):
+        arch = str(tmp_path / "projarch")
+        cli.main(["c", arch, jsonl, "--json"])
+        capsys.readouterr()
+        cli.main(["s-kql", arch, 'lvl: "ERROR"', "--projection", "ts"])
+        out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+        assert out == [{"ts": 2}]
+
+    def test_projection_rejects_wildcards_and_dups(self, jsonl):
+        with pytest.raises(SystemExit, match="wildcards"):
+            cli.main(["s-kql", jsonl, "*", "--projection", "req.*"])
+        with pytest.raises(SystemExit, match="duplicate"):
+            cli.main(["s-kql", jsonl, "*", "--projection", "ts", "ts"])
