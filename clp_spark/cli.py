@@ -116,6 +116,17 @@ def cmd_extract(args) -> None:
             print(r["message"])
 
 
+def _file_path_pred(col, path: str):
+    """file_id match tolerant of URI-scheme spelling: archives store Hadoop
+    URIs (file:///a/b.log) while users type plain paths — compare with the
+    scheme and duplicate slashes normalized away on both sides."""
+    import re as _re
+
+    norm = _re.sub(r"^file:/+", "/", path)
+    col_norm = F.regexp_replace(col, r"^file:/+", "/")
+    return (col == F.lit(path)) | (col_norm == F.lit(norm))
+
+
 def cmd_search(args) -> None:
     from clp_spark.operators.aggregate import count_by_time, count_matched
     from clp_spark.operators.seg_index import search_archive_pruned
@@ -125,6 +136,27 @@ def cmd_search(args) -> None:
 
     if args.count_by_time is not None and args.count_by_time <= 0:
         sys.exit("error: --count-by-time needs a positive bucket size in ms")
+    # clg time flags (clg/CommandLineArguments.cpp:216-257): --teq is
+    # exclusive with every other time flag and pins both bounds; --tgt/--tlt
+    # are the strict forms (begin = tgt+1, end = tlt-1) and can't combine
+    # with their inclusive twins. All normalize onto the [tge, tle] range
+    # the rest of the search machinery (and catalog pruning) consumes.
+    if args.teq is not None:
+        if any(x is not None for x in (args.tgt, args.tge, args.tlt, args.tle)):
+            sys.exit("error: --teq cannot be specified with any other "
+                     "timestamp filtering option")
+        args.tge = args.tle = args.teq
+    else:
+        if args.tgt is not None:
+            if args.tge is not None:
+                sys.exit("error: --tgt cannot be used with --tge")
+            args.tge = args.tgt + 1
+        if args.tlt is not None:
+            if args.tle is not None:
+                sys.exit("error: --tlt cannot be used with --tle")
+            args.tle = args.tlt - 1
+    if args.tge is not None and args.tle is not None and args.tge > args.tle:
+        sys.exit("error: empty timestamp range")
     if getattr(args, "regex", False):
         # regex front-end (reference clp::regex_utils::regex_to_wildcard):
         # a translatable regex becomes a wildcard query and rides the
@@ -164,6 +196,9 @@ def cmd_search(args) -> None:
                 spark, local_root, args.query, args.ignore_case,
                 ts_lo=args.tge, ts_hi=args.tle,
             )
+            if args.file_path:
+                # clg --file-path: only messages from one original file
+                res = res.where(_file_path_pred(F.col("source"), args.file_path))
             if args.count:
                 print(count_matched(res).collect()[0]["cnt"])
             elif args.count_by_time is not None:
@@ -182,6 +217,14 @@ def cmd_search(args) -> None:
     raw_sinks = spark.read.option("basePath", f"{args.archive}/sinks").parquet(
         f"{args.archive}/sinks"
     )
+    if args.file_path:
+        # clg --file-path: partition-prunes the scan (sinks partition on
+        # file_id), so only that file's segments are read at all
+        if "file_id" not in raw_sinks.columns:
+            sys.exit("error: --file-path needs a text-log archive")
+        raw_sinks = raw_sinks.where(
+            _file_path_pred(F.col("file_id"), args.file_path)
+        )
     # --tge/--tle in single-archive mode: per-message timestamp filter
     # (archives-dir mode handled above via catalog pruning + pushdown)
     want_ts = args.tge is not None or args.tle is not None
@@ -546,6 +589,22 @@ def main(argv: list[str] | None = None) -> None:
         help="only messages with ts >= this (archives-dir mode prunes whole archives)",
     )
     s.add_argument("--tle", type=int, default=None, metavar="EPOCH_MS")
+    s.add_argument(
+        "--tgt", type=int, default=None, metavar="EPOCH_MS",
+        help="only messages with timestamp > this (strict --tge)",
+    )
+    s.add_argument(
+        "--tlt", type=int, default=None, metavar="EPOCH_MS",
+        help="only messages with timestamp < this (strict --tle)",
+    )
+    s.add_argument(
+        "--teq", type=int, default=None, metavar="EPOCH_MS",
+        help="only messages with exactly this timestamp",
+    )
+    s.add_argument(
+        "--file-path", default=None, metavar="PATH",
+        help="only search messages from the original file at PATH",
+    )
     s.set_defaults(fn=cmd_search)
 
     sk = sub.add_parser(

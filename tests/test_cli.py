@@ -284,3 +284,54 @@ class TestProjection:
             cli.main(["s-kql", jsonl, "*", "--projection", "req.*"])
         with pytest.raises(SystemExit, match="duplicate"):
             cli.main(["s-kql", jsonl, "*", "--projection", "ts", "ts"])
+
+
+class TestClgTimeAndFileFlags:
+    """clg's strict/exact time flags (--tgt/--tlt/--teq,
+    clg/CommandLineArguments.cpp:216-257) and --file-path."""
+
+    @pytest.fixture(scope="class")
+    def tsarchive(self, spark, tmp_path_factory):
+        d = tmp_path_factory.mktemp("clgflags")
+        (d / "x.log").write_text(
+            "2016-05-08 07:34:05,000 INFO alpha one\n"
+            "2016-05-08 07:34:06,000 INFO alpha two\n"
+            "2016-05-08 07:34:07,000 INFO alpha three\n"
+        )
+        (d / "y.log").write_text("2016-05-08 07:34:06,000 INFO beta one\n")
+        arch = str(tmp_path_factory.mktemp("clgarch"))
+        cli.main(["c", arch, str(d / "x.log"), str(d / "y.log")])
+        sinks = spark.read.parquet(f"{arch}/sinks")
+        ts = sorted(r["ts_ms"] for r in sinks.select("ts_ms").collect())
+        return arch, ts, str(d)
+
+    def _count(self, capsys, argv):
+        cli.main(argv)
+        return int(capsys.readouterr().out.strip().splitlines()[-1])
+
+    def test_strict_and_exact_bounds(self, tsarchive, capsys):
+        arch, ts, _ = tsarchive
+        mid = ts[1]  # two messages share this timestamp (alpha two, beta one)
+        assert self._count(capsys, ["s", arch, "*", "--count", "--teq", str(mid)]) == 2
+        assert self._count(capsys, ["s", arch, "*", "--count", "--tgt", str(mid)]) == 1
+        assert self._count(capsys, ["s", arch, "*", "--count", "--tge", str(mid)]) == 3
+        assert self._count(capsys, ["s", arch, "*", "--count", "--tlt", str(mid)]) == 1
+        assert self._count(capsys, ["s", arch, "*", "--count", "--tle", str(mid)]) == 3
+
+    def test_flag_exclusions(self, tsarchive):
+        arch, ts, _ = tsarchive
+        with pytest.raises(SystemExit, match="teq cannot"):
+            cli.main(["s", arch, "*", "--teq", "1", "--tge", "2"])
+        with pytest.raises(SystemExit, match="tgt cannot"):
+            cli.main(["s", arch, "*", "--tgt", "1", "--tge", "2"])
+        with pytest.raises(SystemExit, match="tlt cannot"):
+            cli.main(["s", arch, "*", "--tlt", "5", "--tle", "4"])
+
+    def test_file_path_filter(self, tsarchive, capsys):
+        arch, _, logdir = tsarchive
+        assert self._count(
+            capsys, ["s", arch, "*", "--count", "--file-path", f"file:{logdir}/y.log"]
+        ) == 1
+        assert self._count(
+            capsys, ["s", arch, "*", "--count", "--file-path", f"file:{logdir}/x.log"]
+        ) == 3
