@@ -1,0 +1,76 @@
+"""PII redaction for training corpora.
+
+Standard curation pass before sequences are packed: emails, IPv4
+addresses, long card-like digit runs, and US-style phone numbers are
+replaced with stable placeholder tokens so downstream dedup/packing sees
+identical text for identical non-PII content. Everything is JVM-side
+`regexp_replace` — no Python on the row path — and every pattern is
+RE2-safe (no backreferences or lookaround), so the exact same regex runs
+in DuckDB for the differential oracle.
+
+Pattern scope is deliberately conservative (regex recall, not validity:
+the card pattern does NOT Luhn-check, the phone pattern wants separators
+so it won't eat arbitrary 10-digit ints). Order matters and is fixed:
+emails before phones (an email's local part can contain digits), IPs
+before cards (dotted runs must not be re-tokenized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (name, pattern, replacement) — applied in order
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    (
+        "ipv4",
+        r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+        r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b",
+        "<IP>",
+    ),
+    (
+        "card",
+        r"\b(?:[0-9][ -]?){12,18}[0-9]\b",
+        "<CARD>",
+    ),
+    (
+        "phone",
+        r"(?:\+?[0-9]{1,2}[ .-])?\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}\b",
+        "<PHONE>",
+    ),
+)
+
+
+def redact_col(col: Column) -> Column:
+    out = col
+    for _name, pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """`text_col` with all PII_RULES applied, other columns untouched."""
+    return df.withColumn(text_col, redact_col(F.col(text_col)))
+
+
+def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(kind, docs, hits) per rule — the audit the curation run logs next
+    to its lineage records. One scan; counts use regexp_count (JVM)."""
+    aggs = []
+    for name, pat, _repl in PII_RULES:
+        c = F.regexp_count(F.col(text_col), F.lit(pat))
+        aggs.append(F.sum((c > 0).cast("long")).alias(f"{name}_docs"))
+        aggs.append(F.sum(c).alias(f"{name}_hits"))
+    wide = df.agg(*aggs)
+    # unpivot to (kind, docs, hits)
+    stack = ", ".join(
+        f"'{name}', {name}_docs, {name}_hits" for name, _p, _r in PII_RULES
+    )
+    return wide.selectExpr(
+        f"stack({len(PII_RULES)}, {stack}) as (kind, docs, hits)"
+    )

@@ -1,0 +1,64 @@
+"""PII redaction: curated cases + a DuckDB regexp_replace differential on
+the documents table (same RE2-safe patterns both engines)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from clp_spark.operators.redact import PII_RULES, pii_stats, redact_pii
+
+SF = "/root/testdata/sf0.001"
+
+CASES = [
+    ("contact bob.smith+x@example.co.uk today", "contact <EMAIL> today"),
+    ("from 192.168.0.1 to 8.8.8.8", "from <IP> to <IP>"),
+    ("999.999.999.999 is not an IP", "999.999.999.999 is not an IP"),
+    ("card 4111 1111 1111 1111 on file", "card <CARD> on file"),
+    ("call 555-867-5309 or +1 (415) 555-0000", "call <PHONE> or <PHONE>"),
+    ("plain 1234567890 int stays", "plain 1234567890 int stays"),
+    ("v1.2.3 release", "v1.2.3 release"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CASES)
+def test_curated_cases(spark, raw, expected):
+    df = spark.createDataFrame([(raw,)], "text string")
+    assert redact_pii(df).collect()[0]["text"] == expected
+
+
+def test_duckdb_differential(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    # salt some rows with PII so the differential isn't vacuous
+    salted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" mail a@b.io ip 10.0.0.3")),
+        ).otherwise(F.col("text")),
+    )
+    got = {
+        r["doc_id"]: r["text"] for r in redact_pii(salted).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW d AS SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+        f"text || ' mail a@b.io ip 10.0.0.3' ELSE text END AS text "
+        f"FROM '{SF}/documents.parquet'"
+    )
+    expr = "text"
+    for _name, pat, repl in PII_RULES:
+        pat_sql = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl}', 'g')"
+    expect = dict(con.execute(f"SELECT doc_id, {expr} FROM d").fetchall())
+    assert got == expect
+    assert any("<EMAIL>" in t for t in got.values())
+
+
+def test_pii_stats(spark):
+    df = spark.createDataFrame(
+        [("a@b.io and c@d.io",), ("10.0.0.1",), ("clean",)], "text string"
+    )
+    rows = {r["kind"]: (r["docs"], r["hits"]) for r in pii_stats(df).collect()}
+    assert rows["email"] == (1, 2)
+    assert rows["ipv4"] == (1, 1)
+    assert rows["card"] == (0, 0)
