@@ -410,6 +410,28 @@ def cmd_search_kql(args) -> None:
         sys.exit("error: the --count, --count-by-time, --min, --max, and "
                  "--unique options are mutually exclusive")
     spark = _spark(args.master)
+    from clp_spark.operators.json_archive import discover_json_archives
+
+    if not is_json_archive(args.input) and discover_json_archives(args.input):
+        # clp-s `s <archives-dir>`: a DIRECTORY of JSON archives searches
+        # federated in one Spark job; --archive-id restricts to one
+        from clp_spark.operators.json_archive import search_json_archives
+
+        res = search_json_archives(
+            spark, args.input, args.query,
+            ignore_case=args.ignore_case,
+            timestamp_key=args.timestamp_key,
+            archive_id=args.archive_id,
+        )
+        if not _kql_aggregate(res, "json", args):
+            if args.projection:
+                res = _apply_projection(res, "json", args.projection)
+            out = res.limit(args.limit) if args.limit is not None else res
+            for r in out.collect():
+                print(r["json"])
+        return
+    if args.archive_id:
+        sys.exit("error: --archive-id needs a directory of JSON archives")
     if is_json_archive(args.input):
         # compressed JSON archive: search the typed tables directly
         # (clp-s `s <archive>` — no raw JSON re-parse)
@@ -629,6 +651,11 @@ def main(argv: list[str] | None = None) -> None:
              "(dotted paths; no wildcards)",
     )
     sk.add_argument("--timestamp-key", default=None)
+    sk.add_argument(
+        "--archive-id", default=None, metavar="ID",
+        help="limit search to the archive in the given subdirectory of an "
+             "archives directory",
+    )
     sk.set_defaults(fn=cmd_search_kql)
 
     cv = sub.add_parser(

@@ -437,3 +437,48 @@ def reconstruct_jsonl_chunks(
     if target_chunk_size:
         part.unpersist()
     return {"chunks": len(names), "rows": total, "files": sorted(names)}
+
+
+def discover_json_archives(root: str) -> list[str]:
+    """Subdirectories of `root` that are JSON archives (clp-s treats the
+    archive path as a DIRECTORY of archives, one subdir per archive —
+    clp-s.cpp:92-110 create/iterate archives_dir)."""
+    try:
+        entries = sorted(os.scandir(root), key=lambda e: e.name)
+    except (FileNotFoundError, NotADirectoryError):
+        return []
+    return [e.path for e in entries if e.is_dir() and is_json_archive(e.path)]
+
+
+def search_json_archives(
+    spark: SparkSession,
+    root: str,
+    query: str,
+    ignore_case: bool = False,
+    timestamp_key: str | None = None,
+    archive_id: str | None = None,
+) -> DataFrame:
+    """Federated KQL search over a DIRECTORY of JSON archives → one
+    DataFrame (archive_id, log_event_idx, json). `archive_id` restricts to
+    a single archive (the clp-s `--archive-id` flag). Each archive's
+    schema-match pruning still applies, so the union only scans tables
+    whose columns can satisfy the query — the whole dir searches as ONE
+    Spark job."""
+    dirs = discover_json_archives(root)
+    if archive_id is not None:
+        dirs = [d for d in dirs if os.path.basename(d) == archive_id]
+        if not dirs:
+            raise ValueError(f"no archive '{archive_id}' under {root}")
+    if not dirs:
+        raise ValueError(f"{root} contains no JSON archives")
+    out: DataFrame | None = None
+    for d in dirs:
+        part = search_json_archive(
+            spark, d, query, ignore_case=ignore_case, timestamp_key=timestamp_key
+        ).select(
+            F.lit(os.path.basename(d)).alias("archive_id"),
+            "log_event_idx",
+            "json",
+        )
+        out = part if out is None else out.unionAll(part)
+    return out

@@ -325,3 +325,49 @@ class TestChunkedReconstruction:
         ])
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["rows"] == 50 and out["chunks"] >= 2
+
+
+class TestFederatedJsonArchives:
+    """clp-s `s <archives-dir>` over a DIRECTORY of JSON archives
+    (clp-s.cpp:92-110 iterate archives_dir) + --archive-id restriction."""
+
+    @pytest.fixture(scope="class")
+    def archives(self, spark, tmp_path_factory):
+        root = tmp_path_factory.mktemp("jarchroot")
+        for aid, lines in (
+            ("arch_a", ['{"lvl": "ERROR", "svc": "a", "n": 1}',
+                        '{"lvl": "INFO", "svc": "a", "n": 2}']),
+            ("arch_b", ['{"lvl": "ERROR", "svc": "b", "n": 3}']),
+        ):
+            df = spark.createDataFrame(
+                [(i, s) for i, s in enumerate(lines)], "ord long, raw string"
+            )
+            compress_jsonl_archive(df, "raw", str(root / aid), order_col="ord")
+        # a non-archive subdir must be ignored
+        (root / "junk").mkdir()
+        return str(root)
+
+    def test_search_all(self, spark, archives):
+        from clp_spark.operators.json_archive import search_json_archives
+
+        res = search_json_archives(spark, archives, 'lvl: "ERROR"')
+        rows = sorted(
+            (r["archive_id"], json.loads(r["json"])["n"]) for r in res.collect()
+        )
+        assert rows == [("arch_a", 1), ("arch_b", 3)]
+
+    def test_archive_id_restricts(self, spark, archives):
+        from clp_spark.operators.json_archive import search_json_archives
+
+        res = search_json_archives(spark, archives, "*", archive_id="arch_b")
+        assert [json.loads(r["json"])["svc"] for r in res.collect()] == ["b"]
+        with pytest.raises(ValueError, match="no archive"):
+            search_json_archives(spark, archives, "*", archive_id="nope")
+
+    def test_cli_dir_search(self, archives, capsys):
+        from clp_spark import cli
+
+        cli.main(["s-kql", archives, 'lvl: "ERROR"', "--count"])
+        assert capsys.readouterr().out.strip().splitlines()[-1] == "2"
+        cli.main(["s-kql", archives, "*", "--count", "--archive-id", "arch_a"])
+        assert capsys.readouterr().out.strip().splitlines()[-1] == "2"
