@@ -58,10 +58,22 @@ def cmd_compress(args) -> None:
             .withColumnRenamed("value", "raw")
             .withColumn("_rec_ix", F.monotonically_increasing_id())
         )
-        summary = compress_jsonl_archive(
-            df, "raw", args.archive, order_col="_rec_ix",
-            structurize_arrays=args.structurize_arrays,
-        )
+        if args.target_encoded_size is not None:
+            # clp-s --target-encoded-size: split into multiple archives
+            from clp_spark.operators.json_archive import (
+                compress_jsonl_archives_multi,
+            )
+
+            summary = compress_jsonl_archives_multi(
+                df, "raw", args.archive, args.target_encoded_size,
+                order_col="_rec_ix",
+                structurize_arrays=args.structurize_arrays,
+            )
+        else:
+            summary = compress_jsonl_archive(
+                df, "raw", args.archive, order_col="_rec_ix",
+                structurize_arrays=args.structurize_arrays,
+            )
         print(json.dumps(summary))
         return
     if args.target_archive_size is not None:
@@ -578,6 +590,11 @@ def main(argv: list[str] | None = None) -> None:
         "with ordered reconstruction (x) support",
     )
     c.add_argument("--structurize-arrays", action="store_true")
+    c.add_argument(
+        "--target-encoded-size", type=int, default=None, metavar="BYTES",
+        help="JSON mode: split input into multiple archives of ~BYTES raw "
+             "input each (clp-s --target-encoded-size analog)",
+    )
     c.set_defaults(fn=cmd_compress)
 
     x = sub.add_parser("x", help="decompress an archive back to messages")

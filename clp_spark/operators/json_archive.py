@@ -482,3 +482,88 @@ def search_json_archives(
         )
         out = part if out is None else out.unionAll(part)
     return out
+
+
+def compress_jsonl_archives_multi(
+    df: DataFrame,
+    raw_col: str,
+    archives_dir: str,
+    target_encoded_size: int,
+    order_col: str | None = None,
+    structurize_arrays: bool = False,
+) -> dict:
+    """clp-s `c --target-encoded-size`: split a JSONL stream into multiple
+    self-contained JSON archives under `archives_dir` (the reference's
+    ArchiveWriter closes an archive and opens the next when the encoded
+    size crosses the target; each archive is independently searchable and
+    reconstructable, and `search_json_archives` federates them).
+
+    Split rule: archives cut on cumulative RAW bytes (the pre-encode proxy
+    for encoded size — exact encoded size is only known after dictionary
+    dedup, and the reference's own threshold check is also approximate:
+    it tests after each record batch). Record order is preserved: archive
+    k holds a contiguous ingestion-order range, recorded in the manifest.
+
+    Scale note: archive assignment is one distributed prefix-sum pass
+    (O(partitions) driver rows); per-archive encodes then run as a driver
+    loop of independent jobs — the reference's own model (one
+    ArchiveWriter at a time), parallel WITHIN each archive here. For
+    many-archive batches submit disjoint input slices as separate jobs.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    src = df.withColumn(
+        IDX_COL,
+        F.col(order_col).cast("long") if order_col
+        else F.monotonically_increasing_id(),
+    )
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = (
+        src.repartitionByRange(shuffle_n, F.col(IDX_COL))
+        .sortWithinPartitions(IDX_COL)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_len", F.octet_length(raw_col) + F.lit(1))
+        .persist()
+    )
+    psums = {
+        r["_pid"]: r["s"]
+        for r in part.groupBy("_pid").agg(F.sum("_len").alias("s")).collect()
+    }
+    prefix, acc = {}, 0
+    for pid in sorted(psums):
+        prefix[pid] = acc
+        acc += psums[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid, off in prefix.items() for x in (pid, off)]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(IDX_COL)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = off_map[F.col("_pid")] + F.coalesce(F.sum("_len").over(w), F.lit(0))
+    assigned = part.withColumn(
+        "_arch", F.floor(cum_before / F.lit(target_encoded_size))
+    )
+    arch_ids = sorted(
+        r["_arch"] for r in assigned.select("_arch").distinct().collect()
+    )
+    os.makedirs(archives_dir, exist_ok=True)
+    summaries = []
+    for k in arch_ids:
+        sub = assigned.where(F.col("_arch") == k).drop("_pid", "_len", "_arch")
+        out = os.path.join(archives_dir, f"archive_{k:06d}")
+        s = compress_jsonl_archive(
+            sub, raw_col, out, order_col=IDX_COL,
+            structurize_arrays=structurize_arrays,
+        )
+        summaries.append({"archive": os.path.basename(out), **s})
+    part.unpersist()
+    return {
+        "archives": len(summaries),
+        "rows": sum(s["rows"] for s in summaries),
+        "invalid": sum(s["invalid"] for s in summaries),
+        "dir": archives_dir,
+        "per_archive": summaries,
+    }

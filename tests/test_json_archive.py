@@ -371,3 +371,38 @@ class TestFederatedJsonArchives:
         assert capsys.readouterr().out.strip().splitlines()[-1] == "2"
         cli.main(["s-kql", archives, "*", "--count", "--archive-id", "arch_a"])
         assert capsys.readouterr().out.strip().splitlines()[-1] == "2"
+
+
+class TestMultiArchiveSplit:
+    """clp-s c --target-encoded-size: the stream splits into contiguous,
+    independently-searchable archives; federation over them reproduces the
+    whole corpus in order."""
+
+    def test_split_search_and_order(self, spark, tmp_path, capsys):
+        from clp_spark import cli
+        from clp_spark.operators.json_archive import (
+            discover_json_archives, reconstruct_jsonl, search_json_archives,
+        )
+
+        lines = [json.dumps({"i": i, "pad": "x" * 40}) for i in range(120)]
+        src = tmp_path / "in.jsonl"
+        src.write_text("\n".join(lines) + "\n")
+        root = str(tmp_path / "archroot")
+        cli.main(["c", root, str(src), "--json",
+                  "--target-encoded-size", "2000"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["archives"] >= 3 and out["rows"] == 120
+        dirs = discover_json_archives(root)
+        assert len(dirs) == out["archives"]
+        # each archive holds a CONTIGUOUS idx range; concatenation in
+        # archive order == the original stream
+        all_i = []
+        for d in dirs:
+            got = [json.loads(r["json"])["i"]
+                   for r in reconstruct_jsonl(spark, d).collect()]
+            assert got == list(range(got[0], got[-1] + 1))
+            all_i.extend(got)
+        assert all_i == list(range(120))
+        # federated search over the split set
+        res = search_json_archives(spark, root, "i >= 118")
+        assert sorted(json.loads(r["json"])["i"] for r in res.collect()) == [118, 119]
