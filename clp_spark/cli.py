@@ -98,6 +98,31 @@ def cmd_extract(args) -> None:
     from clp_spark.sources.logfiles import decompress_file, extract_to_files
 
     spark = _spark(args.master)
+    from clp_spark.operators.json_archive import discover_json_archives
+
+    json_archive_dirs = (
+        [args.archive] if is_json_archive(args.archive)
+        else discover_json_archives(args.archive)
+    )
+    if json_archive_dirs and not is_json_archive(args.archive):
+        # clp-s x over a DIRECTORY of archives: each reconstructs into the
+        # same output dir; chunk names carry the archive id so they never
+        # collide (JsonConstructor names files {archive_id}_{first}_{last+1})
+        from clp_spark.operators.json_archive import reconstruct_jsonl_chunks
+
+        if not args.output:
+            sys.exit("error: extracting an archives directory needs -o DIR")
+        total = {"archives": 0, "rows": 0, "files": []}
+        for d in json_archive_dirs:
+            s = reconstruct_jsonl_chunks(
+                spark, d, args.output,
+                target_chunk_size=args.target_ordered_chunk_size or 0,
+            )
+            total["archives"] += 1
+            total["rows"] += s["rows"]
+            total["files"].extend(s["files"])
+        print(json.dumps({**total, "output": args.output}))
+        return
     if is_json_archive(args.archive):
         # clp-s x: ordered JSONL reconstruction (JsonConstructor parity)
         from clp_spark.operators.json_archive import (

@@ -406,3 +406,27 @@ class TestMultiArchiveSplit:
         # federated search over the split set
         res = search_json_archives(spark, root, "i >= 118")
         assert sorted(json.loads(r["json"])["i"] for r in res.collect()) == [118, 119]
+
+
+def test_cli_extract_archives_dir(spark, tmp_path, capsys):
+    """`x <archives-dir> -o out`: every archive reconstructs into one output
+    dir, chunk names disambiguated by archive id."""
+    from clp_spark import cli
+
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        "\n".join(json.dumps({"i": i, "pad": "z" * 40}) for i in range(60)) + "\n"
+    )
+    root = str(tmp_path / "r2")
+    cli.main(["c", root, str(src), "--json", "--target-encoded-size", "1500"])
+    capsys.readouterr()
+    outdir = str(tmp_path / "xout")
+    cli.main(["x", root, "-o", outdir])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["archives"] >= 2 and out["rows"] == 60
+    import os as _os
+
+    got = []
+    for name in sorted(out["files"]):
+        got += [json.loads(l)["i"] for l in open(_os.path.join(outdir, name))]
+    assert sorted(got) == list(range(60))
