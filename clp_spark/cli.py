@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from pyspark.sql import SparkSession
@@ -90,6 +91,24 @@ def cmd_compress(args) -> None:
         summary = compress_text_logs(
             spark, args.inputs, args.archive, lock_patterns=not args.no_pattern_lock
         )
+    if args.metadata_db:
+        # global metadata catalog (GlobalSQLiteMetadataDB parity): register
+        # the archives + per-file rows for CLP-tooling discovery
+        from clp_spark.sinks.metadata_db import record_archives_dir
+
+        root = (args.archive if args.target_archive_size is not None
+                else os.path.dirname(args.archive.rstrip("/")) or ".")
+        if args.target_archive_size is not None:
+            summary["metadata_db_archives"] = record_archives_dir(
+                spark, args.metadata_db, root
+            )
+        else:
+            import os as _osp
+
+            summary["metadata_db_archives"] = record_archives_dir(
+                spark, args.metadata_db,
+                _osp.dirname(_osp.abspath(args.archive)),
+            )
     print(json.dumps(summary))
 
 
@@ -615,6 +634,11 @@ def main(argv: list[str] | None = None) -> None:
         "with ordered reconstruction (x) support",
     )
     c.add_argument("--structurize-arrays", action="store_true")
+    c.add_argument(
+        "--metadata-db", default=None, metavar="SQLITE_PATH",
+        help="also register archives + per-file rows in a "
+             "GlobalSQLiteMetadataDB-compatible catalog",
+    )
     c.add_argument(
         "--target-encoded-size", type=int, default=None, metavar="BYTES",
         help="JSON mode: split input into multiple archives of ~BYTES raw "

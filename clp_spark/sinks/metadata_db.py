@@ -1,0 +1,190 @@
+"""Global metadata database — the archive catalog `clg`/the package layer
+use for archive discovery and time-window pruning.
+
+Parity: `clp::GlobalSQLiteMetadataDB`
+(components/core/src/clp/GlobalSQLiteMetadataDB.cpp:25-180,
+streaming_archive/Constants.hpp:25-56): an SQLite db with an `archives`
+table (id, begin/end timestamp, sizes, creator_id + creation_ix ordering)
+and a `files` table (per original file: path, ts range, message range,
+archive_id), the same indexes, and the same three discovery queries —
+all archives in creation order, archives overlapping a time window, and
+archives containing a file path. stdlib sqlite3 replaces the reference's
+SQLiteDB wrapper.
+
+Role on Spark: the db is DRIVER-side bookkeeping, O(archives + files)
+rows — never row-path data. The parquet snapshot catalog
+(operators/federation.py) remains the Spark-native discovery path; this
+exists for parity with deployments that point existing CLP tooling at
+the metadata db.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+
+_ARCHIVE_COLS = (
+    ("id", "TEXT PRIMARY KEY"),
+    ("begin_timestamp", "INTEGER"),
+    ("end_timestamp", "INTEGER"),
+    ("uncompressed_size", "INTEGER"),
+    ("size", "INTEGER"),
+    ("creator_id", "TEXT"),
+    ("creation_ix", "INTEGER"),
+)
+_FILE_COLS = (
+    ("id", "TEXT PRIMARY KEY"),
+    ("orig_file_id", "TEXT"),
+    ("path", "TEXT"),
+    ("begin_timestamp", "INTEGER"),
+    ("end_timestamp", "INTEGER"),
+    ("num_uncompressed_bytes", "INTEGER"),
+    ("begin_message_ix", "INTEGER"),
+    ("num_messages", "INTEGER"),
+    ("archive_id", "TEXT"),
+)
+
+
+class GlobalMetadataDB:
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self.conn = sqlite3.connect(path)
+        cur = self.conn.cursor()
+        cols = ", ".join(f"{n} {t}" for n, t in _ARCHIVE_COLS)
+        cur.execute(f"CREATE TABLE IF NOT EXISTS archives ({cols}) WITHOUT ROWID")
+        cur.execute(
+            "CREATE INDEX IF NOT EXISTS archives_creation_order "
+            "ON archives (creator_id,creation_ix)"
+        )
+        cols = ", ".join(f"{n} {t}" for n, t in _FILE_COLS)
+        cur.execute(f"CREATE TABLE IF NOT EXISTS files ({cols}) WITHOUT ROWID")
+        cur.execute("CREATE INDEX IF NOT EXISTS files_path ON files (path)")
+        cur.execute(
+            "CREATE INDEX IF NOT EXISTS files_archive_id ON files (archive_id)"
+        )
+        self.conn.commit()
+
+    # ---- writes (ArchiveWriter::close / update_metadata analogs)
+
+    def add_archive(
+        self,
+        archive_id: str,
+        begin_ts: int,
+        end_ts: int,
+        uncompressed_size: int,
+        size: int,
+        creator_id: str = "",
+        creation_ix: int = 0,
+    ) -> None:
+        self.conn.execute(
+            "INSERT OR REPLACE INTO archives VALUES (?,?,?,?,?,?,?)",
+            (archive_id, begin_ts, end_ts, uncompressed_size, size,
+             creator_id, creation_ix),
+        )
+        self.conn.commit()
+
+    def add_files(self, rows: list[dict]) -> None:
+        """rows: dicts with the files-table fields (File::* constants)."""
+        self.conn.executemany(
+            "INSERT OR REPLACE INTO files VALUES "
+            "(:id,:orig_file_id,:path,:begin_timestamp,:end_timestamp,"
+            ":num_uncompressed_bytes,:begin_message_ix,:num_messages,"
+            ":archive_id)",
+            rows,
+        )
+        self.conn.commit()
+
+    # ---- the three discovery queries (GlobalSQLiteMetadataDB.cpp:122-180)
+
+    def get_archives(self) -> list[str]:
+        return [
+            r[0] for r in self.conn.execute(
+                "SELECT id FROM archives ORDER BY creator_id ASC, creation_ix ASC"
+            )
+        ]
+
+    def get_archives_for_time_window(self, begin_ts: int, end_ts: int) -> list[str]:
+        return [
+            r[0] for r in self.conn.execute(
+                "SELECT id FROM archives WHERE begin_timestamp <= ? AND "
+                "end_timestamp >= ? ORDER BY creator_id ASC, creation_ix ASC",
+                (end_ts, begin_ts),
+            )
+        ]
+
+    def get_archives_for_file(self, file_path: str) -> list[str]:
+        return [
+            r[0] for r in self.conn.execute(
+                "SELECT DISTINCT archives.id FROM archives JOIN files ON "
+                "archives.id = files.archive_id WHERE files.path = ? "
+                "ORDER BY creator_id ASC, creation_ix ASC",
+                (file_path,),
+            )
+        ]
+
+    def close(self) -> None:
+        self.conn.close()
+
+
+def record_archives_dir(
+    spark, db_path: str, archives_dir: str, creator_id: str = ""
+) -> int:
+    """Populate the metadata db from an archives directory: the archives
+    table from each archive's `metadata.json` catalog row
+    (operators/federation.write_archive_metadata), the files table from
+    one aggregate over each archive's sinks (per-file ts range + message
+    counts — what the reference's File metadata carries). The bridge
+    between the Spark-native catalog and CLP's SQLite discovery."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    db = GlobalMetadataDB(db_path)
+    n = 0
+    entries = sorted(os.scandir(archives_dir), key=lambda e: e.name)
+    ix = 0
+    for e in entries:
+        meta_path = os.path.join(e.path, "metadata.json")
+        if not (e.is_dir() and os.path.exists(meta_path)):
+            continue
+        with open(meta_path) as f:
+            meta = _json.load(f)
+        db.add_archive(
+            e.name,
+            int(meta.get("begin_ts_ms") or 0),
+            int(meta.get("end_ts_ms") or 0),
+            int(meta.get("raw_bytes") or 0),
+            int(meta.get("archive_bytes") or 0),
+            creator_id=creator_id,
+            creation_ix=ix,
+        )
+        sinks = spark.read.option("basePath", f"{e.path}/sinks").parquet(
+            f"{e.path}/sinks"
+        )
+        if "file_id" in sinks.columns:
+            aggs = [
+                F.count("*").alias("n_msgs"),
+                F.min("msg_ix").alias("begin_ix"),
+            ]
+            has_ts = "ts_ms" in sinks.columns
+            if has_ts:
+                aggs += [F.min("ts_ms").alias("b"), F.max("ts_ms").alias("t")]
+            frows = sinks.groupBy("file_id").agg(*aggs).collect()
+            db.add_files([
+                {
+                    "id": f"{e.name}/{r['file_id']}",
+                    "orig_file_id": r["file_id"],
+                    "path": r["file_id"],
+                    "begin_timestamp": int(r["b"]) if has_ts and r["b"] is not None else 0,
+                    "end_timestamp": int(r["t"]) if has_ts and r["t"] is not None else 0,
+                    "num_uncompressed_bytes": 0,
+                    "begin_message_ix": int(r["begin_ix"] or 0),
+                    "num_messages": int(r["n_msgs"]),
+                    "archive_id": e.name,
+                }
+                for r in frows
+            ])
+        ix += 1
+        n += 1
+    db.close()
+    return n

@@ -1,0 +1,78 @@
+"""Global SQLite metadata catalog (GlobalSQLiteMetadataDB parity): schema,
+the three discovery queries, and the bridge from an archives directory."""
+
+import sqlite3
+
+import pytest
+
+from clp_spark.sinks.metadata_db import GlobalMetadataDB, record_archives_dir
+
+
+@pytest.fixture()
+def db(tmp_path):
+    return GlobalMetadataDB(str(tmp_path / "global.db"))
+
+
+def test_schema_matches_reference(db, tmp_path):
+    con = sqlite3.connect(str(tmp_path / "global.db"))
+    cols = [r[1] for r in con.execute("PRAGMA table_info(archives)")]
+    # streaming_archive/Constants.hpp:30-36 field order
+    assert cols == ["id", "begin_timestamp", "end_timestamp",
+                    "uncompressed_size", "size", "creator_id", "creation_ix"]
+    cols = [r[1] for r in con.execute("PRAGMA table_info(files)")]
+    assert cols == ["id", "orig_file_id", "path", "begin_timestamp",
+                    "end_timestamp", "num_uncompressed_bytes",
+                    "begin_message_ix", "num_messages", "archive_id"]
+    idx = {r[1] for r in con.execute("PRAGMA index_list(archives)")}
+    assert "archives_creation_order" in idx
+    idx = {r[1] for r in con.execute("PRAGMA index_list(files)")}
+    assert {"files_path", "files_archive_id"} <= idx
+
+
+def test_discovery_queries(db):
+    db.add_archive("a1", 100, 200, 10, 5, creator_id="c", creation_ix=0)
+    db.add_archive("a2", 150, 300, 10, 5, creator_id="c", creation_ix=1)
+    db.add_archive("a0", 400, 500, 10, 5, creator_id="b", creation_ix=7)
+    db.add_files([
+        {"id": "a1/0", "orig_file_id": "f1", "path": "/x/l.log",
+         "begin_timestamp": 100, "end_timestamp": 200,
+         "num_uncompressed_bytes": 9, "begin_message_ix": 0,
+         "num_messages": 3, "archive_id": "a1"},
+        {"id": "a2/0", "orig_file_id": "f1", "path": "/x/l.log",
+         "begin_timestamp": 150, "end_timestamp": 300,
+         "num_uncompressed_bytes": 9, "begin_message_ix": 3,
+         "num_messages": 3, "archive_id": "a2"},
+    ])
+    # creation order: creator_id ASC, creation_ix ASC
+    assert db.get_archives() == ["a0", "a1", "a2"]
+    # time window: begin <= win_end AND end >= win_begin
+    assert db.get_archives_for_time_window(250, 450) == ["a0", "a2"]
+    assert db.get_archives_for_time_window(0, 99) == []
+    assert db.get_archives_for_file("/x/l.log") == ["a1", "a2"]
+    assert db.get_archives_for_file("/none") == []
+
+
+def test_record_archives_dir_bridge(spark, tmp_path):
+    from clp_spark import cli
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "a.log").write_text(
+        "2016-05-08 07:34:05,000 INFO one\n2016-05-08 07:34:06,000 INFO two\n"
+    )
+    root = str(tmp_path / "archroot")
+    cli.main(["c", root, str(d / "a.log"), "--target-archive-size", "40"])
+    dbp = str(tmp_path / "g.db")
+    n = record_archives_dir(spark, dbp, root)
+    assert n >= 1
+    db = GlobalMetadataDB(dbp)
+    ids = db.get_archives()
+    assert len(ids) == n
+    # the file row points back to its archive
+    hits = db.get_archives_for_file(
+        db.conn.execute("SELECT path FROM files LIMIT 1").fetchone()[0]
+    )
+    assert set(hits) <= set(ids) and hits
+    # time-window pruning sees the real message timestamps
+    assert db.get_archives_for_time_window(0, 10**15) == ids
+    assert db.get_archives_for_time_window(0, 1) == []
