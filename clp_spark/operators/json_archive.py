@@ -115,10 +115,26 @@ def compress_jsonl_archive(
         else:
             merged[sid] = {"typed": typed, "leaves": grp["leaves"],
                            "ddl": grp["ddl"]}
-    for sid, entry in merged.items():
+    # Per-schema writes are independent jobs over the SAME cached variant
+    # scan, and each touches only its slice of rows — running them
+    # sequentially leaves most cores idle per write. A thread pool submits
+    # them as concurrent Spark jobs so their tasks interleave instead of
+    # serializing per schema.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_one(item):
+        sid, entry = item
         path = os.path.join(out_dir, f"schema_id={sid}")
         entry["typed"].write.mode("overwrite").parquet(path)
         n = entry["typed"].sparkSession.read.parquet(path).count()
+        return sid, entry, n
+
+    if merged:
+        with ThreadPoolExecutor(max_workers=min(8, len(merged))) as pool:
+            results = list(pool.map(_write_one, merged.items()))
+    else:
+        results = []
+    for sid, entry, n in results:
         total_rows += n
         manifest["schemas"].append(
             {
