@@ -69,11 +69,13 @@ def cmd_compress(args) -> None:
                 df, "raw", args.archive, args.target_encoded_size,
                 order_col="_rec_ix",
                 structurize_arrays=args.structurize_arrays,
+                timestamp_key=args.timestamp_key,
             )
         else:
             summary = compress_jsonl_archive(
                 df, "raw", args.archive, order_col="_rec_ix",
                 structurize_arrays=args.structurize_arrays,
+                timestamp_key=args.timestamp_key,
             )
         print(json.dumps(summary))
         return
@@ -387,7 +389,8 @@ def _kql_aggregate(res, json_col: str, args) -> bool:
         from clp_spark.operators.aggregate import count_by_time
 
         if not args.timestamp_key:
-            sys.exit("error: --count-by-time needs --timestamp-key")
+            sys.exit("error: --count-by-time needs --timestamp-key "
+                     "(or an archive compressed with one)")
         key = args.timestamp_key.split(":", 1)[0]
         ts = F.get_json_object(F.col(json_col), "$." + key).cast("long")
         rows = count_by_time(
@@ -491,7 +494,12 @@ def cmd_search_kql(args) -> None:
     if is_json_archive(args.input):
         # compressed JSON archive: search the typed tables directly
         # (clp-s `s <archive>` — no raw JSON re-parse)
-        from clp_spark.operators.json_archive import search_json_archive
+        from clp_spark.operators.json_archive import (
+            archive_timestamp_key, search_json_archive,
+        )
+
+        if args.timestamp_key is None:
+            args.timestamp_key = archive_timestamp_key(args.input)
 
         res = search_json_archive(
             spark, args.input, args.query,
@@ -634,6 +642,11 @@ def main(argv: list[str] | None = None) -> None:
         "with ordered reconstruction (x) support",
     )
     c.add_argument("--structurize-arrays", action="store_true")
+    c.add_argument(
+        "--timestamp-key", default=None, metavar="KEY",
+        help="JSON mode: record the timestamp column in the archive "
+             "(clp-s c --timestamp-key); search defaults to it",
+    )
     c.add_argument(
         "--metadata-db", default=None, metavar="SQLITE_PATH",
         help="also register archives + per-file rows in a "

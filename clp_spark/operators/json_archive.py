@@ -67,6 +67,7 @@ def compress_jsonl_archive(
     order_col: str | None = None,
     structurize_arrays: bool = False,
     on_invalid: str = "error",
+    timestamp_key: str | None = None,
 ) -> dict:
     """JSONL rows → per-schema typed parquet tables + manifest.
 
@@ -87,6 +88,10 @@ def compress_jsonl_archive(
     )
     manifest: dict = {
         "structurize_arrays": structurize_arrays,
+        # clp-s `c --timestamp-key`: the archive REMEMBERS its timestamp
+        # column (CommandLineArguments.cpp:377-379); search/count-by-time
+        # default to it without re-specifying
+        "timestamp_key": timestamp_key,
         "schemas": [],
     }
     total_rows = 0
@@ -289,6 +294,8 @@ def search_json_archive(
     with open(os.path.join(archive_dir, _MANIFEST)) as f:
         manifest = json.load(f)
     structurize = manifest["structurize_arrays"]
+    if timestamp_key is None:
+        timestamp_key = manifest.get("timestamp_key")
     ast = parse_kql(query)
     # borrow JsonArchive's compiler without (re)building an in-memory
     # archive; metadata maps the order column so bare-value filters skip it
@@ -507,6 +514,7 @@ def compress_jsonl_archives_multi(
     target_encoded_size: int,
     order_col: str | None = None,
     structurize_arrays: bool = False,
+    timestamp_key: str | None = None,
 ) -> dict:
     """clp-s `c --target-encoded-size`: split a JSONL stream into multiple
     self-contained JSON archives under `archives_dir` (the reference's
@@ -573,6 +581,7 @@ def compress_jsonl_archives_multi(
         s = compress_jsonl_archive(
             sub, raw_col, out, order_col=IDX_COL,
             structurize_arrays=structurize_arrays,
+            timestamp_key=timestamp_key,
         )
         summaries.append({"archive": os.path.basename(out), **s})
     part.unpersist()
@@ -583,3 +592,9 @@ def compress_jsonl_archives_multi(
         "dir": archives_dir,
         "per_archive": summaries,
     }
+
+
+def archive_timestamp_key(archive_dir: str) -> str | None:
+    """The timestamp key recorded at compression (None if unset)."""
+    with open(os.path.join(archive_dir, _MANIFEST)) as f:
+        return json.load(f).get("timestamp_key")

@@ -430,3 +430,23 @@ def test_cli_extract_archives_dir(spark, tmp_path, capsys):
     for name in sorted(out["files"]):
         got += [json.loads(l)["i"] for l in open(_os.path.join(outdir, name))]
     assert sorted(got) == list(range(60))
+
+
+def test_timestamp_key_remembered(spark, tmp_path, capsys):
+    """`c --json --timestamp-key ts` records the key in the manifest;
+    search-side count-by-time and timestamp() comparisons default to it."""
+    from clp_spark import cli
+    from clp_spark.operators.json_archive import archive_timestamp_key
+
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        '{"ts": 1000, "lvl": "A"}\n{"ts": 61000, "lvl": "B"}\n'
+        '{"ts": 62000, "lvl": "B"}\n'
+    )
+    arch = str(tmp_path / "tsarch")
+    cli.main(["c", arch, str(src), "--json", "--timestamp-key", "ts"])
+    capsys.readouterr()
+    assert archive_timestamp_key(arch) == "ts"
+    # no --timestamp-key on the search side — the archive remembers
+    cli.main(["s-kql", arch, "*", "--count-by-time", "60000"])
+    assert capsys.readouterr().out.strip().splitlines() == ["0 1", "60000 2"]
