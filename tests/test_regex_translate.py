@@ -112,3 +112,86 @@ def test_leading_caret_without_config_is_consumed():
     # regex_translation_utils.cpp:380-384: `^` as the first char is always
     # consumed, independent of add_prefix_suffix_wildcards.
     assert regex_to_wildcard("^xyz") == "xyz"
+
+
+# ---------------------------------------------------------------------------
+# Property fuzz: for every TRANSLATABLE regex, matching the translated
+# wildcard against a subject must agree with re.fullmatch of the original
+# regex (the translator's whole contract — regex_translation_utils.cpp
+# treats queries as fully anchored; `?*` from `.+` means one-or-more).
+# ---------------------------------------------------------------------------
+
+import random
+import re as _re
+
+from tests.test_search import naive_wildcard_match
+
+
+def _gen_regex(rnd):
+    parts = []
+    for _ in range(rnd.randrange(1, 7)):
+        k = rnd.randrange(7)
+        if k == 0:
+            parts.append(rnd.choice(["abc", "x", "Err", "42", " ", "th_e"]))
+        elif k == 1:
+            parts.append(".")
+        elif k == 2:
+            parts.append(".*")
+        elif k == 3:
+            parts.append(".+")
+        elif k == 4:
+            parts.append("\\" + rnd.choice("*+?|^$.{}[]()<>-_/=!\\"))
+        elif k == 5:
+            parts.append("[" + rnd.choice("yz7") + "]")
+        else:
+            parts.append("[\\" + rnd.choice("^-]\\") + "]")
+    return "".join(parts)
+
+
+def _gen_subjects(rnd, regex):
+    """Subjects biased toward near-matches: a literal rendering of the
+    regex with wildcards instantiated, plus mutations and random strings."""
+    base = []
+    i, n = 0, len(regex)
+    while i < n:
+        c = regex[i]
+        if c == "\\" and i + 1 < n:
+            base.append(regex[i + 1]); i += 2
+        elif c == "[":
+            j = regex.index("]", i)
+            inner = regex[i + 1:j]
+            base.append(inner[-1]); i = j + 1
+        elif c == ".":
+            if i + 1 < n and regex[i + 1] in "*+":
+                base.append(rnd.choice(["", "Q", "longer chunk"]))
+                i += 2
+            else:
+                base.append(rnd.choice("aZ9 .")); i += 1
+        else:
+            base.append(c); i += 1
+    s = "".join(base)
+    subs = [s, s + "!", "!" + s, s[:-1] if s else "", ""]
+    for _ in range(3):
+        t = list(s)
+        if t:
+            t[rnd.randrange(len(t))] = rnd.choice("ab?*\\ ")
+        subs.append("".join(t))
+    subs.append("".join(rnd.choice("abxyz 123.*?\\") for _ in range(rnd.randrange(0, 12))))
+    return subs
+
+
+def test_fuzz_translation_agrees_with_re():
+    rnd = random.Random(1234)
+    tried = agreed = 0
+    for _ in range(400):
+        regex = _gen_regex(rnd)
+        wc = try_regex_to_wildcard(regex)
+        if wc is None:
+            continue
+        for s in _gen_subjects(rnd, regex):
+            tried += 1
+            want = _re.fullmatch(regex, s, _re.DOTALL) is not None
+            got = naive_wildcard_match(s, wc)
+            assert got == want, (regex, wc, s)
+            agreed += 1
+    assert tried > 800  # the generator must actually produce translatables
