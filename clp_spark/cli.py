@@ -98,19 +98,14 @@ def cmd_compress(args) -> None:
         # the archives + per-file rows for CLP-tooling discovery
         from clp_spark.sinks.metadata_db import record_archives_dir
 
-        root = (args.archive if args.target_archive_size is not None
-                else os.path.dirname(args.archive.rstrip("/")) or ".")
-        if args.target_archive_size is not None:
-            summary["metadata_db_archives"] = record_archives_dir(
-                spark, args.metadata_db, root
-            )
-        else:
-            import os as _osp
-
-            summary["metadata_db_archives"] = record_archives_dir(
-                spark, args.metadata_db,
-                _osp.dirname(_osp.abspath(args.archive)),
-            )
+        root = (
+            args.archive
+            if args.target_archive_size is not None  # <archive> IS the dir
+            else os.path.dirname(os.path.abspath(args.archive))
+        )
+        summary["metadata_db_archives"] = record_archives_dir(
+            spark, args.metadata_db, root
+        )
     print(json.dumps(summary))
 
 
