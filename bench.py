@@ -175,11 +175,26 @@ def kv_deser_bench(spark, cpus: int) -> dict:
     # run_scaling / kv_deser_pinned) and land in BENCH.md.
     per_core = n_spark / spark_s / cpus
     loop_rate = n / loop_s
+    # Regression guard for the r2 perf-weak fix (VERDICT r03 #8): a 1-task
+    # Spark run over the un-replicated blobs approximates the 1-core Spark
+    # path (one python worker; JVM threads unpinned, so it reads a touch
+    # optimistic vs the taskset-pinned --scaling figure, but it moves with
+    # the same code). Ratio vs the pure loop lands in every bench JSON.
+    one = spark.createDataFrame(pdf).coalesce(1).persist()
+    one.count()
+    one_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        kv_ir_to_rows_df(one).count()
+        one_s = min(one_s, time.time() - t0)
+    one.unpersist()
     return {
         "kv_deser_loop_ev_per_sec_1core": round(loop_rate, 1),
         "kv_deser_spark_events": n_spark,
         "kv_deser_spark_ev_per_sec": round(n_spark / spark_s, 1),
         "kv_deser_spark_ev_per_sec_per_core_fullwidth": round(per_core, 1),
+        "kv_deser_spark_ev_per_sec_1task": round(n / one_s, 1),
+        "kv_spark_1task_vs_loop": round((n / one_s) / loop_rate, 3),
     }
 
 

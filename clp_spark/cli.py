@@ -53,9 +53,10 @@ def cmd_compress(args) -> None:
         from pyspark.sql import functions as F
 
         from clp_spark.operators.json_archive import compress_jsonl_archive
+        from clp_spark.sources.logfiles import expand_tar_inputs
 
         df = (
-            spark.read.text(args.inputs)
+            spark.read.text(expand_tar_inputs(args.inputs))
             .withColumnRenamed("value", "raw")
             .withColumn("_rec_ix", F.monotonically_increasing_id())
         )
@@ -530,7 +531,9 @@ def cmd_kv_import(args) -> None:
     spark.read.json infers the nested schema; NULL/absent keys are omitted
     per event (kv_ir.py scope notes)."""
     from clp_spark.sources.kv_ir import events_to_kv_ir_df
+    from clp_spark.sources.logfiles import expand_tar_inputs
 
+    args.inputs = expand_tar_inputs(args.inputs)
     spark = _spark(args.master)
     # _rec_ix preserves within-file record order through the per-stream
     # repartition (clp-s keeps source record order in the emitted IR;

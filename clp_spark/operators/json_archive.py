@@ -454,7 +454,9 @@ def reconstruct_jsonl_chunks(
             for p in parts:
                 with open(p, "rb") as r_in:
                     shutil.copyfileobj(r_in, w_out)
-        total += sum(1 for _ in open(dst, "rb"))
+        # Row count comes from the bounds map (log_event_idx is dense per
+        # archive), so extraction never re-reads the bytes it just wrote.
+        total += hi - lo + 1
         names.append(name)
     shutil.rmtree(staging, ignore_errors=True)
     if target_chunk_size:

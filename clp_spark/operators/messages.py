@@ -74,6 +74,7 @@ def assemble_multiline(
     lock_patterns: bool = True,
     broadcast_locks: bool = True,
     emit_pattern: bool = False,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """lines(file, line_no, line) → messages(file, msg_ix, ts_ms, message).
 
@@ -126,8 +127,10 @@ def assemble_multiline(
         aggs.append(
             F.max(F.when(F.col("_has_ts"), F.col("_lock_pat"))).alias("ts_pat")
         )
+    # passthrough columns must be constant per file (e.g. a container URI);
+    # adding them to the groupBy keeps them without an extra join/scan
     return (
-        numbered.groupBy(file_col, "_msg_ix")
+        numbered.groupBy(file_col, *passthrough, "_msg_ix")
         .agg(*aggs)
         .withColumnRenamed("_msg_ix", "msg_ix")
     )

@@ -19,6 +19,8 @@ message assembly → encode → archive. Spark shape:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -40,6 +42,204 @@ def read_log_lines(spark: SparkSession, paths: str | list[str]) -> DataFrame:
         (F.row_number().over(w) - 1).cast("long").alias("line_no"),
         "line",
     )
+
+
+def classify_log_input(path: str) -> str:
+    """Content-sniff one LOCAL input file → 'text' | 'gz' | 'tar'.
+
+    Reference parity: the reference decides by CONTENT, not extension —
+    FileCompressor.cpp:158-170 tries UTF-8 first, then hands non-UTF-8
+    inputs to libarchive (FileCompressor.hpp:11-12 LibarchiveReader).
+    Here: gzip magic (1f 8b) → peek the decompressed head for the tar
+    magic ('ustar' at offset 257) to split single-member .gz from .tar.gz;
+    raw tar magic → tar; anything else → text."""
+    import gzip
+
+    try:
+        with open(path, "rb") as f:
+            head = f.read(512)
+    except OSError:
+        return "text"
+    if head[:2] == b"\x1f\x8b":
+        try:
+            with gzip.open(path, "rb") as gz:
+                inner = gz.read(512)
+        except OSError:
+            return "gz"
+        return "tar" if inner[257:262] == b"ustar" else "gz"
+    if head[257:262] == b"ustar":
+        return "tar"
+    return "text"
+
+
+def _tar_member_lines(tar_uri: str, blob: bytes):
+    """Iterate (member_file_id, line_no, line) over every regular UTF-8
+    member of one tar blob. Member path parity with the reference:
+    parent_dir_of_tar / member_path (FileCompressor.cpp:392-394
+    `parent_boost_path / file_path`). Line-split semantics mirror Hadoop's
+    LineRecordReader (LF, CR, or CRLF terminate; a trailing terminator
+    emits no empty final line) so tar ingestion is byte-identical to
+    plain-text ingestion of the unpacked members."""
+    import io
+    import posixpath
+    import re
+    import tarfile
+
+    splitter = re.compile(rb"\r\n|\r|\n")
+    parent = tar_uri.rsplit("/", 1)[0]
+    with tarfile.open(fileobj=io.BytesIO(blob), mode="r:*") as tf:
+        for member in tf:
+            if not member.isreg():
+                continue
+            fobj = tf.extractfile(member)
+            if fobj is None:
+                continue
+            data = fobj.read()
+            try:
+                # reference skips non-UTF-8 members (FileCompressor.cpp:
+                # 388-391 is_utf8_encoded gate before parse_and_encode)
+                text = data.decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+            name = posixpath.normpath(member.name).lstrip("/")
+            parts = splitter.split(text.encode("utf-8"))
+            if parts and parts[-1] == b"":
+                parts.pop()
+            fid = f"{parent}/{name}"
+            for i, ln in enumerate(parts):
+                yield fid, i, ln.decode("utf-8")
+
+
+def read_tar_log_lines(spark: SparkSession, tar_paths: list[str]) -> DataFrame:
+    """(file_id, container, line_no, line) over tar / tar.gz archives.
+
+    Spark shape: binaryFile scan (one task per tar — the same sequential
+    unit as the reference's streaming libarchive read; parallelism comes
+    from the NUMBER of tars, exactly as the reference scheduler assigns one
+    task per input archive) → mapInPandas unpacks members and emits lines.
+    `container` carries the tar's own URI so task planners that cut
+    archives by input file (compress_text_logs_multi) can route all of a
+    tar's members to the tar's assigned archive."""
+    import pandas as pd
+
+    blobs = (
+        spark.read.format("binaryFile")
+        .load(tar_paths)
+        .select("path", "content")
+    )
+
+    def expand(batches):
+        for pdf in batches:
+            for uri, blob in zip(pdf["path"], pdf["content"]):
+                rows = list(_tar_member_lines(uri, bytes(blob)))
+                if rows:
+                    out = pd.DataFrame(
+                        rows, columns=["file_id", "line_no", "line"]
+                    )
+                    out.insert(1, "container", uri)
+                    yield out
+
+    return blobs.mapInPandas(
+        expand,
+        "file_id string, container string, line_no long, line string",
+    )
+
+
+def expand_tar_inputs(inputs: list[str], tmp_root: str | None = None) -> list[str]:
+    """Replace any LOCAL tar/tar.gz inputs with their unpacked regular
+    members (driver-side unpack into a temp dir, preserving member paths).
+    Used by the JSONL ingest surfaces (`c --json`, `kv-import`) whose
+    readers (spark.read.text/json) decompress *.gz natively but cannot open
+    tars. One sequential unpack per tar — the same unit of sequential work
+    as the reference's libarchive stream; Spark parallelism then comes from
+    the member files. Non-tar inputs pass through untouched."""
+    import tarfile
+    import tempfile
+
+    out: list[str] = []
+    tmp_dir: str | None = None
+    for p in inputs:
+        if "://" in p and not p.startswith("file:"):
+            out.append(p)
+            continue
+        local = p.removeprefix("file://")
+        if not os.path.isfile(local) or classify_log_input(local) != "tar":
+            out.append(p)
+            continue
+        if tmp_dir is None:
+            tmp_dir = tempfile.mkdtemp(prefix="clp_tar_", dir=tmp_root)
+        base = os.path.join(
+            tmp_dir, os.path.basename(local).replace(".", "_")
+        )
+        with tarfile.open(local, mode="r:*") as tf:
+            members = [m for m in tf.getmembers() if m.isreg()]
+            tf.extractall(base, members=members, filter="data")
+        out.extend(
+            sorted(
+                os.path.join(r, n)
+                for r, _d, names in os.walk(base)
+                for n in names
+            )
+        )
+    return out
+
+
+def read_log_lines_any(
+    spark: SparkSession,
+    paths: str | list[str],
+    with_container: bool = False,
+) -> DataFrame:
+    """`read_log_lines` that also accepts gzip and tar/tar.gz inputs —
+    the `clp c` everyday path (every public eval dataset ships gzipped,
+    docs resources-datasets.md:11-18).
+
+    - plain text: spark.read.text (splittable, full parallelism)
+    - .gz single member: spark.read.text decompresses natively (one split
+      per file — parallelism across files, same as the reference's one
+      libarchive stream per input); file_id drops the final extension
+      (FileCompressor.cpp:313-319 stem rule: syslog.gz → syslog)
+    - tar / tar.gz: binaryFile + tarfile member expansion, member paths =
+      parent_dir/member (FileCompressor.cpp:392-394)
+
+    Remote URIs (s3a://, hdfs://) skip the content sniff and read as text
+    (sniffing would need a remote byte-range read per file; Hadoop still
+    decompresses *.gz transparently on those paths)."""
+    plist = [paths] if isinstance(paths, str) else list(paths)
+    if any("://" in p and not p.startswith("file:") for p in plist):
+        out = read_log_lines(spark, plist)
+        return out.withColumn("container", F.col("file_id")) if with_container else out
+    files = list_local_log_files(plist)
+    kinds: dict[str, list[str]] = {"text": [], "gz": [], "tar": []}
+    for p in files:
+        kinds[classify_log_input(p)].append(p)
+    parts: list[DataFrame] = []
+    if kinds["text"]:
+        df = read_log_lines(spark, kinds["text"]).withColumn(
+            "container", F.col("file_id")
+        )
+        parts.append(df.select("file_id", "container", "line_no", "line"))
+    if kinds["gz"]:
+        df = read_log_lines(spark, kinds["gz"]).withColumn(
+            "container", F.col("file_id")
+        )
+        # stem rule: logs/syslog.gz ingests as logs/syslog
+        df = df.withColumn(
+            "file_id", F.regexp_replace("file_id", r"\.[^./]+$", "")
+        )
+        parts.append(df.select("file_id", "container", "line_no", "line"))
+    if kinds["tar"]:
+        parts.append(
+            read_tar_log_lines(spark, kinds["tar"]).select(
+                "file_id", "container", "line_no", "line"
+            )
+        )
+    if not parts:
+        # empty input set — keep read_log_lines' loud-failure contract
+        return read_log_lines(spark, plist)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out if with_container else out.drop("container")
 
 
 def filename_group_key(file_col) -> "F.Column":
@@ -73,7 +273,7 @@ def compress_text_logs(
     """
     import os
 
-    lines = read_log_lines(spark, paths)
+    lines = read_log_lines_any(spark, paths)
     messages = assemble_multiline(
         lines, lock_patterns=lock_patterns, emit_pattern=lock_patterns
     )
@@ -246,19 +446,28 @@ def compress_text_logs_multi(
         list(aid_of.items()), "abs_path string, archive_id string"
     )
 
-    lines = read_log_lines(spark, [f.path for f in files])
+    # container = the INPUT file's URI (for tar members / stem-renamed .gz
+    # the emitted file_id differs from the input path); the task cut routes
+    # by input file, so archive assignment joins on container, not file_id
+    lines = read_log_lines_any(
+        spark, [f.path for f in files], with_container=True
+    )
     messages = assemble_multiline(
-        lines, lock_patterns=lock_patterns, emit_pattern=lock_patterns
+        lines, lock_patterns=lock_patterns, emit_pattern=lock_patterns,
+        passthrough=("container",),
     )
     keys = ["file_id", "msg_ix", "ts_ms"] + (["ts_pat"] if lock_patterns else [])
-    enc = encode_df(messages.select(*keys, "message"), keys, "message")
+    enc = encode_df(
+        messages.select(*keys, "container", "message"),
+        keys + ["container"], "message",
+    )
     enc = (
         enc.withColumn(
             "abs_path",
-            F.url_decode(F.regexp_replace("file_id", "^file:(//)?", "")),
+            F.url_decode(F.regexp_replace("container", "^file:(//)?", "")),
         )
         .join(F.broadcast(path_map), "abs_path")
-        .drop("abs_path")
+        .drop("abs_path", "container")
         .persist()
     )
 
@@ -426,7 +635,7 @@ def convert_to_ir(
     """
     from clp_spark.sources.ir_stream import events_to_ir_df
 
-    lines = read_log_lines(spark, paths)
+    lines = read_log_lines_any(spark, paths)
     messages = assemble_multiline(lines, lock_patterns=lock_patterns)
     enc = encode_df(
         messages.select(

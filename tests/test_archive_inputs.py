@@ -1,0 +1,227 @@
+"""Gzip / tar / tar.gz input ingestion — the reference's libarchive path
+(FileCompressor.hpp:11-12, FileCompressor.cpp:118,299-420): every public eval
+dataset ships gzipped (docs resources-datasets.md:11-18), so `clp c` must
+accept compressed containers and produce archives IDENTICAL to plain-text
+ingestion of the same content (identity-transform contract, mirror of
+integration-tests/.../test_identity_transformation.py)."""
+
+import gzip
+import io
+import os
+import tarfile
+
+import pytest
+
+FILE_A = """\
+2016-05-08 07:34:05,251 INFO starting job 42
+  with config alpha=0.5
+  and retries 3
+2016-05-08 07:34:06,002 WARN slow response 120 ms from node-7
+2016-05-08 07:34:07,000 ERROR failed after 0.75 s hash deadbeef
+"""
+
+FILE_B = """\
+preamble line without timestamp
+2016-05-08 08:00:00,000 INFO other file start
+trailing continuation
+"""
+
+
+def _make_tar(path: str, members: dict[str, str], gz: bool) -> None:
+    mode = "w:gz" if gz else "w"
+    with tarfile.open(path, mode) as tf:
+        for name, text in members.items():
+            data = text.encode()
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Same content three ways: plain text, .gz, tar.gz."""
+    d = tmp_path_factory.mktemp("mixed_inputs")
+    (d / "plain").mkdir()
+    (d / "plain" / "a.log").write_text(FILE_A)
+    (d / "plain" / "b.log").write_text(FILE_B)
+    (d / "gzdir").mkdir()
+    with gzip.open(d / "gzdir" / "a.log.gz", "wt") as f:
+        f.write(FILE_A)
+    with gzip.open(d / "gzdir" / "b.log.gz", "wt") as f:
+        f.write(FILE_B)
+    (d / "tardir").mkdir()
+    _make_tar(
+        str(d / "tardir" / "logs.tar.gz"),
+        {"sub/a.log": FILE_A, "b.log": FILE_B},
+        gz=True,
+    )
+    return str(d)
+
+
+def test_classify_by_content(corpus, tmp_path):
+    """Detection is content-based (FileCompressor tries UTF-8 then
+    libarchive) — extensions lie."""
+    from clp_spark.sources.logfiles import classify_log_input
+
+    assert classify_log_input(f"{corpus}/plain/a.log") == "text"
+    assert classify_log_input(f"{corpus}/gzdir/a.log.gz") == "gz"
+    assert classify_log_input(f"{corpus}/tardir/logs.tar.gz") == "tar"
+    # plain tar (no gzip wrapper)
+    p = tmp_path / "x.tar"
+    _make_tar(str(p), {"m.log": FILE_A}, gz=False)
+    assert classify_log_input(str(p)) == "tar"
+    # misnamed: gzip bytes behind a .log name still classify as gz
+    lying = tmp_path / "lying.log"
+    lying.write_bytes(gzip.compress(FILE_A.encode()))
+    assert classify_log_input(str(lying)) == "gz"
+
+
+def test_gz_lines_match_plain(spark, corpus):
+    """.gz ingestion = plain ingestion with the stem file_id
+    (FileCompressor.cpp:313-319: syslog.gz → syslog)."""
+    from clp_spark.sources.logfiles import read_log_lines, read_log_lines_any
+
+    plain = read_log_lines(spark, f"{corpus}/plain/*.log").collect()
+    gz = read_log_lines_any(spark, f"{corpus}/gzdir/*.gz").collect()
+
+    def key(rows):
+        return sorted(
+            (r["file_id"].rsplit("/", 1)[-1], r["line_no"], r["line"])
+            for r in rows
+        )
+
+    assert key(gz) == key(plain)
+    assert all(r["file_id"].endswith((".log")) for r in gz)  # stem rule
+
+
+def test_tar_lines_match_plain(spark, corpus):
+    """tar.gz members read as parent_dir/member_path
+    (FileCompressor.cpp:392-394) with byte-identical lines."""
+    from clp_spark.sources.logfiles import read_log_lines, read_log_lines_any
+
+    plain = read_log_lines(spark, f"{corpus}/plain/*.log").collect()
+    tar = read_log_lines_any(spark, f"{corpus}/tardir/logs.tar.gz").collect()
+    by_base_plain = sorted(
+        (r["file_id"].rsplit("/", 1)[-1], r["line_no"], r["line"]) for r in plain
+    )
+    by_base_tar = sorted(
+        (r["file_id"].rsplit("/", 1)[-1], r["line_no"], r["line"]) for r in tar
+    )
+    assert by_base_tar == by_base_plain
+    # member path lands under the tar's parent dir
+    a_ids = {r["file_id"] for r in tar if r["file_id"].endswith("a.log")}
+    assert a_ids == {f"file:{corpus}/tardir/sub/a.log"} or all(
+        i.endswith("/tardir/sub/a.log") for i in a_ids
+    )
+
+
+def test_mixed_input_union(spark, corpus):
+    """One call can mix plain + gz + tar inputs (the reference CLI accepts
+    any mix on one command line)."""
+    from clp_spark.sources.logfiles import read_log_lines_any
+
+    rows = read_log_lines_any(
+        spark,
+        [
+            f"{corpus}/plain/a.log",
+            f"{corpus}/gzdir/b.log.gz",
+            f"{corpus}/tardir/logs.tar.gz",
+        ],
+        with_container=True,
+    ).collect()
+    files = {r["file_id"].rsplit("/", 1)[-1] for r in rows}
+    assert files == {"a.log", "b.log"}
+    # containers point at the INPUTS, not the logical members
+    containers = {r["container"].rsplit("/", 1)[-1] for r in rows}
+    assert containers == {"a.log", "b.log.gz", "logs.tar.gz"}
+
+
+def test_identity_transform_targz(spark, corpus, tmp_path):
+    """Identity-transform lifecycle (the reference integration test's
+    contract): compress a tar.gz → archives whose decompressed messages are
+    byte-identical to compressing the plain files."""
+    from clp_spark.sources.logfiles import compress_text_logs, decompress_file
+
+    out_plain = str(tmp_path / "arch_plain")
+    out_tar = str(tmp_path / "arch_tar")
+    s_plain = compress_text_logs(spark, f"{corpus}/plain/*.log", out_plain)
+    s_tar = compress_text_logs(spark, f"{corpus}/tardir/logs.tar.gz", out_tar)
+    assert s_tar["messages"] == s_plain["messages"]
+    assert s_tar["logtypes"] == s_plain["logtypes"]
+    assert s_tar["variables"] == s_plain["variables"]
+
+    def content(out):
+        by_file = {}
+        for r in decompress_file(spark, out).collect():
+            by_file.setdefault(r["file_id"].rsplit("/", 1)[-1], []).append(
+                r["message"]
+            )
+        return {k: "\n".join(v) for k, v in by_file.items()}
+
+    assert content(out_tar) == content(out_plain)
+    assert content(out_tar)["a.log"] + "\n" == FILE_A
+
+
+def test_multi_archive_split_routes_tar_members(spark, corpus, tmp_path):
+    """Archive splitting cuts tasks by INPUT file; every member of a tar
+    routes to the tar's archive (container join)."""
+    from clp_spark.operators.federation import search_archives
+    from clp_spark.sources.logfiles import compress_text_logs_multi
+
+    archives_dir = str(tmp_path / "archset")
+    summary = compress_text_logs_multi(
+        spark,
+        [f"{corpus}/plain/a.log", f"{corpus}/tardir/logs.tar.gz"],
+        archives_dir,
+        target_archive_size=1,  # force one archive per task-cut unit
+    )
+    assert summary["messages"] == 3 + 5  # plain a.log(3) + tar {a.log:3,b.log:2}
+    hits = search_archives(spark, archives_dir, "*INFO*").collect()
+    assert len(hits) >= 3
+
+
+def test_convert_to_ir_from_gz(spark, corpus, tmp_path):
+    """`convert` accepts gz; IR event count matches plain conversion."""
+    from clp_spark.sources.logfiles import convert_to_ir
+
+    out_gz = str(tmp_path / "ir_gz")
+    out_plain = str(tmp_path / "ir_plain")
+    s_gz = convert_to_ir(spark, f"{corpus}/gzdir/*.gz", out_gz)
+    s_plain = convert_to_ir(spark, f"{corpus}/plain/*.log", out_plain)
+    assert s_gz["events"] == s_plain["events"]
+
+
+def test_expand_tar_inputs_for_jsonl(tmp_path):
+    """JSONL surfaces unpack tars driver-side (gz is Hadoop-native)."""
+    from clp_spark.sources.logfiles import expand_tar_inputs
+
+    jl = '{"a": 1}\n{"a": 2}\n'
+    tar_p = tmp_path / "recs.tar.gz"
+    _make_tar(str(tar_p), {"part1.jsonl": jl}, gz=True)
+    plain = tmp_path / "keep.jsonl"
+    plain.write_text(jl)
+    out = expand_tar_inputs([str(plain), str(tar_p)], tmp_root=str(tmp_path))
+    assert str(plain) in out
+    unpacked = [p for p in out if p.endswith("part1.jsonl") and p != str(plain)]
+    assert len(unpacked) == 1
+    assert open(unpacked[0]).read() == jl
+
+
+def test_cli_compress_targz(corpus, tmp_path):
+    """CLI `c` on a tar.gz end-to-end."""
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "cli_arch")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "clp_spark.cli", "--master", "local[2]",
+            "c", out, f"{corpus}/tardir/logs.tar.gz",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["messages"] == 5
+    assert os.path.isdir(f"{out}/sinks")
