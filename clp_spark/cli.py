@@ -620,6 +620,21 @@ def cmd_convert(args) -> None:
     print(json.dumps(summary))
 
 
+def cmd_extract_ir(args) -> None:
+    """`clo i` analog: archive → IR chunk files for one file split (or the
+    whole archive) — the log-viewer's search→open-file→stream-IR leg."""
+    from clp_spark.sources.logfiles import extract_ir_from_archive
+
+    spark = _spark(args.master)
+    summary = extract_ir_from_archive(
+        spark, args.archive, args.output,
+        file_id=args.file_id,
+        events_per_chunk=args.events_per_chunk,
+        encoding="four" if args.four_byte else "eight",
+    )
+    print(json.dumps(summary))
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="clp_spark", description=__doc__)
     ap.add_argument("--master", default="local[*]")
@@ -783,6 +798,20 @@ def main(argv: list[str] | None = None) -> None:
     si.add_argument("-i", "--ignore-case", action="store_true")
     si.add_argument("--count", action="store_true")
     si.set_defaults(fn=cmd_kv_search)
+
+    ei = sub.add_parser(
+        "i", help="extract IR chunks for a file split from an archive (clo i)"
+    )
+    ei.add_argument("archive")
+    ei.add_argument("output")
+    ei.add_argument(
+        "--file-id", default=None,
+        help="original file URI or unambiguous path suffix (the file split "
+        "to extract); omit to extract every file in the archive",
+    )
+    ei.add_argument("--events-per-chunk", type=int, default=1024)
+    ei.add_argument("--four-byte", action="store_true")
+    ei.set_defaults(fn=cmd_extract_ir)
 
     args = ap.parse_args(argv)
     args.fn(args)

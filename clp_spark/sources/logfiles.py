@@ -617,6 +617,91 @@ def extract_to_files(
     return summary
 
 
+def extract_ir_from_archive(
+    spark: SparkSession,
+    archive_dir: str,
+    out_dir: str,
+    file_id: str | None = None,
+    events_per_chunk: int = 1024,
+    encoding: str = "eight",
+) -> dict:
+    """`clo i` analog (clo.cpp:120-240 extract_ir): re-emit a compressed
+    file's events from an EXISTING archive as kv-free IR chunk files — the
+    log-viewer workflow's final leg (search → open file → stream IR).
+
+    The archive already stores the encoded triples, so no re-parse happens:
+    sinks + broadcast logtype join feed `events_to_ir_df` directly, making
+    extraction differential-identical to `convert_to_ir` of the original
+    text (tests/test_extract_ir.py proves byte-equality of the chunk
+    stream). Chunks distribute across executors; the final file writes
+    stream through the driver (`toLocalIterator`, one chunk in memory at a
+    time) because the reference's clo is likewise a single-node writer that
+    renames local chunks into the output dir (clo.cpp:185-201). Naming
+    parity: {orig_file_basename}_{begin_msg_ix}_{end_msg_ix}.clp
+    (clo.cpp:186-189; the reference zstd-wraps as .clp.zst — no zstd codec
+    in this environment, documented waiver). A results-cache analog row per
+    chunk (path, stream_id, begin_msg_ix, end_msg_ix, is_last_chunk —
+    cResultsCacheKeys::IrOutput) lands in out_dir/ir_manifest.jsonl."""
+    import json
+
+    from clp_spark.sources.ir_stream import events_to_ir_df
+
+    sinks = spark.read.option("basePath", f"{archive_dir}/sinks").parquet(
+        f"{archive_dir}/sinks"
+    )
+    if file_id is not None:
+        # accept a full URI or any unambiguous path suffix (the reference
+        # addresses splits by id; a viewer passes the file it wants)
+        sinks = sinks.where(
+            (F.col("file_id") == file_id)
+            | F.col("file_id").endswith("/" + file_id.lstrip("/"))
+        )
+    logtype_dict = spark.read.parquet(f"{archive_dir}/logtype_dict")
+    enc = sinks.join(
+        F.broadcast(logtype_dict.select("logtype_id", "logtype")), "logtype_id"
+    ).select(
+        F.col("file_id").alias("stream"),
+        F.col("msg_ix"),
+        F.coalesce(F.col("ts_ms"), F.lit(0)).alias("ts"),
+        "logtype", "placeholders", "encoded_vars", "dict_vars",
+    )
+    chunks = events_to_ir_df(
+        enc, "ts", "stream", events_per_chunk=events_per_chunk,
+        order_col="msg_ix", encoding=encoding,
+    )
+    w = Window.partitionBy("stream").orderBy("chunk_ix")
+    numbered = chunks.select(
+        "stream", "chunk_ix", "n_events", "ir",
+        (F.sum("n_events").over(w) - F.col("n_events")).alias("begin_ix"),
+        (F.max("chunk_ix").over(Window.partitionBy("stream")) == F.col("chunk_ix")
+         ).alias("is_last"),
+    ).orderBy("stream", "chunk_ix")
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = []
+    for row in numbered.toLocalIterator():
+        base = row["stream"].rstrip("/").rsplit("/", 1)[-1]
+        begin = int(row["begin_ix"])
+        end = begin + int(row["n_events"])
+        name = f"{base}_{begin}_{end}.clp"
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(bytes(row["ir"]))
+        manifest.append({
+            "path": name,
+            "stream_id": row["stream"],
+            "begin_msg_ix": begin,
+            "end_msg_ix": end,
+            "is_last_chunk": bool(row["is_last"]),
+        })
+    with open(os.path.join(out_dir, "ir_manifest.jsonl"), "w") as f:
+        for m in manifest:
+            f.write(json.dumps(m) + "\n")
+    return {
+        "chunks": len(manifest),
+        "events": sum(m["end_msg_ix"] - m["begin_msg_ix"] for m in manifest),
+        "files": sorted({m["stream_id"] for m in manifest}),
+    }
+
+
 def convert_to_ir(
     spark: SparkSession,
     paths: str | list[str],

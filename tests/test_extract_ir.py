@@ -1,0 +1,103 @@
+"""Archive → IR extraction (`clo i`, clo.cpp:120-240 extract_ir): re-emit a
+compressed file's events from an existing archive as IR chunk files. Parity
+contract: the chunk stream is BYTE-IDENTICAL to `convert_to_ir` run on the
+original text file (the archive stores the same encoded triples the converter
+would produce, so extraction is a decode-free re-serialization)."""
+
+import json
+import os
+
+import pytest
+
+FILE_A = """\
+2016-05-08 07:34:05,251 INFO starting job 42
+  with config alpha=0.5
+2016-05-08 07:34:06,002 WARN slow response 120 ms from node-7
+2016-05-08 07:34:07,000 ERROR failed after 0.75 s hash deadbeef
+"""
+
+FILE_B = """\
+2016-05-08 08:00:00,000 INFO other file start
+trailing continuation
+2016-05-08 08:00:01,500 DEBUG heartbeat seq 9001
+"""
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    from clp_spark.sources.logfiles import compress_text_logs
+
+    d = tmp_path_factory.mktemp("irx_logs")
+    (d / "a.log").write_text(FILE_A)
+    (d / "b.log").write_text(FILE_B)
+    arch = str(tmp_path_factory.mktemp("irx_arch"))
+    compress_text_logs(spark, f"{d}/*.log", arch)
+    return str(d), arch
+
+
+@pytest.mark.parametrize("encoding", ["eight", "four"])
+def test_extract_equals_convert(spark, setup, tmp_path, encoding):
+    """extract-IR-from-archive ≡ convert_to_ir of the original file,
+    byte-golden on the chunk stream (both encodings)."""
+    logdir, arch = setup
+    from clp_spark.sources.logfiles import convert_to_ir, extract_ir_from_archive
+
+    out_x = str(tmp_path / f"x_{encoding}")
+    out_c = str(tmp_path / f"c_{encoding}")
+    sx = extract_ir_from_archive(
+        spark, arch, out_x, events_per_chunk=2, encoding=encoding
+    )
+    sc = convert_to_ir(
+        spark, f"{logdir}/*.log", out_c, events_per_chunk=2, encoding=encoding
+    )
+    assert sx["events"] == sc["events"] > 0
+    conv = spark.read.parquet(out_c).orderBy("stream", "chunk_ix").collect()
+    conv_blobs = sorted(bytes(r["ir"]) for r in conv)
+    ext_blobs = sorted(
+        open(os.path.join(out_x, n), "rb").read()
+        for n in os.listdir(out_x)
+        if n.endswith(".clp")
+    )
+    assert ext_blobs == conv_blobs
+
+
+def test_chunk_naming_and_manifest(spark, setup, tmp_path):
+    """Chunk files name as {basename}_{begin}_{end}.clp (clo.cpp:186-189)
+    and the manifest carries the results-cache fields
+    (cResultsCacheKeys::IrOutput)."""
+    _logdir, arch = setup
+    from clp_spark.sources.logfiles import extract_ir_from_archive
+
+    out = str(tmp_path / "one")
+    s = extract_ir_from_archive(
+        spark, arch, out, file_id="a.log", events_per_chunk=2
+    )
+    assert len(s["files"]) == 1 and s["files"][0].endswith("a.log")
+    names = sorted(n for n in os.listdir(out) if n.endswith(".clp"))
+    # a.log = 3 messages, chunked by 2 → [0,2) and [2,3)
+    assert names == ["a.log_0_2.clp", "a.log_2_3.clp"]
+    manifest = [
+        json.loads(line) for line in open(os.path.join(out, "ir_manifest.jsonl"))
+    ]
+    assert [m["path"] for m in manifest] == names
+    assert manifest[0]["begin_msg_ix"] == 0 and manifest[0]["end_msg_ix"] == 2
+    assert manifest[-1]["is_last_chunk"] is True
+    assert not manifest[0]["is_last_chunk"]
+
+
+def test_extracted_ir_deserializes(spark, setup, tmp_path):
+    """The emitted chunk files round-trip through the IR reader back to the
+    original messages (viewer contract: the chunk stream must be playable)."""
+    _logdir, arch = setup
+    from clp_spark.sources.ir_stream import deserialize_ir_py
+    from clp_spark.sources.logfiles import extract_ir_from_archive
+
+    out = str(tmp_path / "play")
+    extract_ir_from_archive(spark, arch, out, file_id="b.log")
+    msgs = []
+    for n in sorted(os.listdir(out)):
+        if not n.endswith(".clp"):
+            continue
+        blob = open(os.path.join(out, n), "rb").read()
+        msgs.extend(deserialize_ir_py(blob))
+    assert len(msgs) == 2  # b.log assembles into 2 messages
