@@ -92,7 +92,10 @@ def cmd_compress(args) -> None:
         )
     else:
         summary = compress_text_logs(
-            spark, args.inputs, args.archive, lock_patterns=not args.no_pattern_lock
+            spark, args.inputs, args.archive,
+            lock_patterns=not args.no_pattern_lock,
+            glt_layout=args.glt,
+            combine_threshold_pct=args.combine_threshold,
         )
     if args.metadata_db:
         # global metadata catalog (GlobalSQLiteMetadataDB parity): register
@@ -300,7 +303,25 @@ def cmd_search(args) -> None:
     has_index = is_local and _os.path.exists(
         args.archive.removeprefix("file:") + "/seg_index"
     )
-    if has_index and "split" in raw_sinks.columns:
+    from clp_spark.operators.glt import is_glt_archive, search_glt_archive
+
+    if is_local and is_glt_archive(local_root):
+        # GLT archive: candidate logtypes prune to their tables (partition
+        # filter on lt_table) before any segment I/O — the glt.md:7 path
+        res, _tables = search_glt_archive(
+            spark, args.archive, args.query, args.ignore_case
+        )
+        if args.file_path:
+            res = res.where(_file_path_pred(F.col("source"), args.file_path))
+        if want_ts:
+            res = res.join(
+                raw_sinks.select(
+                    F.concat_ws("#", "file_id", "msg_ix").alias("doc_id"),
+                    "ts_ms",
+                ),
+                "doc_id",
+            ).transform(_ts_filter).drop("ts_ms")
+    elif has_index and "split" in raw_sinks.columns:
         res, _segments = search_archive_pruned(
             spark, args.archive, args.query, args.ignore_case
         )
@@ -659,6 +680,16 @@ def main(argv: list[str] | None = None) -> None:
         "--timestamp-key", default=None, metavar="KEY",
         help="JSON mode: record the timestamp column in the archive "
              "(clp-s c --timestamp-key); search defaults to it",
+    )
+    c.add_argument(
+        "--glt", action="store_true",
+        help="GLT layout: partition sinks by per-logtype table so searches "
+        "prune to matching logtype tables (glt c analog)",
+    )
+    c.add_argument(
+        "--combine-threshold", type=float, default=0.1, metavar="PCT",
+        help="GLT: logtypes above this %% of rows get their own table "
+        "(glt c --combine-threshold, default 0.1)",
     )
     c.add_argument(
         "--metadata-db", default=None, metavar="SQLITE_PATH",

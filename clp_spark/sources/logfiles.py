@@ -264,12 +264,22 @@ def compress_text_logs(
     paths: str | list[str],
     out_dir: str,
     lock_patterns: bool = True,
+    glt_layout: bool = False,
+    combine_threshold_pct: float = 0.1,
+    num_buckets: int = 16,
 ) -> dict:
     """Full text→archive compression; returns summary counts.
 
     Layout: out_dir/{sinks,logtype_dict,var_dict} — sinks carry
     (file_id, msg_ix, ts_ms, logtype_id, placeholders, encoded_vars,
     dict_vars), partitioned by file for per-file decompression.
+
+    ``glt_layout=True`` partitions sinks by a two-tier per-logtype table
+    instead (operators/glt.py; reference glt variant's LogtypeTable store):
+    searches whose candidate logtype set is small prune to just those
+    tables (the GLT 7.8x-search-speed insight), at the cost of per-file
+    extraction no longer being partition-pruned (file_id stays a filterable
+    column, so extraction remains correct — it just scans more).
     """
     import os
 
@@ -289,19 +299,64 @@ def compress_text_logs(
     sinks = enc.join(
         F.broadcast(logtype_dict.select("logtype", "logtype_id")), "logtype"
     ).select(
-        *keys, "logtype_id", "placeholders", "encoded_vars", "dict_vars",
+        *keys, "logtype", "logtype_id", "placeholders", "encoded_vars",
+        "dict_vars",
     )
-    # Storage order: rows sort by logtype within each file's segment (the
-    # GLT insight — same-template rows have near-identical var columns, so
-    # zstd+parquet sees runs instead of interleave; measured 19.6% smaller
-    # on a 5-template corpus, 4.8x → 6.0x). In-task sort only (file_id
-    # leads, so the write's partition ordering is already satisfied — no
-    # extra shuffle, and msg_ix last keeps decompression's orderBy cheap).
-    (
-        sinks.sortWithinPartitions("file_id", "logtype_id", "msg_ix")
-        .write.mode("overwrite").partitionBy("file_id")
-        .parquet(f"{out_dir}/sinks")
-    )
+    if glt_layout:
+        from clp_spark.operators.glt import write_glt_manifest
+        from clp_spark.plans.pipeline import glt_bucket
+
+        counts = enc.groupBy("logtype").agg(F.count("*").alias("_n"))
+        total = int(counts.agg(F.sum("_n")).collect()[0][0] or 0)
+        thr = total * combine_threshold_pct / 100.0
+        hot = counts.where(F.col("_n") > thr).select("logtype")
+        n_hot = hot.count()  # pigeonhole-bounded by 100/threshold_pct
+        routed = (
+            sinks.join(
+                F.broadcast(hot.withColumn("_hot", F.lit(True))),
+                "logtype", "left",
+            )
+            .withColumn(
+                "lt_table",
+                F.when(
+                    F.col("_hot").isNotNull(),
+                    F.concat(
+                        F.lit("lt-"), F.substring(F.md5("logtype"), 1, 15)
+                    ),
+                ).otherwise(
+                    F.concat(
+                        F.lit("combined-"),
+                        glt_bucket(F.col("logtype"), num_buckets)
+                        .cast("string"),
+                    )
+                ),
+            )
+            .drop("_hot", "logtype")
+        )
+        (
+            routed.repartition(F.col("lt_table"))
+            .sortWithinPartitions("lt_table", "logtype_id", "file_id", "msg_ix")
+            .write.mode("overwrite").partitionBy("lt_table")
+            .parquet(f"{out_dir}/sinks")
+        )
+        write_glt_manifest(
+            out_dir.removeprefix("file:"), num_buckets,
+            combine_threshold_pct, n_hot, total,
+        )
+    else:
+        # Storage order: rows sort by logtype within each file's segment
+        # (the GLT insight — same-template rows have near-identical var
+        # columns, so zstd+parquet sees runs instead of interleave; measured
+        # 19.6% smaller on a 5-template corpus, 4.8x → 6.0x). In-task sort
+        # only (file_id leads, so the write's partition ordering is already
+        # satisfied — no extra shuffle, and msg_ix last keeps
+        # decompression's orderBy cheap).
+        (
+            sinks.drop("logtype")
+            .sortWithinPartitions("file_id", "logtype_id", "msg_ix")
+            .write.mode("overwrite").partitionBy("file_id")
+            .parquet(f"{out_dir}/sinks")
+        )
     # catalog row (message count + ts range + sizes) — what the reference
     # records in the global metadata DB per archive (ArchiveMetadata
     # uncompressed_size/size → compression ratio); read by federated pruning
