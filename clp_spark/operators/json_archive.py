@@ -489,6 +489,11 @@ def search_json_archives(
     schema-match pruning still applies, so the union only scans tables
     whose columns can satisfy the query — the whole dir searches as ONE
     Spark job."""
+    from pyspark.sql.types import DoubleType
+
+    from clp_spark.operators.json_search import JsonArchive
+    from clp_spark.operators.kql import parse_kql
+
     dirs = discover_json_archives(root)
     if archive_id is not None:
         dirs = [d for d in dirs if os.path.basename(d) == archive_id]
@@ -496,16 +501,74 @@ def search_json_archives(
             raise ValueError(f"no archive '{archive_id}' under {root}")
     if not dirs:
         raise ValueError(f"{root} contains no JSON archives")
-    out: DataFrame | None = None
+    # Catalog step: the per-archive manifests ARE the catalog rows (one
+    # small driver read each, same as text federation's metadata.json).
+    # Tables then group by SCHEMA SIGNATURE — schema_id is a content hash
+    # of (path, kind) leaves, so identical shapes across archives share an
+    # id — and each group reads as ONE multi-directory scan. Plan size is
+    # O(distinct schemas), not O(archives x schemas); the whole directory
+    # searches as one job regardless of archive count.
+    groups: dict[tuple, dict] = {}
+    scalar_paths: list[str] = []
     for d in dirs:
-        part = search_json_archive(
-            spark, d, query, ignore_case=ignore_case, timestamp_key=timestamp_key
-        ).select(
-            F.lit(os.path.basename(d)).alias("archive_id"),
-            "log_event_idx",
-            "json",
+        with open(os.path.join(d, _MANIFEST)) as f:
+            manifest = json.load(f)
+        eff_ts = timestamp_key if timestamp_key is not None else manifest.get(
+            "timestamp_key"
         )
-        out = part if out is None else out.unionAll(part)
+        for entry in manifest["schemas"]:
+            if entry["schema_id"] == _SCALAR_ID:
+                continue  # no keys → never matches a KQL predicate
+            key = (entry["schema_id"], manifest["structurize_arrays"], eff_ts)
+            g = groups.setdefault(
+                key,
+                {"leaves": [(tuple(p), k) for p, k in entry["leaves"]],
+                 "paths": []},
+            )
+            g["paths"].append(os.path.join(d, f"schema_id={entry['schema_id']}"))
+    ast = parse_kql(query)
+    compiler = JsonArchive.__new__(JsonArchive)
+    compiler.metadata = {IDX_COL: None}
+    # archive_id recovers from the file path (…/<archive_id>/schema_id=…) —
+    # a pure projection, no extra column stored
+    aid_col = F.regexp_extract(
+        F.input_file_name(), r"/([^/]+)/schema_id=", 1
+    ).alias("archive_id")
+    out: DataFrame | None = None
+    for (sid, structurize, eff_ts), g in groups.items():
+        tbl = spark.read.parquet(*g["paths"])
+        leaves = g["leaves"]
+        work = tbl.withColumn("__json__", _rebuild_expr(tbl, leaves, structurize))
+        arr_leaves = [
+            (p, k[len("array:"):]) for p, k in leaves if k.startswith("array:")
+        ]
+        if arr_leaves:
+            varr = _rebuild_expr(
+                tbl, [(p, k) for p, k in leaves if k.startswith("array:")],
+                structurize,
+            )
+            work = work.withColumn("__v__", F.parse_json(varr))
+        if eff_ts and eff_ts in work.columns:
+            ts_t = {f.name: f.dataType for f in work.schema.fields}[eff_ts]
+            if isinstance(ts_t, DoubleType):
+                norm = F.round(F.col(eff_ts) * 1000).cast("long")
+            else:
+                norm = F.col(eff_ts).cast("long")
+            work = work.withColumn(eff_ts, norm)
+        compiler.timestamp_key = eff_ts
+        pred = compiler._compile(work, ast, ignore_case, arr_leaves)
+        if pred is None:
+            continue  # schema pruned — across EVERY archive holding it
+        hit = work.where(pred).select(
+            aid_col,
+            F.col(IDX_COL).alias("log_event_idx"),
+            F.col("__json__").alias("json"),
+        )
+        out = hit if out is None else out.unionAll(hit)
+    if out is None:
+        return spark.createDataFrame(
+            [], "archive_id string, log_event_idx long, json string"
+        )
     return out
 
 
@@ -531,12 +594,19 @@ def compress_jsonl_archives_multi(
     k holds a contiguous ingestion-order range, recorded in the manifest.
 
     Scale note: archive assignment is one distributed prefix-sum pass
-    (O(partitions) driver rows); per-archive encodes then run as a driver
-    loop of independent jobs — the reference's own model (one
-    ArchiveWriter at a time), parallel WITHIN each archive here. For
-    many-archive batches submit disjoint input slices as separate jobs.
+    (O(partitions) driver rows); the encode then runs as ONE pass for the
+    whole batch — a single variant parse + schema grouping over every
+    archive, each schema table written once with partitionBy on the archive
+    id, then O(archives x schemas) driver renames into the standard
+    per-archive layout (the same staging+rename model
+    compress_text_logs_multi uses for text archives). Plan size and job
+    count are O(distinct schemas), independent of archive count.
     """
+    import shutil
+
     from pyspark.sql.window import Window
+
+    from clp_spark.operators.json_search import JsonArchive
 
     spark = df.sparkSession
     src = df.withColumn(
@@ -571,26 +641,136 @@ def compress_jsonl_archives_multi(
     cum_before = off_map[F.col("_pid")] + F.coalesce(F.sum("_len").over(w), F.lit(0))
     assigned = part.withColumn(
         "_arch", F.floor(cum_before / F.lit(target_encoded_size))
+    ).drop("_pid", "_len")
+    in_counts = {
+        int(r["_arch"]): int(r["n"])
+        for r in assigned.groupBy("_arch").agg(F.count("*").alias("n")).collect()
+    }
+    # ONE variant parse + schema grouping across every archive
+    archive = JsonArchive(
+        assigned, raw_col, structurize_arrays, cache=True,
+        keep_cols=(IDX_COL, "_arch"),
     )
-    arch_ids = sorted(
-        r["_arch"] for r in assigned.select("_arch").distinct().collect()
-    )
-    os.makedirs(archives_dir, exist_ok=True)
-    summaries = []
-    for k in arch_ids:
-        sub = assigned.where(F.col("_arch") == k).drop("_pid", "_len", "_arch")
-        out = os.path.join(archives_dir, f"archive_{k:06d}")
-        s = compress_jsonl_archive(
-            sub, raw_col, out, order_col=IDX_COL,
-            structurize_arrays=structurize_arrays,
-            timestamp_key=timestamp_key,
-        )
-        summaries.append({"archive": os.path.basename(out), **s})
+    merged: dict[str, dict] = {}
+    scalar_parts: list[DataFrame] = []
+    for grp in archive.schema_groups:
+        typed = grp["part"].drop("__v__", "__raw__")
+        data_cols = [c for c in typed.columns if c not in (IDX_COL, "_arch")]
+        if not data_cols:
+            scalar_parts.append(
+                grp["part"].select(
+                    F.col(IDX_COL), F.col("_arch"),
+                    F.to_json("__v__").alias("__txt__"),
+                )
+            )
+            continue
+        sid = _schema_id(grp["leaves"])
+        if sid in merged:
+            merged[sid]["typed"] = merged[sid]["typed"].unionByName(typed)
+        else:
+            merged[sid] = {"typed": typed, "leaves": grp["leaves"],
+                           "ddl": grp["ddl"]}
+    staging = os.path.join(archives_dir, "_staging")
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_one(item):
+        sid, entry = item
+        path = os.path.join(staging, f"schema_id={sid}")
+        # no repartition before the write: each task writes its archives'
+        # slices directly, so write parallelism stays at the scan's width
+        entry["typed"].write.mode("overwrite").partitionBy("_arch").parquet(path)
+        counts = {
+            int(r["_arch"]): int(r["n"])
+            for r in spark.read.parquet(path)
+            .groupBy("_arch").agg(F.count("*").alias("n")).collect()
+        }
+        return sid, entry, counts
+
+    if merged:
+        with ThreadPoolExecutor(max_workers=min(8, len(merged))) as pool:
+            results = list(pool.map(_write_one, merged.items()))
+    else:
+        results = []
+    scalar_counts: dict[int, int] = {}
+    if scalar_parts:
+        scal = scalar_parts[0]
+        for p in scalar_parts[1:]:
+            scal = scal.unionAll(p)
+        path = os.path.join(staging, f"schema_id={_SCALAR_ID}")
+        scal.write.mode("overwrite").partitionBy("_arch").parquet(path)
+        scalar_counts = {
+            int(r["_arch"]): int(r["n"])
+            for r in spark.read.parquet(path)
+            .groupBy("_arch").agg(F.count("*").alias("n")).collect()
+        }
     part.unpersist()
+    # O(archives x schemas) driver renames into self-contained archive dirs
+    os.makedirs(archives_dir, exist_ok=True)
+    per_arch: dict[int, dict] = {
+        k: {"schemas": [], "rows": 0} for k in in_counts
+    }
+    for sid, entry, counts in results:
+        src_root = os.path.join(staging, f"schema_id={sid}")
+        for k, n in counts.items():
+            dst = os.path.join(
+                archives_dir, f"archive_{k:06d}", f"schema_id={sid}"
+            )
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(os.path.join(src_root, f"_arch={k}"), dst)
+            per_arch[k]["schemas"].append(
+                {
+                    "schema_id": sid,
+                    "ddl": entry["ddl"],
+                    "leaves": [[list(p), kk] for p, kk in entry["leaves"]],
+                    "rows": n,
+                }
+            )
+            per_arch[k]["rows"] += n
+    if scalar_counts:
+        src_root = os.path.join(staging, f"schema_id={_SCALAR_ID}")
+        for k, n in scalar_counts.items():
+            dst = os.path.join(
+                archives_dir, f"archive_{k:06d}", f"schema_id={_SCALAR_ID}"
+            )
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(os.path.join(src_root, f"_arch={k}"), dst)
+            per_arch[k]["schemas"].append(
+                {"schema_id": _SCALAR_ID, "ddl": None, "leaves": None,
+                 "rows": n}
+            )
+            per_arch[k]["rows"] += n
+    shutil.rmtree(staging, ignore_errors=True)
+    summaries = []
+    total_invalid = 0
+    for k in sorted(in_counts):
+        name = f"archive_{k:06d}"
+        out = os.path.join(archives_dir, name)
+        os.makedirs(out, exist_ok=True)
+        invalid = in_counts[k] - per_arch[k]["rows"]
+        total_invalid += invalid
+        manifest = {
+            "structurize_arrays": structurize_arrays,
+            "timestamp_key": timestamp_key,
+            "schemas": per_arch[k]["schemas"],
+            "invalid": invalid,
+        }
+        with open(os.path.join(out, _MANIFEST), "w") as f:
+            json.dump(manifest, f)
+        summaries.append(
+            {
+                "archive": name,
+                "schemas": len(per_arch[k]["schemas"]),
+                "rows": per_arch[k]["rows"],
+                "invalid": invalid,
+                "dir": out,
+            }
+        )
+    if total_invalid:
+        raise ValueError(f"{total_invalid} input rows are not valid JSON")
     return {
         "archives": len(summaries),
         "rows": sum(s["rows"] for s in summaries),
-        "invalid": sum(s["invalid"] for s in summaries),
+        "invalid": total_invalid,
         "dir": archives_dir,
         "per_archive": summaries,
     }
