@@ -71,12 +71,14 @@ def cmd_compress(args) -> None:
                 order_col="_rec_ix",
                 structurize_arrays=args.structurize_arrays,
                 timestamp_key=args.timestamp_key,
+                retain_float_format=not args.no_retain_float_format,
             )
         else:
             summary = compress_jsonl_archive(
                 df, "raw", args.archive, order_col="_rec_ix",
                 structurize_arrays=args.structurize_arrays,
                 timestamp_key=args.timestamp_key,
+                retain_float_format=not args.no_retain_float_format,
             )
         print(json.dumps(summary))
         return
@@ -676,6 +678,11 @@ def main(argv: list[str] | None = None) -> None:
         "with ordered reconstruction (x) support",
     )
     c.add_argument("--structurize-arrays", action="store_true")
+    c.add_argument(
+        "--no-retain-float-format", action="store_true",
+        help="JSON mode: don't store float format descriptors (floats "
+        "reconstruct in canonical form instead of their original lexeme)",
+    )
     c.add_argument(
         "--timestamp-key", default=None, metavar="KEY",
         help="JSON mode: record the timestamp column in the archive "

@@ -213,6 +213,67 @@ def formatted_float_encode_udf():
     return _enc
 
 
+def json_float_formats_udf(paths: list[tuple[str, ...]]):
+    """pandas UDF factory: raw JSON record → ``array<int>`` of format
+    descriptors, one per float-leaf path in ``paths``.
+
+    This is the ingest-side half of clp-s's retain-float-format (reference
+    JsonParser.cpp:256-268 computes get_float_encoding on the token text as
+    it parses). The lexeme is captured with json.loads' parse_float hook —
+    the only way to see the ORIGINAL number text, since every JVM JSON path
+    (from_json, variant, get_json_object) canonicalizes numbers. An entry
+    is null when the format isn't representable OR regenerating it from the
+    stored double would not be byte-identical — the reference's
+    round_trip_is_identical guard (JsonParser.cpp:71,132), which is what
+    makes the archive round trip byte-exact by construction.
+    """
+    import json as _json
+
+    plists = [list(p) for p in paths]
+
+    class _Lex(float):
+        __slots__ = ("lex",)
+
+    def _hook(tok: str) -> "_Lex":
+        v = _Lex(tok)
+        v.lex = tok
+        return v
+
+    @F.pandas_udf("array<int>")
+    def _fmts(raw: pd.Series) -> pd.Series:
+        nulls = [None] * len(plists)
+        out = []
+        for r in raw:
+            try:
+                # parse_int hooked too: an int-token leaf can land in a
+                # float column via the DECIMAL→DOUBLE schema normalization
+                # (e.g. a 20-digit integer)
+                obj = _json.loads(r, parse_float=_hook, parse_int=_hook)
+            except (TypeError, ValueError):
+                out.append(nulls)
+                continue
+            fmts = []
+            for p in plists:
+                cur = obj
+                for seg in p:
+                    cur = cur.get(seg) if isinstance(cur, dict) else None
+                    if cur is None:
+                        break
+                if isinstance(cur, _Lex):
+                    f = get_float_encoding(cur.lex)
+                    if f is not None and restore_encoded_float(
+                        float(cur), f
+                    ) != cur.lex:
+                        f = None
+                    fmts.append(f)
+                else:
+                    fmts.append(None)
+            out.append(fmts)
+        return pd.Series(out)
+
+    return _fmts
+
+
 def formatted_float_restore_udf():
     """pandas UDF: (double value, int format) → original string."""
 

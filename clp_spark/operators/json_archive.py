@@ -25,11 +25,15 @@ Spark-first shape:
 
 Fidelity contract (what the round-trip preserves exactly): record ORDER,
 the key SET per record, every value (ints/floats/bools/strings/nulls/
-arrays/nested objects, including arrays of mixed types). Key ORDER within
-an object is canonicalized to sorted order — the same canonical order the
-variant encoding itself uses — because schema_of_variant does not retain
-source key order. Structural equality (parsed-JSON equality) plus order is
-the tested invariant, matching the reference's end-to-end regression.
+arrays/nested objects, including arrays of mixed types). Scalar float
+leaves additionally re-emit their ORIGINAL lexeme byte-for-byte whenever
+the clp-s FloatFormatEncoding descriptor covers it ("1.2E3" stays "1.2E3",
+not "1200.0") — retain_float_format, default on like the reference. Key
+ORDER within an object is canonicalized to sorted order — the same
+canonical order the variant encoding itself uses — because
+schema_of_variant does not retain source key order. Structural equality
+(parsed-JSON equality) plus order plus float-lexeme bytes is the tested
+invariant, matching the reference's end-to-end regression.
 
 Scale notes (100 TB): the schema-grouping premise is clp-s's own — distinct
 schemas << records — so each group write is one partitioned scan; the
@@ -54,6 +58,42 @@ IDX_COL = "log_event_idx"
 _SCALAR_ID = "__scalar__"
 _MANIFEST = "manifest.json"
 
+# FormattedFloat (clp-s retain-float-format, default ON — reference
+# CommandLineArguments.cpp:392 `--no-retain-float-format`): every float leaf
+# gets a sibling 16-bit format-descriptor column so reconstruction re-emits
+# the ORIGINAL lexeme ("1.2E3", "0.00", "1.234567891234567E+0009") instead
+# of the canonical double rendering. The descriptor is stored only when
+# regenerating from the double is byte-identical (round_trip_is_identical,
+# JsonParser.cpp:71,132); otherwise the leaf falls back to canonical — so
+# the emitted token is byte-exact whenever a descriptor exists.
+_SENT = "\x01"  # to_json escapes it as \\u0001; lexemes are [-+.0-9eE] only
+_SENT_RE = r'"\\u0001([-+.0-9eE]+)\\u0001"'
+
+
+def _fmt_col(leaf_ix: int) -> str:
+    return f"__fmt_{leaf_ix}__"
+
+
+def _retain_float_formats(part: DataFrame, leaves) -> DataFrame:
+    """Attach ``__fmt_{i}__`` descriptor columns (i = leaf index in
+    ``leaves``) for every float leaf, computed from the raw record text in
+    one Arrow batch pass — the same per-token work the reference's
+    JsonParser does at ingest. No-op when the schema has no float leaves or
+    a record key collides with the internal namespace."""
+    float_ix = [i for i, (p, k) in enumerate(leaves) if p and k == "float"]
+    if not float_ix:
+        return part
+    top = {f.name for f in part.schema.fields}
+    if any(_fmt_col(i) in top for i in float_ix) or "__fmts__" in top:
+        return part  # record keys shadow the internal namespace: skip
+    from clp_spark.functions.formatted_float import json_float_formats_udf
+
+    udf = json_float_formats_udf([leaves[i][0] for i in float_ix])
+    part = part.withColumn("__fmts__", udf(F.col("__raw__")))
+    for j, i in enumerate(float_ix):
+        part = part.withColumn(_fmt_col(i), F.col("__fmts__")[j])
+    return part.drop("__fmts__")
+
 
 def _schema_id(leaves: list[tuple[tuple[str, ...], str]]) -> str:
     sig = ";".join(".".join(p) + ":" + k for p, k in leaves)
@@ -68,12 +108,16 @@ def compress_jsonl_archive(
     structurize_arrays: bool = False,
     on_invalid: str = "error",
     timestamp_key: str | None = None,
+    retain_float_format: bool = True,
 ) -> dict:
     """JSONL rows → per-schema typed parquet tables + manifest.
 
     ``order_col`` supplies the ingestion-order index (monotone within the
     stream); when None a monotonically_increasing_id is attached — stable
     for a file-backed scan, whose partition indices follow file offsets.
+    ``retain_float_format`` (clp-s default; `--no-retain-float-format`
+    disables) stores per-float-leaf format descriptors so reconstruction
+    re-emits the ingested float lexemes byte-exactly.
     Returns {"schemas": n, "rows": n, "invalid": n, "dir": out_dir}.
     """
     if on_invalid not in ("error", "skip"):
@@ -101,7 +145,10 @@ def compress_jsonl_archive(
     # (path, kind) signature are ONE clp-s schema and merge into one table.
     merged: dict[str, dict] = {}
     for grp in archive.schema_groups:
-        typed = grp["part"].drop("__v__", "__raw__")
+        part = grp["part"]
+        if retain_float_format:
+            part = _retain_float_formats(part, grp["leaves"])
+        typed = part.drop("__v__", "__raw__")
         data_cols = [c for c in typed.columns if c != IDX_COL]
         if not data_cols:
             # scalar/array/empty-object ROOT records: no typed columns to
@@ -147,6 +194,12 @@ def compress_jsonl_archive(
                 "ddl": entry["ddl"],
                 "leaves": [[list(p), k] for p, k in entry["leaves"]],
                 "rows": n,
+                # whether this table carries float-format descriptor columns
+                # (federated search groups on it so mixed-flag archives with
+                # the same schema signature never share one parquet scan)
+                "fmt": any(
+                    c.startswith("__fmt_") for c in entry["typed"].columns
+                ),
             }
         )
     if scalar_parts:
@@ -188,9 +241,23 @@ def _rebuild_expr(
     """Schema-tree leaves → one nested-struct expression whose to_json is
     the original record (JsonSerializer inverse). Leaf order is the sorted
     order _parse_variant_ddl emits — the same canonical key order the
-    variant encoding uses."""
+    variant encoding uses.
 
-    def leaf_expr(col: Column, kind: str) -> Column:
+    Float leaves whose ``__fmt_{i}__`` descriptor column exists in ``df``
+    (i = position in ``leaves``, so callers must pass the manifest's FULL
+    leaf list whenever float leaves are present) re-emit the original
+    lexeme: the restored text rides through to_json inside \\x01 sentinels
+    as a string field, then one regexp pass strips the quotes+sentinels
+    back into a raw number token. Descriptors only exist when restoration
+    is byte-identical (ingest guard), so a null descriptor falls back to
+    the canonical double rendering — cast(string) matches to_json's own
+    Double.toString output."""
+    cols = set(df.columns)
+    restore = None
+    sentinel_used = False
+
+    def leaf_expr(col: Column, kind: str, leaf_ix: int) -> Column:
+        nonlocal restore, sentinel_used
         if kind == "null":
             return F.parse_json(F.lit("null"))
         if kind == "emptyobj":
@@ -202,35 +269,52 @@ def _rebuild_expr(
             # unstructured arrays were stored as their JSON text (the
             # reference's array dictionary stores stringified arrays too)
             return F.parse_json(col)
+        if kind == "float" and _fmt_col(leaf_ix) in cols:
+            if restore is None:
+                from clp_spark.functions.formatted_float import (
+                    formatted_float_restore_udf,
+                )
+                restore = formatted_float_restore_udf()
+            sentinel_used = True
+            txt = F.coalesce(
+                restore(col, F.col(_fmt_col(leaf_ix))), col.cast("string")
+            )
+            return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+                F.concat(F.lit(_SENT), txt, F.lit(_SENT))
+            )
         return col
 
     def build(
-        group: list[tuple[tuple[str, ...], str]], getter, depth: int
+        group: list[tuple[int, tuple[str, ...], str]], getter, depth: int
     ) -> list[Column]:
         # group: leaves sharing the path prefix consumed so far; getter(name)
         # returns the Column for a child field at this depth
         fields: list[Column] = []
         i = 0
         while i < len(group):
-            seg = group[i][0][depth]
+            seg = group[i][1][depth]
             j = i
-            while j < len(group) and group[j][0][depth] == seg:
+            while j < len(group) and group[j][1][depth] == seg:
                 j += 1
             sub = group[i:j]
             child = getter(seg)
-            if len(sub) == 1 and len(sub[0][0]) == depth + 1:
-                fields.append(leaf_expr(child, sub[0][1]).alias(seg))
+            if len(sub) == 1 and len(sub[0][1]) == depth + 1:
+                ix, _, kind = sub[0]
+                fields.append(leaf_expr(child, kind, ix).alias(seg))
             else:
                 inner = build(sub, child.getField, depth + 1)
                 fields.append(F.struct(*inner).alias(seg))
             i = j
         return fields
 
-    nonroot = [(p, k) for p, k in leaves if p]
-    return F.to_json(
+    nonroot = [(i, p, k) for i, (p, k) in enumerate(leaves) if p]
+    out = F.to_json(
         F.struct(*build(nonroot, lambda name: df[name], 0)),
         {"ignoreNullFields": "false"},
     )
+    if sentinel_used:
+        out = F.regexp_replace(out, _SENT_RE, "$1")
+    return out
 
 
 def reconstruct_jsonl(
@@ -333,7 +417,15 @@ def search_json_archive(
             else:
                 norm = F.col(timestamp_key).cast("long")
             work = work.withColumn(timestamp_key, norm)
-        pred = compiler._compile(work, ast, ignore_case, arr_leaves)
+        # storage internals (the reconstruction text and float-format
+        # descriptor columns) must never resolve as record columns — a
+        # bare-value or wildcard-column filter would otherwise probe them
+        internal = ["__json__"] + [
+            c for c in work.columns if c.startswith("__fmt_")
+        ]
+        pred = compiler._compile(
+            work.drop(*internal), ast, ignore_case, arr_leaves
+        )
         if pred is None:
             continue  # schema pruned
         hit = work.where(pred).select(
@@ -519,7 +611,10 @@ def search_json_archives(
         for entry in manifest["schemas"]:
             if entry["schema_id"] == _SCALAR_ID:
                 continue  # no keys → never matches a KQL predicate
-            key = (entry["schema_id"], manifest["structurize_arrays"], eff_ts)
+            key = (
+                entry["schema_id"], manifest["structurize_arrays"], eff_ts,
+                bool(entry.get("fmt")),
+            )
             g = groups.setdefault(
                 key,
                 {"leaves": [(tuple(p), k) for p, k in entry["leaves"]],
@@ -535,7 +630,7 @@ def search_json_archives(
         F.input_file_name(), r"/([^/]+)/schema_id=", 1
     ).alias("archive_id")
     out: DataFrame | None = None
-    for (sid, structurize, eff_ts), g in groups.items():
+    for (sid, structurize, eff_ts, _fmt), g in groups.items():
         tbl = spark.read.parquet(*g["paths"])
         leaves = g["leaves"]
         work = tbl.withColumn("__json__", _rebuild_expr(tbl, leaves, structurize))
@@ -556,7 +651,15 @@ def search_json_archives(
                 norm = F.col(eff_ts).cast("long")
             work = work.withColumn(eff_ts, norm)
         compiler.timestamp_key = eff_ts
-        pred = compiler._compile(work, ast, ignore_case, arr_leaves)
+        # storage internals (the reconstruction text and float-format
+        # descriptor columns) must never resolve as record columns — a
+        # bare-value or wildcard-column filter would otherwise probe them
+        internal = ["__json__"] + [
+            c for c in work.columns if c.startswith("__fmt_")
+        ]
+        pred = compiler._compile(
+            work.drop(*internal), ast, ignore_case, arr_leaves
+        )
         if pred is None:
             continue  # schema pruned — across EVERY archive holding it
         hit = work.where(pred).select(
@@ -580,6 +683,7 @@ def compress_jsonl_archives_multi(
     order_col: str | None = None,
     structurize_arrays: bool = False,
     timestamp_key: str | None = None,
+    retain_float_format: bool = True,
 ) -> dict:
     """clp-s `c --target-encoded-size`: split a JSONL stream into multiple
     self-contained JSON archives under `archives_dir` (the reference's
@@ -654,7 +758,10 @@ def compress_jsonl_archives_multi(
     merged: dict[str, dict] = {}
     scalar_parts: list[DataFrame] = []
     for grp in archive.schema_groups:
-        typed = grp["part"].drop("__v__", "__raw__")
+        gpart = grp["part"]
+        if retain_float_format:
+            gpart = _retain_float_formats(gpart, grp["leaves"])
+        typed = gpart.drop("__v__", "__raw__")
         data_cols = [c for c in typed.columns if c not in (IDX_COL, "_arch")]
         if not data_cols:
             scalar_parts.append(
@@ -723,6 +830,9 @@ def compress_jsonl_archives_multi(
                     "ddl": entry["ddl"],
                     "leaves": [[list(p), kk] for p, kk in entry["leaves"]],
                     "rows": n,
+                    "fmt": any(
+                        c.startswith("__fmt_") for c in entry["typed"].columns
+                    ),
                 }
             )
             per_arch[k]["rows"] += n

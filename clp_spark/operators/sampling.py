@@ -87,16 +87,21 @@ def quota_sample(
     quota: int,
     id_col: str = "doc_id",
     seed: int = 0,
+    rank_by=None,
 ) -> DataFrame:
     """At most `quota` rows per stratum, deterministically: rows rank by
     xxhash64(id, seed) inside their stratum and the lowest `quota` win.
     Exact and stable under reshuffling/resume; one shuffle on the stratum.
     A stratum with billions of rows serializes its window into one task —
-    use threshold_sample for that shape."""
+    use threshold_sample for that shape. ``rank_by`` swaps in a custom
+    deterministic rank Column (e.g. an arithmetic hash a SQL oracle can
+    reproduce — xxhash64 exists only on the Spark side)."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(stratum_col).orderBy(
-        F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
+        rank_by if rank_by is not None
+        else F.xxhash64(F.col(id_col), F.lit(seed)),
+        F.col(id_col),
     )
     return (
         df.withColumn("_rk", F.row_number().over(w))

@@ -93,10 +93,19 @@ class TestRoundTrip:
         assert not is_json_archive(str(tmp_path))
 
     def test_no_per_row_python_in_reconstruction(self, spark, tmp_path):
-        """The reconstruction plan is pure JVM expressions — no Python
-        evals (BatchEvalPython/ArrowEvalPython) anywhere."""
+        """Per-row Python (BatchEvalPython) never appears in the
+        reconstruction plan. With float-format retention the descriptor
+        restore is an Arrow-batched pandas UDF (the SURVEY §1.3
+        dispensation); with it disabled the plan is pure JVM expressions."""
         _roundtrip(spark, tmp_path, MIXED_LINES)
         df = reconstruct_jsonl(spark, str(tmp_path / "jarchive"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        _roundtrip(
+            spark, tmp_path.joinpath("noff"), MIXED_LINES,
+            retain_float_format=False,
+        )
+        df = reconstruct_jsonl(spark, str(tmp_path / "noff" / "jarchive"))
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
 
@@ -450,3 +459,141 @@ def test_timestamp_key_remembered(spark, tmp_path, capsys):
     # no --timestamp-key on the search side — the archive remembers
     cli.main(["s-kql", arch, "*", "--count-by-time", "60000"])
     assert capsys.readouterr().out.strip().splitlines() == ["0 1", "60000 2"]
+
+
+class TestFormattedFloatRetention:
+    """clp-s retain-float-format (default ON) through the archive lifecycle.
+
+    Reference parity: JsonParser.cpp:256-268 computes get_float_encoding on
+    every float token at ingest, guarded by round_trip_is_identical
+    (JsonParser.cpp:71,132) so a stored descriptor regenerates the source
+    lexeme byte-for-byte; fixtures test_valid_formatted_float.jsonl /
+    test_invalid_formatted_float.jsonl and the
+    test-clp_s-search-formatted-float regression. Scope note (documented in
+    json_archive.py): scalar float leaves — including nested-object floats —
+    are byte-exact; floats INSIDE arrays keep their value but canonicalize,
+    since unstructured arrays round-trip through variant text.
+    """
+
+    FIX = "/root/reference/components/core/src/clp_s/tests/test_log_files/"
+
+    @staticmethod
+    def _fixture_lines(name):
+        try:
+            with open(TestFormattedFloatRetention.FIX + name) as f:
+                return [ln.strip() for ln in f if ln.strip()]
+        except OSError:
+            pytest.skip("reference fixture unavailable")
+
+    _REC = __import__("re").compile(r'^\{\s*"([^"]+)"\s*:\s*(.+?)\s*\}$')
+
+    def test_valid_fixture_byte_exact(self, spark, tmp_path):
+        lines = self._fixture_lines("test_valid_formatted_float.jsonl")
+        _, back = _roundtrip(spark, tmp_path, lines)
+        checked = 0
+        for r, line in zip(back, lines):
+            m = self._REC.match(line)
+            assert m, line
+            key, raw = m.group(1), m.group(2)
+            if raw.startswith("["):
+                # array floats: value-preserving, format canonicalizes
+                assert json.loads(r["json"]) == json.loads(line)
+                continue
+            assert r["json"] == '{"%s":%s}' % (key, raw), (r["json"], line)
+            checked += 1
+        assert checked >= 40  # every scalar record asserted byte-for-byte
+
+    def test_invalid_fixture_value_preserving_fallback(self, spark, tmp_path):
+        # formats the reference rejects (unsupported, or restoration isn't
+        # byte-identical) must fall back to canonical rendering with the
+        # double value intact
+        lines = self._fixture_lines("test_invalid_formatted_float.jsonl")
+        _, back = _roundtrip(spark, tmp_path, lines)
+        for r, line in zip(back, lines):
+            got, want = json.loads(r["json"]), json.loads(line)
+            assert got == want, (r["json"], line)
+
+    def test_nested_float_and_disabled_flag(self, spark, tmp_path):
+        lines = [
+            '{"a":{"b":1.2E3},"c":"x"}',
+            '{"a":{"b":4.50e-2},"c":"y"}',
+        ]
+        _, back = _roundtrip(spark, tmp_path, lines)
+        assert back[0]["json"] == '{"a":{"b":1.2E3},"c":"x"}'
+        assert back[1]["json"] == '{"a":{"b":4.50e-2},"c":"y"}'
+        _, off = _roundtrip(
+            spark, tmp_path.joinpath("off"), lines, retain_float_format=False
+        )
+        assert off[0]["json"] == '{"a":{"b":1200.0},"c":"x"}'
+
+    def test_mixed_supported_and_fallback_rows_one_schema(self, spark, tmp_path):
+        # same schema, one row's format survives the round-trip guard and
+        # one doesn't (17+ sig digits not exactly representable)
+        lines = ['{"v":1.000E0}', '{"v":123456789.123456789}']
+        _, back = _roundtrip(spark, tmp_path, lines)
+        assert back[0]["json"] == '{"v":1.000E0}'
+        assert json.loads(back[1]["json"])["v"] == 123456789.123456789
+
+    def test_search_matches_value_and_emits_format(self, spark, tmp_path):
+        # test-clp_s-search-formatted-float analog: predicates compare the
+        # double VALUE; results re-emit the ingested lexeme
+        from clp_spark.operators.json_archive import search_json_archive
+
+        lines = self._fixture_lines("test_search_formatted_float.jsonl")
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(lines)], "ord long, raw string"
+        )
+        out = str(tmp_path / "sarch")
+        compress_jsonl_archive(df, "raw", out, order_col="ord")
+        hits = search_json_archive(
+            spark, out, "formattedFloatValue: 3000"
+        ).collect()
+        assert len(hits) == 1
+        assert '"formattedFloatValue":3E3' in hits[0]["json"]
+        rng = search_json_archive(
+            spark, out, "formattedFloatValue >= 5000"
+        ).orderBy("log_event_idx").collect()
+        assert ['"kkk"' in r["json"] or '"lll"' in r["json"] for r in rng] \
+            == [True] * 2
+
+    def test_internal_columns_never_resolve_in_search(self, spark, tmp_path):
+        # bare-value / wildcard-column filters must not probe the float
+        # format descriptors or the reconstruction text
+        from clp_spark.operators.json_archive import search_json_archive
+
+        lines = ['{"k":"alpha","f":1.5}', '{"k":"beta","f":2.5}']
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(lines)], "ord long, raw string"
+        )
+        out = str(tmp_path / "iarch")
+        compress_jsonl_archive(df, "raw", out, order_col="ord")
+        # "1.5" has descriptor 32 (two sig digits): a bare 32 must not match
+        from clp_spark.functions.formatted_float import get_float_encoding
+
+        fmt = get_float_encoding("1.5")
+        assert search_json_archive(spark, out, str(fmt)).count() == 0
+        # '*k*' matches no VALUE; the reconstruction text contains '"k":'
+        assert search_json_archive(spark, out, '"*k*"').count() == 0
+
+    def test_multi_archive_split_preserves_format(self, spark, tmp_path):
+        from clp_spark.operators.json_archive import (
+            compress_jsonl_archives_multi,
+            discover_json_archives,
+        )
+
+        lines = ['{"i":%d,"v":1.%02dE2}' % (i, i) for i in range(40)]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(lines)], "ord long, raw string"
+        )
+        root = str(tmp_path / "marchs")
+        res = compress_jsonl_archives_multi(
+            df, "raw", root, target_encoded_size=300, order_col="ord"
+        )
+        assert res["archives"] >= 2
+        got = {}
+        for d in discover_json_archives(root):
+            for r in reconstruct_jsonl(spark, d).collect():
+                got[json.loads(r["json"])["i"]] = r["json"]
+        assert len(got) == 40
+        for i in range(40):
+            assert got[i] == '{"i":%d,"v":1.%02dE2}' % (i, i)
