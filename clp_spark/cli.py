@@ -39,6 +39,9 @@ def _spark(master: str) -> SparkSession:
 def cmd_compress(args) -> None:
     from clp_spark.sources.network import localize_inputs
 
+    if args.single_file_archive and not args.json:
+        sys.exit("error: --single-file-archive requires --json (clp-s "
+                 "structured archives only, like the reference)")
     args.inputs = localize_inputs(args.inputs)
     from clp_spark.sources.logfiles import (
         compress_text_logs,
@@ -72,14 +75,55 @@ def cmd_compress(args) -> None:
                 structurize_arrays=args.structurize_arrays,
                 timestamp_key=args.timestamp_key,
                 retain_float_format=not args.no_retain_float_format,
+                record_log_order=not args.disable_log_order,
             )
+            if args.single_file_archive:
+                # pack each produced archive dir into one file named by its
+                # archive id (ArchiveWriter.cpp:145-147 writes archives_dir/id
+                # and removes the directory)
+                import shutil
+
+                from clp_spark.sinks.single_file_archive import pack_archive
+
+                for s in summary["per_archive"]:
+                    d = s["dir"]
+                    pack_archive(
+                        d, d + ".sfa",
+                        timestamp_dict=(
+                            {"timestamp_key": args.timestamp_key}
+                            if args.timestamp_key else None
+                        ),
+                    )
+                    shutil.rmtree(d)
+                    os.replace(d + ".sfa", d)
+                summary["single_file_archives"] = len(summary["per_archive"])
         else:
+            out_dir = (
+                args.archive + ".unpacked" if args.single_file_archive
+                else args.archive
+            )
             summary = compress_jsonl_archive(
-                df, "raw", args.archive, order_col="_rec_ix",
+                df, "raw", out_dir, order_col="_rec_ix",
                 structurize_arrays=args.structurize_arrays,
                 timestamp_key=args.timestamp_key,
                 retain_float_format=not args.no_retain_float_format,
+                record_log_order=not args.disable_log_order,
             )
+            if args.single_file_archive:
+                import shutil
+
+                from clp_spark.sinks.single_file_archive import pack_archive
+
+                sfa = pack_archive(
+                    out_dir, args.archive,
+                    timestamp_dict=(
+                        {"timestamp_key": args.timestamp_key}
+                        if args.timestamp_key else None
+                    ),
+                )
+                shutil.rmtree(out_dir)
+                summary["dir"] = args.archive
+                summary["single_file_archive"] = sfa
         print(json.dumps(summary))
         return
     if args.target_archive_size is not None:
@@ -116,9 +160,13 @@ def cmd_compress(args) -> None:
 
 
 def cmd_extract(args) -> None:
-    from clp_spark.operators.json_archive import is_json_archive
+    from clp_spark.operators.json_archive import (
+        is_json_archive,
+        localize_single_file_archives,
+    )
     from clp_spark.sources.logfiles import decompress_file, extract_to_files
 
+    args.archive = localize_single_file_archives(args.archive)
     spark = _spark(args.master)
     from clp_spark.operators.json_archive import discover_json_archives
 
@@ -480,13 +528,18 @@ def _apply_projection(res, json_col: str, paths: list[str]):
 
 
 def cmd_search_kql(args) -> None:
-    from clp_spark.operators.json_archive import is_json_archive
+    from clp_spark.operators.json_archive import (
+        is_json_archive,
+        localize_single_file_archives,
+    )
     from clp_spark.operators.json_search import search_jsonl
 
     flags = _kql_agg_flags(args)
     if len(flags) > 1:
         sys.exit("error: the --count, --count-by-time, --min, --max, and "
                  "--unique options are mutually exclusive")
+    if os.path.exists(args.input):
+        args.input = localize_single_file_archives(args.input)
     spark = _spark(args.master)
     from clp_spark.operators.json_archive import discover_json_archives
 
@@ -682,6 +735,17 @@ def main(argv: list[str] | None = None) -> None:
         "--no-retain-float-format", action="store_true",
         help="JSON mode: don't store float format descriptors (floats "
         "reconstruct in canonical form instead of their original lexeme)",
+    )
+    c.add_argument(
+        "--disable-log-order", action="store_true",
+        help="JSON mode: don't record ingestion order (smaller archives; "
+        "x reconstructs out of order into one 'original' file, clp-s "
+        "--disable-log-order)",
+    )
+    c.add_argument(
+        "--single-file-archive", action="store_true",
+        help="JSON mode: pack each archive into ONE file (clp-s "
+        "--single-file-archive; x/s-kql read packed archives directly)",
     )
     c.add_argument(
         "--timestamp-key", default=None, metavar="KEY",

@@ -109,6 +109,7 @@ def compress_jsonl_archive(
     on_invalid: str = "error",
     timestamp_key: str | None = None,
     retain_float_format: bool = True,
+    record_log_order: bool = True,
 ) -> dict:
     """JSONL rows → per-schema typed parquet tables + manifest.
 
@@ -118,17 +119,26 @@ def compress_jsonl_archive(
     ``retain_float_format`` (clp-s default; `--no-retain-float-format`
     disables) stores per-float-leaf format descriptors so reconstruction
     re-emits the ingested float lexemes byte-exactly.
+    ``record_log_order=False`` (clp-s `--disable-log-order`,
+    CommandLineArguments.cpp:417-420) omits the ingestion-order column
+    entirely — smaller tables, but the archive can only reconstruct out of
+    order (JsonParser.cpp:774 skips the log_event_idx node the same way).
     Returns {"schemas": n, "rows": n, "invalid": n, "dir": out_dir}.
     """
     if on_invalid not in ("error", "skip"):
         raise ValueError("on_invalid must be 'error' or 'skip'")
-    src = df.withColumn(
-        IDX_COL,
-        F.col(order_col).cast("long") if order_col
-        else F.monotonically_increasing_id(),
-    )
+    if record_log_order:
+        src = df.withColumn(
+            IDX_COL,
+            F.col(order_col).cast("long") if order_col
+            else F.monotonically_increasing_id(),
+        )
+        keep = (IDX_COL,)
+    else:
+        src = df
+        keep = ()
     archive = JsonArchive(
-        src, raw_col, structurize_arrays, cache=True, keep_cols=(IDX_COL,)
+        src, raw_col, structurize_arrays, cache=True, keep_cols=keep
     )
     manifest: dict = {
         "structurize_arrays": structurize_arrays,
@@ -136,6 +146,7 @@ def compress_jsonl_archive(
         # column (CommandLineArguments.cpp:377-379); search/count-by-time
         # default to it without re-specifying
         "timestamp_key": timestamp_key,
+        "log_order": record_log_order,
         "schemas": [],
     }
     total_rows = 0
@@ -157,7 +168,8 @@ def compress_jsonl_archive(
             # through the root node the same way)
             scalar_parts.append(
                 grp["part"].select(
-                    F.col(IDX_COL), F.to_json("__v__").alias("__txt__")
+                    *([F.col(IDX_COL)] if record_log_order else []),
+                    F.to_json("__v__").alias("__txt__"),
                 )
             )
             continue
@@ -322,20 +334,36 @@ def reconstruct_jsonl(
 ) -> DataFrame:
     """JSON archive → (log_event_idx, json) in ingestion order — the
     JsonConstructor.construct_in_order analog. ``ordered=False`` skips the
-    final sort for consumers that re-sort or merge downstream."""
+    final sort for consumers that re-sort or merge downstream.
+
+    An archive compressed with ``record_log_order=False`` has no order
+    column: log_event_idx comes back NULL and an ordered request falls back
+    to out-of-order output with a warning (JsonConstructor.cpp:41-49)."""
     with open(os.path.join(archive_dir, _MANIFEST)) as f:
         manifest = json.load(f)
+    has_order = manifest.get("log_order", True)
+    if ordered and not has_order:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s is missing ordering information and can not be decompressed"
+            " in log order. Falling back to out of order decompression.",
+            archive_dir,
+        )
+    idx = (
+        F.col(IDX_COL) if has_order else F.lit(None).cast("long").alias(IDX_COL)
+    )
     out: DataFrame | None = None
     for entry in manifest["schemas"]:
         tbl = spark.read.parquet(
             os.path.join(archive_dir, f"schema_id={entry['schema_id']}")
         )
         if entry["schema_id"] == _SCALAR_ID:
-            part = tbl.select(F.col(IDX_COL), F.col("__txt__").alias("json"))
+            part = tbl.select(idx, F.col("__txt__").alias("json"))
         else:
             leaves = [(tuple(p), k) for p, k in entry["leaves"]]
             part = tbl.select(
-                F.col(IDX_COL),
+                idx,
                 _rebuild_expr(
                     tbl, leaves, manifest["structurize_arrays"]
                 ).alias("json"),
@@ -343,7 +371,7 @@ def reconstruct_jsonl(
         out = part if out is None else out.unionAll(part)
     if out is None:
         raise ValueError(f"empty JSON archive at {archive_dir}")
-    return out.orderBy(IDX_COL) if ordered else out
+    return out.orderBy(IDX_COL) if (ordered and has_order) else out
 
 
 def search_json_archive(
@@ -378,6 +406,7 @@ def search_json_archive(
     with open(os.path.join(archive_dir, _MANIFEST)) as f:
         manifest = json.load(f)
     structurize = manifest["structurize_arrays"]
+    has_order = manifest.get("log_order", True)
     if timestamp_key is None:
         timestamp_key = manifest.get("timestamp_key")
     ast = parse_kql(query)
@@ -429,7 +458,8 @@ def search_json_archive(
         if pred is None:
             continue  # schema pruned
         hit = work.where(pred).select(
-            F.col(IDX_COL).alias("log_event_idx"),
+            (F.col(IDX_COL) if has_order else F.lit(None).cast("long"))
+            .alias("log_event_idx"),
             F.col("__json__").alias("json"),
         )
         out = hit if out is None else out.unionAll(hit)
@@ -477,6 +507,37 @@ def reconstruct_jsonl_chunks(
     from pyspark.sql.window import Window
 
     aid = archive_id or os.path.basename(os.path.normpath(archive_dir))
+    with open(os.path.join(archive_dir, _MANIFEST)) as f:
+        if not json.load(f).get("log_order", True):
+            # no ordering information: the reference warns and appends the
+            # unordered store to ONE file named "original"
+            # (JsonConstructor.cpp:41-56)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "%s is missing ordering information and can not be"
+                " decompressed in log order. Falling back to out of order"
+                " decompression.", archive_dir,
+            )
+            df = reconstruct_jsonl(spark, archive_dir, ordered=False)
+            staging = os.path.join(out_dir, "_staging")
+            df.select("json").write.mode("overwrite").text(staging)
+            os.makedirs(out_dir, exist_ok=True)
+            rows = 0
+            with open(os.path.join(out_dir, "original"), "ab") as w_out:
+                for p in sorted(
+                    e.path for e in os.scandir(staging)
+                    if e.name.startswith("part-")
+                ):
+                    with open(p, "rb") as r_in:
+                        while True:
+                            block = r_in.read(1 << 20)
+                            if not block:
+                                break
+                            rows += block.count(b"\n")
+                            w_out.write(block)
+            shutil.rmtree(staging, ignore_errors=True)
+            return {"chunks": 1, "rows": rows, "files": ["original"]}
     df = reconstruct_jsonl(spark, archive_dir, ordered=False)
     if not target_chunk_size:
         assign = df.select(F.lit(0).alias("_chunk"), F.col(IDX_COL), "json")
@@ -611,9 +672,11 @@ def search_json_archives(
         for entry in manifest["schemas"]:
             if entry["schema_id"] == _SCALAR_ID:
                 continue  # no keys → never matches a KQL predicate
+            # log_order joins the group key: order-less tables lack the
+            # idx column, so they can't share a scan with ordered ones
             key = (
                 entry["schema_id"], manifest["structurize_arrays"], eff_ts,
-                bool(entry.get("fmt")),
+                bool(entry.get("fmt")), manifest.get("log_order", True),
             )
             g = groups.setdefault(
                 key,
@@ -630,7 +693,7 @@ def search_json_archives(
         F.input_file_name(), r"/([^/]+)/schema_id=", 1
     ).alias("archive_id")
     out: DataFrame | None = None
-    for (sid, structurize, eff_ts, _fmt), g in groups.items():
+    for (sid, structurize, eff_ts, _fmt, has_order), g in groups.items():
         tbl = spark.read.parquet(*g["paths"])
         leaves = g["leaves"]
         work = tbl.withColumn("__json__", _rebuild_expr(tbl, leaves, structurize))
@@ -664,7 +727,8 @@ def search_json_archives(
             continue  # schema pruned — across EVERY archive holding it
         hit = work.where(pred).select(
             aid_col,
-            F.col(IDX_COL).alias("log_event_idx"),
+            (F.col(IDX_COL) if has_order else F.lit(None).cast("long"))
+            .alias("log_event_idx"),
             F.col("__json__").alias("json"),
         )
         out = hit if out is None else out.unionAll(hit)
@@ -684,6 +748,7 @@ def compress_jsonl_archives_multi(
     structurize_arrays: bool = False,
     timestamp_key: str | None = None,
     retain_float_format: bool = True,
+    record_log_order: bool = True,
 ) -> dict:
     """clp-s `c --target-encoded-size`: split a JSONL stream into multiple
     self-contained JSON archives under `archives_dir` (the reference's
@@ -762,11 +827,16 @@ def compress_jsonl_archives_multi(
         if retain_float_format:
             gpart = _retain_float_formats(gpart, grp["leaves"])
         typed = gpart.drop("__v__", "__raw__")
+        if not record_log_order:
+            # the idx drove archive ASSIGNMENT above but is not stored
+            # (clp-s --disable-log-order, JsonParser.cpp:774)
+            typed = typed.drop(IDX_COL)
         data_cols = [c for c in typed.columns if c not in (IDX_COL, "_arch")]
         if not data_cols:
             scalar_parts.append(
                 grp["part"].select(
-                    F.col(IDX_COL), F.col("_arch"),
+                    *([F.col(IDX_COL)] if record_log_order else []),
+                    F.col("_arch"),
                     F.to_json("__v__").alias("__txt__"),
                 )
             )
@@ -861,6 +931,7 @@ def compress_jsonl_archives_multi(
         manifest = {
             "structurize_arrays": structurize_arrays,
             "timestamp_key": timestamp_key,
+            "log_order": record_log_order,
             "schemas": per_arch[k]["schemas"],
             "invalid": invalid,
         }
@@ -890,3 +961,56 @@ def archive_timestamp_key(archive_dir: str) -> str | None:
     """The timestamp key recorded at compression (None if unset)."""
     with open(os.path.join(archive_dir, _MANIFEST)) as f:
         return json.load(f).get("timestamp_key")
+
+
+def localize_single_file_archives(path: str) -> str:
+    """Make packed archives readable by the directory-based readers.
+
+    * `path` is a single-file archive → unpack into a session tempdir and
+      return the unpacked archive DIRECTORY.
+    * `path` is a directory holding single-file archives (possibly mixed
+      with normal archive subdirs) → build a tempdir where each packed
+      archive is unpacked under its own name and each normal archive subdir
+      is symlinked, and return that root (so `discover_json_archives` sees
+      every archive).
+    * anything else → returned unchanged.
+
+    The unpack happens ONCE per CLI invocation (tempdirs are removed at
+    process exit); all subsequent search/extract work runs the normal
+    distributed pruned parquet scans over the unpacked directory.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from clp_spark.sinks.single_file_archive import (
+        is_single_file_archive,
+        unpack_archive,
+    )
+
+    def _tmp() -> str:
+        d = tempfile.mkdtemp(prefix="clps_sfa_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        return d
+
+    if is_single_file_archive(path):
+        out = os.path.join(_tmp(), os.path.basename(path) or "archive")
+        unpack_archive(path, out)
+        return out
+    if not os.path.isdir(path):
+        return path
+    try:
+        entries = sorted(os.scandir(path), key=lambda e: e.name)
+    except NotADirectoryError:
+        return path
+    packed = [e for e in entries if e.is_file()
+              and is_single_file_archive(e.path)]
+    if not packed:
+        return path
+    root = _tmp()
+    for e in packed:
+        unpack_archive(e.path, os.path.join(root, e.name))
+    for e in entries:
+        if e.is_dir() and is_json_archive(e.path):
+            os.symlink(os.path.abspath(e.path), os.path.join(root, e.name))
+    return root

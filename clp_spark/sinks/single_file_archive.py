@@ -1,0 +1,419 @@
+"""clp-s single-file archives (`c --single-file-archive`).
+
+The reference packs a finished archive directory into ONE file so it can be
+moved/shared as a unit (reference `ArchiveWriter::write_single_file_archive`,
+components/core/src/clp_s/ArchiveWriter.cpp:145-157, format spec
+SingleFileArchiveDefs.hpp):
+
+    [64-byte header][zstd-compressed metadata section][file bodies ...]
+
+* Header (little-endian, 64 bytes): magic ``FD 2F C5 30``, version u32
+  (major<<24 | minor<<16 | patch), uncompressed_size u64, compressed_size
+  u64, reserved u64[4], metadata_section_size u32 (compressed bytes),
+  compression_type u16 (0 = zstd), padding u16.
+* Metadata section (one zstd frame): u8 packet count, then per packet
+  u8 type + u32 size + msgpack payload. Packet types
+  (SingleFileArchiveDefs.hpp ArchiveMetadataPacketType): ArchiveInfo=0
+  ({"num_segments"}), ArchiveFileInfo=1 ({"files": [{"n": name, "o":
+  offset}]}, offsets cumulative from the files-section start —
+  ArchiveReaderAdaptor.cpp:88-92,327), TimestampDictionary=2, RangeIndex=3.
+* File bodies concatenated in file-table order immediately after the
+  metadata section (ArchiveReaderAdaptor.cpp:196).
+
+This engine's archives store parquet tables rather than clp-s segment
+files, so the packed MEMBERS differ by design; the container framing
+(header layout, magic, packet framing, offset semantics) follows the spec
+above. Two documented deviations, both forced by the environment:
+msgpack payloads are produced by the minimal encoder below (public
+msgpack spec; the ``msgpack`` wheel isn't in this sandbox), and
+``reserved[0]`` carries the metadata section's UNCOMPRESSED size because
+pyarrow's one-shot zstd decompressor requires the output size up front
+(the reference streams with libzstd and doesn't need it; reserved bytes
+are zeroed there, so readers of either layout agree on every other
+field).
+
+Packing is a driver-side CLI convenience, same as the reference (the
+archive was already built distributed; the pack is one sequential file
+copy). Distributed search over a packed archive unpacks it once to
+local/shared storage and then runs the normal pruned parquet scans.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import pyarrow as pa
+
+MAGIC = bytes([0xFD, 0x2F, 0xC5, 0x30])
+# mirror the reference's current version (SingleFileArchiveDefs.hpp:45-47)
+VERSION = (0 << 24) | (5 << 16) | 1
+_HEADER = struct.Struct("<4sIQQ4QIHH")  # 64 bytes
+COMPRESSION_ZSTD = 0
+
+PACKET_ARCHIVE_INFO = 0
+PACKET_FILE_INFO = 1
+PACKET_TIMESTAMP_DICT = 2
+PACKET_RANGE_INDEX = 3
+
+_READ_BLOCK = 1 << 20
+
+
+# ---------------------------------------------------------------------------
+# Minimal msgpack (public spec, https://github.com/msgpack/msgpack/blob/
+# master/spec.md) — only the types the archive packets use: nil, bool, int,
+# str, bin, array, map, float64.
+# ---------------------------------------------------------------------------
+
+
+def msgpack_pack(obj) -> bytes:
+    out = bytearray()
+    _pack_into(obj, out)
+    return bytes(out)
+
+
+def _pack_into(obj, out: bytearray) -> None:
+    if obj is None:
+        out.append(0xC0)
+    elif obj is True:
+        out.append(0xC3)
+    elif obj is False:
+        out.append(0xC2)
+    elif isinstance(obj, int):
+        if 0 <= obj <= 0x7F:
+            out.append(obj)
+        elif -32 <= obj < 0:
+            out.append(0x100 + obj)
+        elif 0 <= obj <= 0xFF:
+            out += struct.pack(">BB", 0xCC, obj)
+        elif 0 <= obj <= 0xFFFF:
+            out += struct.pack(">BH", 0xCD, obj)
+        elif 0 <= obj <= 0xFFFFFFFF:
+            out += struct.pack(">BI", 0xCE, obj)
+        elif 0 <= obj <= 0xFFFFFFFFFFFFFFFF:
+            out += struct.pack(">BQ", 0xCF, obj)
+        elif -0x80 <= obj < 0:
+            out += struct.pack(">Bb", 0xD0, obj)
+        elif -0x8000 <= obj < 0:
+            out += struct.pack(">Bh", 0xD1, obj)
+        elif -0x80000000 <= obj < 0:
+            out += struct.pack(">Bi", 0xD2, obj)
+        else:
+            out += struct.pack(">Bq", 0xD3, obj)
+    elif isinstance(obj, float):
+        out += struct.pack(">Bd", 0xCB, obj)
+    elif isinstance(obj, str):
+        b = obj.encode("utf-8")
+        n = len(b)
+        if n <= 31:
+            out.append(0xA0 | n)
+        elif n <= 0xFF:
+            out += struct.pack(">BB", 0xD9, n)
+        elif n <= 0xFFFF:
+            out += struct.pack(">BH", 0xDA, n)
+        else:
+            out += struct.pack(">BI", 0xDB, n)
+        out += b
+    elif isinstance(obj, (bytes, bytearray)):
+        n = len(obj)
+        if n <= 0xFF:
+            out += struct.pack(">BB", 0xC4, n)
+        elif n <= 0xFFFF:
+            out += struct.pack(">BH", 0xC5, n)
+        else:
+            out += struct.pack(">BI", 0xC6, n)
+        out += obj
+    elif isinstance(obj, (list, tuple)):
+        n = len(obj)
+        if n <= 15:
+            out.append(0x90 | n)
+        elif n <= 0xFFFF:
+            out += struct.pack(">BH", 0xDC, n)
+        else:
+            out += struct.pack(">BI", 0xDD, n)
+        for item in obj:
+            _pack_into(item, out)
+    elif isinstance(obj, dict):
+        n = len(obj)
+        if n <= 15:
+            out.append(0x80 | n)
+        elif n <= 0xFFFF:
+            out += struct.pack(">BH", 0xDE, n)
+        else:
+            out += struct.pack(">BI", 0xDF, n)
+        for k, v in obj.items():
+            _pack_into(k, out)
+            _pack_into(v, out)
+    else:
+        raise TypeError(f"msgpack: unsupported type {type(obj).__name__}")
+
+
+def msgpack_unpack(buf: bytes):
+    obj, pos = _unpack_from(buf, 0)
+    if pos != len(buf):
+        raise ValueError(f"msgpack: {len(buf) - pos} trailing bytes")
+    return obj
+
+
+def _unpack_from(buf: bytes, pos: int):
+    b = buf[pos]
+    pos += 1
+    if b <= 0x7F:
+        return b, pos
+    if b >= 0xE0:
+        return b - 0x100, pos
+    if 0x80 <= b <= 0x8F:
+        return _unpack_map(buf, pos, b & 0x0F)
+    if 0x90 <= b <= 0x9F:
+        return _unpack_array(buf, pos, b & 0x0F)
+    if 0xA0 <= b <= 0xBF:
+        n = b & 0x1F
+        return buf[pos:pos + n].decode("utf-8"), pos + n
+    if b == 0xC0:
+        return None, pos
+    if b == 0xC2:
+        return False, pos
+    if b == 0xC3:
+        return True, pos
+    if b in (0xC4, 0xC5, 0xC6):
+        w = {0xC4: "B", 0xC5: "H", 0xC6: "I"}[b]
+        (n,) = struct.unpack_from(">" + w, buf, pos)
+        pos += struct.calcsize(w)
+        return bytes(buf[pos:pos + n]), pos + n
+    if b == 0xCB:
+        (v,) = struct.unpack_from(">d", buf, pos)
+        return v, pos + 8
+    if b in (0xCC, 0xCD, 0xCE, 0xCF, 0xD0, 0xD1, 0xD2, 0xD3):
+        w = {0xCC: "B", 0xCD: "H", 0xCE: "I", 0xCF: "Q",
+             0xD0: "b", 0xD1: "h", 0xD2: "i", 0xD3: "q"}[b]
+        (v,) = struct.unpack_from(">" + w, buf, pos)
+        return v, pos + struct.calcsize(w)
+    if b in (0xD9, 0xDA, 0xDB):
+        w = {0xD9: "B", 0xDA: "H", 0xDB: "I"}[b]
+        (n,) = struct.unpack_from(">" + w, buf, pos)
+        pos += struct.calcsize(w)
+        return buf[pos:pos + n].decode("utf-8"), pos + n
+    if b in (0xDC, 0xDD):
+        w = "H" if b == 0xDC else "I"
+        (n,) = struct.unpack_from(">" + w, buf, pos)
+        return _unpack_array(buf, pos + struct.calcsize(w), n)
+    if b in (0xDE, 0xDF):
+        w = "H" if b == 0xDE else "I"
+        (n,) = struct.unpack_from(">" + w, buf, pos)
+        return _unpack_map(buf, pos + struct.calcsize(w), n)
+    raise ValueError(f"msgpack: unsupported marker 0x{b:02x}")
+
+
+def _unpack_array(buf: bytes, pos: int, n: int):
+    items = []
+    for _ in range(n):
+        item, pos = _unpack_from(buf, pos)
+        items.append(item)
+    return items, pos
+
+
+def _unpack_map(buf: bytes, pos: int, n: int):
+    d = {}
+    for _ in range(n):
+        k, pos = _unpack_from(buf, pos)
+        v, pos = _unpack_from(buf, pos)
+        d[k] = v
+    return d, pos
+
+
+# ---------------------------------------------------------------------------
+# Pack / unpack
+# ---------------------------------------------------------------------------
+
+
+def _walk_members(archive_dir: str) -> list[str]:
+    """Relative member paths in deterministic order, manifest first so a
+    header-only reader reaches it without scanning the whole file table."""
+    members: list[str] = []
+    for root, dirs, files in os.walk(archive_dir):
+        dirs.sort()
+        for name in sorted(files):
+            rel = os.path.relpath(os.path.join(root, name), archive_dir)
+            members.append(rel)
+    members.sort(key=lambda m: (m != "manifest.json", m))
+    return members
+
+
+def pack_archive(
+    archive_dir: str,
+    out_path: str,
+    compression_level: int = 3,
+    timestamp_dict: dict | None = None,
+) -> dict:
+    """Pack a finished archive directory into one single-file archive.
+
+    Returns {"files": n, "size": compressed_bytes,
+    "uncompressed_size": member_bytes}.
+    """
+    members = _walk_members(archive_dir)
+    if not members:
+        raise ValueError(f"{archive_dir}: empty archive directory")
+    file_infos = []
+    offset = 0
+    for m in members:
+        size = os.path.getsize(os.path.join(archive_dir, m))
+        # ArchiveFileInfo {n, o}: o = cumulative offset from the
+        # files-section start (ArchiveReaderAdaptor.cpp:88-92)
+        file_infos.append({"n": m.replace(os.sep, "/"), "o": offset})
+        offset += size
+    uncompressed_size = offset
+
+    packets: list[tuple[int, bytes]] = [
+        (PACKET_ARCHIVE_INFO, msgpack_pack({"num_segments": 1})),
+        (PACKET_FILE_INFO, msgpack_pack({"files": file_infos})),
+        (PACKET_TIMESTAMP_DICT, msgpack_pack(timestamp_dict or {})),
+    ]
+    meta = bytearray()
+    meta.append(len(packets))
+    for ptype, payload in packets:
+        meta += struct.pack("<BI", ptype, len(payload))
+        meta += payload
+    meta = bytes(meta)
+    codec = pa.Codec("zstd", compression_level=compression_level)
+    meta_comp = bytes(codec.compress(meta))
+
+    tmp = out_path + ".tmp"
+    with open(tmp, "wb") as out:
+        out.write(b"\x00" * _HEADER.size)
+        out.write(meta_comp)
+        for m in members:
+            with open(os.path.join(archive_dir, m), "rb") as f:
+                while True:
+                    block = f.read(_READ_BLOCK)
+                    if not block:
+                        break
+                    out.write(block)
+        compressed_size = out.tell()
+        header = _HEADER.pack(
+            MAGIC,
+            VERSION,
+            uncompressed_size,
+            compressed_size,
+            len(meta),  # reserved[0]: metadata uncompressed size (see module doc)
+            0,
+            0,
+            0,
+            len(meta_comp),
+            COMPRESSION_ZSTD,
+            0,
+        )
+        out.seek(0)
+        out.write(header)
+    os.replace(tmp, out_path)
+    return {
+        "files": len(members),
+        "size": compressed_size,
+        "uncompressed_size": uncompressed_size,
+    }
+
+
+def is_single_file_archive(path: str) -> bool:
+    if not os.path.isfile(path):
+        return False
+    try:
+        with open(path, "rb") as f:
+            return f.read(4) == MAGIC
+    except OSError:
+        return False
+
+
+def read_header(path: str) -> dict:
+    with open(path, "rb") as f:
+        raw = f.read(_HEADER.size)
+    if len(raw) < _HEADER.size:
+        raise ValueError(f"{path}: truncated single-file-archive header")
+    (magic, version, unc, comp, meta_unc, _r1, _r2, _r3, meta_size,
+     ctype, _pad) = _HEADER.unpack(raw)
+    if magic != MAGIC:
+        raise ValueError(f"{path}: bad magic {magic.hex()}")
+    return {
+        "version": (version >> 24, (version >> 16) & 0xFF, version & 0xFFFF),
+        "uncompressed_size": unc,
+        "compressed_size": comp,
+        "metadata_section_size": meta_size,
+        "metadata_uncompressed_size": meta_unc,
+        "compression_type": ctype,
+    }
+
+
+def read_metadata(path: str) -> dict:
+    """Header fields + decoded metadata packets (keys: ``archive_info``,
+    ``files`` [{n, o}], ``timestamp_dict``)."""
+    hdr = read_header(path)
+    if hdr["compression_type"] != COMPRESSION_ZSTD:
+        raise ValueError(
+            f"{path}: unsupported compression type {hdr['compression_type']}"
+        )
+    with open(path, "rb") as f:
+        f.seek(_HEADER.size)
+        meta_comp = f.read(hdr["metadata_section_size"])
+    codec = pa.Codec("zstd")
+    meta = bytes(codec.decompress(meta_comp, hdr["metadata_uncompressed_size"]))
+    n_packets = meta[0]
+    pos = 1
+    out: dict = dict(hdr)
+    for _ in range(n_packets):
+        ptype, size = struct.unpack_from("<BI", meta, pos)
+        pos += 5
+        payload = meta[pos:pos + size]
+        pos += size
+        if ptype == PACKET_ARCHIVE_INFO:
+            out["archive_info"] = msgpack_unpack(payload)
+        elif ptype == PACKET_FILE_INFO:
+            out["files"] = msgpack_unpack(payload)["files"]
+        elif ptype == PACKET_TIMESTAMP_DICT:
+            out["timestamp_dict"] = msgpack_unpack(payload)
+        elif ptype == PACKET_RANGE_INDEX:
+            out["range_index"] = msgpack_unpack(payload)
+    return out
+
+
+def unpack_archive(path: str, out_dir: str) -> dict:
+    """Unpack a single-file archive back into an archive directory."""
+    meta = read_metadata(path)
+    files = meta["files"]
+    files_start = _HEADER.size + meta["metadata_section_size"]
+    ends = [f["o"] for f in files[1:]] + [
+        meta["compressed_size"] - files_start
+    ]
+    os.makedirs(out_dir, exist_ok=True)
+    with open(path, "rb") as src:
+        for info, end in zip(files, ends):
+            rel = info["n"]
+            if rel.startswith("/") or ".." in rel.split("/"):
+                raise ValueError(f"{path}: unsafe member path {rel!r}")
+            dst = os.path.join(out_dir, *rel.split("/"))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            src.seek(files_start + info["o"])
+            remaining = end - info["o"]
+            with open(dst, "wb") as out:
+                while remaining > 0:
+                    block = src.read(min(_READ_BLOCK, remaining))
+                    if not block:
+                        raise ValueError(f"{path}: truncated member {rel!r}")
+                    out.write(block)
+                    remaining -= len(block)
+    return {"files": len(files), "dir": out_dir}
+
+
+def extract_member(path: str, name: str) -> bytes:
+    """Read ONE member without unpacking the archive (the manifest, say)."""
+    meta = read_metadata(path)
+    files = meta["files"]
+    files_start = _HEADER.size + meta["metadata_section_size"]
+    for i, info in enumerate(files):
+        if info["n"] == name:
+            end = (
+                files[i + 1]["o"]
+                if i + 1 < len(files)
+                else meta["compressed_size"] - files_start
+            )
+            with open(path, "rb") as f:
+                f.seek(files_start + info["o"])
+                return f.read(end - info["o"])
+    raise KeyError(f"{path}: no member {name!r}")

@@ -597,3 +597,124 @@ class TestFormattedFloatRetention:
         assert len(got) == 40
         for i in range(40):
             assert got[i] == '{"i":%d,"v":1.%02dE2}' % (i, i)
+
+
+class TestDisableLogOrder:
+    """clp-s `--disable-log-order` (CommandLineArguments.cpp:417-420): the
+    ingestion-order column is not stored (JsonParser.cpp:774); ordered
+    decompression falls back to one unordered 'original' file with a
+    warning (JsonConstructor.cpp:41-56)."""
+
+    LINES = [
+        '{"ts": 1, "msg": "alpha"}',
+        '{"ts": 2, "msg": "beta", "code": 404}',
+        '{"tag": "other-schema"}',
+        '{"ts": 3, "msg": "gamma"}',
+    ]
+
+    def _build(self, spark, tmp_path, name="noord"):
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(self.LINES)], "ord long, raw string"
+        )
+        out = str(tmp_path / name)
+        compress_jsonl_archive(
+            df, "raw", out, order_col="ord", record_log_order=False
+        )
+        return out
+
+    def test_idx_not_stored(self, spark, tmp_path):
+        import os
+
+        out = self._build(spark, tmp_path)
+        manifest = json.load(open(os.path.join(out, "manifest.json")))
+        assert manifest["log_order"] is False
+        for entry in manifest["schemas"]:
+            tbl = spark.read.parquet(
+                os.path.join(out, f"schema_id={entry['schema_id']}")
+            )
+            assert "log_event_idx" not in tbl.columns
+
+    def test_reconstruct_unordered_multiset(self, spark, tmp_path):
+        out = self._build(spark, tmp_path)
+        rows = reconstruct_jsonl(spark, out).collect()
+        assert all(r["log_event_idx"] is None for r in rows)
+        got = sorted(json.dumps(json.loads(r["json"]), sort_keys=True)
+                     for r in rows)
+        want = sorted(json.dumps(json.loads(s), sort_keys=True)
+                      for s in self.LINES)
+        assert got == want
+
+    def test_search_still_exact(self, spark, tmp_path):
+        from clp_spark.operators.json_archive import search_json_archive
+
+        out = self._build(spark, tmp_path)
+        hits = search_json_archive(spark, out, "code: 404").collect()
+        assert len(hits) == 1
+        assert json.loads(hits[0]["json"])["msg"] == "beta"
+        assert hits[0]["log_event_idx"] is None
+
+    def test_chunks_fall_back_to_original_file(self, spark, tmp_path):
+        import os
+
+        from clp_spark.operators.json_archive import reconstruct_jsonl_chunks
+
+        out = self._build(spark, tmp_path)
+        dst = str(tmp_path / "xout")
+        s = reconstruct_jsonl_chunks(spark, out, dst, target_chunk_size=100)
+        assert s == {"chunks": 1, "rows": len(self.LINES),
+                     "files": ["original"]}
+        lines = open(os.path.join(dst, "original")).read().splitlines()
+        got = sorted(json.dumps(json.loads(ln), sort_keys=True)
+                     for ln in lines)
+        want = sorted(json.dumps(json.loads(s_), sort_keys=True)
+                      for s_ in self.LINES)
+        assert got == want
+
+    def test_federated_mixed_order_archives(self, spark, tmp_path):
+        from clp_spark.operators.json_archive import search_json_archives
+
+        root = tmp_path / "mixed"
+        root.mkdir()
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(self.LINES)], "ord long, raw string"
+        )
+        compress_jsonl_archive(df, "raw", str(root / "ordered"),
+                               order_col="ord")
+        compress_jsonl_archive(df, "raw", str(root / "unordered"),
+                               order_col="ord", record_log_order=False)
+        hits = search_json_archives(spark, str(root), "code: 404").collect()
+        by_arch = {r["archive_id"]: r for r in hits}
+        assert set(by_arch) == {"ordered", "unordered"}
+        assert by_arch["ordered"]["log_event_idx"] == 1
+        assert by_arch["unordered"]["log_event_idx"] is None
+
+    def test_cli_lifecycle(self, tmp_path):
+        import os
+        import subprocess
+        import sys as _sys
+
+        src = tmp_path / "in.jsonl"
+        src.write_text("\n".join(self.LINES) + "\n")
+        arch = str(tmp_path / "arch")
+        env = {**os.environ, "PYTHONPATH": "/root/repo"}
+        r = subprocess.run(
+            [_sys.executable, "-m", "clp_spark.cli", "c", "--json",
+             "--disable-log-order", arch, str(src)],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        dst = str(tmp_path / "out")
+        r = subprocess.run(
+            [_sys.executable, "-m", "clp_spark.cli", "x", arch, "-o", dst],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert json.loads(r.stdout.strip().splitlines()[-1])["files"] == [
+            "original"
+        ]
+        lines = open(os.path.join(dst, "original")).read().splitlines()
+        got = sorted(json.dumps(json.loads(ln), sort_keys=True)
+                     for ln in lines)
+        want = sorted(json.dumps(json.loads(s_), sort_keys=True)
+                      for s_ in self.LINES)
+        assert got == want

@@ -1,0 +1,301 @@
+"""Single-file archives (clp-s `c --single-file-archive`).
+
+Container parity targets: SingleFileArchiveDefs.hpp (magic FD2FC530,
+64-byte header layout, packet framing), ArchiveWriter.cpp:145-257 (write
+order: metadata at sizeof(header), bodies, header patched last; cumulative
+file offsets), ArchiveReaderAdaptor.cpp:88-92,196,316-354 (offset
+resolution relative to the files-section start).
+"""
+
+import hashlib
+import json
+import os
+import struct
+import subprocess
+import sys
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from clp_spark.operators.json_archive import (
+    compress_jsonl_archive,
+    localize_single_file_archives,
+    reconstruct_jsonl,
+)
+from clp_spark.sinks.single_file_archive import (
+    MAGIC,
+    extract_member,
+    is_single_file_archive,
+    msgpack_pack,
+    msgpack_unpack,
+    pack_archive,
+    read_header,
+    read_metadata,
+    unpack_archive,
+)
+
+# ---------------------------------------------------------------------------
+# msgpack codec
+# ---------------------------------------------------------------------------
+
+SCALARS = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**64 - 1),
+    st.floats(allow_nan=False),
+    st.text(max_size=80),
+    st.binary(max_size=80),
+)
+NESTED = st.recursive(
+    SCALARS,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=8),
+        st.dictionaries(st.text(max_size=20), inner, max_size=8),
+    ),
+    max_leaves=25,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(NESTED)
+def test_msgpack_roundtrip(obj):
+    out = msgpack_unpack(msgpack_pack(obj))
+    # tuples pack as arrays; normalize before comparing
+    def norm(x):
+        if isinstance(x, tuple):
+            return [norm(i) for i in x]
+        if isinstance(x, list):
+            return [norm(i) for i in x]
+        if isinstance(x, dict):
+            return {k: norm(v) for k, v in x.items()}
+        return x
+    assert out == norm(obj)
+
+
+def test_msgpack_known_bytes():
+    # spot-check against the public spec's wire format
+    assert msgpack_pack(None) == b"\xc0"
+    assert msgpack_pack(True) == b"\xc3"
+    assert msgpack_pack(7) == b"\x07"
+    assert msgpack_pack(-3) == b"\xfd"
+    assert msgpack_pack(200) == b"\xcc\xc8"
+    assert msgpack_pack("hi") == b"\xa2hi"
+    assert msgpack_pack([1, 2]) == b"\x92\x01\x02"
+    assert msgpack_pack({"n": "a", "o": 5}) == b"\x82\xa1n\xa1a\xa1o\x05"
+
+
+# ---------------------------------------------------------------------------
+# pack/unpack
+# ---------------------------------------------------------------------------
+
+
+def _make_dir(tmp_path, files: dict) -> str:
+    d = tmp_path / "arch"
+    for rel, data in files.items():
+        p = d / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(data)
+    return str(d)
+
+
+def _tree_hashes(root: str) -> dict:
+    out = {}
+    for r, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(r, f)
+            rel = os.path.relpath(p, root)
+            out[rel] = hashlib.sha256(open(p, "rb").read()).hexdigest()
+    return out
+
+
+FILES = {
+    "manifest.json": json.dumps({"schemas": [], "timestamp_key": "ts"}).encode(),
+    "schema_id=ab12/part-0.parquet": os.urandom(3000),
+    "schema_id=ab12/part-1.parquet": os.urandom(1),
+    "schema_id=cd34/part-0.parquet": b"",
+    "schema_id=cd34/_SUCCESS": b"",
+}
+
+
+def test_pack_unpack_identical(tmp_path):
+    src = _make_dir(tmp_path, FILES)
+    sfa = str(tmp_path / "packed")
+    stats = pack_archive(src, sfa, timestamp_dict={"timestamp_key": "ts"})
+    assert stats["files"] == len(FILES)
+    assert stats["uncompressed_size"] == sum(len(v) for v in FILES.values())
+    assert is_single_file_archive(sfa)
+    out = str(tmp_path / "unpacked")
+    unpack_archive(sfa, out)
+    assert _tree_hashes(out) == _tree_hashes(src)
+
+
+def test_header_layout(tmp_path):
+    """Byte-level header parity with SingleFileArchiveDefs.hpp."""
+    src = _make_dir(tmp_path, FILES)
+    sfa = str(tmp_path / "packed")
+    pack_archive(src, sfa)
+    raw = open(sfa, "rb").read()
+    assert raw[:4] == bytes([0xFD, 0x2F, 0xC5, 0x30])
+    (version,) = struct.unpack_from("<I", raw, 4)
+    assert version >> 24 == 0 and (version >> 16) & 0xFF == 5
+    hdr = read_header(sfa)
+    assert hdr["compressed_size"] == len(raw)
+    assert hdr["compression_type"] == 0  # Zstd
+    # metadata section sits immediately after the 64-byte header
+    meta = read_metadata(sfa)
+    assert meta["archive_info"] == {"num_segments": 1}
+    names = [f["n"] for f in meta["files"]]
+    assert names[0] == "manifest.json"  # manifest packed first
+    assert sorted(names) == sorted(FILES)
+    # offsets are cumulative from the files-section start
+    offs = [f["o"] for f in meta["files"]]
+    assert offs == sorted(offs) and offs[0] == 0
+    files_start = 64 + hdr["metadata_section_size"]
+    assert files_start + hdr["uncompressed_size"] == len(raw)
+
+
+def test_extract_member(tmp_path):
+    src = _make_dir(tmp_path, FILES)
+    sfa = str(tmp_path / "packed")
+    pack_archive(src, sfa)
+    # selective read without unpacking (reader adaptor's per-section seek)
+    for rel, data in FILES.items():
+        assert extract_member(sfa, rel) == data
+    with pytest.raises(KeyError):
+        extract_member(sfa, "nope")
+
+
+def test_unpack_rejects_traversal(tmp_path):
+    src = _make_dir(tmp_path, {"manifest.json": b"{}"})
+    sfa = str(tmp_path / "packed")
+    pack_archive(src, sfa)
+    # corrupt the member name into a path traversal and re-pack metadata:
+    # simplest is to craft via the private API — instead verify the guard
+    # directly on the unpacker by monkeypatching read_metadata
+    import clp_spark.sinks.single_file_archive as m
+
+    meta = m.read_metadata(sfa)
+    meta["files"][0]["n"] = "../evil"
+    orig = m.read_metadata
+    m.read_metadata = lambda p: meta
+    try:
+        with pytest.raises(ValueError, match="unsafe member path"):
+            unpack_archive(sfa, str(tmp_path / "out"))
+    finally:
+        m.read_metadata = orig
+
+
+def test_is_single_file_archive_negatives(tmp_path):
+    p = tmp_path / "plain.jsonl"
+    p.write_text('{"a": 1}\n')
+    assert not is_single_file_archive(str(p))
+    assert not is_single_file_archive(str(tmp_path))
+    assert not is_single_file_archive(str(tmp_path / "missing"))
+
+
+# ---------------------------------------------------------------------------
+# lifecycle through the archive readers
+# ---------------------------------------------------------------------------
+
+LINES = [
+    '{"ts": 1, "msg": "alpha", "lat": 1.5}',
+    '{"ts": 2, "msg": "beta", "code": 404}',
+    '{"ts": 3, "msg": "gamma", "lat": 2.5}',
+    '{"tag": "no-ts"}',
+]
+
+
+def _build_archive(spark, tmp_path, name="jarch") -> str:
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(LINES)], "ord long, raw string"
+    )
+    out = str(tmp_path / name)
+    compress_jsonl_archive(df, "raw", out, order_col="ord")
+    return out
+
+def test_localize_roundtrip(spark, tmp_path):
+    arch = _build_archive(spark, tmp_path)
+    sfa = str(tmp_path / "packed")
+    pack_archive(arch, sfa)
+    loc = localize_single_file_archives(sfa)
+    assert os.path.isdir(loc)
+    before = [r["json"] for r in reconstruct_jsonl(spark, arch).collect()]
+    after = [r["json"] for r in reconstruct_jsonl(spark, loc).collect()]
+    assert before == after
+
+
+def test_localize_mixed_dir(spark, tmp_path):
+    """A directory mixing packed + unpacked archives localizes to a root
+    where discovery sees both."""
+    from clp_spark.operators.json_archive import discover_json_archives
+    import shutil
+
+    root = tmp_path / "archives"
+    root.mkdir()
+    a1 = _build_archive(spark, tmp_path, "a1")
+    shutil.move(a1, str(root / "a1"))
+    a2 = _build_archive(spark, tmp_path, "a2")
+    pack_archive(a2, str(root / "a2"))
+    shutil.rmtree(a2)
+    loc = localize_single_file_archives(str(root))
+    assert loc != str(root)
+    found = sorted(os.path.basename(d) for d in discover_json_archives(loc))
+    assert found == ["a1", "a2"]
+
+
+def test_localize_passthrough(tmp_path):
+    d = tmp_path / "plain"
+    d.mkdir()
+    (d / "x.txt").write_text("hi")
+    assert localize_single_file_archives(str(d)) == str(d)
+    f = tmp_path / "f.jsonl"
+    f.write_text("{}\n")
+    assert localize_single_file_archives(str(f)) == str(f)
+
+
+def test_cli_single_file_archive_lifecycle(tmp_path):
+    """c --json --single-file-archive → one FILE; x and s-kql read it."""
+    src = tmp_path / "in.jsonl"
+    src.write_text("\n".join(LINES) + "\n")
+    sfa = str(tmp_path / "arch.sfa")
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+
+    r = subprocess.run(
+        [sys.executable, "-m", "clp_spark.cli", "c", "--json",
+         "--single-file-archive", sfa, str(src)],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["single_file_archive"]["files"] >= 2
+    assert os.path.isfile(sfa) and is_single_file_archive(sfa)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "clp_spark.cli", "x", sfa],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = [json.loads(line) for line in r.stdout.strip().splitlines()]
+    assert got == [json.loads(line) for line in LINES]
+
+    r = subprocess.run(
+        [sys.executable, "-m", "clp_spark.cli", "s-kql", sfa, "code: 404"],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    hits = [json.loads(line) for line in r.stdout.strip().splitlines()]
+    assert hits == [{"ts": 2, "msg": "beta", "code": 404}]
+
+
+def test_cli_single_file_archive_requires_json(tmp_path):
+    src = tmp_path / "in.log"
+    src.write_text("hello\n")
+    r = subprocess.run(
+        [sys.executable, "-m", "clp_spark.cli", "c", "--single-file-archive",
+         str(tmp_path / "arch"), str(src)],
+        capture_output=True, text=True,
+        env={**os.environ, "PYTHONPATH": "/root/repo"},
+    )
+    assert r.returncode != 0
+    assert "--single-file-archive requires --json" in r.stderr
