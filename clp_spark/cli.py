@@ -42,6 +42,9 @@ def cmd_compress(args) -> None:
     if args.single_file_archive and not args.json:
         sys.exit("error: --single-file-archive requires --json (clp-s "
                  "structured archives only, like the reference)")
+    if args.print_archive_stats and not args.json:
+        sys.exit("error: --print-archive-stats requires --json (a clp-s "
+                 "flag in the reference)")
     args.inputs = localize_inputs(args.inputs)
     from clp_spark.sources.logfiles import (
         compress_text_logs,
@@ -50,12 +53,23 @@ def cmd_compress(args) -> None:
     )
 
     spark = _spark(args.master)
+    if args.compression_level is not None and not args.json:
+        # text archives write through many sinks; pin the codec at the
+        # session so every table honors `clp c --compression-level`
+        spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
+        spark.sparkContext._jsc.hadoopConfiguration().set(
+            "parquet.compression.codec.zstd.level",
+            str(args.compression_level),
+        )
     if args.json:
         # clp-s c: JSONL → per-schema typed tables + ordered-reconstruction
         # manifest (operators/json_archive.py)
         from pyspark.sql import functions as F
 
-        from clp_spark.operators.json_archive import compress_jsonl_archive
+        from clp_spark.operators.json_archive import (
+            archive_stats,
+            compress_jsonl_archive,
+        )
         from clp_spark.sources.logfiles import expand_tar_inputs
 
         df = (
@@ -76,6 +90,12 @@ def cmd_compress(args) -> None:
                 timestamp_key=args.timestamp_key,
                 retain_float_format=not args.no_retain_float_format,
                 record_log_order=not args.disable_log_order,
+                compression_level=args.compression_level,
+                max_document_size=args.max_document_size,
+            )
+            stats_lines = (
+                [archive_stats(s["dir"]) for s in summary["per_archive"]]
+                if args.print_archive_stats else []
             )
             if args.single_file_archive:
                 # pack each produced archive dir into one file named by its
@@ -85,7 +105,7 @@ def cmd_compress(args) -> None:
 
                 from clp_spark.sinks.single_file_archive import pack_archive
 
-                for s in summary["per_archive"]:
+                for i, s in enumerate(summary["per_archive"]):
                     d = s["dir"]
                     pack_archive(
                         d, d + ".sfa",
@@ -96,6 +116,10 @@ def cmd_compress(args) -> None:
                     )
                     shutil.rmtree(d)
                     os.replace(d + ".sfa", d)
+                    if stats_lines:
+                        # compressed size = the packed file, like the
+                        # reference's single-file ArchiveStats
+                        stats_lines[i]["size"] = os.path.getsize(d)
                 summary["single_file_archives"] = len(summary["per_archive"])
         else:
             out_dir = (
@@ -108,6 +132,11 @@ def cmd_compress(args) -> None:
                 timestamp_key=args.timestamp_key,
                 retain_float_format=not args.no_retain_float_format,
                 record_log_order=not args.disable_log_order,
+                compression_level=args.compression_level,
+                max_document_size=args.max_document_size,
+            )
+            stats_lines = (
+                [archive_stats(out_dir)] if args.print_archive_stats else []
             )
             if args.single_file_archive:
                 import shutil
@@ -124,6 +153,15 @@ def cmd_compress(args) -> None:
                 shutil.rmtree(out_dir)
                 summary["dir"] = args.archive
                 summary["single_file_archive"] = sfa
+                if stats_lines:
+                    stats_lines[0]["id"] = os.path.basename(
+                        os.path.normpath(args.archive)
+                    )
+                    stats_lines[0]["size"] = os.path.getsize(args.archive)
+        for line in stats_lines:
+            # clp-s --print-archive-stats: one JSON line per archive on
+            # stdout at close (ArchiveWriter.cpp:125-128)
+            print(json.dumps(line))
         print(json.dumps(summary))
         return
     if args.target_archive_size is not None:
@@ -771,6 +809,22 @@ def main(argv: list[str] | None = None) -> None:
         "--target-encoded-size", type=int, default=None, metavar="BYTES",
         help="JSON mode: split input into multiple archives of ~BYTES raw "
              "input each (clp-s --target-encoded-size analog)",
+    )
+    c.add_argument(
+        "--compression-level", type=int, default=None, metavar="LEVEL",
+        help="zstd level for archive tables (clp/clp-s --compression-level; "
+        "reference default 3; omitted = Spark session default codec)",
+    )
+    c.add_argument(
+        "--max-document-size", type=int, default=512 * 1024 * 1024,
+        metavar="BYTES",
+        help="JSON mode: a record over this size fails compression "
+        "(clp-s --max-document-size, default 512 MiB)",
+    )
+    c.add_argument(
+        "--print-archive-stats", action="store_true",
+        help="JSON mode: print one stats JSON line per archive "
+        "(clp-s --print-archive-stats)",
     )
     c.set_defaults(fn=cmd_compress)
 

