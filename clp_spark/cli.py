@@ -204,9 +204,25 @@ def cmd_extract(args) -> None:
     )
     from clp_spark.sources.logfiles import decompress_file, extract_to_files
 
+    # clp-s validates both chunk flags against --ordered
+    # (CommandLineArguments.cpp:678-689)
+    if not args.ordered:
+        if args.target_ordered_chunk_size:
+            sys.exit("error: target-ordered-chunk-size must be used with "
+                     "ordered argument")
+        if args.print_ordered_chunk_stats:
+            sys.exit("error: print-ordered-chunk-stats must be used with "
+                     "ordered argument")
     args.archive = localize_single_file_archives(args.archive)
     spark = _spark(args.master)
     from clp_spark.operators.json_archive import discover_json_archives
+
+    def _chunk_stats(summary: dict) -> None:
+        # clp-s --print-ordered-chunk-stats: one {"path": ...} JSON line
+        # per finalized chunk (JsonConstructor.cpp:139-144)
+        if args.print_ordered_chunk_stats:
+            for name in summary["files"]:
+                print(json.dumps({"path": os.path.join(args.output, name)}))
 
     json_archive_dirs = (
         [args.archive] if is_json_archive(args.archive)
@@ -215,7 +231,8 @@ def cmd_extract(args) -> None:
     if json_archive_dirs and not is_json_archive(args.archive):
         # clp-s x over a DIRECTORY of archives: each reconstructs into the
         # same output dir; chunk names carry the archive id so they never
-        # collide (JsonConstructor names files {archive_id}_{first}_{last+1})
+        # collide (JsonConstructor names files {archive_id}_{first}_{last+1});
+        # without --ordered every archive appends to the one "original" file
         from clp_spark.operators.json_archive import reconstruct_jsonl_chunks
 
         if not args.output:
@@ -225,14 +242,19 @@ def cmd_extract(args) -> None:
             s = reconstruct_jsonl_chunks(
                 spark, d, args.output,
                 target_chunk_size=args.target_ordered_chunk_size or 0,
+                ordered=args.ordered,
             )
+            _chunk_stats(s)
             total["archives"] += 1
             total["rows"] += s["rows"]
-            total["files"].extend(s["files"])
+            for name in s["files"]:
+                if name not in total["files"]:
+                    total["files"].append(name)
         print(json.dumps({**total, "output": args.output}))
         return
     if is_json_archive(args.archive):
-        # clp-s x: ordered JSONL reconstruction (JsonConstructor parity)
+        # clp-s x: JSONL reconstruction (JsonConstructor parity) — default
+        # out-of-order into one "original" file, --ordered = in-order chunks
         from clp_spark.operators.json_archive import (
             reconstruct_jsonl, reconstruct_jsonl_chunks,
         )
@@ -243,7 +265,9 @@ def cmd_extract(args) -> None:
             summary = reconstruct_jsonl_chunks(
                 spark, args.archive, args.output,
                 target_chunk_size=args.target_ordered_chunk_size or 0,
+                ordered=args.ordered,
             )
+            _chunk_stats(summary)
             print(json.dumps({**summary, "output": args.output}))
         else:
             for r in reconstruct_jsonl(spark, args.archive).collect():
@@ -833,10 +857,22 @@ def main(argv: list[str] | None = None) -> None:
     x.add_argument("--file", default=None)
     x.add_argument("-o", "--output", default=None)
     x.add_argument(
+        "--ordered", action="store_true",
+        help="JSON archives: reconstruct in log order as "
+             "{archive_id}_{first}_{last+1}.jsonl files (clp-s --ordered); "
+             "without it everything appends out of order to one 'original' "
+             "file — no global sort, the clp-s default",
+    )
+    x.add_argument(
         "--target-ordered-chunk-size", type=int, default=0, metavar="BYTES",
         help="JSON archives: split the ordered reconstruction into "
              "~BYTES-sized {archive_id}_{first}_{last+1}.jsonl chunk files "
-             "(0 = one file, clp-s default)",
+             "(0 = one file, clp-s default; requires --ordered)",
+    )
+    x.add_argument(
+        "--print-ordered-chunk-stats", action="store_true",
+        help="print one {\"path\": ...} JSON line per finalized ordered "
+             "chunk (clp-s --print-ordered-chunk-stats; requires --ordered)",
     )
     x.set_defaults(fn=cmd_extract)
 

@@ -562,12 +562,42 @@ def search_json_archive(
     return out
 
 
+def _store_unordered(spark: SparkSession, archive_dir: str, out_dir: str) -> dict:
+    """clp-s `x` WITHOUT `--ordered` (the reference's default,
+    JsonConstructor.cpp:49-56): append every record to ONE file named
+    "original" in per-table order — no global sort, so the whole extraction
+    stays a union of narrow per-schema scans. Appending means extracting a
+    directory of archives accumulates into the same file, exactly like the
+    reference's CreateIfNonexistentForAppending open mode."""
+    import shutil
+
+    df = reconstruct_jsonl(spark, archive_dir, ordered=False)
+    staging = os.path.join(out_dir, "_staging")
+    df.select("json").write.mode("overwrite").text(staging)
+    os.makedirs(out_dir, exist_ok=True)
+    rows = 0
+    with open(os.path.join(out_dir, "original"), "ab") as w_out:
+        for p in sorted(
+            e.path for e in os.scandir(staging) if e.name.startswith("part-")
+        ):
+            with open(p, "rb") as r_in:
+                while True:
+                    block = r_in.read(1 << 20)
+                    if not block:
+                        break
+                    rows += block.count(b"\n")
+                    w_out.write(block)
+    shutil.rmtree(staging, ignore_errors=True)
+    return {"chunks": 1, "rows": rows, "files": ["original"]}
+
+
 def reconstruct_jsonl_chunks(
     spark: SparkSession,
     archive_dir: str,
     out_dir: str,
     target_chunk_size: int = 0,
     archive_id: str | None = None,
+    ordered: bool = True,
 ) -> dict:
     """`clp-s x --ordered [--target-ordered-chunk-size N]` analog: write the
     ordered reconstruction as `{archive_id}_{first}_{last+1}.jsonl` chunk
@@ -589,13 +619,18 @@ def reconstruct_jsonl_chunks(
     task, so chunk files materialize in parallel with no driver data
     movement; the driver only renames O(chunks) part files.
 
-    Returns {"chunks": n, "rows": n, "files": [names...]}.
+    ``ordered=False`` is the reference's DEFAULT `x` behavior: skip the
+    global sort entirely and append to one "original" file
+    (JsonConstructor.cpp:49-56). Returns
+    {"chunks": n, "rows": n, "files": [names...]}.
     """
     import shutil
     from urllib.parse import unquote
 
     from pyspark.sql.window import Window
 
+    if not ordered:
+        return _store_unordered(spark, archive_dir, out_dir)
     aid = archive_id or os.path.basename(os.path.normpath(archive_dir))
     with open(os.path.join(archive_dir, _MANIFEST)) as f:
         if not json.load(f).get("log_order", True):
@@ -609,25 +644,7 @@ def reconstruct_jsonl_chunks(
                 " decompressed in log order. Falling back to out of order"
                 " decompression.", archive_dir,
             )
-            df = reconstruct_jsonl(spark, archive_dir, ordered=False)
-            staging = os.path.join(out_dir, "_staging")
-            df.select("json").write.mode("overwrite").text(staging)
-            os.makedirs(out_dir, exist_ok=True)
-            rows = 0
-            with open(os.path.join(out_dir, "original"), "ab") as w_out:
-                for p in sorted(
-                    e.path for e in os.scandir(staging)
-                    if e.name.startswith("part-")
-                ):
-                    with open(p, "rb") as r_in:
-                        while True:
-                            block = r_in.read(1 << 20)
-                            if not block:
-                                break
-                            rows += block.count(b"\n")
-                            w_out.write(block)
-            shutil.rmtree(staging, ignore_errors=True)
-            return {"chunks": 1, "rows": rows, "files": ["original"]}
+            return _store_unordered(spark, archive_dir, out_dir)
     df = reconstruct_jsonl(spark, archive_dir, ordered=False)
     if not target_chunk_size:
         assign = df.select(F.lit(0).alias("_chunk"), F.col(IDX_COL), "json")

@@ -7,6 +7,7 @@ construct_in_order semantics.
 """
 
 import json
+import os
 
 import pytest
 
@@ -329,11 +330,27 @@ class TestChunkedReconstruction:
         arch, lines = self._archive(spark, tmp_path, n=50)
         outdir = str(tmp_path / "cliout")
         cli.main([
-            "x", arch, "-o", outdir,
+            "x", arch, "-o", outdir, "--ordered",
             "--target-ordered-chunk-size", "600",
+            "--print-ordered-chunk-stats",
         ])
-        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        lines = capsys.readouterr().out.strip().splitlines()
+        out = json.loads(lines[-1])
         assert out["rows"] == 50 and out["chunks"] >= 2
+        # --print-ordered-chunk-stats: one {"path": ...} line per chunk
+        # (JsonConstructor.cpp:139-144), before the summary
+        stats = [json.loads(ln) for ln in lines[:-1]]
+        assert [os.path.basename(s["path"]) for s in stats] == out["files"]
+
+    def test_cli_chunk_flags_require_ordered(self, tmp_path):
+        from clp_spark import cli
+
+        with pytest.raises(SystemExit):
+            cli.main(["x", str(tmp_path / "a"), "-o", str(tmp_path / "o"),
+                      "--target-ordered-chunk-size", "600"])
+        with pytest.raises(SystemExit):
+            cli.main(["x", str(tmp_path / "a"), "-o", str(tmp_path / "o"),
+                      "--print-ordered-chunk-stats"])
 
 
 class TestFederatedJsonArchives:
@@ -430,7 +447,7 @@ def test_cli_extract_archives_dir(spark, tmp_path, capsys):
     cli.main(["c", root, str(src), "--json", "--target-encoded-size", "1500"])
     capsys.readouterr()
     outdir = str(tmp_path / "xout")
-    cli.main(["x", root, "-o", outdir])
+    cli.main(["x", root, "-o", outdir, "--ordered"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["archives"] >= 2 and out["rows"] == 60
     import os as _os
@@ -439,6 +456,15 @@ def test_cli_extract_archives_dir(spark, tmp_path, capsys):
     for name in sorted(out["files"]):
         got += [json.loads(l)["i"] for l in open(_os.path.join(outdir, name))]
     assert sorted(got) == list(range(60))
+    # default (no --ordered): the clp-s unordered store — every archive
+    # appends to ONE "original" file, no global sort
+    outdir2 = str(tmp_path / "xout_unordered")
+    cli.main(["x", root, "-o", outdir2])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["files"] == ["original"] and out2["rows"] == 60
+    vals = [json.loads(l)["i"]
+            for l in open(_os.path.join(outdir2, "original"))]
+    assert sorted(vals) == list(range(60))
 
 
 def test_timestamp_key_remembered(spark, tmp_path, capsys):
