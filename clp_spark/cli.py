@@ -550,6 +550,49 @@ def _kql_aggregate(res, json_col: str, args) -> bool:
     return True
 
 
+def _kql_with_ts_range(query: str, key: str | None, tge, tle) -> str:
+    """clp-s AddTimestampConditions (clp-s.cpp:180-199): AND the --tge/--tle
+    range conditions on the authoritative timestamp column into the query
+    AST; error out when the archive has no such column."""
+    if tge is None and tle is None:
+        return query
+    if not key:
+        sys.exit(
+            "error: --tge/--tle specified, but no authoritative timestamp "
+            "column was found (pass --timestamp-key or compress the archive "
+            "with one)"
+        )
+    conds = [f"({query})"]
+    if tge is not None:
+        conds.append(f"{key} >= {tge}")
+    if tle is not None:
+        conds.append(f"{key} <= {tle}")
+    return " AND ".join(conds)
+
+
+def _latest_n(res, json_col: str, key: str | None, n: int):
+    """clp-s --max-num-results (OutputHandlerImpl.cpp:155-178): keep the n
+    results with the LARGEST authoritative timestamps — the reference's
+    min-heap, Spark's TakeOrderedAndProject (no full sort at scale).
+    Without a timestamp key every record ties (the reference heaps
+    identical timestamps), so this degrades to an arbitrary n."""
+    if key is None:
+        return res.limit(n)
+    v = F.get_json_object(F.col(json_col), "$." + key)
+    # value-based twin of the archive's schema-based normalization
+    # (json_search.py JsonArchive): digit-only lexeme = already epoch ms;
+    # anything else parses as double epoch SECONDS
+    ts = F.when(v.rlike("^-?[0-9]+$"), v.cast("long")).otherwise(
+        F.round(v.cast("double") * 1000).cast("long")
+    )
+    return (
+        res.withColumn("__ts__", ts)
+        .orderBy(F.desc_nulls_last("__ts__"))
+        .limit(n)
+        .drop("__ts__")
+    )
+
+
 def _apply_projection(res, json_col: str, paths: list[str]):
     """clp-s `--projection COLUMN...` (CommandLineArguments.cpp:759-765,
     search/Projection.hpp:24-79): output only the given leaf columns,
@@ -608,15 +651,23 @@ def cmd_search_kql(args) -> None:
     if not is_json_archive(args.input) and discover_json_archives(args.input):
         # clp-s `s <archives-dir>`: a DIRECTORY of JSON archives searches
         # federated in one Spark job; --archive-id restricts to one
-        from clp_spark.operators.json_archive import search_json_archives
+        from clp_spark.operators.json_archive import (
+            archive_timestamp_key, search_json_archives,
+        )
 
+        ts_key = args.timestamp_key or archive_timestamp_key(
+            discover_json_archives(args.input)[0]
+        )
+        query = _kql_with_ts_range(args.query, ts_key, args.tge, args.tle)
         res = search_json_archives(
-            spark, args.input, args.query,
+            spark, args.input, query,
             ignore_case=args.ignore_case,
             timestamp_key=args.timestamp_key,
             archive_id=args.archive_id,
         )
         if not _kql_aggregate(res, "json", args):
+            if args.max_num_results is not None:
+                res = _latest_n(res, "json", ts_key, args.max_num_results)
             if args.projection:
                 res = _apply_projection(res, "json", args.projection)
             out = res.limit(args.limit) if args.limit is not None else res
@@ -635,12 +686,19 @@ def cmd_search_kql(args) -> None:
         if args.timestamp_key is None:
             args.timestamp_key = archive_timestamp_key(args.input)
 
+        query = _kql_with_ts_range(
+            args.query, args.timestamp_key, args.tge, args.tle
+        )
         res = search_json_archive(
-            spark, args.input, args.query,
+            spark, args.input, query,
             ignore_case=args.ignore_case,
             timestamp_key=args.timestamp_key,
         )
         if not _kql_aggregate(res, "json", args):
+            if args.max_num_results is not None:
+                res = _latest_n(
+                    res, "json", args.timestamp_key, args.max_num_results
+                )
             if args.projection:
                 res = _apply_projection(res, "json", args.projection)
             out = res.limit(args.limit) if args.limit is not None else res
@@ -648,12 +706,20 @@ def cmd_search_kql(args) -> None:
                 print(r["json"])
         return
     df = spark.read.text(args.input).withColumnRenamed("value", "raw")
+    query = _kql_with_ts_range(
+        args.query, args.timestamp_key, args.tge, args.tle
+    )
     res = search_jsonl(
-        df, "raw", args.query,
+        df, "raw", query,
         ignore_case=args.ignore_case,
         structurize_arrays=args.structurize_arrays,
+        timestamp_key=args.timestamp_key,
     )
     if not _kql_aggregate(res, "raw", args):
+        if args.max_num_results is not None:
+            res = _latest_n(
+                res, "raw", args.timestamp_key, args.max_num_results
+            )
         if args.projection:
             res = _apply_projection(res, "raw", args.projection)
         out = res.limit(args.limit) if args.limit is not None else res
@@ -939,6 +1005,24 @@ def main(argv: list[str] | None = None) -> None:
         "--archive-id", default=None, metavar="ID",
         help="limit search to the archive in the given subdirectory of an "
              "archives directory",
+    )
+    sk.add_argument(
+        "--tge", type=int, default=None, metavar="EPOCH_MS",
+        help="only records whose authoritative timestamp is >= this "
+             "(clp-s --tge; needs a timestamp key, from --timestamp-key or "
+             "the archive)",
+    )
+    sk.add_argument(
+        "--tle", type=int, default=None, metavar="EPOCH_MS",
+        help="only records whose authoritative timestamp is <= this "
+             "(clp-s --tle)",
+    )
+    sk.add_argument(
+        "--max-num-results", type=int, default=None, metavar="MAX",
+        help="keep only the MAX results with the LATEST authoritative "
+             "timestamps (clp-s --max-num-results, "
+             "ResultsCacheOutputHandler's min-heap); without a timestamp "
+             "key this degrades to an arbitrary MAX results",
     )
     sk.set_defaults(fn=cmd_search_kql)
 

@@ -328,11 +328,13 @@ def search_jsonl(
     ignore_case: bool = False,
     structurize_arrays: bool = False,
     metadata: dict[str, object] | None = None,
+    timestamp_key: str | None = None,
 ) -> DataFrame:
     """One-shot convenience wrapper over JsonArchive."""
-    return JsonArchive(df, raw_col, structurize_arrays, metadata, cache=False).search(
-        query, ignore_case
-    )
+    return JsonArchive(
+        df, raw_col, structurize_arrays, metadata, cache=False,
+        timestamp_key=timestamp_key,
+    ).search(query, ignore_case)
 
 
 def materialize_schema_tables(

@@ -286,6 +286,63 @@ class TestProjection:
             cli.main(["s-kql", jsonl, "*", "--projection", "ts", "ts"])
 
 
+class TestKqlTimeRangeAndMaxResults:
+    """clp-s search's --tge/--tle (AddTimestampConditions, clp-s.cpp:180-199:
+    ANDed range conditions on the authoritative timestamp column) and
+    --max-num-results (ResultsCacheOutputHandler min-heap,
+    OutputHandlerImpl.cpp:155-178: keep the MAX latest-timestamp results)."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("kqlts")
+        p = d / "ev.jsonl"
+        p.write_text("".join(
+            json.dumps({"i": i, "ts": 1_000_000 + i * 1000,
+                        "msg": f"event {i}"}) + "\n"
+            for i in range(20)
+        ))
+        return str(p)
+
+    @pytest.fixture(scope="class")
+    def archive(self, spark, corpus, tmp_path_factory):
+        arch = str(tmp_path_factory.mktemp("kqlts_arch") / "arch")
+        cli.main(["c", arch, corpus, "--json", "--timestamp-key", "ts"])
+        return arch
+
+    def _ids(self, capsys):
+        return sorted(
+            json.loads(l)["i"]
+            for l in capsys.readouterr().out.strip().splitlines() if l
+        )
+
+    def test_tge_tle_on_archive(self, archive, capsys):
+        capsys.readouterr()
+        cli.main(["s-kql", archive, "*", "--tge", "1005000",
+                  "--tle", "1008000"])
+        assert self._ids(capsys) == [5, 6, 7, 8]
+
+    def test_tge_tle_on_raw_jsonl(self, corpus, capsys):
+        cli.main(["s-kql", corpus, 'msg: "event*"', "--timestamp-key", "ts",
+                  "--tle", "1002000"])
+        assert self._ids(capsys) == [0, 1, 2]
+
+    def test_tge_requires_timestamp_key(self, corpus):
+        with pytest.raises(SystemExit, match="authoritative timestamp"):
+            cli.main(["s-kql", corpus, "*", "--tge", "5"])
+
+    def test_max_num_results_latest(self, archive, capsys):
+        capsys.readouterr()
+        cli.main(["s-kql", archive, "*", "--max-num-results", "3"])
+        # keeps the 3 LARGEST timestamps, not an arbitrary 3
+        assert self._ids(capsys) == [17, 18, 19]
+
+    def test_max_num_results_composes_with_range(self, archive, capsys):
+        capsys.readouterr()
+        cli.main(["s-kql", archive, "*", "--tle", "1010000",
+                  "--max-num-results", "2"])
+        assert self._ids(capsys) == [9, 10]
+
+
 class TestClgTimeAndFileFlags:
     """clg's strict/exact time flags (--tgt/--tlt/--teq,
     clg/CommandLineArguments.cpp:216-257) and --file-path."""
