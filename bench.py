@@ -560,6 +560,24 @@ def run_glt_bench(cpus: int) -> None:
             combine_threshold_pct=1.0, num_buckets=64,
         )
         query = f"*{tname(139)}*"  # one cold template
+
+        def du(path: str) -> int:
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(path) for f in fs
+            )
+
+        # First-query (cold: manifest/dict reads + compile + scan) measured
+        # from scratch on BOTH paths, then SCAN-STAGE timings on the built
+        # DataFrames: query compile is a fixed driver-side dictionary probe
+        # (~1 s, identical on both paths) that washes out exactly the I/O
+        # delta the layout exists to remove — the scan figure is what
+        # scales with archive size.
+        t0 = time.monotonic()
+        res_p, tables = search_glt_archive(spark, glt_dir, query)
+        n_pruned = res_p.count()
+        e2e_p = time.monotonic() - t0
+        t0 = time.monotonic()
         plain_sinks = (
             spark.read.option("basePath", f"{plain_dir}/sinks")
             .parquet(f"{plain_dir}/sinks")
@@ -568,52 +586,52 @@ def run_glt_bench(cpus: int) -> None:
         )
         plain_lt = spark.read.parquet(f"{plain_dir}/logtype_dict")
         plain_vd = spark.read.parquet(f"{plain_dir}/var_dict")
-        # End-to-end (compile + scan) and SCAN-STAGE timings, separated:
-        # query compile is a fixed driver-side dictionary probe (~1 s here,
-        # identical on both paths) that washes out exactly the I/O delta
-        # the layout exists to remove — the scan figure is what scales
-        # with archive size. DFs are built once (compile happens at build,
-        # the driver probes execute eagerly), then counts interleave.
-        t0 = time.monotonic()
-        res_p, tables = search_glt_archive(spark, glt_dir, query)
-        e2e_p = time.monotonic() - t0
-        t0 = time.monotonic()
         res_f = search_archive(plain_sinks, plain_lt, plain_vd, query)
+        n_full = res_f.count()
         e2e_f = time.monotonic() - t0
+        assert n_pruned == n_full and n_pruned > 0, (n_pruned, n_full)
         pairs, pruned_s, full_s = [], [], []
-        n_pruned = n_full = None
-        for i in range(4):
+        for _ in range(3):
             t0 = time.monotonic()
-            n_pruned = res_p.count()
+            res_p.count()
             dt_p = time.monotonic() - t0
             t0 = time.monotonic()
-            n_full = res_f.count()
+            res_f.count()
             dt_f = time.monotonic() - t0
-            assert n_pruned == n_full and n_pruned > 0, (n_pruned, n_full)
-            if i == 0:
-                e2e_p += dt_p
-                e2e_f += dt_f
-                continue  # first counts fold into end-to-end; drop from scan medians
             pairs.append(dt_f / dt_p)
             pruned_s.append(dt_p)
             full_s.append(dt_f)
         speedup = statistics.median(pairs)
+        sink_bytes = du(os.path.join(glt_dir, "sinks"))
+        pruned_bytes = sum(
+            du(p) for t in (tables or [])
+            if os.path.isdir(p := os.path.join(glt_dir, "sinks", f"lt_table={t}"))
+        )
+        skip_pct = 100.0 * (1 - pruned_bytes / sink_bytes) if sink_bytes else 0.0
         block = (
             "<!-- glt-prune -->\n"
             "### GLT logtype-table-pruned search (multi-template corpus)\n\n"
             f"{n} lines, {n_templates} templates (zipf-ish), query matches one "
-            "cold template; interleaved (pruned, full) pairs, median ratio.\n\n"
-            f"- scan stage, pruned GLT layout: "
-            f"{statistics.median(pruned_s):.2f} s "
-            f"(scans {len(tables or [])} of 64+ logtype tables — partition "
-            "filter on `lt_table`, directories pruned before I/O)\n"
-            f"- scan stage, plain archive: {statistics.median(full_s):.2f} s\n"
-            f"- **scan speedup = {speedup:.1f}x** ({n_pruned} hits, identical "
-            "result sets)\n"
-            f"- end-to-end first query: {e2e_p:.2f} s pruned vs {e2e_f:.2f} s "
-            "full — the fixed ~1 s driver-side query compile (dictionary "
-            "probes, same on both paths) dominates at this corpus size and "
-            "shrinks relative to scan as archives grow\n"
+            "cold template; same result sets on both paths.\n\n"
+            f"- **bytes touched: {pruned_bytes / 1e6:.1f} MB of "
+            f"{sink_bytes / 1e6:.1f} MB sinks ({skip_pct:.1f}% skipped)** — "
+            f"the partition filter on `lt_table` prunes "
+            f"{64 - len(tables or [])}+ of the logtype-table directories "
+            "before any I/O; this is the figure that scales (at 100 TB the "
+            "unpruned path must still open every file and read its logtype "
+            "column)\n"
+            f"- scan stage: {statistics.median(pruned_s):.2f} s pruned vs "
+            f"{statistics.median(full_s):.2f} s full "
+            f"({speedup:.2f}x; medians of interleaved pairs)\n"
+            f"- first query (cold; incl. ~1 s driver-side dictionary-probe "
+            f"compile, identical both paths): {e2e_p:.2f} s pruned vs "
+            f"{e2e_f:.2f} s full\n"
+            "- the wall-clock delta is modest HERE because the plain "
+            "baseline is not naive: round-3's logtype-sorted segments give "
+            "parquet min/max row-group pruning on `logtype_id`, so the "
+            "full scan already skips most row groups — the GLT layout "
+            "additionally skips the per-file footer + logtype-column reads, "
+            "an O(total-archive) cost that dominates at cluster scale\n"
             "<!-- /glt-prune -->"
         )
         path = os.path.join(_REPO, "BENCH.md")
@@ -626,6 +644,7 @@ def run_glt_bench(cpus: int) -> None:
             f.write(doc)
         print(json.dumps({
             "glt_scan_speedup": round(speedup, 2),
+            "glt_bytes_skipped_pct": round(skip_pct, 2),
             "glt_pruned_scan_sec": round(statistics.median(pruned_s), 3),
             "glt_full_scan_sec": round(statistics.median(full_s), 3),
             "glt_e2e_pruned_sec": round(e2e_p, 3),
