@@ -164,6 +164,17 @@ def cmd_compress(args) -> None:
             print(json.dumps(line))
         print(json.dumps(summary))
         return
+    if args.remove_path_prefix:
+        # clp c --remove-path-prefix validation
+        # (CommandLineArguments.cpp:419-424 + compression.cpp:271-277)
+        pfx = os.path.abspath(args.remove_path_prefix)
+        if not os.path.exists(pfx):
+            sys.exit("error: specified prefix does not exist")
+        if not os.path.isdir(pfx):
+            sys.exit("error: specified prefix is not a directory")
+        for p in args.inputs:
+            if not os.path.abspath(p).startswith(pfx.rstrip("/") + "/"):
+                sys.exit(f"error: '{p}' does not contain prefix '{pfx}'")
     if args.target_archive_size is not None:
         # archive splitting: <archive> is an archives DIRECTORY; inputs are
         # grouped/cut into archive-sized tasks (searchable via `s <dir>`)
@@ -173,6 +184,8 @@ def cmd_compress(args) -> None:
             args.archive,
             args.target_archive_size,
             lock_patterns=not args.no_pattern_lock,
+            remove_path_prefix=args.remove_path_prefix,
+            sort_input_files=args.sort_input_files == "true",
         )
     else:
         summary = compress_text_logs(
@@ -180,6 +193,7 @@ def cmd_compress(args) -> None:
             lock_patterns=not args.no_pattern_lock,
             glt_layout=args.glt,
             combine_threshold_pct=args.combine_threshold,
+            remove_path_prefix=args.remove_path_prefix,
         )
     if args.metadata_db:
         # global metadata catalog (GlobalSQLiteMetadataDB parity): register
@@ -852,6 +866,18 @@ def main(argv: list[str] | None = None) -> None:
         "--target-archive-size", type=int, default=None, metavar="BYTES",
         help="split the input into archives of ~this raw size; <archive> "
         "becomes a directory of archives",
+    )
+    c.add_argument(
+        "--remove-path-prefix", default=None, metavar="DIR",
+        help="remove the given path prefix from each compressed file's "
+             "stored path (clp c --remove-path-prefix)",
+    )
+    c.add_argument(
+        "--sort-input-files", choices=["true", "false"], default="true",
+        metavar="BOOL",
+        help="whether to compress input files in descending order of their "
+             "last modified time (clp c --sort-input-files, default true; "
+             "orders archive assignment with --target-archive-size)",
     )
     c.add_argument(
         "--json", action="store_true",

@@ -184,6 +184,22 @@ def expand_tar_inputs(inputs: list[str], tmp_root: str | None = None) -> list[st
     return out
 
 
+def strip_path_prefix_expr(col, prefix: str):
+    """clp `c --remove-path-prefix DIR` (utils.cpp:21-35
+    remove_prefix_and_clean_up_path): strip the directory prefix from the
+    stored file path. `col` holds file URIs (input_file_name form); the
+    scheme is normalized away and the cleaned path loses the prefix.
+    Paths outside the prefix pass through unchanged — the CLI validates
+    inputs against the prefix up front, mirroring the reference's
+    per-path error."""
+    pfx = os.path.abspath(prefix).rstrip("/") + "/"
+    path = F.url_decode(F.regexp_replace(col, "^file:(//)?", ""))
+    return F.when(
+        path.startswith(pfx),
+        path.substr(F.lit(len(pfx) + 1), F.lit(1 << 30)),
+    ).otherwise(path)
+
+
 def read_log_lines_any(
     spark: SparkSession,
     paths: str | list[str],
@@ -267,6 +283,7 @@ def compress_text_logs(
     glt_layout: bool = False,
     combine_threshold_pct: float = 0.1,
     num_buckets: int = 16,
+    remove_path_prefix: str | None = None,
 ) -> dict:
     """Full text→archive compression; returns summary counts.
 
@@ -284,6 +301,10 @@ def compress_text_logs(
     import os
 
     lines = read_log_lines_any(spark, paths)
+    if remove_path_prefix:
+        lines = lines.withColumn(
+            "file_id", strip_path_prefix_expr(F.col("file_id"), remove_path_prefix)
+        )
     messages = assemble_multiline(
         lines, lock_patterns=lock_patterns, emit_pattern=lock_patterns
     )
@@ -465,6 +486,8 @@ def compress_text_logs_multi(
     archives_dir: str,
     target_archive_size: int,
     lock_patterns: bool = True,
+    remove_path_prefix: str | None = None,
+    sort_input_files: bool = True,
 ) -> dict:
     """`clp c` over many files with ARCHIVE SPLITTING: inputs are grouped by
     similar filename and cut into archive-sized tasks (the reference
@@ -494,6 +517,19 @@ def compress_text_logs_multi(
 
     files = [FileMeta(os.path.abspath(p), os.path.getsize(p)) for p in paths]
     tasks = cut_tasks(files, target_archive_size)
+    if sort_input_files:
+        # clp `c --sort-input-files` (default true, compression.cpp:122-126
+        # file_gt_last_write_time_comparator): compression runs in
+        # DESCENDING last-modified order, so the newest logs fill the first
+        # archives. The name-grouping planner owns WHICH files share a task
+        # (scheduler parity); mtime owns the archive ORDER — tasks renumber
+        # by their newest member.
+        mt = {f.path: os.path.getmtime(f.path) for f in files}
+        tasks.sort(
+            key=lambda t: max(mt[p] for p in t.file_paths), reverse=True
+        )
+        for i, t in enumerate(tasks):
+            t.task_id = i
     aid_of = {
         p: f"arch-{t.task_id:05d}" for t in tasks for p in t.file_paths
     }
@@ -507,6 +543,12 @@ def compress_text_logs_multi(
     lines = read_log_lines_any(
         spark, [f.path for f in files], with_container=True
     )
+    if remove_path_prefix:
+        # strip file_id only — `container` keeps the input URI so the
+        # broadcast archive-routing join below still keys on it
+        lines = lines.withColumn(
+            "file_id", strip_path_prefix_expr(F.col("file_id"), remove_path_prefix)
+        )
     messages = assemble_multiline(
         lines, lock_patterns=lock_patterns, emit_pattern=lock_patterns,
         passthrough=("container",),

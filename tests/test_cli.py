@@ -42,6 +42,72 @@ def test_extract_all(archive, capsys):
     assert "ERROR failure code 7" in out
 
 
+class TestRemovePathPrefix:
+    """clp c --remove-path-prefix (utils.cpp remove_prefix_and_clean_up_path
+    + CommandLineArguments.cpp:419-424 validation): stored file paths lose
+    the directory prefix; inputs outside the prefix are rejected."""
+
+    @pytest.fixture(scope="class")
+    def tree(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("rpp")
+        sub = d / "var" / "log"
+        sub.mkdir(parents=True)
+        (sub / "a.log").write_text(
+            "2016-05-08 07:34:05,000 INFO alpha one\n"
+        )
+        (sub / "b.log").write_text(
+            "2016-05-08 07:34:06,000 INFO beta two\n"
+        )
+        return d
+
+    def test_stored_paths_lose_prefix(self, spark, tree, tmp_path, capsys):
+        arch = str(tmp_path / "arch")
+        cli.main(["c", arch, str(tree / "var" / "log" / "a.log"),
+                  str(tree / "var" / "log" / "b.log"),
+                  "--remove-path-prefix", str(tree)])
+        capsys.readouterr()
+        sinks = spark.read.option("basePath", f"{arch}/sinks").parquet(
+            f"{arch}/sinks"
+        )
+        fids = sorted(
+            r["file_id"] for r in sinks.select("file_id").distinct().collect()
+        )
+        assert fids == ["var/log/a.log", "var/log/b.log"]
+        # search still round-trips over the renamed ids
+        cli.main(["s", arch, "*beta*"])
+        assert "beta two" in capsys.readouterr().out
+
+    def test_prefix_must_exist_and_contain_inputs(self, tree, tmp_path):
+        with pytest.raises(SystemExit, match="does not exist"):
+            cli.main(["c", str(tmp_path / "a1"), str(tree / "var/log/a.log"),
+                      "--remove-path-prefix", str(tmp_path / "nope")])
+        with pytest.raises(SystemExit, match="is not a directory"):
+            cli.main(["c", str(tmp_path / "a2"), str(tree / "var/log/a.log"),
+                      "--remove-path-prefix", str(tree / "var/log/a.log")])
+        with pytest.raises(SystemExit, match="does not contain prefix"):
+            cli.main(["c", str(tmp_path / "a3"), str(tree / "var/log/a.log"),
+                      "--remove-path-prefix", str(tmp_path)])
+
+    def test_multi_archive_prefix_and_sort(self, spark, tree, tmp_path, capsys):
+        import os
+
+        # newest-first task assignment (--sort-input-files default true,
+        # compression.cpp:122-126): b.log is newer → archive 0
+        os.utime(tree / "var/log/a.log", (1_000_000, 1_000_000))
+        os.utime(tree / "var/log/b.log", (2_000_000, 2_000_000))
+        root = str(tmp_path / "archs")
+        cli.main(["c", root, str(tree / "var" / "log"),
+                  "--remove-path-prefix", str(tree),
+                  "--target-archive-size", "10"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["archives"] == 2
+        first = spark.read.option(
+            "basePath", f"{root}/arch-00000/sinks"
+        ).parquet(f"{root}/arch-00000/sinks")
+        fids = {r["file_id"] for r in first.select("file_id").distinct().collect()}
+        assert fids == {"var/log/b.log"}
+
+
 def test_kql_over_jsonl(spark, tmp_path, capsys):
     p = tmp_path / "in.jsonl"
     p.write_text(
