@@ -840,12 +840,36 @@ def cmd_convert(args) -> None:
 
 def cmd_extract_ir(args) -> None:
     """`clo i` analog: archive → IR chunk files for one file split (or the
-    whole archive) — the log-viewer's search→open-file→stream-IR leg."""
+    whole archive) — the log-viewer's search→open-file→stream-IR leg.
+
+    With --msg-ix, <archive> is an ARCHIVES DIRECTORY and the global
+    metadata db locates the (archive, file split) containing that message
+    of --file-id's original file (`clp i` flow, decompression.cpp:274-298
+    get_file_split)."""
     from clp_spark.sources.logfiles import extract_ir_from_archive
 
+    archive_dir = args.archive
+    if args.msg_ix is not None:
+        from clp_spark.sinks.metadata_db import GlobalMetadataDB
+
+        if args.file_id is None:
+            sys.exit("error: --msg-ix needs --file-id (the original file)")
+        db_path = args.metadata_db or os.path.join(args.archive, "metadata.db")
+        if not os.path.exists(db_path):
+            sys.exit(f"error: no metadata db at {db_path} (pass "
+                     "--metadata-db, or record one at compression)")
+        db = GlobalMetadataDB(db_path)
+        hit = db.get_file_split(args.file_id, args.msg_ix)
+        db.close()
+        if hit is None:
+            sys.exit(f"error: failed to find file split containing "
+                     f"msg_ix {args.msg_ix}")
+        archive_id, split_id = hit
+        archive_dir = os.path.join(args.archive, archive_id)
+        args.file_id = split_id.split("/", 1)[1] if "/" in split_id else split_id
     spark = _spark(args.master)
     summary = extract_ir_from_archive(
-        spark, args.archive, args.output,
+        spark, archive_dir, args.output,
         file_id=args.file_id,
         events_per_chunk=args.events_per_chunk,
         encoding="four" if args.four_byte else "eight",
@@ -1113,6 +1137,17 @@ def main(argv: list[str] | None = None) -> None:
     )
     ei.add_argument("--events-per-chunk", type=int, default=1024)
     ei.add_argument("--four-byte", action="store_true")
+    ei.add_argument(
+        "--msg-ix", type=int, default=None, metavar="N",
+        help="extract the file split containing message N of --file-id's "
+             "original file; <archive> is then an archives DIRECTORY and "
+             "the global metadata db resolves the split (clp i --msg-ix)",
+    )
+    ei.add_argument(
+        "--metadata-db", default=None, metavar="SQLITE_PATH",
+        help="metadata db for --msg-ix resolution (default "
+             "<archive>/metadata.db)",
+    )
     ei.set_defaults(fn=cmd_extract_ir)
 
     args = ap.parse_args(argv)

@@ -112,6 +112,32 @@ class GlobalMetadataDB:
             )
         ]
 
+    def get_file_split(
+        self, orig_file_id: str, msg_ix: int
+    ) -> tuple[str, str] | None:
+        """(archive_id, file_split_id) of the split containing the given
+        message index of the original file — the `clp i --msg-ix` lookup
+        (GlobalSQLiteMetadataDB.cpp:182-207 get_file_split_statement:
+        begin_message_ix <= msg_ix < begin_message_ix + num_messages,
+        creation order). Accepts a full orig_file_id or an unambiguous
+        path suffix, matching the CLI's --file-id ergonomics."""
+        sql = (
+            "SELECT DISTINCT archives.id, files.id FROM archives JOIN files "
+            "ON archives.id = files.archive_id WHERE {} AND "
+            "?2 >= files.begin_message_ix AND "
+            "?2 < (files.begin_message_ix + files.num_messages) "
+            "ORDER BY creator_id ASC, creation_ix ASC"
+        )
+        row = self.conn.execute(
+            sql.format("files.orig_file_id = ?1"), (orig_file_id, msg_ix)
+        ).fetchone()
+        if row is None:
+            row = self.conn.execute(
+                sql.format("files.orig_file_id LIKE '%/' || ?1"),
+                (orig_file_id.lstrip("/"), msg_ix),
+            ).fetchone()
+        return (row[0], row[1]) if row is not None else None
+
     def get_archives_for_file(self, file_path: str) -> list[str]:
         return [
             r[0] for r in self.conn.execute(

@@ -85,6 +85,45 @@ def test_chunk_naming_and_manifest(spark, setup, tmp_path):
     assert not manifest[0]["is_last_chunk"]
 
 
+def test_msg_ix_split_lookup(spark, tmp_path, capsys):
+    """`i --msg-ix` (clp i flow, decompression.cpp:274-298): the global
+    metadata db's get_file_split resolves (archive, split) containing the
+    Nth message of the original file; extraction targets just that split."""
+    from clp_spark import cli
+    from clp_spark.sinks.metadata_db import GlobalMetadataDB
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "a.log").write_text(FILE_A)
+    (d / "b.log").write_text(FILE_B)
+    root = str(tmp_path / "archs")
+    cli.main(["c", root, str(d / "a.log"), str(d / "b.log"),
+              "--target-archive-size", "10",
+              "--metadata-db", os.path.join(root, "metadata.db")])
+    capsys.readouterr()
+
+    # direct lookup parity: msg 2 of a.log lives in a.log's archive
+    db = GlobalMetadataDB(os.path.join(root, "metadata.db"))
+    hit = db.get_file_split("a.log", 2)
+    assert hit is not None
+    out_of_range = db.get_file_split("a.log", 99)
+    db.close()
+    assert out_of_range is None
+
+    out = str(tmp_path / "irout")
+    cli.main(["i", root, out, "--file-id", "a.log", "--msg-ix", "2",
+              "--events-per-chunk", "2"])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["events"] == 3  # the whole split (= a.log) extracts
+    names = sorted(n for n in os.listdir(out) if n.endswith(".clp"))
+    assert names == ["a.log_0_2.clp", "a.log_2_3.clp"]
+
+    # msg_ix beyond the file errors like the reference
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="msg_ix 99"):
+        cli.main(["i", root, out, "--file-id", "a.log", "--msg-ix", "99"])
+
+
 def test_extracted_ir_deserializes(spark, setup, tmp_path):
     """The emitted chunk files round-trip through the IR reader back to the
     original messages (viewer contract: the chunk stream must be playable)."""
