@@ -175,6 +175,12 @@ def cmd_compress(args) -> None:
         for p in args.inputs:
             if not os.path.abspath(p).startswith(pfx.rstrip("/") + "/"):
                 sys.exit(f"error: '{p}' does not contain prefix '{pfx}'")
+    if args.target_encoded_file_size_text is not None and (
+        args.glt or args.target_archive_size is not None
+    ):
+        sys.exit("error: --target-encoded-file-size applies to single "
+                 "plain-layout text archives (not --glt or "
+                 "--target-archive-size)")
     if args.target_archive_size is not None:
         # archive splitting: <archive> is an archives DIRECTORY; inputs are
         # grouped/cut into archive-sized tasks (searchable via `s <dir>`)
@@ -194,6 +200,7 @@ def cmd_compress(args) -> None:
             glt_layout=args.glt,
             combine_threshold_pct=args.combine_threshold,
             remove_path_prefix=args.remove_path_prefix,
+            target_encoded_file_size=args.target_encoded_file_size_text,
         )
     if args.metadata_db:
         # global metadata catalog (GlobalSQLiteMetadataDB parity): register
@@ -866,13 +873,20 @@ def cmd_extract_ir(args) -> None:
                      f"msg_ix {args.msg_ix}")
         archive_id, split_id = hit
         archive_dir = os.path.join(args.archive, archive_id)
-        args.file_id = split_id.split("/", 1)[1] if "/" in split_id else split_id
+        fid = split_id.split("/", 1)[1] if "/" in split_id else split_id
+        split_ix = None
+        if "#s" in fid:  # split archives: files-table ids end in #s<ix>
+            fid, _, six = fid.rpartition("#s")
+            split_ix = int(six)
+        args.file_id = fid
+        args.split_ix = split_ix
     spark = _spark(args.master)
     summary = extract_ir_from_archive(
         spark, archive_dir, args.output,
         file_id=args.file_id,
         events_per_chunk=args.events_per_chunk,
         encoding="four" if args.four_byte else "eight",
+        split_ix=getattr(args, "split_ix", None),
     )
     print(json.dumps(summary))
 
@@ -890,6 +904,13 @@ def main(argv: list[str] | None = None) -> None:
         "--target-archive-size", type=int, default=None, metavar="BYTES",
         help="split the input into archives of ~this raw size; <archive> "
         "becomes a directory of archives",
+    )
+    c.add_argument(
+        "--target-encoded-file-size", dest="target_encoded_file_size_text",
+        type=int, default=None, metavar="BYTES",
+        help="text mode: split big files into splits of ~this many encoded "
+             "bytes (clp c --target-encoded-file-size); splits address "
+             "individually via `i --msg-ix`",
     )
     c.add_argument(
         "--remove-path-prefix", default=None, metavar="DIR",

@@ -188,23 +188,52 @@ def record_archives_dir(
             f"{e.path}/sinks"
         )
         if "file_id" in sinks.columns:
-            aggs = [
-                F.count("*").alias("n_msgs"),
-                F.min("msg_ix").alias("begin_ix"),
-            ]
+            aggs = [F.count("*").alias("n_msgs")]
             has_ts = "ts_ms" in sinks.columns
             if has_ts:
                 aggs += [F.min("ts_ms").alias("b"), F.max("ts_ms").alias("t")]
-            frows = sinks.groupBy("file_id").agg(*aggs).collect()
+            # split archives record one files-table row PER SPLIT (the
+            # reference's File metadata is per split, is_split files share
+            # orig_file_id) — get_file_split then resolves --msg-ix to the
+            # single split directory holding it
+            has_split = "split_ix" in sinks.columns
+            keys = ["file_id"] + (["split_ix"] if has_split else [])
+            frows = sinks.groupBy(*keys).agg(*aggs).collect()
+            # begin_message_ix counts messages BEFORE the split within its
+            # original file (0 for whole files) — the reference File
+            # metadata's 0-based numbering, matching the chunk names
+            # extract_ir emits
+            begins: dict[tuple, int] = {}
+            if has_split:
+                seen: dict[str, int] = {}
+                for r in sorted(
+                    frows, key=lambda r: (r["file_id"], int(r["split_ix"]))
+                ):
+                    begins[(r["file_id"], int(r["split_ix"]))] = seen.get(
+                        r["file_id"], 0
+                    )
+                    seen[r["file_id"]] = (
+                        seen.get(r["file_id"], 0) + int(r["n_msgs"])
+                    )
+
+            def _fid(r):
+                return (
+                    f"{r['file_id']}#s{int(r['split_ix'])}"
+                    if has_split else r["file_id"]
+                )
+
             db.add_files([
                 {
-                    "id": f"{e.name}/{r['file_id']}",
+                    "id": f"{e.name}/{_fid(r)}",
                     "orig_file_id": r["file_id"],
                     "path": r["file_id"],
                     "begin_timestamp": int(r["b"]) if has_ts and r["b"] is not None else 0,
                     "end_timestamp": int(r["t"]) if has_ts and r["t"] is not None else 0,
                     "num_uncompressed_bytes": 0,
-                    "begin_message_ix": int(r["begin_ix"] or 0),
+                    "begin_message_ix": (
+                        begins[(r["file_id"], int(r["split_ix"]))]
+                        if has_split else 0
+                    ),
                     "num_messages": int(r["n_msgs"]),
                     "archive_id": e.name,
                 }

@@ -284,8 +284,22 @@ def compress_text_logs(
     combine_threshold_pct: float = 0.1,
     num_buckets: int = 16,
     remove_path_prefix: str | None = None,
+    target_encoded_file_size: int | None = None,
 ) -> dict:
     """Full text→archive compression; returns summary counts.
+
+    ``target_encoded_file_size`` splits big files into SPLITS of ~that many
+    encoded bytes (clp c --target-encoded-file-size; FileCompressor.cpp:
+    282-291 split_file when the open file's encoded size passes the
+    target). Encoded size uses the reference's own accounting
+    (writer/File.hpp:129-133: 8 B timestamp + 8 B logtype id + 8 B per
+    variable slot). Splits become sink partition directories
+    (file_id, split_ix) so a split-addressed read (`i --msg-ix`) prunes to
+    one directory; msg_ix stays file-global, so decompression and search
+    are unchanged. The cut is floor(cumulative-bytes / target) — the
+    deterministic distributed form of the reference's sequential
+    greedy-reset check (boundaries may differ by one message around exact
+    multiples; layout-internal, not byte-compat).
 
     Layout: out_dir/{sinks,logtype_dict,var_dict} — sinks carry
     (file_id, msg_ix, ts_ms, logtype_id, placeholders, encoded_vars,
@@ -364,6 +378,48 @@ def compress_text_logs(
             out_dir.removeprefix("file:"), num_buckets,
             combine_threshold_pct, n_hot, total,
         )
+    elif target_encoded_file_size:
+        # file splitting: one window cumsum per file assigns each message
+        # its split; (file_id, split_ix) partition dirs make split-addressed
+        # reads a directory prune. Same in-task logtype sort as below.
+        msg_bytes = (
+            F.lit(16)
+            + 8 * (F.size("encoded_vars") + F.size("dict_vars"))
+        ).cast("long")
+        w = Window.partitionBy("file_id").orderBy("msg_ix")
+        cum_before = (F.sum(msg_bytes).over(w) - msg_bytes)
+        split = sinks.withColumn(
+            "split_ix",
+            F.floor(cum_before / F.lit(int(target_encoded_file_size)))
+            .cast("int"),
+        )
+        (
+            split.drop("logtype")
+            .sortWithinPartitions("file_id", "split_ix", "logtype_id", "msg_ix")
+            .write.mode("overwrite").partitionBy("file_id", "split_ix")
+            .parquet(f"{out_dir}/sinks")
+        )
+        # split index: O(splits) rows of (file, split, begin-message-count,
+        # n) — what the reference's per-split File metadata records
+        # (begin_message_ix/num_messages); split-addressed readers offset
+        # chunk numbering from it without touching sibling splits
+        import json as _json
+
+        srows = sorted(
+            (r["file_id"], int(r["split_ix"]), int(r["n"]))
+            for r in split.groupBy("file_id", "split_ix")
+            .agg(F.count("*").alias("n")).collect()
+        )
+        index, seen = [], {}
+        for fid, six, cnt in srows:
+            begin = seen.get(fid, 0)
+            index.append(
+                {"file_id": fid, "split_ix": six, "begin": begin, "n": cnt}
+            )
+            seen[fid] = begin + cnt
+        local_out = out_dir.removeprefix("file:")
+        with open(os.path.join(local_out, "split_index.json"), "w") as f:
+            _json.dump(index, f)
     else:
         # Storage order: rows sort by logtype within each file's segment
         # (the GLT insight — same-template rows have near-identical var
@@ -721,6 +777,7 @@ def extract_ir_from_archive(
     file_id: str | None = None,
     events_per_chunk: int = 1024,
     encoding: str = "eight",
+    split_ix: int | None = None,
 ) -> dict:
     """`clo i` analog (clo.cpp:120-240 extract_ir): re-emit a compressed
     file's events from an EXISTING archive as kv-free IR chunk files — the
@@ -753,6 +810,12 @@ def extract_ir_from_archive(
             (F.col("file_id") == file_id)
             | F.col("file_id").endswith("/" + file_id.lstrip("/"))
         )
+    if split_ix is not None:
+        if "split_ix" not in sinks.columns:
+            raise ValueError("archive has no file splits (compressed "
+                             "without --target-encoded-file-size)")
+        # (file_id, split_ix) is a partition directory — this prunes to it
+        sinks = sinks.where(F.col("split_ix") == split_ix)
     logtype_dict = spark.read.parquet(f"{archive_dir}/logtype_dict")
     enc = sinks.join(
         F.broadcast(logtype_dict.select("logtype_id", "logtype")), "logtype_id"
@@ -766,10 +829,30 @@ def extract_ir_from_archive(
         enc, "ts", "stream", events_per_chunk=events_per_chunk,
         order_col="msg_ix", encoding=encoding,
     )
+    # chunk names carry FILE-GLOBAL message indexes (clo.cpp:186-189 names
+    # {orig}_{begin}_{end} with the original file's numbering) — when a
+    # SPLIT extracts, its chunks start at the split's begin message count,
+    # read from the archive's O(splits) split index (never from sibling
+    # split data)
+    off_expr = F.lit(0).cast("long")
+    if split_ix is not None:
+        with open(
+            os.path.join(archive_dir.removeprefix("file:"), "split_index.json")
+        ) as f:
+            begins = {
+                e["file_id"]: int(e["begin"])
+                for e in json.load(f) if e["split_ix"] == split_ix
+            }
+        off_expr = F.coalesce(
+            *[F.when(F.col("stream") == fid, F.lit(b).cast("long"))
+              for fid, b in begins.items()],
+            F.lit(0).cast("long"),
+        ) if begins else off_expr
     w = Window.partitionBy("stream").orderBy("chunk_ix")
     numbered = chunks.select(
         "stream", "chunk_ix", "n_events", "ir",
-        (F.sum("n_events").over(w) - F.col("n_events")).alias("begin_ix"),
+        (F.sum("n_events").over(w) - F.col("n_events") + off_expr)
+        .alias("begin_ix"),
         (F.max("chunk_ix").over(Window.partitionBy("stream")) == F.col("chunk_ix")
          ).alias("is_last"),
     ).orderBy("stream", "chunk_ix")

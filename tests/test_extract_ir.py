@@ -124,6 +124,68 @@ def test_msg_ix_split_lookup(spark, tmp_path, capsys):
         cli.main(["i", root, out, "--file-id", "a.log", "--msg-ix", "99"])
 
 
+def test_file_splits_and_split_addressed_extraction(spark, tmp_path, capsys):
+    """`c --target-encoded-file-size` (FileCompressor.cpp:282-291
+    split_file): big files cut into splits of ~target encoded bytes
+    (File.hpp:129-133 accounting). Contract: (1) splits are partition
+    directories; (2) extraction stays byte-exact; (3) the metadata db holds
+    one files row per split with file-global begin_message_ix; (4)
+    `i --msg-ix` extracts ONLY the split containing the message, chunk
+    names keeping file-global indexes."""
+    from clp_spark import cli
+    from clp_spark.sinks.metadata_db import GlobalMetadataDB
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "big.log").write_text(FILE_A)  # 3 messages
+    root = tmp_path / "archs"
+    root.mkdir()
+    arch = str(root / "split_arch")
+    db_path = str(root / "metadata.db")
+    cli.main(["c", arch, str(d / "big.log"),
+              "--target-encoded-file-size", "40",
+              "--metadata-db", db_path])
+    capsys.readouterr()
+
+    sinks = spark.read.option("basePath", f"{arch}/sinks").parquet(
+        f"{arch}/sinks"
+    )
+    n_splits = sinks.select("split_ix").distinct().count()
+    assert n_splits >= 2
+    # msg_ix stays file-global and dense across splits (1-based: the
+    # assembler counts timestamp-anchored messages)
+    ixs = sorted(r["msg_ix"] for r in sinks.select("msg_ix").collect())
+    assert ixs == [1, 2, 3]
+
+    # extraction is unchanged by the split layout
+    cli.main(["x", arch])
+    assert "ERROR failed after 0.75 s hash deadbeef" in capsys.readouterr().out
+
+    # one files row per split, begin ixs partition [0, 3)
+    db = GlobalMetadataDB(db_path)
+    rows = db.conn.execute(
+        "SELECT id, begin_message_ix, num_messages FROM files "
+        "ORDER BY begin_message_ix"
+    ).fetchall()
+    assert len(rows) == n_splits
+    assert rows[0][1] == 0 and sum(r[2] for r in rows) == 3
+    assert all("#s" in r[0] for r in rows)
+    # msg 2 resolves to the LAST split, not the file head
+    hit = db.get_file_split("big.log", 2)
+    db.close()
+    assert hit is not None and hit[1] == rows[-1][0]
+
+    out = str(tmp_path / "irout")
+    cli.main(["i", str(root), out, "--file-id", "big.log", "--msg-ix", "2",
+              "--metadata-db", db_path])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    last_n = rows[-1][2]
+    assert summary["events"] == last_n  # only the addressed split extracts
+    names = sorted(n for n in os.listdir(out) if n.endswith(".clp"))
+    begin = rows[-1][1]
+    assert names == [f"big.log_{begin}_{begin + last_n}.clp"]
+
+
 def test_extracted_ir_deserializes(spark, setup, tmp_path):
     """The emitted chunk files round-trip through the IR reader back to the
     original messages (viewer contract: the chunk stream must be playable)."""
