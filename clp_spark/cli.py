@@ -891,6 +891,13 @@ def cmd_extract_ir(args) -> None:
     print(json.dumps(summary))
 
 
+def cmd_readable_dicts(args) -> None:
+    from clp_spark.operators.readable_dicts import make_dictionaries_readable
+
+    spark = _spark(args.master)
+    print(json.dumps(make_dictionaries_readable(spark, args.archive, args.output)))
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="clp_spark", description=__doc__)
     ap.add_argument("--master", default="local[*]")
@@ -1170,6 +1177,16 @@ def main(argv: list[str] | None = None) -> None:
              "<archive>/metadata.db)",
     )
     ei.set_defaults(fn=cmd_extract_ir)
+
+    hr = sub.add_parser(
+        "make-dictionaries-readable",
+        help="dump an archive's dictionaries as human-readable .hr files "
+             "(placeholders render as \\i/\\f/\\d; reference "
+             "make-dictionaries-readable)",
+    )
+    hr.add_argument("archive")
+    hr.add_argument("output")
+    hr.set_defaults(fn=cmd_readable_dicts)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -1,0 +1,91 @@
+"""Human-readable dictionary dumps — the `make-dictionaries-readable`
+utility (reference components/core/src/clp/make_dictionaries_readable/
+make-dictionaries-readable.cpp:48-160).
+
+Per entry, the logtype renders with its variable placeholders replaced by
+``\\i`` (integer), ``\\f`` (float), ``\\d`` (dictionary) and embedded
+newlines escaped as ``\\n``; a sibling ``.segindex.hr`` file lists, per
+entry, the segments containing it (ascending). Outputs:
+
+    logtype.dict.hr  logtype.segindex.hr  var.dict.hr  var.segindex.hr
+
+Spark shape: the render is one JVM expression over the (dictionary-sized)
+dict tables; the segment sets are a distinct + collect_set aggregate over
+just (id, partition) — column-pruned, no message decode. The file write
+streams through the driver like the reference binary (a single-node
+offline utility by contract)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+# kernel placeholder bytes (functions/encode_kernel_np.py:21-23; same code
+# points as the reference's VariablePlaceholder enum)
+_PH_RENDER = [("\x11", "\\i"), ("\x13", "\\f"), ("\x12", "\\d")]
+
+
+def _hr_expr(col):
+    out = col
+    for ph, r in _PH_RENDER + [("\n", "\\n")]:
+        out = F.replace(out, F.lit(ph), F.lit(r))
+    return out
+
+
+def _segment_col(columns: list[str]):
+    for c in ("split", "split_ix", "file_id", "lt_table"):
+        if c in columns:
+            return c
+    return None
+
+
+def make_dictionaries_readable(
+    spark: SparkSession, archive_dir: str, out_dir: str
+) -> dict:
+    """Write the four .hr files for a text archive; returns entry counts."""
+    os.makedirs(out_dir, exist_ok=True)
+    sinks = spark.read.option("basePath", f"{archive_dir}/sinks").parquet(
+        f"{archive_dir}/sinks"
+    )
+    seg = _segment_col(sinks.columns)
+    counts = {}
+    for dict_name, vcol, icol, seg_src in (
+        ("logtype", "logtype", "logtype_id", None),
+        ("var", "var_value", "var_id", "dict_vars"),
+    ):
+        table = spark.read.parquet(f"{archive_dir}/{dict_name}_dict")
+        if seg is not None:
+            if seg_src is None:
+                pairs = sinks.select(icol, F.col(seg).alias("_seg"))
+            else:
+                # var entries live wherever a message references them
+                pairs = sinks.select(
+                    F.explode(seg_src).alias(vcol), F.col(seg).alias("_seg")
+                ).join(F.broadcast(table.select(vcol, icol)), vcol)
+            segs = (
+                pairs.select(icol, "_seg").distinct()
+                .groupBy(icol)
+                .agg(F.sort_array(F.collect_set(
+                    F.col("_seg").cast("string"))).alias("_segs"))
+            )
+            table = table.join(segs, icol, "left")
+        else:
+            table = table.withColumn(
+                "_segs", F.lit(None).cast("array<string>")
+            )
+        rows = (
+            table.select(
+                _hr_expr(F.col(vcol)).alias("_hr"), "_segs", icol
+            )
+            .orderBy(icol)
+            .collect()
+        )
+        with open(os.path.join(out_dir, f"{dict_name}.dict.hr"), "w") as w, \
+                open(os.path.join(out_dir, f"{dict_name}.segindex.hr"), "w") as x:
+            for r in rows:
+                w.write((r["_hr"] or "") + "\n")
+                x.write(" ".join(r["_segs"] or []) + (" " if r["_segs"] else "") + "\n")
+        counts[dict_name] = len(rows)
+    return counts

@@ -1,0 +1,88 @@
+"""make-dictionaries-readable parity (make-dictionaries-readable.cpp:48-160):
+logtype placeholders render as \\i/\\f/\\d, newlines escape, one line per
+entry in id order, and .segindex.hr lists the segments containing each
+entry in ascending order."""
+
+import json
+import os
+
+import pytest
+
+LOGS = """\
+2016-05-08 07:34:05,000 INFO job alpha0 done in 42 ms
+2016-05-08 07:34:06,000 WARN ratio 0.75 for job alpha0
+2016-05-08 07:34:07,000 INFO job beta1 done in 7 ms
+"""
+
+
+@pytest.fixture(scope="module")
+def archive(spark, tmp_path_factory):
+    from clp_spark.sources.logfiles import compress_text_logs
+
+    d = tmp_path_factory.mktemp("hr_logs")
+    (d / "a.log").write_text(LOGS)
+    arch = str(tmp_path_factory.mktemp("hr_arch"))
+    compress_text_logs(spark, f"{d}/*.log", arch)
+    return arch
+
+
+def test_hr_dump(spark, archive, tmp_path, capsys):
+    from clp_spark import cli
+
+    out = str(tmp_path / "hr")
+    cli.main(["make-dictionaries-readable", archive, out])
+    counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    lt_lines = open(os.path.join(out, "logtype.dict.hr")).read().splitlines()
+    assert len(lt_lines) == counts["logtype"] >= 2
+    joined = "\n".join(lt_lines)
+    # placeholders render readable; raw placeholder bytes never leak
+    assert "\\i" in joined and "\\d" in joined and "\\f" in joined
+    assert all(ch not in joined for ch in ("\x11", "\x12", "\x13"))
+    assert any("job \\d done in \\i ms" in ln for ln in lt_lines)
+
+    # dictionary variables (alpha0/beta1 carry digits -> dict vars) dump
+    # one value per line in id order
+    var_lines = open(os.path.join(out, "var.dict.hr")).read().splitlines()
+    assert var_lines == sorted(["alpha0", "beta1"]) and counts["var"] == 2
+
+    # every entry has a segment-index line; this single-file archive's
+    # segment ids are its file partitions
+    seg_lines = open(
+        os.path.join(out, "logtype.segindex.hr")
+    ).read().splitlines()
+    assert len(seg_lines) == len(lt_lines)
+    assert all(ln.strip() for ln in seg_lines)  # each logtype occurs somewhere
+
+
+def test_hr_segments_follow_splits(spark, tmp_path, capsys):
+    """With file splits, an entry's segment set names the split dirs that
+    contain it (the reference's per-entry segment-id sets)."""
+    from clp_spark import cli
+    from clp_spark.sources.logfiles import compress_text_logs
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "big.log").write_text(
+        "".join(
+            f"2016-05-08 07:00:{i % 60:02d},000 INFO tick {i}\n"
+            for i in range(40)
+        )
+        + "2016-05-08 07:01:00,000 ERROR boom once\n"
+    )
+    arch = str(tmp_path / "arch")
+    compress_text_logs(
+        spark, f"{d}/*.log", arch, target_encoded_file_size=200
+    )
+    out = str(tmp_path / "hr")
+    cli.main(["make-dictionaries-readable", arch, out])
+    capsys.readouterr()
+    lt_lines = open(os.path.join(out, "logtype.dict.hr")).read().splitlines()
+    seg_lines = open(
+        os.path.join(out, "logtype.segindex.hr")
+    ).read().splitlines()
+    by = dict(zip(lt_lines, [s.split() for s in seg_lines]))
+    tick = next(v for k, v in by.items() if "tick" in k)
+    boom = next(v for k, v in by.items() if "boom" in k)
+    assert len(tick) > 1  # the hot template spans several splits
+    assert len(boom) == 1  # the one-off lives in exactly one split
