@@ -72,6 +72,55 @@ def test_extract_to_files_recreates_originals(spark, archive, tmp_path):
     assert (tmp_path / "restored" / "b.log").read_text() == FILE_B
 
 
+@pytest.mark.parametrize("target", [24, 64, 999_999])
+def test_split_archive_roundtrip_exact(spark, logdir, tmp_path, target):
+    """File splitting (c --target-encoded-file-size) at several cut sizes —
+    including one that never splits — must leave decompression, file
+    extraction, and search byte-identical to the unsplit lifecycle."""
+    from clp_spark.operators.search import search_archive
+    from clp_spark.sources.logfiles import (
+        compress_text_logs,
+        extract_to_files,
+    )
+
+    out = str(tmp_path / f"arch_{target}")
+    compress_text_logs(
+        spark, f"{logdir}/*.log", out, target_encoded_file_size=target
+    )
+    dst = str(tmp_path / f"restored_{target}")
+    extract_to_files(spark, out, dst)
+    import os as _os
+
+    assert open(_os.path.join(dst, "a.log")).read() == FILE_A
+    assert open(_os.path.join(dst, "b.log")).read() == FILE_B
+    # search is split-agnostic
+    from pyspark.sql import functions as F
+
+    sinks = spark.read.option("basePath", f"{out}/sinks").parquet(
+        f"{out}/sinks"
+    ).withColumn("doc_id", F.concat_ws("#", "file_id", "msg_ix")).withColumn(
+        "source", F.col("file_id")
+    )
+    lt = spark.read.parquet(f"{out}/logtype_dict")
+    vd = spark.read.parquet(f"{out}/var_dict")
+    hits = search_archive(sinks, lt, vd, "*deadbeef*").collect()
+    assert len(hits) == 1 and "deadbeef" in hits[0]["message"]
+    # split index accounts for every message exactly once
+    import json as _json
+
+    idx_path = _os.path.join(out, "split_index.json")
+    idx = _json.load(open(idx_path))
+    assert sum(e["n"] for e in idx) == 5
+    for fid in {e["file_id"] for e in idx}:
+        ent = sorted(
+            (e for e in idx if e["file_id"] == fid), key=lambda e: e["split_ix"]
+        )
+        run = 0
+        for e in ent:
+            assert e["begin"] == run
+            run += e["n"]
+
+
 def test_roundtrip_stripped_bodies(spark, archive):
     from clp_spark.sources.logfiles import decompress_file
 
