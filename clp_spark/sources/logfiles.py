@@ -45,21 +45,29 @@ def read_log_lines(spark: SparkSession, paths: str | list[str]) -> DataFrame:
 
 
 def classify_log_input(path: str) -> str:
-    """Content-sniff one LOCAL input file → 'text' | 'gz' | 'tar'.
+    """Content-sniff one LOCAL input file → 'text' | 'gz' | 'tar' | 'ir'.
 
     Reference parity: the reference decides by CONTENT, not extension —
     FileCompressor.cpp:158-170 tries UTF-8 first, then hands non-UTF-8
-    inputs to libarchive (FileCompressor.hpp:11-12 LibarchiveReader).
+    inputs to libarchive (FileCompressor.hpp:11-12 LibarchiveReader) or,
+    on the IR magic, to the IR-stream deserializer
+    (FileCompressor.cpp:406-430 compress_ir_stream).
     Here: gzip magic (1f 8b) → peek the decompressed head for the tar
     magic ('ustar' at offset 257) to split single-member .gz from .tar.gz;
-    raw tar magic → tar; anything else → text."""
+    raw tar magic → tar; IR stream magic (either width) → ir; anything
+    else → text. (gz-wrapped IR is not sniffed — gunzip it first.)"""
     import gzip
+
+    from clp_spark.sources.ir_four import MAGIC_4BYTE
+    from clp_spark.sources.ir_stream import MAGIC_8BYTE
 
     try:
         with open(path, "rb") as f:
             head = f.read(512)
     except OSError:
         return "text"
+    if head[:4] in (MAGIC_8BYTE, MAGIC_4BYTE):
+        return "ir"
     if head[:2] == b"\x1f\x8b":
         try:
             with gzip.open(path, "rb") as gz:
@@ -225,9 +233,16 @@ def read_log_lines_any(
         out = read_log_lines(spark, plist)
         return out.withColumn("container", F.col("file_id")) if with_container else out
     files = list_local_log_files(plist)
-    kinds: dict[str, list[str]] = {"text": [], "gz": [], "tar": []}
+    kinds: dict[str, list[str]] = {"text": [], "gz": [], "tar": [], "ir": []}
     for p in files:
         kinds[classify_log_input(p)].append(p)
+    if kinds["ir"]:
+        # IR streams hold MESSAGES, not lines — the compressors route them
+        # through read_ir_encoded_messages; a line-oriented caller getting
+        # one is a usage error, not data
+        raise ValueError(
+            "IR stream inputs are not line-oriented: " + ", ".join(kinds["ir"])
+        )
     parts: list[DataFrame] = []
     if kinds["text"]:
         df = read_log_lines(spark, kinds["text"]).withColumn(
@@ -256,6 +271,37 @@ def read_log_lines_any(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out if with_container else out.drop("container")
+
+
+def read_ir_encoded_messages(spark: SparkSession, ir_paths: list[str]) -> DataFrame:
+    """kv-free IR stream files → encoded message rows (file_id, container,
+    msg_ix, ts_ms, logtype, placeholders, encoded_vars, dict_vars) — the
+    `clp c` path over .clp inputs (FileCompressor.cpp:406-430
+    compress_ir_stream; the stored path drops the .clp suffix,
+    FileCompressor.cpp:407-411). The events already carry the archive's
+    encoded triple, so ingestion is decode-free: one binaryFile task per
+    stream (the reference's sequential deserializer unit) through the
+    transposed zero-per-row parser (ir_to_events_df). IR events carry no
+    timestamp PATTERN, so decompression renders bodies without re-inserted
+    timestamp text — the reference's IR-ingest behavior."""
+    from clp_spark.sources.ir_stream import ir_to_events_df
+
+    blobs = (
+        spark.read.format("binaryFile").load(ir_paths)
+        .select(F.col("path").alias("stream"), F.col("content").alias("ir"))
+    )
+    ev = ir_to_events_df(blobs, "ir", "stream")
+    # mapInArrow preserves intra-partition order and each stream is one
+    # blob, so a mono id orders events within their stream
+    ev = ev.withColumn("_m", F.monotonically_increasing_id())
+    w = Window.partitionBy("stream").orderBy("_m")
+    return ev.select(
+        F.regexp_replace("stream", r"\.clp$", "").alias("file_id"),
+        F.col("stream").alias("container"),
+        F.row_number().over(w).cast("long").alias("msg_ix"),
+        F.col("ts").alias("ts_ms"),
+        "logtype", "placeholders", "encoded_vars", "dict_vars",
+    )
 
 
 def filename_group_key(file_col) -> "F.Column":
@@ -314,16 +360,39 @@ def compress_text_logs(
     """
     import os
 
-    lines = read_log_lines_any(spark, paths)
-    if remove_path_prefix:
-        lines = lines.withColumn(
-            "file_id", strip_path_prefix_expr(F.col("file_id"), remove_path_prefix)
-        )
-    messages = assemble_multiline(
-        lines, lock_patterns=lock_patterns, emit_pattern=lock_patterns
-    )
     keys = ["file_id", "msg_ix", "ts_ms"] + (["ts_pat"] if lock_patterns else [])
-    enc = encode_df(messages.select(*keys, "message"), keys, "message")
+    # IR stream inputs (magic-sniffed) skip line assembly + re-encode:
+    # their events already ARE the archive's encoded triples
+    plist = [paths] if isinstance(paths, str) else list(paths)
+    ir_files: list[str] = []
+    if not any("://" in p and not p.startswith("file:") for p in plist):
+        expanded = list_local_log_files(plist)
+        ir_files = [p for p in expanded if classify_log_input(p) == "ir"]
+        paths = [p for p in expanded if p not in set(ir_files)]
+    enc = None
+    if paths or not ir_files:
+        lines = read_log_lines_any(spark, paths)
+        if remove_path_prefix:
+            lines = lines.withColumn(
+                "file_id",
+                strip_path_prefix_expr(F.col("file_id"), remove_path_prefix),
+            )
+        messages = assemble_multiline(
+            lines, lock_patterns=lock_patterns, emit_pattern=lock_patterns
+        )
+        enc = encode_df(messages.select(*keys, "message"), keys, "message")
+    if ir_files:
+        enc_ir = read_ir_encoded_messages(spark, ir_files).drop("container")
+        if remove_path_prefix:
+            enc_ir = enc_ir.withColumn(
+                "file_id",
+                strip_path_prefix_expr(F.col("file_id"), remove_path_prefix),
+            )
+        if lock_patterns:
+            # IR carries no timestamp pattern — bodies round-trip without
+            # re-inserted timestamp text (reference IR-ingest parity)
+            enc_ir = enc_ir.withColumn("ts_pat", F.lit(None).cast("string"))
+        enc = enc_ir if enc is None else enc.unionByName(enc_ir)
     enc = enc.persist()
     logtype_dict = assign_sorted_ids(enc.select("logtype"), "logtype", "logtype_id")
     var_dict = assign_sorted_ids(
@@ -444,7 +513,9 @@ def compress_text_logs(
     if local is not None:
         raw = sum(
             os.path.getsize(p)
-            for p in list_local_log_files(paths if isinstance(paths, list) else [paths])
+            for p in list_local_log_files(
+                (paths if isinstance(paths, list) else [paths]) + ir_files
+            )
             if os.path.exists(p)
         )
         if raw:

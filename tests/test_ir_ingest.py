@@ -1,0 +1,157 @@
+"""IR-stream input ingestion — `clp c` over .clp inputs
+(FileCompressor.cpp:406-430 compress_ir_stream): a kv-free IR stream file
+compresses straight into an archive WITHOUT re-parsing (its events already
+carry the archive's encoded triples); the stored path drops the .clp suffix
+(FileCompressor.cpp:407-411). Lifecycle differential: text → archive →
+extract IR chunks (`clo i`) → `c` the chunks back → message bodies and
+timestamps identical to the original archive's stripped bodies (IR carries
+no timestamp PATTERN, so re-ingested messages render without re-inserted
+timestamp text — reference IR-ingest parity)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+FILE_A = """\
+2016-05-08 07:34:05,251 INFO starting job 42
+  with config alpha=0.5
+2016-05-08 07:34:06,002 WARN slow response 120 ms from node-7
+2016-05-08 07:34:07,000 ERROR failed after 0.75 s hash deadbeef
+"""
+
+FILE_B = """\
+preamble line without timestamp
+2016-05-08 08:00:00,000 INFO other file start
+trailing continuation
+2016-05-08 08:00:01,500 DEBUG heartbeat seq 9001
+"""
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    """text logs → archive → IR chunk files (both stream widths)."""
+    from clp_spark.sources.logfiles import (
+        compress_text_logs,
+        extract_ir_from_archive,
+    )
+
+    d = tmp_path_factory.mktemp("irc_logs")
+    (d / "a.log").write_text(FILE_A)
+    (d / "b.log").write_text(FILE_B)
+    arch = str(tmp_path_factory.mktemp("irc_arch"))
+    compress_text_logs(spark, f"{d}/*.log", arch)
+    chunks = {}
+    for enc in ("eight", "four"):
+        out = str(tmp_path_factory.mktemp(f"irc_chunks_{enc}"))
+        extract_ir_from_archive(
+            spark, arch, out, events_per_chunk=3, encoding=enc
+        )
+        chunks[enc] = out
+    return str(d), arch, chunks
+
+
+def _stripped_bodies(spark, archive_dir):
+    """(body, ts-coalesced-to-0) multiset of an archive, timestamp text NOT
+    re-rendered — what an IR round trip must reproduce exactly."""
+    from clp_spark.sources.logfiles import decompress_file
+
+    rows = (
+        decompress_file(spark, archive_dir, restore_timestamps=False)
+        .select("message", F.coalesce("ts_ms", F.lit(0)).alias("ts"))
+        .collect()
+    )
+    return sorted((r["message"], r["ts"]) for r in rows)
+
+
+def test_classify_ir(setup):
+    """Content sniff routes IR streams by magic (either width), ahead of
+    the gzip/tar checks — FileCompressor.cpp:158-170 order."""
+    from clp_spark.sources.logfiles import classify_log_input
+
+    _d, _arch, chunks = setup
+    for enc in ("eight", "four"):
+        clps = [n for n in os.listdir(chunks[enc]) if n.endswith(".clp")]
+        assert clps
+        for n in clps:
+            assert classify_log_input(os.path.join(chunks[enc], n)) == "ir"
+
+
+def test_line_readers_reject_ir(spark, setup):
+    """IR streams hold messages, not lines — a line-oriented caller getting
+    one is a usage error, raised loudly (not silently mis-parsed)."""
+    from clp_spark.sources.logfiles import read_log_lines_any
+
+    _d, _arch, chunks = setup
+    with pytest.raises(ValueError, match="IR stream"):
+        read_log_lines_any(spark, f"{chunks['eight']}/*.clp")
+
+
+@pytest.mark.parametrize("encoding", ["eight", "four"])
+def test_compress_from_ir_lifecycle(spark, setup, tmp_path, encoding):
+    """`c` over IR chunks reproduces the original archive's stripped bodies
+    and timestamps exactly (both widths; four-byte demotions splice value
+    strings, so text round-trips)."""
+    from clp_spark.sources.logfiles import compress_text_logs
+
+    _d, arch, chunks = setup
+    arch2 = str(tmp_path / f"arch_{encoding}")
+    summary = compress_text_logs(spark, f"{chunks[encoding]}/*.clp", arch2)
+    want = _stripped_bodies(spark, arch)
+    got = _stripped_bodies(spark, arch2)
+    assert got == want
+    assert summary["messages"] == len(want)
+
+
+def test_ir_file_id_stem_rule(spark, setup, tmp_path):
+    """Stored paths drop the .clp suffix (FileCompressor.cpp:407-411)."""
+    from clp_spark.sources.logfiles import compress_text_logs
+
+    _d, _arch, chunks = setup
+    arch2 = str(tmp_path / "arch_stem")
+    compress_text_logs(spark, f"{chunks['eight']}/*.clp", arch2)
+    fids = [
+        r["file_id"]
+        for r in spark.read.parquet(f"{arch2}/sinks")
+        .select("file_id").distinct().collect()
+    ]
+    assert fids
+    for fid in fids:
+        assert not fid.endswith(".clp")
+        # each chunk is its own stored file: {orig}_{begin}_{end}
+        base = fid.rsplit("/", 1)[-1]
+        assert base.split("_")[0] in ("a.log", "b.log") or base.startswith(
+            ("a.log", "b.log")
+        )
+
+
+def test_mixed_text_and_ir_inputs(spark, setup, tmp_path):
+    """One `c` invocation over text + IR inputs unions both paths — the
+    reference's per-file dispatch inside one compression job
+    (FileCompressor.cpp:158-170)."""
+    from clp_spark.sources.logfiles import compress_text_logs
+
+    logdir, _arch, chunks = setup
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    (mixed / "c.log").write_text("2016-05-08 09:00:00,000 INFO extra line\n")
+    ir_names = sorted(
+        n for n in os.listdir(chunks["eight"]) if n.endswith(".clp")
+    )
+    import shutil
+
+    shutil.copy(os.path.join(chunks["eight"], ir_names[0]), mixed / ir_names[0])
+    arch3 = str(tmp_path / "arch_mixed")
+    summary = compress_text_logs(spark, str(mixed), arch3)
+    n_ir = int(ir_names[0].rsplit("_", 1)[-1].removesuffix(".clp")) - int(
+        ir_names[0].rsplit("_", 2)[-2]
+    )
+    assert summary["messages"] == 1 + n_ir
+    bodies = {r["message"] for r in _collect_msgs(spark, arch3)}
+    assert any("extra line" in b for b in bodies)
+
+
+def _collect_msgs(spark, archive_dir):
+    from clp_spark.sources.logfiles import decompress_file
+
+    return decompress_file(spark, archive_dir, restore_timestamps=False).collect()
