@@ -72,11 +72,34 @@ def cmd_compress(args) -> None:
         )
         from clp_spark.sources.logfiles import expand_tar_inputs
 
-        df = (
-            spark.read.text(expand_tar_inputs(args.inputs))
-            .withColumnRenamed("value", "raw")
-            .withColumn("_rec_ix", F.monotonically_increasing_id())
-        )
+        # clp-s deduces each input's type by content (JsonParser.cpp:
+        # 655-669): structured kv-IR streams ingest via ingest_kvir, the
+        # rest as JSONL. Local files sniff by preamble VERSION; remote
+        # URIs read as JSONL.
+        inputs = expand_tar_inputs(args.inputs)
+        kv_inputs: list[str] = []
+        if not any("://" in p and not p.startswith("file:") for p in inputs):
+            from clp_spark.sources.kv_ir import is_kv_ir_file
+
+            expanded = list_local_log_files(inputs)
+            kv_inputs = [p for p in expanded if is_kv_ir_file(p)]
+            inputs = [p for p in expanded if p not in set(kv_inputs)]
+        df = None
+        if inputs or not kv_inputs:
+            df = (
+                spark.read.text(inputs)
+                .withColumnRenamed("value", "raw")
+                .withColumn("_rec_ix", F.monotonically_increasing_id())
+            )
+        if kv_inputs:
+            from clp_spark.sources.kv_ir import read_kv_ir_stream_records
+
+            # kv records order after any JSONL records: mono ids are
+            # partition_id<<33 + row, so 1<<52 clears them
+            kv_df = read_kv_ir_stream_records(
+                spark, kv_inputs, rec_ix_base=1 << 52
+            )
+            df = kv_df if df is None else df.unionByName(kv_df)
         if args.target_encoded_size is not None:
             # clp-s --target-encoded-size: split into multiple archives
             from clp_spark.operators.json_archive import (

@@ -14,6 +14,8 @@ epoch values:
   \\M minute  \\S second  \\J leap second (60 allowed)
   \\3/\\6/\\9 fixed 3/6/9-digit fraction  \\T variable fraction (≤9 digits)
   \\E/\\L/\\C/\\N signed epoch seconds/ms/us/ns (fraction sign-distributes)
+  \\P unknown-precision epoch (unit estimated by magnitude — lines
+      2082-2097 estimate_timestamp_precision, 1971-threshold rule)
   \\z{±HH[:MM] | ±HHMM} literal timezone-offset text, offset applied
   \\o{NAME,±HHMM} literal timezone-name text, offset applied
   \\\\ literal backslash; other characters are literals.
@@ -63,6 +65,7 @@ _SIMPLE = {
     "L": r"(-?\d{1,19})",
     "C": r"(-?\d{1,19})",
     "N": r"(-?\d{1,19})",
+    "P": r"(-?\d{1,19})",
 }
 
 _EPOCH_MULT = {"E": _NS, "L": 1_000_000, "C": 1_000, "N": 1}
@@ -206,6 +209,21 @@ def parse_cat_timestamp_ns(col: Column, pattern: str | CatPattern) -> Column:
             frac_ns = F.rpad(g, 9, "0").cast("long")
         elif s in _EPOCH_MULT:
             epoch = g.cast("long") * F.lit(_EPOCH_MULT[s]).cast("long")
+            epoch_text = g
+        elif s == "P":
+            # \P unknown-precision epoch (TimestampParser.cpp:2082-2097
+            # estimate_timestamp_precision): the unit is the coarsest whose
+            # value lands after 1971 — |v| > 1971-in-ns → ns, > 1971-in-µs
+            # → µs, > 1971-in-ms → ms, else seconds
+            v = g.cast("long")
+            a = F.abs(v)
+            factor = (
+                F.when(a > F.lit(31_536_000_000_000_000), F.lit(1))
+                .when(a > F.lit(31_536_000_000_000), F.lit(1_000))
+                .when(a > F.lit(31_536_000_000), F.lit(1_000_000))
+                .otherwise(F.lit(_NS))
+            ).cast("long")
+            epoch = v * factor
             epoch_text = g
     if hour12 is not None:
         h = F.pmod(hour12, F.lit(12))

@@ -369,7 +369,12 @@ def _match_path(pattern: list[str], path: tuple[str, ...]) -> bool:
 
 
 def _resolve_columns(df: DataFrame, pattern: list[str]) -> list[tuple[Column, DataType]]:
-    # strip namespace markers ('$' metadata, '@'/'!' defaults) off first segment
+    # namespace markers off the first segment (archive_constants.hpp:32-36):
+    # '$' = range-index metadata, '@' = the auto-generated subtree (stored
+    # under a literal "@" root, JsonParser.cpp:1158-1161 — `@key` resolves
+    # as path ["@", key...]), '!' reserved (resolves in the default tree).
+    # Known edge: a `\@`-escaped literal leading '@' in the DEFAULT
+    # namespace is not distinguished post-unescape and also resolves here.
     pat = list(pattern)
     # NB: '' in "$@!" is True — require a non-empty first char so an empty
     # leading segment (e.g. column '.a') can't crash the indexing below
@@ -381,6 +386,8 @@ def _resolve_columns(df: DataFrame, pattern: list[str]) -> list[tuple[Column, Da
             pat = pat[1:]
         if ns == "$" and pat and not pat[0].startswith("_") and pat[0] != "*":
             pat[0] = "_" + pat[0]
+        if ns == "@":
+            pat = ["@"] + pat
     flat = _flatten_schema(df.schema)
     out = []
     for path, dtype in flat:

@@ -1295,3 +1295,237 @@ def kv_ir_to_rows_df(df, ir_col: str = "ir", stream_col: str = "stream"):
 
     return df.mapInArrow(_fn, KV_ROW_SCHEMA)
 
+
+KV_JSON_SCHEMA = "stream string, chunk_ix long, event_ix long, json string"
+
+
+class _RawJson:
+    """A pre-rendered JSON fragment spliced verbatim (unstructured-array
+    leaves store the array's original JSON text)."""
+
+    __slots__ = ("text",)
+
+    def __init__(self, text: str):
+        self.text = text
+
+
+def _render_json(obj) -> str:
+    if isinstance(obj, dict):
+        return "{" + ",".join(
+            json.dumps(k, ensure_ascii=False) + ":" + _render_json(v)
+            for k, v in obj.items()
+        ) + "}"
+    if isinstance(obj, _RawJson):
+        return obj.text
+    return json.dumps(obj, ensure_ascii=False)
+
+
+def blobs_to_json_batch(blobs, svals, cvals):
+    """Render kv-IR blobs back to ONE JSON record text per event — the
+    deserialize half of clp-s's `ingest_kvir` (JsonParser.cpp:920-1060:
+    each IR event re-enters the same archive writer the JSON path feeds).
+
+    Auto-generated-tree keys nest under a top-level "@" object: the
+    reference renames the auto-gen subtree's root to the "@" namespace in
+    the archive schema tree (JsonParser.cpp:1158-1161 cAutogenNamespace),
+    so `@.key` addresses them in search, exactly like archives clp-s
+    builds from kv-IR. Key order = serialized (schema) order; values are
+    exact (ints/bools/strings verbatim, floats shortest-round-trip,
+    unstructured-array JSON text spliced unchanged).
+
+    The blob deserialize is the shared vectorized parser; the per-leaf
+    record assembly is Python confined to this ingestion boundary (the
+    same boundary where JSONL ingestion runs its parse_float lexeme hook
+    — no JVM expression can rebuild nested objects from a schema tree
+    discovered at runtime). Parallelism comes from blobs across tasks."""
+    import pyarrow as pa
+
+    out = deserialize_kv_ir_many(blobs)
+    ko = out["key_offsets"]
+    nn = len(out["node_id"])
+    # per-node key chain root→node (unescaped key tuples); auto and user
+    # trees are separate id spaces (see blobs_to_leaf_batch)
+    chains: dict = {}
+    chain_list: list[tuple] = []
+    for j in range(nn):
+        b, i = int(out["node_blob"][j]), int(out["node_id"][j])
+        a = bool(out["node_auto"][j])
+        k = out["key_data"][ko[j]:ko[j + 1]].tobytes().decode("utf-8")
+        p = int(out["node_parent"][j])
+        parent = chains.get((b, a, p), ()) if p else ()
+        ch = parent + (k,)
+        chains[(b, a, i)] = ch
+        chain_list.append(ch)
+    # row → node-table index (searchsorted on the combined key)
+    nr = len(out["row_blob"])
+    max_id = int(out["node_id"].max()) + 1 if nn else 1
+    node_key = (
+        out["node_blob"] * 2 + out["node_auto"]
+    ) * max_id + out["node_id"]
+    row_key = (
+        out["row_blob"] * 2 + out["row_auto"]
+    ) * max_id + out["row_node"]
+    order = np.argsort(node_key, kind="stable")
+    pos = np.searchsorted(node_key[order], row_key)
+    if nr and not np.array_equal(node_key[order][pos], row_key):
+        raise ValueError("kv-IR row references an undefined node")
+    path_ix = order[pos] if nr else np.zeros(0, dtype=np.int64)
+    ntypes = out["node_type"][path_ix] if nr else np.zeros(0, np.int64)
+    so, sd = out["str_offsets"], out["str_data"]
+    kinds = out["row_kind"]
+    rb, re_, ra = out["row_blob"], out["row_event"], out["row_auto"]
+    iv, fv = out["int_val"], out["float_val"]
+
+    made: dict[tuple[int, int], str] = {}
+    cur: tuple[int, int] | None = None
+    user: dict = {}
+    auto: dict = {}
+
+    def _flush():
+        if cur is None:
+            return
+        rec = {"@": auto, **user} if auto else user
+        made[cur] = _render_json(rec)
+
+    for r in range(nr):
+        key = (int(rb[r]), int(re_[r]))
+        if key != cur:
+            _flush()
+            cur, user, auto = key, {}, {}
+        k = int(kinds[r])
+        if k == _K_INT:
+            v = int(iv[r])
+        elif k == _K_FLOAT:
+            v = float(fv[r])
+        elif k == _K_BOOL:
+            v = bool(iv[r])
+        elif k == _K_STR:
+            text = sd[so[r]:so[r + 1]].tobytes().decode("utf-8")
+            v = _RawJson(text) if ntypes[r] == NODE_UARRAY else text
+        else:  # _K_NULL
+            v = None
+        chain = chain_list[path_ix[r]]
+        d = auto if ra[r] else user
+        for seg in chain[:-1]:
+            nxt = d.get(seg)
+            if not isinstance(nxt, dict):
+                nxt = d[seg] = {}
+            d = nxt
+        d[chain[-1]] = v
+    _flush()
+
+    # leafless events ({} on the wire, ValueEmpty) produced no rows —
+    # fill every (blob, event) slot from the per-blob event counts
+    ev_blob: list[int] = []
+    ev_ix: list[int] = []
+    texts: list[str] = []
+    for b, n in enumerate(out["n_events"]):
+        for e in range(int(n)):
+            ev_blob.append(b)
+            ev_ix.append(e)
+            texts.append(made.get((b, e), "{}"))
+    ridx = pa.array(np.array(ev_blob, dtype=np.int64))
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.compute.take(svals, ridx),
+            pa.compute.take(cvals, ridx),
+            pa.array(np.array(ev_ix, dtype=np.int64)),
+            pa.array(texts, type=pa.string()),
+        ],
+        ["stream", "chunk_ix", "event_ix", "json"],
+    )
+
+
+def kv_ir_to_json_df(df, ir_col: str = "ir", stream_col: str = "stream"):
+    """kv-IR blobs → (stream, chunk_ix, event_ix, json): one reconstructed
+    JSON record per event, auto-gen keys under "@" (see
+    blobs_to_json_batch). The bridge from kv-IR streams into the
+    JSON-archive compressor (clp-s FileType::KeyValueIr ingestion)."""
+    import pyarrow as pa
+
+    cols = [stream_col, ir_col] + (
+        ["chunk_ix"] if "chunk_ix" in df.columns else []
+    )
+
+    def _fn(batches):
+        for batch in batches:
+            blobs = batch.column(ir_col).to_pylist()
+            svals = batch.column(stream_col)
+            cvals = (
+                batch.column("chunk_ix")
+                if "chunk_ix" in batch.schema.names
+                else pa.array(np.zeros(len(blobs), dtype=np.int64))
+            )
+            yield blobs_to_json_batch(blobs, svals, cvals)
+
+    return df.select(*cols).mapInArrow(_fn, KV_JSON_SCHEMA)
+
+
+def is_kv_ir_file(path: str) -> bool:
+    """Content sniff: does this LOCAL file carry the structured kv-IR
+    protocol? Both stream families share the IR magics; the preamble
+    metadata VERSION separates them ("0.1.0" = kv,
+    protocol_constants.hpp:15-16 — vs "0.0.2" for the kv-free streams).
+    The reference deduces input types by content the same way
+    (JsonParser.cpp try_create_reader_and_deduce_type)."""
+    from clp_spark.sources.ir_four import MAGIC_4BYTE
+
+    try:
+        with open(path, "rb") as f:
+            head = f.read(8)
+            if head[:4] not in (MAGIC_8BYTE, MAGIC_4BYTE) or len(head) < 7:
+                return False
+            if head[4] != 0x01:
+                return False
+            if head[5] == 0x11:
+                ln, rest = head[6], head[7:8]
+            elif head[5] == 0x12:
+                ln, rest = (head[6] << 8) | head[7], b""
+            else:
+                return False
+            payload = rest + f.read(ln - len(rest))
+        meta = json.loads(payload.decode("utf-8"))
+    except (OSError, ValueError):
+        return False
+    return meta.get("VERSION") == KV_VERSION
+
+
+def read_kv_ir_stream_records(spark, ir_paths: list[str], rec_ix_base: int = 0):
+    """kv-IR stream FILES → (raw, _rec_ix) JSON-record lines ready for
+    `compress_jsonl_archive` — the clp-s `c` path over kv-IR inputs
+    (JsonParser.cpp:663-669 FileType::KeyValueIr → ingest_kvir).
+
+    One binaryFile task per stream (the reference's sequential
+    deserializer unit; parallelism across files) → the vectorized
+    deserialize + record render. Ingestion order: files rank in the given
+    path order, events by stream position — `_rec_ix = base + (rank<<40)
+    + event_ix` is monotone with zero extra passes (no global window, no
+    count job; O(files) broadcast rows only)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    blobs = (
+        spark.read.format("binaryFile").load(list(ir_paths))
+        .select(F.col("path").alias("stream"), F.col("content").alias("ir"))
+    )
+    lines = kv_ir_to_json_df(blobs)
+    rank_rows = [
+        (_os.path.abspath(p.removeprefix("file://").removeprefix("file:")), i)
+        for i, p in enumerate(ir_paths)
+    ]
+    ranks = spark.createDataFrame(rank_rows, "abs_path string, _rank long")
+    norm = F.url_decode(F.regexp_replace("stream", "^file:(//)?", ""))
+    return (
+        lines.withColumn("abs_path", norm)
+        .join(F.broadcast(ranks), "abs_path")
+        .select(
+            F.col("json").alias("raw"),
+            (
+                F.lit(int(rec_ix_base))
+                + F.shiftleft(F.col("_rank"), 40)
+                + F.col("event_ix")
+            ).alias("_rec_ix"),
+        )
+    )
+

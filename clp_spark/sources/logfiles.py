@@ -45,7 +45,8 @@ def read_log_lines(spark: SparkSession, paths: str | list[str]) -> DataFrame:
 
 
 def classify_log_input(path: str) -> str:
-    """Content-sniff one LOCAL input file → 'text' | 'gz' | 'tar' | 'ir'.
+    """Content-sniff one LOCAL input file → 'text' | 'gz' | 'tar' | 'ir' |
+    'kvir'.
 
     Reference parity: the reference decides by CONTENT, not extension —
     FileCompressor.cpp:158-170 tries UTF-8 first, then hands non-UTF-8
@@ -54,8 +55,10 @@ def classify_log_input(path: str) -> str:
     (FileCompressor.cpp:406-430 compress_ir_stream).
     Here: gzip magic (1f 8b) → peek the decompressed head for the tar
     magic ('ustar' at offset 257) to split single-member .gz from .tar.gz;
-    raw tar magic → tar; IR stream magic (either width) → ir; anything
-    else → text. (gz-wrapped IR is not sniffed — gunzip it first.)"""
+    raw tar magic → tar; IR stream magic (either width) → 'kvir' when the
+    preamble VERSION is the structured kv protocol's (a clp-s `c --json`
+    input), else 'ir'; anything else → text. (gz-wrapped IR is not
+    sniffed — gunzip it first.)"""
     import gzip
 
     from clp_spark.sources.ir_four import MAGIC_4BYTE
@@ -67,7 +70,9 @@ def classify_log_input(path: str) -> str:
     except OSError:
         return "text"
     if head[:4] in (MAGIC_8BYTE, MAGIC_4BYTE):
-        return "ir"
+        from clp_spark.sources.kv_ir import is_kv_ir_file
+
+        return "kvir" if is_kv_ir_file(path) else "ir"
     if head[:2] == b"\x1f\x8b":
         try:
             with gzip.open(path, "rb") as gz:
@@ -233,7 +238,9 @@ def read_log_lines_any(
         out = read_log_lines(spark, plist)
         return out.withColumn("container", F.col("file_id")) if with_container else out
     files = list_local_log_files(plist)
-    kinds: dict[str, list[str]] = {"text": [], "gz": [], "tar": [], "ir": []}
+    kinds: dict[str, list[str]] = {
+        "text": [], "gz": [], "tar": [], "ir": [], "kvir": [],
+    }
     for p in files:
         kinds[classify_log_input(p)].append(p)
     if kinds["ir"]:
@@ -242,6 +249,13 @@ def read_log_lines_any(
         # one is a usage error, not data
         raise ValueError(
             "IR stream inputs are not line-oriented: " + ", ".join(kinds["ir"])
+        )
+    if kinds["kvir"]:
+        # structured kv-IR compresses into JSON archives (`c --json`,
+        # clp-s FileType::KeyValueIr), never through the text pipeline
+        raise ValueError(
+            "structured kv-IR inputs need `c --json` (clp-s ingestion): "
+            + ", ".join(kinds["kvir"])
         )
     parts: list[DataFrame] = []
     if kinds["text"]:

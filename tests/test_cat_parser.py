@@ -181,3 +181,30 @@ class TestKvImportTimestampKey:
             "path = '_ts_ms'"
         ).orderBy("int_val").collect()
         assert [r["int_val"] for r in rows] == [1422752523004, 1422752524000]
+
+
+class TestUnknownPrecisionEpoch:
+    def test_p_estimates_unit_by_magnitude(self, spark):
+        r"""\P (TimestampParser.cpp 'P' + estimate_timestamp_precision
+        2082-2097): the unit is the coarsest that lands after 1971 —
+        thresholds at 31,536,000,000 (ms), *1e3 (us), *1e6 (ns)."""
+        from pyspark.sql import functions as F
+
+        cases = [
+            ("1710014645", 1_710_014_645 * 10**9),          # seconds
+            ("1710014645123", 1_710_014_645_123 * 10**6),   # milliseconds
+            ("1710014645123456", 1_710_014_645_123_456 * 10**3),  # microseconds
+            ("1710014645123456789", 1_710_014_645_123_456_789),   # nanoseconds
+            ("2000000000", 2_000_000_000 * 10**9),    # 2033 in seconds
+            ("-1710014645", -1_710_014_645 * 10**9),  # sign via |v|
+            ("5", 5 * 10**9),
+        ]
+        df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+        got = {
+            r["s"]: r["ns"]
+            for r in df.select(
+                "s", parse_cat_timestamp_ns(F.col("s"), r"\P").alias("ns")
+            ).collect()
+        }
+        for s, want in cases:
+            assert got[s] == want, (s, got[s], want)

@@ -1,0 +1,249 @@
+"""clp-s kv-IR ingestion — `c --json` over structured kv-IR streams
+(JsonParser.cpp:655-669: content-deduced FileType::KeyValueIr →
+ingest_kvir, where each deserialized IR event re-enters the SAME archive
+writer the JSON path feeds). Differential contract: a JSON archive built
+FROM kv-IR streams reconstructs records value-identical to one built from
+the equivalent JSONL; auto-generated-tree keys land under the "@"
+namespace (JsonParser.cpp:1158-1161 cAutogenNamespace) and are
+KQL-searchable there."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+RECORDS = [
+    {"ts": 1, "msg": "hello world spark", "ctx": {"lat": 1.5, "region": "us"}},
+    {"ts": 2, "msg": "plain", "code": 404},
+    # array elements stay one type here: the JSONL→kv-IR FIXTURE leg rides
+    # spark.read.json, which coerces mixed arrays to strings (a writer-side
+    # canonicalization); wire-level mixed arrays splice verbatim — covered
+    # by test_uarray_text_splices_verbatim on a hand-serialized blob
+    {"ts": 3, "arr": [1, 7, 2], "tag": "ints"},
+    {"ts": 4, "deep": {"a": {"b": {"c": -7}}}, "flag": True},
+    {"ts": 5, "big": 8589934592, "f": -0.125},
+]
+
+
+def _strcol(vals):
+    import numpy as np
+
+    data = b"".join(v.encode() for v in vals)
+    offs = [0]
+    for v in vals:
+        offs.append(offs[-1] + len(v.encode()))
+    return np.frombuffer(data, np.uint8), np.array(offs, dtype=np.int64)
+
+
+@pytest.fixture(scope="module")
+def kv_files(spark, tmp_path_factory):
+    """RECORDS as JSONL → kv-IR chunks → one .clp stream file per chunk."""
+    from clp_spark.sources.kv_ir import events_to_kv_ir_df
+
+    d = tmp_path_factory.mktemp("kvir_in")
+    jsonl = d / "logs.jsonl"
+    jsonl.write_text("".join(json.dumps(r) + "\n" for r in RECORDS))
+    df = (
+        spark.read.option("multiLine", "false").json(str(jsonl))
+        .withColumn("_stream", F.lit("logs"))
+        .withColumn("_rec_ix", F.monotonically_increasing_id())
+    )
+    chunks = events_to_kv_ir_df(
+        df, stream_col="_stream", events_per_chunk=3, order_col="_rec_ix"
+    ).collect()
+    kvdir = tmp_path_factory.mktemp("kvir_streams")
+    for r in sorted(chunks, key=lambda r: r["chunk_ix"]):
+        with open(kvdir / f"chunk_{r['chunk_ix']:03d}.clp", "wb") as f:
+            f.write(bytes(r["ir"]))
+    return str(jsonl), str(kvdir)
+
+
+def _reconstruct_values(spark, archive_dir):
+    from clp_spark.operators.json_archive import reconstruct_jsonl
+
+    return [
+        json.loads(r["json"])
+        for r in reconstruct_jsonl(spark, archive_dir).collect()
+    ]
+
+
+def test_sniff_kv_vs_plain_ir(spark, kv_files, tmp_path):
+    """classify_log_input separates the two stream families by preamble
+    VERSION (both share the IR magic)."""
+    from clp_spark.sources.logfiles import classify_log_input, convert_to_ir
+
+    _jsonl, kvdir = kv_files
+    names = sorted(os.listdir(kvdir))
+    assert names
+    for n in names:
+        assert classify_log_input(os.path.join(kvdir, n)) == "kvir"
+    # a kv-free IR stream still classifies 'ir'
+    logd = tmp_path / "plainlogs"
+    logd.mkdir()
+    (logd / "x.log").write_text("2016-05-08 07:34:05,251 INFO one\n")
+    convert_to_ir(spark, str(logd / "x.log"), str(tmp_path / "ir_out"))
+    blob = (
+        spark.read.parquet(str(tmp_path / "ir_out")).limit(1).collect()[0]["ir"]
+    )
+    p = tmp_path / "plain.clp"
+    p.write_bytes(bytes(blob))
+    assert classify_log_input(str(p)) == "ir"
+
+
+def test_kvir_archive_matches_jsonl_archive(spark, kv_files, tmp_path):
+    """Archive-from-kv-IR ≡ archive-from-JSONL on reconstructed record
+    values and order (kv-IR canonicalizes key order at import, so values
+    compare as parsed objects)."""
+    from clp_spark.operators.json_archive import compress_jsonl_archive
+    from clp_spark.sources.kv_ir import read_kv_ir_stream_records
+    from clp_spark.sources.logfiles import list_local_log_files
+
+    jsonl, kvdir = kv_files
+    a_json = str(tmp_path / "arch_json")
+    df = (
+        spark.read.text(jsonl)
+        .withColumnRenamed("value", "raw")
+        .withColumn("_rec_ix", F.monotonically_increasing_id())
+    )
+    compress_jsonl_archive(df, "raw", a_json, order_col="_rec_ix")
+
+    a_kv = str(tmp_path / "arch_kv")
+    kv_paths = list_local_log_files([kvdir])
+    kv_df = read_kv_ir_stream_records(spark, kv_paths)
+    stats = compress_jsonl_archive(kv_df, "raw", a_kv, order_col="_rec_ix")
+    assert stats["rows"] == len(RECORDS)
+    assert stats["invalid"] == 0
+
+    want = _reconstruct_values(spark, a_json)
+    got = _reconstruct_values(spark, a_kv)
+    assert got == want == RECORDS
+
+
+def test_kvir_archive_search_parity(spark, kv_files, tmp_path):
+    """KQL over the kv-IR-built archive answers like the JSONL-built one."""
+    from clp_spark.operators.json_archive import compress_jsonl_archive
+    from clp_spark.operators.json_archive import search_json_archive
+    from clp_spark.sources.kv_ir import read_kv_ir_stream_records
+    from clp_spark.sources.logfiles import list_local_log_files
+
+    jsonl, kvdir = kv_files
+    a_kv = str(tmp_path / "arch_kv")
+    kv_df = read_kv_ir_stream_records(
+        spark, list_local_log_files([kvdir])
+    )
+    compress_jsonl_archive(kv_df, "raw", a_kv, order_col="_rec_ix")
+    a_json = str(tmp_path / "arch_json")
+    df = (
+        spark.read.text(jsonl)
+        .withColumnRenamed("value", "raw")
+        .withColumn("_rec_ix", F.monotonically_increasing_id())
+    )
+    compress_jsonl_archive(df, "raw", a_json, order_col="_rec_ix")
+
+    def ts_of(arch, q):
+        return {
+            json.loads(r["json"])["ts"]
+            for r in search_json_archive(spark, arch, q).collect()
+        }
+
+    for q in [
+        'msg: "hello*"',
+        "ctx.lat >= 1",
+        "code: 404",
+        "NOT code: 404 AND ts >= 2",
+        "ts >= 2 AND ts <= 4",
+    ]:
+        got, want = ts_of(a_kv, q), ts_of(a_json, q)
+        assert got == want, (q, got, want)
+    assert ts_of(a_kv, "code: 404") == {2}
+
+
+def test_autogen_keys_under_at_namespace(spark, tmp_path):
+    """Auto-generated-tree keys ingest under a top-level "@" object
+    (cAutogenNamespace) and are searchable as @.key."""
+    import clp_spark.sources.kv_ir as kv
+    from clp_spark.operators.json_archive import compress_jsonl_archive
+    from clp_spark.operators.json_archive import search_json_archive
+    from clp_spark.sources.kv_ir import read_kv_ir_stream_records
+
+    # one event with interleaved auto ("ts", "x") + user ("a", "b") keys —
+    # the wire golden from test_kv_ir (auto ids are ones-complement)
+    body = bytes([
+        0x71, 0x60, 0xFF, 0x41, 0x02, ord("t"), ord("s"),
+        0x71, 0x60, 0x00, 0x41, 0x01, ord("a"),
+        0x71, 0x60, 0xFF, 0x41, 0x01, ord("x"),
+        0x71, 0x60, 0x00, 0x41, 0x01, ord("b"),
+        0x65, 0xFE, 0x65, 0x01, 0x65, 0xFD, 0x65, 0x02,
+        0x51, 0x05, 0x51, 0x07, 0x51, 0x09, 0x51, 0x0B,
+        0x00,
+    ])
+    p = tmp_path / "auto.clp"
+    p.write_bytes(kv.make_kv_preamble() + body)
+    arch = str(tmp_path / "arch_auto")
+    df = read_kv_ir_stream_records(spark, [str(p)])
+    rows = df.collect()
+    assert json.loads(rows[0]["raw"]) == {"@": {"ts": 5, "x": 9}, "a": 7, "b": 11}
+    compress_jsonl_archive(df, "raw", arch, order_col="_rec_ix")
+    # reference syntax: `@key` = key in the auto-generated namespace
+    # (reference-json-search-syntax.md:66-72); `@.key` accepted too
+    for q in ("@ts: 5", "@.ts: 5"):
+        hits = search_json_archive(spark, arch, q).collect()
+        assert len(hits) == 1, q
+        assert json.loads(hits[0]["json"])["@"]["ts"] == 5
+    assert search_json_archive(spark, arch, "@ts: 7").count() == 0
+    # the namespace does NOT leak into default-tree resolution: user key
+    # "a" only matches unprefixed
+    assert search_json_archive(spark, arch, "@a: 7").count() == 0
+    assert search_json_archive(spark, arch, "a: 7").count() == 1
+
+
+def test_uarray_text_splices_verbatim(spark, tmp_path):
+    """Unstructured-array leaves carry the array's JSON TEXT — mixed-type
+    arrays reconstruct element-exact (the renderer splices the stored text,
+    it never re-types it)."""
+    import numpy as np
+
+    import clp_spark.sources.kv_ir as kv
+    from clp_spark.sources.kv_ir import read_kv_ir_stream_records
+
+    texts = ['[1,"two words",2.5,null,{"x":3}]', "[]"]
+    data, offs = _strcol(texts)
+    blob = kv.serialize_kv_ir_core(
+        2,
+        [
+            kv.Leaf(("arr",), "uarray", [1, 1], data=data, offsets=offs),
+            kv.Leaf(("i",), "int", [1, 1], values=np.array([1, 2])),
+        ],
+    ).tobytes()
+    p = tmp_path / "ua.clp"
+    p.write_bytes(blob)
+    rows = read_kv_ir_stream_records(spark, [str(p)]).orderBy("_rec_ix").collect()
+    assert [json.loads(r["raw"]) for r in rows] == [
+        {"arr": [1, "two words", 2.5, None, {"x": 3}], "i": 1},
+        {"arr": [], "i": 2},
+    ]
+    # verbatim splice, not a re-render
+    assert '"arr":[1,"two words",2.5,null,{"x":3}]' in rows[0]["raw"]
+
+
+def test_cli_c_json_routes_kvir(spark, kv_files, tmp_path, capsys):
+    """`c --json` over a dir of .clp kv streams (content-deduced) builds a
+    searchable archive; mixed JSONL + kv-IR inputs union."""
+    from clp_spark.cli import main
+
+    jsonl, kvdir = kv_files
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    os.symlink(jsonl, mixed / "extra.jsonl")
+    names = sorted(os.listdir(kvdir))
+    for n in names:
+        os.symlink(os.path.join(kvdir, n), mixed / n)
+    arch = str(tmp_path / "arch_cli")
+    main(["c", "--json", arch, str(mixed)])
+    out = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(out[-1])
+    # JSONL records + the same records again via kv-IR
+    assert summary["rows"] == 2 * len(RECORDS)
+    got = _reconstruct_values(spark, arch)
+    assert got == RECORDS + RECORDS
