@@ -1299,25 +1299,81 @@ def kv_ir_to_rows_df(df, ir_col: str = "ir", stream_col: str = "stream"):
 KV_JSON_SCHEMA = "stream string, chunk_ix long, event_ix long, json string"
 
 
-class _RawJson:
-    """A pre-rendered JSON fragment spliced verbatim (unstructured-array
-    leaves store the array's original JSON text)."""
+def _render_texts(obj) -> str:
+    """Render a nested dict whose keys are ESCAPED JSON key texts and whose
+    leaves are final JSON value texts."""
+    return "{" + ",".join(
+        k + ":" + (v if type(v) is str else _render_texts(v))
+        for k, v in obj.items()
+    ) + "}"
 
-    __slots__ = ("text",)
 
-    def __init__(self, text: str):
-        self.text = text
-
-
-def _render_json(obj) -> str:
-    if isinstance(obj, dict):
-        return "{" + ",".join(
-            json.dumps(k, ensure_ascii=False) + ":" + _render_json(v)
-            for k, v in obj.items()
-        ) + "}"
-    if isinstance(obj, _RawJson):
-        return obj.text
-    return json.dumps(obj, ensure_ascii=False)
+def _kv_value_texts(out, ntypes) -> list:
+    """Per-row final JSON value texts, numpy-vectorized per kind (the
+    per-row Python in the record assembly only splices these):
+    ints/bools/nulls via astype('U'); floats via numpy's shortest repr
+    (dragon4 — same algorithm CPython repr uses) with a vectorized
+    cast-back verification and a per-value json.dumps fallback on any
+    mismatch; strings escape only where an escapable byte exists (clean
+    strings — the common case — just quote-wrap); unstructured-array
+    texts splice verbatim."""
+    nr = len(out["row_blob"])
+    kinds = out["row_kind"]
+    iv, fv = out["int_val"], out["float_val"]
+    so, sd = out["str_offsets"], out["str_data"]
+    vtext = np.empty(nr, dtype=object)
+    m = kinds == _K_INT
+    if m.any():
+        vtext[m] = iv[m].astype("U20")
+    m = kinds == _K_BOOL
+    if m.any():
+        vtext[m] = np.where(iv[m].astype(bool), "true", "false")
+    m = kinds == _K_NULL
+    if m.any():
+        vtext[m] = "null"
+    m = kinds == _K_FLOAT
+    if m.any():
+        txt = fv[m].astype("U32")
+        with np.errstate(all="ignore"):
+            ok = np.isfinite(fv[m])
+            back = np.full(len(txt), np.nan)
+            back[ok] = txt[ok].astype(np.float64)
+            ok &= back.view(np.int64) == fv[m].view(np.int64)
+        vals = txt.astype(object)
+        if not ok.all():
+            fvals = fv[m]
+            for i in np.flatnonzero(~ok):
+                vals[i] = json.dumps(float(fvals[i]))
+        vtext[m] = vals
+    m = kinds == _K_STR
+    if m.any():
+        ix = np.flatnonzero(m)
+        # escapable bytes per string span: '"', '\\', controls < 0x20
+        bad = (sd < 0x20) | (sd == 0x22) | (sd == 0x5C)
+        lens = so[1:] - so[:-1]
+        starts = so[:-1][ix]
+        spans_bad = np.zeros(len(ix), dtype=bool)
+        nz = lens[ix] > 0
+        if nz.any() and len(bad):
+            csum = np.concatenate([[0], np.cumsum(bad)])
+            spans_bad[nz] = (
+                csum[so[1:][ix[nz]]] - csum[starts[nz]]
+            ) > 0
+        data = sd.tobytes()
+        uarr = (ntypes == NODE_UARRAY).tolist()
+        so_l = so.tolist()
+        bad_l = spans_bad.tolist()
+        strs = np.empty(len(ix), dtype=object)
+        for j, r in enumerate(ix.tolist()):
+            s = data[so_l[r]:so_l[r + 1]].decode("utf-8")
+            if uarr[r]:
+                strs[j] = s  # array JSON text, verbatim
+            elif bad_l[j]:
+                strs[j] = json.dumps(s, ensure_ascii=False)
+            else:
+                strs[j] = f'"{s}"'
+        vtext[m] = strs
+    return vtext
 
 
 def blobs_to_json_batch(blobs, svals, cvals):
@@ -1343,8 +1399,9 @@ def blobs_to_json_batch(blobs, svals, cvals):
     out = deserialize_kv_ir_many(blobs)
     ko = out["key_offsets"]
     nn = len(out["node_id"])
-    # per-node key chain root→node (unescaped key tuples); auto and user
-    # trees are separate id spaces (see blobs_to_leaf_batch)
+    # per-node key chain root→node as ESCAPED JSON key texts (nodes are
+    # few — Python over NODES only); auto and user trees are separate id
+    # spaces (see blobs_to_leaf_batch)
     chains: dict = {}
     chain_list: list[tuple] = []
     for j in range(nn):
@@ -1353,7 +1410,7 @@ def blobs_to_json_batch(blobs, svals, cvals):
         k = out["key_data"][ko[j]:ko[j + 1]].tobytes().decode("utf-8")
         p = int(out["node_parent"][j])
         parent = chains.get((b, a, p), ()) if p else ()
-        ch = parent + (k,)
+        ch = parent + (json.dumps(k, ensure_ascii=False),)
         chains[(b, a, i)] = ch
         chain_list.append(ch)
     # row → node-table index (searchsorted on the combined key)
@@ -1371,10 +1428,8 @@ def blobs_to_json_batch(blobs, svals, cvals):
         raise ValueError("kv-IR row references an undefined node")
     path_ix = order[pos] if nr else np.zeros(0, dtype=np.int64)
     ntypes = out["node_type"][path_ix] if nr else np.zeros(0, np.int64)
-    so, sd = out["str_offsets"], out["str_data"]
-    kinds = out["row_kind"]
     rb, re_, ra = out["row_blob"], out["row_event"], out["row_auto"]
-    iv, fv = out["int_val"], out["float_val"]
+    vtext = _kv_value_texts(out, ntypes)
 
     made: dict[tuple[int, int], str] = {}
     cur: tuple[int, int] | None = None
@@ -1384,34 +1439,26 @@ def blobs_to_json_batch(blobs, svals, cvals):
     def _flush():
         if cur is None:
             return
-        rec = {"@": auto, **user} if auto else user
-        made[cur] = _render_json(rec)
+        rec = {'"@"': auto, **user} if auto else user
+        made[cur] = _render_texts(rec)
 
+    # python lists once — numpy scalar indexing inside the row loop is
+    # several times slower than list indexing
+    rb_l, re_l, ra_l = rb.tolist(), re_.tolist(), ra.tolist()
+    pix_l, vt_l = path_ix.tolist(), vtext.tolist()
     for r in range(nr):
-        key = (int(rb[r]), int(re_[r]))
+        key = (rb_l[r], re_l[r])
         if key != cur:
             _flush()
             cur, user, auto = key, {}, {}
-        k = int(kinds[r])
-        if k == _K_INT:
-            v = int(iv[r])
-        elif k == _K_FLOAT:
-            v = float(fv[r])
-        elif k == _K_BOOL:
-            v = bool(iv[r])
-        elif k == _K_STR:
-            text = sd[so[r]:so[r + 1]].tobytes().decode("utf-8")
-            v = _RawJson(text) if ntypes[r] == NODE_UARRAY else text
-        else:  # _K_NULL
-            v = None
-        chain = chain_list[path_ix[r]]
-        d = auto if ra[r] else user
+        chain = chain_list[pix_l[r]]
+        d = auto if ra_l[r] else user
         for seg in chain[:-1]:
             nxt = d.get(seg)
-            if not isinstance(nxt, dict):
+            if type(nxt) is not dict:
                 nxt = d[seg] = {}
             d = nxt
-        d[chain[-1]] = v
+        d[chain[-1]] = vt_l[r]
     _flush()
 
     # leafless events ({} on the wire, ValueEmpty) produced no rows —
