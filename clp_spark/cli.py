@@ -115,6 +115,7 @@ def cmd_compress(args) -> None:
                 record_log_order=not args.disable_log_order,
                 compression_level=args.compression_level,
                 max_document_size=args.max_document_size,
+                min_table_size=args.min_table_size,
             )
             stats_lines = (
                 [archive_stats(s["dir"]) for s in summary["per_archive"]]
@@ -157,6 +158,7 @@ def cmd_compress(args) -> None:
                 record_log_order=not args.disable_log_order,
                 compression_level=args.compression_level,
                 max_document_size=args.max_document_size,
+                min_table_size=args.min_table_size,
             )
             stats_lines = (
                 [archive_stats(out_dir)] if args.print_archive_stats else []
@@ -1011,6 +1013,13 @@ def main(argv: list[str] | None = None) -> None:
         metavar="BYTES",
         help="JSON mode: a record over this size fails compression "
         "(clp-s --max-document-size, default 512 MiB)",
+    )
+    c.add_argument(
+        "--min-table-size", type=int, default=0, metavar="BYTES",
+        help="JSON mode: schema tables smaller than this pack into one "
+        "combined store (clp-s --min-table-size; reference default 1 MiB "
+        "— here 0 = off, since parquet directories carry far less "
+        "per-table overhead than the reference's per-table streams)",
     )
     c.add_argument(
         "--print-archive-stats", action="store_true",

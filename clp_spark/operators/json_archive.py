@@ -157,6 +157,7 @@ def compress_jsonl_archive(
     compression_level: int | None = None,
     max_document_size: int | None = 512 * 1024 * 1024,
     is_split: bool = False,
+    min_table_size: int = 0,
 ) -> dict:
     """JSONL rows → per-schema typed parquet tables + manifest.
 
@@ -322,17 +323,126 @@ def compress_jsonl_archive(
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
         json.dump(manifest, f)
-    return {
+    summary = {
         "schemas": len(manifest["schemas"]),
         "rows": total_rows,
         "invalid": invalid,
         "dir": out_dir,
         "uncompressed_size": manifest["uncompressed_size"],
     }
+    if min_table_size:
+        # clp-s --min-table-size: pack sub-threshold schema tables into the
+        # shared combined store (post-pass, like the reference's at-close
+        # packing)
+        summary["combined_tables"] = combine_small_tables(
+            df.sparkSession, out_dir, min_table_size, compression_level
+        )
+    return summary
 
 
 def is_json_archive(archive_dir: str) -> bool:
     return os.path.exists(os.path.join(archive_dir, _MANIFEST))
+
+
+_COMBINED_DIR = "combined_tables"
+_SID_COL = "__sid__"
+
+
+def combine_small_tables(
+    spark: SparkSession,
+    archive_dir: str,
+    min_table_size: int,
+    compression_level: int | None = None,
+) -> int:
+    """clp-s `--min-table-size` analog (ArchiveWriter.cpp:418-443): schema
+    tables below the size threshold pack into ONE shared store so a
+    schema-exploded ingest doesn't shed thousands of tiny files — the
+    reference concatenates sub-threshold tables into shared zstd streams;
+    the parquet-native translation is one combined table whose columns are
+    namespaced per schema ("<sid>::<col>", so same-path/different-type
+    schemas can never collide) plus a `__sid__` routing column. Rows of
+    other schemas are NULL in a schema's columns — RLE'd to almost
+    nothing, exactly the shared-compression win the reference gets.
+
+    Runs as a post-pass over a finished archive (the reference also packs
+    at close): reads the manifest, rewrites sub-threshold tables (bounded
+    work — each is < min_table_size on disk), deletes their directories,
+    and marks their manifest entries `combined: true`. Readers route via
+    the manifest. Returns the number of tables combined; a no-op (0 or 1
+    small table) leaves the archive untouched."""
+    import shutil
+    from functools import reduce
+
+    with open(os.path.join(archive_dir, _MANIFEST)) as f:
+        manifest = json.load(f)
+    small = []
+    small_bytes = 0
+    for entry in manifest["schemas"]:
+        if entry["schema_id"] == _SCALAR_ID or entry.get("combined"):
+            continue
+        d = os.path.join(archive_dir, f"schema_id={entry['schema_id']}")
+        size = sum(
+            os.path.getsize(os.path.join(r, n))
+            for r, _dd, names in os.walk(d) for n in names
+        )
+        if size < min_table_size:
+            small.append(entry)
+            small_bytes += size
+    if len(small) < 2:
+        return 0  # nothing shares a store — leave the layout alone
+    parts = []
+    for entry in small:
+        sid = entry["schema_id"]
+        t = spark.read.parquet(
+            os.path.join(archive_dir, f"schema_id={sid}")
+        )
+        parts.append(
+            t.select(
+                F.lit(sid).alias(_SID_COL),
+                *[F.col(f"`{c}`").alias(f"{sid}::{c}") for c in t.columns],
+            )
+        )
+    comb = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    )
+    # output files cut at ~min_table_size, the same way the reference cuts
+    # its shared zstd streams (ArchiveWriter.cpp:432) — without this, the
+    # union of N one-file scans would write N tiny files right back
+    n_files = max(1, small_bytes // max(min_table_size, 1))
+    _codec(
+        comb.coalesce(int(n_files)).write.mode("overwrite"),
+        compression_level,
+    ).parquet(os.path.join(archive_dir, _COMBINED_DIR))
+    for entry in small:
+        shutil.rmtree(
+            os.path.join(archive_dir, f"schema_id={entry['schema_id']}")
+        )
+        entry["combined"] = True
+    with open(os.path.join(archive_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    return len(small)
+
+
+def _load_schema_table(
+    spark: SparkSession, archive_dir: str, entry: dict
+) -> DataFrame:
+    """The typed table for one manifest entry — its own parquet directory,
+    or its slice of the combined store (filter on `__sid__`, strip the
+    schema-id column prefixes; types come back exactly as written)."""
+    sid = entry["schema_id"]
+    if not entry.get("combined"):
+        return spark.read.parquet(
+            os.path.join(archive_dir, f"schema_id={sid}")
+        )
+    comb = spark.read.parquet(os.path.join(archive_dir, _COMBINED_DIR))
+    pfx = f"{sid}::"
+    return comb.where(F.col(_SID_COL) == sid).select(
+        *[
+            F.col(f"`{c}`").alias(c[len(pfx):])
+            for c in comb.columns
+            if c.startswith(pfx)
+        ]
+    )
 
 
 def _rebuild_expr(
@@ -445,9 +555,7 @@ def reconstruct_jsonl(
     )
     out: DataFrame | None = None
     for entry in manifest["schemas"]:
-        tbl = spark.read.parquet(
-            os.path.join(archive_dir, f"schema_id={entry['schema_id']}")
-        )
+        tbl = _load_schema_table(spark, archive_dir, entry)
         if entry["schema_id"] == _SCALAR_ID:
             part = tbl.select(idx, F.col("__txt__").alias("json"))
         else:
@@ -509,9 +617,7 @@ def search_json_archive(
     for entry in manifest["schemas"]:
         if entry["schema_id"] == _SCALAR_ID:
             continue
-        tbl = spark.read.parquet(
-            os.path.join(archive_dir, f"schema_id={entry['schema_id']}")
-        )
+        tbl = _load_schema_table(spark, archive_dir, entry)
         leaves = [(tuple(p), k) for p, k in entry["leaves"]]
         # reconstruction expression FIRST, from the untouched typed columns
         work = tbl.withColumn(
@@ -780,28 +886,56 @@ def search_json_archives(
             if entry["schema_id"] == _SCALAR_ID:
                 continue  # no keys → never matches a KQL predicate
             # log_order joins the group key: order-less tables lack the
-            # idx column, so they can't share a scan with ordered ones
+            # idx column, so they can't share a scan with ordered ones;
+            # combined-store entries likewise scan separately (their
+            # columns are sid-prefixed and need the __sid__ filter)
+            combined = bool(entry.get("combined"))
             key = (
                 entry["schema_id"], manifest["structurize_arrays"], eff_ts,
                 bool(entry.get("fmt")), manifest.get("log_order", True),
+                combined,
             )
             g = groups.setdefault(
                 key,
                 {"leaves": [(tuple(p), k) for p, k in entry["leaves"]],
                  "paths": []},
             )
-            g["paths"].append(os.path.join(d, f"schema_id={entry['schema_id']}"))
+            g["paths"].append(
+                os.path.join(d, _COMBINED_DIR) if combined
+                else os.path.join(d, f"schema_id={entry['schema_id']}")
+            )
     ast = parse_kql(query)
     compiler = JsonArchive.__new__(JsonArchive)
     compiler.metadata = {IDX_COL: None}
-    # archive_id recovers from the file path (…/<archive_id>/schema_id=…) —
-    # a pure projection, no extra column stored
+    # archive_id recovers from the file path (…/<archive_id>/schema_id=…
+    # or …/<archive_id>/combined_tables/…) — a pure projection, no extra
+    # column stored
     aid_col = F.regexp_extract(
-        F.input_file_name(), r"/([^/]+)/schema_id=", 1
+        F.input_file_name(),
+        rf"/([^/]+)/(?:schema_id=|{_COMBINED_DIR}/)",
+        1,
     ).alias("archive_id")
     out: DataFrame | None = None
-    for (sid, structurize, eff_ts, _fmt, has_order), g in groups.items():
-        tbl = spark.read.parquet(*g["paths"])
+    for (sid, structurize, eff_ts, _fmt, has_order, combined), g in groups.items():
+        if combined:
+            # archives combine independently, so their stores' column sets
+            # differ — mergeSchema unions them; the __sid__ filter + prefix
+            # strip recovers this schema's typed slice
+            comb = spark.read.option("mergeSchema", "true").parquet(
+                *sorted(set(g["paths"]))
+            )
+            pfx = f"{sid}::"
+            # aid_col's input_file_name() still resolves through this
+            # projection — same scan stage
+            tbl = comb.where(F.col(_SID_COL) == sid).select(
+                *[
+                    F.col(f"`{c}`").alias(c[len(pfx):])
+                    for c in comb.columns
+                    if c.startswith(pfx)
+                ],
+            )
+        else:
+            tbl = spark.read.parquet(*g["paths"])
         leaves = g["leaves"]
         work = tbl.withColumn("__json__", _rebuild_expr(tbl, leaves, structurize))
         arr_leaves = [
@@ -858,6 +992,7 @@ def compress_jsonl_archives_multi(
     record_log_order: bool = True,
     compression_level: int | None = None,
     max_document_size: int | None = 512 * 1024 * 1024,
+    min_table_size: int = 0,
 ) -> dict:
     """clp-s `c --target-encoded-size`: split a JSONL stream into multiple
     self-contained JSON archives under `archives_dir` (the reference's
@@ -1083,15 +1218,18 @@ def compress_jsonl_archives_multi(
         }
         with open(os.path.join(out, _MANIFEST), "w") as f:
             json.dump(manifest, f)
-        summaries.append(
-            {
-                "archive": name,
-                "schemas": len(per_arch[k]["schemas"]),
-                "rows": per_arch[k]["rows"],
-                "invalid": invalid,
-                "dir": out,
-            }
-        )
+        s = {
+            "archive": name,
+            "schemas": len(per_arch[k]["schemas"]),
+            "rows": per_arch[k]["rows"],
+            "invalid": invalid,
+            "dir": out,
+        }
+        if min_table_size:
+            s["combined_tables"] = combine_small_tables(
+                spark, out, min_table_size, compression_level
+            )
+        summaries.append(s)
     if total_invalid:
         raise ValueError(f"{total_invalid} input rows are not valid JSON")
     return {

@@ -910,3 +910,136 @@ class TestArchiveStatsAndCaps:
         assert os.path.isfile(arch)
         assert st["size"] == os.path.getsize(arch)
         assert st["id"] == "packed"
+
+
+class TestMinTableSize:
+    """clp-s --min-table-size (ArchiveWriter.cpp:418-443): sub-threshold
+    schema tables pack into one combined store; readers route via the
+    manifest and results are IDENTICAL to the uncombined layout."""
+
+    LINES = [
+        '{"a": 1, "s": "one one"}',
+        '{"a": 2, "s": "two"}',
+        '{"b": {"x": 1.5}, "t": "u"}',
+        '{"c": [1, 2], "n": 7}',
+        '{"a": 3, "s": "three words here"}',
+        '{"b": {"x": -2.5}, "t": "v"}',
+        '{"d": true}',
+        "42",
+    ]
+
+    def _make(self, spark, tmp_path, name, **kw):
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(self.LINES)], "ord long, raw string"
+        )
+        out = str(tmp_path / name)
+        stats = compress_jsonl_archive(df, "raw", out, order_col="ord", **kw)
+        return out, stats
+
+    def test_combined_reconstruction_identical(self, spark, tmp_path):
+        import json as _json
+
+        plain, _ = self._make(spark, tmp_path, "plain")
+        comb, stats = self._make(
+            spark, tmp_path, "comb", min_table_size=1 << 30
+        )
+        assert stats["combined_tables"] >= 2
+        assert os.path.isdir(os.path.join(comb, "combined_tables"))
+        # the combined tables' own dirs are gone
+        manifest = _json.load(open(os.path.join(comb, "manifest.json")))
+        for e in manifest["schemas"]:
+            combined = bool(e.get("combined"))
+            exists = os.path.isdir(
+                os.path.join(comb, f"schema_id={e['schema_id']}")
+            )
+            assert exists != combined
+        want = [
+            (r["log_event_idx"], _json.loads(r["json"]))
+            for r in reconstruct_jsonl(spark, plain).collect()
+        ]
+        got = [
+            (r["log_event_idx"], _json.loads(r["json"]))
+            for r in reconstruct_jsonl(spark, comb).collect()
+        ]
+        assert got == want
+        assert [i for i, _ in got] == list(range(len(self.LINES)))
+
+    def test_combined_search_identical(self, spark, tmp_path):
+        from clp_spark.operators.json_archive import search_json_archive
+
+        plain, _ = self._make(spark, tmp_path, "plain")
+        comb, _ = self._make(spark, tmp_path, "comb", min_table_size=1 << 30)
+        for q in ['a > 1', 's: "two"', "b.x >= 0", "NOT d: true", "*: *"]:
+            want = sorted(
+                r["json"] for r in search_json_archive(spark, plain, q).collect()
+            )
+            got = sorted(
+                r["json"] for r in search_json_archive(spark, comb, q).collect()
+            )
+            assert got == want, q
+
+    def test_threshold_zero_and_one_are_noops(self, spark, tmp_path):
+        from clp_spark.operators.json_archive import combine_small_tables
+
+        arch, stats = self._make(spark, tmp_path, "noop")
+        assert "combined_tables" not in stats
+        # a 1-byte threshold can't be under-run by any real table
+        assert combine_small_tables(spark, arch, 1) == 0
+        assert not os.path.isdir(os.path.join(arch, "combined_tables"))
+
+    def test_federated_mixed_combined_layouts(self, spark, tmp_path):
+        """One archive combined, one not, same schemas — federation answers
+        like the per-archive searches."""
+        from clp_spark.operators.json_archive import (
+            search_json_archive,
+            search_json_archives,
+        )
+
+        root = tmp_path / "feds"
+        root.mkdir()
+        plain, _ = self._make(spark, root, "arch_plain")
+        comb, _ = self._make(spark, root, "arch_comb", min_table_size=1 << 30)
+        for q in ['a > 1', "b.x < 0", 's: "*one*"']:
+            fed = search_json_archives(spark, str(root), q).collect()
+            per = {
+                ("arch_plain", r["log_event_idx"], r["json"])
+                for r in search_json_archive(spark, plain, q).collect()
+            } | {
+                ("arch_comb", r["log_event_idx"], r["json"])
+                for r in search_json_archive(spark, comb, q).collect()
+            }
+            assert {
+                (r["archive_id"], r["log_event_idx"], r["json"]) for r in fed
+            } == per, q
+
+    def test_float_format_descriptors_survive_combining(self, spark, tmp_path):
+        """retain-float-format descriptor columns ride the combined store —
+        reconstruction stays byte-identical for formatted floats."""
+        lines = ['{"v": 1.2E3, "k": 1}', '{"v": 5e-2, "k": 2}',
+                 '{"w": "a b", "k": 3}']
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(lines)], "ord long, raw string"
+        )
+        out = str(tmp_path / "fmt")
+        compress_jsonl_archive(
+            df, "raw", out, order_col="ord", min_table_size=1 << 30
+        )
+        back = [r["json"] for r in reconstruct_jsonl(spark, out).collect()]
+        # key order canonicalizes; the float LEXEMES must survive verbatim
+        assert "1.2E3" in back[0] and "5e-2" in back[1]
+        assert [json.loads(b) for b in back] == [json.loads(x) for x in lines]
+
+    def test_cli_min_table_size(self, spark, tmp_path, capsys):
+        from clp_spark import cli
+
+        src = tmp_path / "in.jsonl"
+        src.write_text("\n".join(self.LINES) + "\n")
+        arch = str(tmp_path / "arch_cli")
+        cli.main([
+            "c", "--json", arch, str(src), "--min-table-size", str(1 << 30),
+        ])
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["combined_tables"] >= 2
+        assert [
+            json.loads(r["json"]) for r in reconstruct_jsonl(spark, arch).collect()
+        ] == [json.loads(s) for s in self.LINES]
