@@ -188,6 +188,22 @@ def kv_deser_bench(spark, cpus: int) -> dict:
         kv_ir_to_rows_df(one).count()
         one_s = min(one_s, time.time() - t0)
     one.unpersist()
+    # kv-IR → JSON record render (the ingest_kvir bridge into JSON
+    # archives): pure module-level rate on the same blobs, regression
+    # guard for the vectorized renderer
+    import numpy as np
+    import pyarrow as pa
+
+    from clp_spark.sources.kv_ir import blobs_to_json_batch
+
+    sv = pa.array(["s"] * len(blobs))
+    cv = pa.array(np.zeros(len(blobs), np.int64))
+    blobs_to_json_batch(blobs[:2], sv[:2], cv[:2])  # warm LUTs
+    render_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        nb = len(blobs_to_json_batch(blobs, sv, cv))
+        render_s = min(render_s, time.time() - t0)
     return {
         "kv_deser_loop_ev_per_sec_1core": round(loop_rate, 1),
         "kv_deser_spark_events": n_spark,
@@ -195,6 +211,7 @@ def kv_deser_bench(spark, cpus: int) -> dict:
         "kv_deser_spark_ev_per_sec_per_core_fullwidth": round(per_core, 1),
         "kv_deser_spark_ev_per_sec_1task": round(n / one_s, 1),
         "kv_spark_1task_vs_loop": round((n / one_s) / loop_rate, 3),
+        "kvir_json_render_ev_per_sec_1core": round(nb / render_s, 1),
     }
 
 
