@@ -247,3 +247,112 @@ def test_cli_c_json_routes_kvir(spark, kv_files, tmp_path, capsys):
     assert summary["rows"] == 2 * len(RECORDS)
     got = _reconstruct_values(spark, arch)
     assert got == RECORDS + RECORDS
+
+
+class TestRenderFuzz:
+    """Property fuzz (no Spark): random leaf-columnar events →
+    serialize_kv_ir_core → blobs_to_json_batch → every record parses back
+    to exactly the dict the leaves describe (order-preserving, nested,
+    absent-when-invalid)."""
+
+    def test_random_events_roundtrip(self):
+        import numpy as np
+        import pyarrow as pa
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        import clp_spark.sources.kv_ir as kv
+
+        key = st.text(
+            alphabet='ab."\\@é中 _0', min_size=1, max_size=6
+        )
+        path = st.lists(key, min_size=1, max_size=3).map(tuple)
+        kinds = st.sampled_from(["int", "float", "bool", "str", "uarray"])
+
+        def build(draw_paths, kindlist, n_events, table):
+            leaves = []
+            for p, kd, cells in zip(draw_paths, kindlist, table):
+                valid = [c is not None for c in cells]
+                if kd == "int":
+                    vals = np.array([c or 0 for c in cells], dtype=np.int64)
+                    leaves.append(kv.Leaf(p, kd, valid, values=vals))
+                elif kd == "float":
+                    vals = np.array([c or 0.0 for c in cells])
+                    leaves.append(kv.Leaf(p, kd, valid, values=vals))
+                elif kd == "bool":
+                    vals = np.array([bool(c) for c in cells])
+                    leaves.append(kv.Leaf(p, kd, valid, values=vals))
+                else:
+                    texts = [
+                        (json.dumps(c if c is not None else [])
+                         if kd == "uarray" else (c or ""))
+                        for c in cells
+                    ]
+                    data = b"".join(t.encode() for t in texts)
+                    offs = np.cumsum(
+                        [0] + [len(t.encode()) for t in texts]
+                    ).astype(np.int64)
+                    leaves.append(
+                        kv.Leaf(
+                            p, kd, valid,
+                            data=np.frombuffer(data, np.uint8), offsets=offs,
+                        )
+                    )
+            return kv.serialize_kv_ir_core(n_events, leaves).tobytes()
+
+        cell_of = {
+            "int": st.integers(-(2**62), 2**62),
+            "float": st.floats(allow_nan=False, allow_infinity=False),
+            "bool": st.booleans(),
+            "str": st.text(max_size=12),
+            "uarray": st.lists(
+                st.one_of(st.integers(-999, 999), st.text(max_size=5)),
+                max_size=3,
+            ),
+        }
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.data())
+        def run(data):
+            n_leaves = data.draw(st.integers(1, 5))
+            # unique, prefix-free paths (an ancestor of a leaf must stay an
+            # Obj node)
+            paths: list[tuple] = []
+            while len(paths) < n_leaves:
+                p = data.draw(path)
+                if any(
+                    p[: len(q)] == q or q[: len(p)] == p for q in paths
+                ):
+                    continue
+                paths.append(p)
+            kindlist = [data.draw(kinds) for _ in paths]
+            n_events = data.draw(st.integers(1, 6))
+            table = [
+                [
+                    data.draw(st.none() | cell_of[kd])
+                    for _ in range(n_events)
+                ]
+                for kd in kindlist
+            ]
+            blob = build(paths, kindlist, n_events, table)
+            batch = kv.blobs_to_json_batch(
+                [blob], pa.array(["s"]), pa.array([0], type=pa.int64())
+            )
+            rows = batch.to_pylist()
+            assert len(rows) == n_events
+            for e, row in enumerate(rows):
+                got = json.loads(row["json"])
+                want: dict = {}
+                for p, kd, cells in zip(paths, kindlist, table):
+                    c = cells[e]
+                    if c is None:
+                        continue
+                    d = want
+                    for seg in p[:-1]:
+                        d = d.setdefault(seg, {})
+                    d[p[-1]] = (
+                        bool(c) if kd == "bool" else c
+                    )
+                assert got == want, (row["json"], want)
+
+        run()
