@@ -1,0 +1,395 @@
+"""Regex→NFA with wildcard-pattern intersection, for schema-DFA search.
+
+The reference's schema-aware search (use_heuristic=false) decides which
+schema variable types a wildcard query token could match by intersecting
+the token's wildcard language with each rule's regex DFA (log-surgeon
+`wildcard_query_parser`, consumed by
+components/core/src/clp/SchemaSearcher.hpp:104-120 and
+GrepCore::process_raw_query; golden
+components/core/tests/test-GrepCore.cpp:167-212). log-surgeon is an
+external library, so this module reimplements the decision from first
+principles: compile the rule regex to a Thompson NFA and simulate it over
+the wildcard token, where '?' steps over any single non-delimiter char and
+'*' takes the reflexive-transitive closure of such steps. The intersection
+is non-empty iff an accepting state is reachable after consuming the token.
+
+Supported regex subset (what log-surgeon schema files use): literals,
+escapes (\\d \\s \\w \\. …), '.', char classes [..] with ranges and
+negation, groups (), alternation |, and quantifiers * + ? {m} {m,n} {m,}.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+_DIGITS = frozenset("0123456789")
+_SPACE = frozenset(" \t\n\r\f\v")
+_WORD = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+)
+
+# token units for wildcard simulation
+ANY1 = ("any1",)
+STAR = ("star",)
+
+
+class RegexNfaError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class Matcher:
+    """A character predicate: `chars` with `negated` semantics.
+
+    Over an unbounded alphabet a negated class always accepts some char
+    outside any finite exclusion set, which keeps `accepts_any_excluding`
+    exact without materializing an alphabet.
+    """
+
+    chars: frozenset
+    negated: bool = False
+
+    def accepts(self, ch: str) -> bool:
+        return (ch in self.chars) != self.negated
+
+    def accepts_any_excluding(self, excluded: frozenset) -> bool:
+        if self.negated:
+            return True
+        return any(c not in excluded for c in self.chars)
+
+
+DOT = Matcher(frozenset("\n"), negated=True)  # '.' = any char but newline
+
+
+class Nfa:
+    """states are ints; trans[s] = list[(Matcher|None, target)] (None=ε)."""
+
+    def __init__(self) -> None:
+        self.trans: list[list[tuple[Matcher | None, int]]] = []
+
+    def new_state(self) -> int:
+        self.trans.append([])
+        return len(self.trans) - 1
+
+    def add(self, src: int, matcher: Matcher | None, dst: int) -> None:
+        self.trans[src].append((matcher, dst))
+
+    # ---- simulation ----
+    def _eps_close(self, states: set[int]) -> set[int]:
+        stack = list(states)
+        out = set(states)
+        while stack:
+            s = stack.pop()
+            for m, t in self.trans[s]:
+                if m is None and t not in out:
+                    out.add(t)
+                    stack.append(t)
+        return out
+
+    def _step_char(self, states: set[int], ch: str) -> set[int]:
+        return {t for s in states for m, t in self.trans[s] if m is not None and m.accepts(ch)}
+
+    def _step_any(self, states: set[int], excluded: frozenset) -> set[int]:
+        return {
+            t
+            for s in states
+            for m, t in self.trans[s]
+            if m is not None and m.accepts_any_excluding(excluded)
+        }
+
+
+@dataclass(frozen=True)
+class CompiledRegex:
+    nfa: Nfa
+    start: int
+    accept: int
+
+    def intersects_wildcard(self, units: list, excluded: str = "") -> bool:
+        """Non-empty intersection of this regex's language with the wildcard
+        token language, where '?'/'*' range over chars not in `excluded`
+        (the schema delimiters — a lexed token never contains one)."""
+        exc = frozenset(excluded)
+        nfa = self.nfa
+        cur = nfa._eps_close({self.start})
+        for u in units:
+            if not cur:
+                return False
+            if u == STAR:
+                # fixed point of (ε-closed) any-char steps, including zero
+                frontier = cur
+                while True:
+                    nxt = nfa._eps_close(nfa._step_any(frontier, exc))
+                    new = nxt - cur
+                    if not new:
+                        break
+                    cur |= new
+                    frontier = new
+            elif u == ANY1:
+                cur = nfa._eps_close(nfa._step_any(cur, exc))
+            else:
+                cur = nfa._eps_close(nfa._step_char(cur, u))
+        return self.accept in cur
+
+    def fullmatch(self, text: str) -> bool:
+        return self.intersects_wildcard(list(text))
+
+
+def wildcard_units(token: str) -> list:
+    """Parse a query token into simulation units. Backslash escapes the next
+    char into a literal; unescaped '?' / '*' become ANY1 / STAR."""
+    units: list = []
+    i = 0
+    while i < len(token):
+        c = token[i]
+        if c == "\\" and i + 1 < len(token):
+            units.append(token[i + 1])
+            i += 2
+            continue
+        if c == "?":
+            units.append(ANY1)
+        elif c == "*":
+            units.append(STAR)
+        else:
+            units.append(c)
+        i += 1
+    return units
+
+
+# ---- regex parsing (recursive descent → Thompson fragments) ----
+
+_ESCAPE_CLASSES = {
+    "d": Matcher(_DIGITS),
+    "D": Matcher(_DIGITS, negated=True),
+    "s": Matcher(_SPACE),
+    "S": Matcher(_SPACE, negated=True),
+    "w": Matcher(_WORD),
+    "W": Matcher(_WORD, negated=True),
+}
+_ESCAPE_LITERALS = {"n": "\n", "t": "\t", "r": "\r", "f": "\f", "v": "\v", "0": "\0"}
+
+
+class _Parser:
+    def __init__(self, pattern: str) -> None:
+        self.p = pattern
+        self.i = 0
+        self.nfa = Nfa()
+
+    def peek(self) -> str | None:
+        return self.p[self.i] if self.i < len(self.p) else None
+
+    def take(self) -> str:
+        c = self.p[self.i]
+        self.i += 1
+        return c
+
+    # fragment = (start, accept)
+    def _frag_matcher(self, m: Matcher) -> tuple[int, int]:
+        a = self.nfa.new_state()
+        b = self.nfa.new_state()
+        self.nfa.add(a, m, b)
+        return a, b
+
+    def _frag_empty(self) -> tuple[int, int]:
+        a = self.nfa.new_state()
+        return a, a
+
+    def _concat(self, f1, f2) -> tuple[int, int]:
+        self.nfa.add(f1[1], None, f2[0])
+        return f1[0], f2[1]
+
+    def _alt(self, frags) -> tuple[int, int]:
+        a = self.nfa.new_state()
+        b = self.nfa.new_state()
+        for s, e in frags:
+            self.nfa.add(a, None, s)
+            self.nfa.add(e, None, b)
+        return a, b
+
+    def _copy_frag(self, frag, src_pattern: str) -> tuple[int, int]:
+        # re-parse the source substring: simplest faithful fragment copy
+        sub = _Parser(src_pattern)
+        f = sub.parse_alternation()
+        if sub.i != len(src_pattern):
+            raise RegexNfaError(f"trailing garbage in {src_pattern!r}")
+        offset = len(self.nfa.trans)
+        for edges in sub.nfa.trans:
+            self.nfa.trans.append([(m, t + offset) for m, t in edges])
+        return f[0] + offset, f[1] + offset
+
+    def parse_alternation(self) -> tuple[int, int]:
+        frags = [self.parse_concat()]
+        while self.peek() == "|":
+            self.take()
+            frags.append(self.parse_concat())
+        if len(frags) == 1:
+            return frags[0]
+        return self._alt(frags)
+
+    def parse_concat(self) -> tuple[int, int]:
+        frag = self._frag_empty()
+        while self.peek() is not None and self.peek() not in "|)":
+            frag = self._concat(frag, self.parse_quantified())
+        return frag
+
+    def parse_quantified(self) -> tuple[int, int]:
+        start_ix = self.i
+        frag = self.parse_atom()
+        atom_src = self.p[start_ix : self.i]
+        c = self.peek()
+        if c == "*":
+            self.take()
+            return self._star(frag)
+        if c == "+":
+            self.take()
+            rep = self._copy_frag(frag, atom_src)
+            return self._concat((frag[0], frag[1]), self._star(rep))
+        if c == "?":
+            self.take()
+            a = self.nfa.new_state()
+            b = self.nfa.new_state()
+            self.nfa.add(a, None, frag[0])
+            self.nfa.add(frag[1], None, b)
+            self.nfa.add(a, None, b)
+            return a, b
+        if c == "{":
+            return self._parse_counted(frag, atom_src)
+        return frag
+
+    def _star(self, frag) -> tuple[int, int]:
+        a = self.nfa.new_state()
+        b = self.nfa.new_state()
+        self.nfa.add(a, None, frag[0])
+        self.nfa.add(frag[1], None, b)
+        self.nfa.add(a, None, b)
+        self.nfa.add(frag[1], None, frag[0])
+        return a, b
+
+    def _parse_counted(self, frag, atom_src: str) -> tuple[int, int]:
+        self.take()  # '{'
+        spec = ""
+        while self.peek() is not None and self.peek() != "}":
+            spec += self.take()
+        if self.peek() != "}":
+            raise RegexNfaError("unterminated {m,n}")
+        self.take()
+        if "," in spec:
+            lo_s, hi_s = spec.split(",", 1)
+            lo = int(lo_s) if lo_s else 0
+            hi = int(hi_s) if hi_s.strip() else None
+        else:
+            lo = hi = int(spec)
+        if hi is not None and hi < lo:
+            raise RegexNfaError(f"bad counted repeat {{{spec}}}")
+        if (hi if hi is not None else lo) > 64:
+            raise RegexNfaError("counted repeat too large for NFA expansion")
+        out = self._frag_empty()
+        for _ in range(lo):
+            out = self._concat(out, self._copy_frag(frag, atom_src))
+        if hi is None:
+            out = self._concat(out, self._star(self._copy_frag(frag, atom_src)))
+        else:
+            for _ in range(hi - lo):
+                opt = self._copy_frag(frag, atom_src)
+                a = self.nfa.new_state()
+                b = self.nfa.new_state()
+                self.nfa.add(a, None, opt[0])
+                self.nfa.add(opt[1], None, b)
+                self.nfa.add(a, None, b)
+                out = self._concat(out, (a, b))
+        return out
+
+    def parse_atom(self) -> tuple[int, int]:
+        c = self.peek()
+        if c is None:
+            raise RegexNfaError("unexpected end of pattern")
+        if c == "(":
+            self.take()
+            # tolerate non-capturing / named groups
+            if self.peek() == "?":
+                self.take()
+                nxt = self.peek()
+                if nxt == ":":
+                    self.take()
+                elif nxt == "<":
+                    while self.peek() is not None and self.take() != ">":
+                        pass
+                else:
+                    raise RegexNfaError(f"unsupported group modifier (?{nxt}")
+            frag = self.parse_alternation()
+            if self.peek() != ")":
+                raise RegexNfaError("unbalanced parenthesis")
+            self.take()
+            return frag
+        if c == "[":
+            return self._frag_matcher(self._parse_class())
+        if c == ".":
+            self.take()
+            return self._frag_matcher(DOT)
+        if c == "\\":
+            self.take()
+            e = self.peek()
+            if e is None:
+                raise RegexNfaError("dangling backslash")
+            self.take()
+            if e in _ESCAPE_CLASSES:
+                return self._frag_matcher(_ESCAPE_CLASSES[e])
+            lit = _ESCAPE_LITERALS.get(e, e)
+            return self._frag_matcher(Matcher(frozenset(lit)))
+        if c in "*+?{":
+            raise RegexNfaError(f"quantifier {c!r} with nothing to repeat")
+        if c in "^$":
+            raise RegexNfaError(f"anchor {c!r} unsupported (rules are token-anchored)")
+        self.take()
+        return self._frag_matcher(Matcher(frozenset(c)))
+
+    def _parse_class(self) -> Matcher:
+        self.take()  # '['
+        negated = False
+        if self.peek() == "^":
+            negated = True
+            self.take()
+        chars: set[str] = set()
+        first = True
+        while True:
+            c = self.peek()
+            if c is None:
+                raise RegexNfaError("unterminated character class")
+            if c == "]" and not first:
+                self.take()
+                break
+            first = False
+            self.take()
+            if c == "\\":
+                e = self.peek()
+                if e is None:
+                    raise RegexNfaError("dangling backslash in class")
+                self.take()
+                if e in _ESCAPE_CLASSES:
+                    m = _ESCAPE_CLASSES[e]
+                    if m.negated:
+                        raise RegexNfaError(
+                            f"negated escape \\{e} inside class unsupported"
+                        )
+                    chars |= m.chars
+                    continue
+                c = _ESCAPE_LITERALS.get(e, e)
+            if self.peek() == "-" and self.i + 1 < len(self.p) and self.p[self.i + 1] != "]":
+                self.take()  # '-'
+                hi = self.take()
+                if hi == "\\":
+                    e = self.take()
+                    hi = _ESCAPE_LITERALS.get(e, e)
+                if ord(hi) < ord(c):
+                    raise RegexNfaError(f"inverted range {c}-{hi}")
+                chars |= {chr(x) for x in range(ord(c), ord(hi) + 1)}
+            else:
+                chars.add(c)
+        return Matcher(frozenset(chars), negated=negated)
+
+
+def compile_regex(pattern: str) -> CompiledRegex:
+    parser = _Parser(pattern)
+    frag = parser.parse_alternation()
+    if parser.i != len(pattern):
+        raise RegexNfaError(f"unexpected {pattern[parser.i]!r} at {parser.i}")
+    return CompiledRegex(parser.nfa, frag[0], frag[1])

@@ -1,0 +1,153 @@
+"""regex_nfa: fullmatch differential vs `re`, and wildcard-intersection
+brute-force differential (enumerate the wildcard token's language over a
+small alphabet and compare against re.fullmatch of the rule)."""
+
+import itertools
+import re
+
+import pytest
+
+from clp_spark.functions.regex_nfa import (
+    ANY1,
+    STAR,
+    RegexNfaError,
+    compile_regex,
+    wildcard_units,
+)
+
+PATTERNS = [
+    r"\d+",
+    r"\d+\.\d+",
+    r"[^ $]*\d+[^ $]*",
+    r"abc|a.c|q+",
+    r"[a-c]{2,4}x?",
+    r"(foo|ba[rz])+",
+    r"0x[0-9a-fA-F]+",
+    r"-?\d+(\.\d+)?",
+    r"[A-Za-z]+\d*",
+    r"\w+@\w+",
+    r"a{3}",
+    r"a{2,}b",
+    r"(?:ab)+c",
+    r"[\d.]+",
+    r"x[^x]*x",
+]
+
+STRINGS = [
+    "", "a", "ab", "abc", "abcc", "aXc", "q", "qqq", "123", "3.14", "10",
+    "10.", ".5", "-7", "-7.25", "0xFF", "0x", "deadbeef", "foo", "bar",
+    "baz", "foobar", "foobaz", "aaa", "aa", "aaaa", "aab", "ab c", "x  x",
+    "xyx", "xx", "a1b2", "A9", "user@host", "1a3", "10a", "text", "100",
+    "3.14ab$", " 3.14", "abcx", "bbbb", "ccccx", "1.2.3", "...", "aaab",
+]
+
+
+@pytest.mark.parametrize("pattern", PATTERNS)
+def test_fullmatch_differential(pattern):
+    ours = compile_regex(pattern)
+    ref = re.compile(pattern)
+    for s in STRINGS:
+        assert ours.fullmatch(s) == bool(ref.fullmatch(s)), (pattern, s)
+
+
+def _wildcard_language(units, alphabet, max_len):
+    """All strings over `alphabet` up to max_len matching the unit list
+    ('*' expands to 0..max_len chars)."""
+    outs = {""}
+    for u in units:
+        nxt = set()
+        for prefix in outs:
+            if u == ANY1:
+                nxt |= {prefix + c for c in alphabet}
+            elif u == STAR:
+                for k in range(0, max_len - len(prefix) + 1):
+                    for tail in itertools.product(alphabet, repeat=k):
+                        nxt.add(prefix + "".join(tail))
+            else:
+                nxt.add(prefix + u)
+        outs = {s for s in nxt if len(s) <= max_len}
+    return outs
+
+
+INTERSECT_CASES = [
+    # (rule pattern, wildcard token, alphabet for brute force)
+    (r"\d+", "10?", "019. a"),
+    (r"\d+\.\d+", "10?", "019. a"),
+    (r"\d+\.\d+", "3.14*", "019. a"),
+    (r"[^ $]*\d+[^ $]*", "10?", "019.a $"),
+    (r"[^ $]*\d+[^ $]*", "3.14*", "019.a $"),
+    (r"[^ $]*\d+[^ $]*", "text", "text19"),
+    (r"\d+", "*a*", "01a"),
+    (r"\d+", "*1*", "01a"),
+    (r"abc|q+", "a?c", "abcq"),
+    (r"abc|q+", "q*", "abcq"),
+    (r"0x[0-9a-f]+", "0x?F", "0xfF9"),
+    (r"-?\d+", "-*", "-01"),
+]
+
+
+@pytest.mark.parametrize("pattern,token,alphabet", INTERSECT_CASES)
+def test_wildcard_intersection_differential(pattern, token, alphabet):
+    ours = compile_regex(pattern)
+    units = wildcard_units(token)
+    ref = re.compile(pattern)
+    lang = _wildcard_language(units, alphabet, max_len=6)
+    expected = any(ref.fullmatch(s) for s in lang)
+    got = ours.intersects_wildcard(units)
+    # brute force is truncated at len 6 over a small alphabet: a positive
+    # brute-force witness must be found by the NFA; the NFA may additionally
+    # find longer/out-of-alphabet witnesses
+    if expected:
+        assert got, (pattern, token)
+
+
+def test_intersection_goldens():
+    """The GrepCore dfa_search golden's type decisions
+    (test-GrepCore.cpp:167-212): query "text 100 10? 3.14*" over rules
+    int/float/hasNumber with delimiter ' '."""
+    int_rule = compile_regex(r"\d+")
+    float_rule = compile_regex(r"\d+\.\d+")
+    has_num = compile_regex(r"[^ $]*\d+[^ $]*")
+    delims = " "
+
+    u = wildcard_units("10?")
+    assert int_rule.intersects_wildcard(u, delims)
+    assert not float_rule.intersects_wildcard(u, delims)
+    assert has_num.intersects_wildcard(u, delims)
+
+    u = wildcard_units("3.14*")
+    assert not int_rule.intersects_wildcard(u, delims)
+    assert float_rule.intersects_wildcard(u, delims)
+    assert has_num.intersects_wildcard(u, delims)
+
+    u = wildcard_units("text")
+    assert not int_rule.intersects_wildcard(u, delims)
+    assert not has_num.intersects_wildcard(u, delims)
+
+    u = wildcard_units("100")
+    assert int_rule.fullmatch("100")
+    assert has_num.fullmatch("100")
+    assert int_rule.intersects_wildcard(u, delims)
+
+
+def test_delimiter_exclusion():
+    # '*' and '?' must not range over delimiters: a token never contains one
+    any_rule = compile_regex(r".+")
+    sp_rule = compile_regex(r"a b")
+    assert not sp_rule.intersects_wildcard(wildcard_units("a*b"), " ")
+    assert sp_rule.intersects_wildcard(wildcard_units("a*b"), "")
+    assert any_rule.intersects_wildcard(wildcard_units("?"), " ")
+
+
+def test_escaped_wildcards_are_literals():
+    star_rule = compile_regex(r"\*+")
+    assert star_rule.fullmatch("**")
+    assert star_rule.intersects_wildcard(wildcard_units(r"\*\*"))
+    digit = compile_regex(r"\d+")
+    assert not digit.intersects_wildcard(wildcard_units(r"1\*"))
+
+
+def test_errors():
+    for bad in ["(a", "a)", "[abc", "a{2,1}", "*a", "a{100}", "^a$"]:
+        with pytest.raises(RegexNfaError):
+            compile_regex(bad)
