@@ -189,6 +189,24 @@ def cmd_compress(args) -> None:
             print(json.dumps(line))
         print(json.dumps(summary))
         return
+    if args.schema_path:
+        # clp c --schema-path: user-defined variable schemas; the archive
+        # stores schema.txt so `s` auto-selects schema-aware compilation
+        if args.glt or args.target_archive_size is not None or (
+            args.target_encoded_file_size_text is not None
+        ):
+            sys.exit("error: --schema-path builds single plain-layout "
+                     "archives (not --glt / --target-archive-size / "
+                     "--target-encoded-file-size)")
+        from clp_spark.operators.schema_archive import compress_schema_logs
+
+        with open(args.schema_path) as f:
+            schema_text = f.read()
+        summary = compress_schema_logs(
+            spark, args.inputs, args.archive, schema_text
+        )
+        print(json.dumps(summary))
+        return
     if args.remove_path_prefix:
         # clp c --remove-path-prefix validation
         # (CommandLineArguments.cpp:419-424 + compression.cpp:271-277)
@@ -462,8 +480,28 @@ def cmd_search(args) -> None:
         args.archive.removeprefix("file:") + "/seg_index"
     )
     from clp_spark.operators.glt import is_glt_archive, search_glt_archive
+    from clp_spark.operators.schema_archive import (
+        archive_schema_text,
+        search_schema_archive,
+    )
 
-    if is_local and is_glt_archive(local_root):
+    if is_local and archive_schema_text(args.archive) is not None:
+        # archive built with `c --schema-path`: compile schema-aware
+        # (use_heuristic=false) against the stored schema file
+        res = search_schema_archive(
+            spark, args.archive, args.query, args.ignore_case
+        )
+        if args.file_path:
+            res = res.where(_file_path_pred(F.col("source"), args.file_path))
+        if want_ts:
+            res = res.join(
+                raw_sinks.select(
+                    F.concat_ws("#", "file_id", "msg_ix").alias("doc_id"),
+                    "ts_ms",
+                ),
+                "doc_id",
+            ).transform(_ts_filter).drop("ts_ms")
+    elif is_local and is_glt_archive(local_root):
         # GLT archive: candidate logtypes prune to their tables (partition
         # filter on lt_table) before any segment I/O — the glt.md:7 path
         res, _tables = search_glt_archive(
@@ -962,6 +1000,12 @@ def main(argv: list[str] | None = None) -> None:
         "with ordered reconstruction (x) support",
     )
     c.add_argument("--structurize-arrays", action="store_true")
+    c.add_argument(
+        "--schema-path", default=None, metavar="FILE",
+        help="text mode: tokenize variables with this log-surgeon schema "
+             "file instead of the built-in heuristics (clp c "
+             "--schema-path); search on the archive compiles schema-aware",
+    )
     c.add_argument(
         "--no-retain-float-format", action="store_true",
         help="JSON mode: don't store float format descriptors (floats "

@@ -192,6 +192,14 @@ def _delimiter_in_pattern(pattern: str, delims: str) -> str | None:
             in_class = True
             i += 1
             continue
+        if c == "{":
+            # counted-quantifier body: '{0,1}' — the ',' (and digits) are
+            # quantifier syntax, not literals (the reference's own
+            # config/schemas.txt pairs a ',' delimiter with {0,1} rules)
+            j = pattern.find("}", i + 1)
+            if j != -1 and re.fullmatch(r"\{\d+(,\d*)?\}", pattern[i : j + 1]):
+                i = j + 1
+                continue
         if c in delims and c not in _REGEX_META:
             return c
         i += 1

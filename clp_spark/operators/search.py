@@ -113,18 +113,24 @@ def _is_var_content(value: str, preceded_by_eq: bool) -> bool:
     )
 
 
-def tokenize_query(q: str) -> list[tuple[str, object]]:
+def tokenize_query(
+    q: str, delimiters: set | None = None
+) -> list[tuple[str, object]]:
     """[('const', [(c, esc)...]) | ('token', QueryToken)] over the processed query.
 
     A token is a maximal run of unescaped non-delimiters and unescaped '*'s
-    touching them; a bare run of '*' is a wildcard-only token.
+    touching them; a bare run of '*' is a wildcard-only token. The default
+    non-delimiter set is the heuristic tokenizer's; pass ``delimiters`` (a
+    set of delimiter chars) to tokenize under a user schema file's
+    delimiters instead (operators/schema_archive.py).
     """
     pairs = _parse_escaped(q)
 
     def is_tok_char(c: str, esc: bool) -> bool:
         if not esc and c == "*":
             return True
-        return c in _NON_DELIM and not (esc and c == "*")
+        in_token = c not in delimiters if delimiters is not None else c in _NON_DELIM
+        return in_token and not (esc and c == "*")
 
     units: list[tuple[str, object]] = []
     i, n = 0, len(pairs)
@@ -299,8 +305,14 @@ def compile_query(
     subqueries = compile_subqueries(query, var_dict, ignore_case)
     if subqueries == MATCH_ALL:
         return MATCH_ALL
+    return resolve_logtype_ids(subqueries, logtype_dict, ignore_case)
 
-    # probe logtype dictionary per subquery
+
+def resolve_logtype_ids(
+    subqueries: list, logtype_dict: DataFrame, ignore_case: bool = False
+):
+    """Probe the logtype dictionary per subquery → list[(ids, SubQuery)];
+    shared by the heuristic and schema-aware compilers."""
     compiled = []
     for sq in subqueries:
         probe = logtype_dict.where(
@@ -330,6 +342,37 @@ def compile_query(
         else:
             compiled.append((ids, sq))
     return compiled
+
+
+def _exact_dict_constraint(
+    sq, like_parts, v: str, var_dict, ignore_case: bool, probe_cache: dict
+) -> bool:
+    """Exact dictionary-variable constraint for value ``v``: probe the VAR
+    dictionary, append the placeholder + constraint, or report WontMatch
+    (False). Shared by the heuristic exact_var cascade and the
+    schema-directed ('sx', 0x12, v) path."""
+    if ignore_case:
+        matches = _probe_dict_cached(probe_cache, var_dict, v, True, exact=True)
+        if not matches:
+            return False
+        like_parts.append(DICT_PLACEHOLDER)
+        if len(matches) <= MAX_DICT_CONSTRAINT_STRINGS:
+            sq.set_constraints.append(matches)
+        # over the cap: drop the (truncated) constraint — an incomplete
+        # isin would false-negative the variants past the cap;
+        # wildcard_match_required is already True on this path, so the
+        # final verify restores exactness over the superset
+        return True
+    key = ("exists", v)
+    if key not in probe_cache:
+        probe_cache[key] = (
+            var_dict.where(F.col("var_value") == v).limit(1).count() > 0
+        )
+    if not probe_cache[key]:
+        return False  # WontMatch
+    like_parts.append(DICT_PLACEHOLDER)
+    sq.ordered_exact.append((0x12, v))
+    return True
 
 
 def _build_subquery(units, tok_ix, combo, var_dict, ignore_case, probe_cache=None):
@@ -372,31 +415,27 @@ def _build_subquery(units, tok_ix, combo, var_dict, ignore_case, probe_cache=Non
                     like_parts.append(FLOAT_PLACEHOLDER)
                     sq.ordered_exact.append((0x13, str(fv)))
                 else:
-                    if ignore_case:
-                        matches = _probe_dict_cached(
-                            probe_cache, var_dict, v, True, exact=True
-                        )
-                        if not matches:
-                            return None
-                        like_parts.append(DICT_PLACEHOLDER)
-                        if len(matches) <= MAX_DICT_CONSTRAINT_STRINGS:
-                            sq.set_constraints.append(matches)
-                        # over the cap: drop the (truncated) constraint —
-                        # an incomplete isin would false-negative the
-                        # variants past the cap; wildcard_match_required is
-                        # already True on this path, so the final verify
-                        # restores exactness over the superset
-                    else:
-                        key = ("exists", v)
-                        if key not in probe_cache:
-                            probe_cache[key] = (
-                                var_dict.where(F.col("var_value") == v).limit(1).count()
-                                > 0
-                            )
-                        if not probe_cache[key]:
-                            return None  # WontMatch
-                        like_parts.append(DICT_PLACEHOLDER)
-                        sq.ordered_exact.append((0x12, v))
+                    if not _exact_dict_constraint(
+                        sq, like_parts, v, var_dict, ignore_case, probe_cache
+                    ):
+                        return None  # WontMatch
+        elif isinstance(interp, tuple) and interp[0] == "sx":
+            # schema-directed exact variable (operators/schema_archive.py):
+            # the schema already decided the class and encoding, so no
+            # int→float→dict cascade — the directive carries (code, value)
+            sq.wildcard_match_required = True
+            code, val = interp[1], interp[2]
+            if code == 0x11:
+                like_parts.append(INT_PLACEHOLDER)
+                sq.ordered_exact.append((0x11, val))
+            elif code == 0x13:
+                like_parts.append(FLOAT_PLACEHOLDER)
+                sq.ordered_exact.append((0x13, val))
+            else:
+                if not _exact_dict_constraint(
+                    sq, like_parts, val, var_dict, ignore_case, probe_cache
+                ):
+                    return None  # WontMatch
         elif interp in ("wild_int", "wild_float", "wild_dict"):
             sq.wildcard_match_required = True
             if tok.prefix_star:

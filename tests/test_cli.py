@@ -458,3 +458,52 @@ class TestClgTimeAndFileFlags:
         assert self._count(
             capsys, ["s", arch, "*", "--count", "--file-path", f"file:{logdir}/x.log"]
         ) == 3
+
+
+class TestSchemaPath:
+    """clp c --schema-path lifecycle: compress under a user schema file,
+    extract byte-exact, and `s` auto-selects schema-aware compilation
+    (reference clp c --schema-path + GrepCore use_heuristic=false)."""
+
+    @pytest.fixture(scope="class")
+    def schema_archive(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("schemacli")
+        (d / "schema.txt").write_text(
+            "delimiters: \\t\\r\\n:,=\n"
+            "timestamp:\\d{4}\\-\\d{2}\\-\\d{2} \\d{2}:\\d{2}:\\d{2}\n"
+            "int:\\-{0,1}[0-9]+\n"
+            "verb:started|failed\n"
+        )
+        (d / "app.log").write_text(
+            "2016-05-08 07:34:05 job 12 started ok\n"
+            "2016-05-08 07:34:06 job 13 failed badly\n"
+        )
+        out = str(d / "arch")
+        cli.main(
+            ["c", out, str(d / "app.log"), "--schema-path", str(d / "schema.txt")]
+        )
+        return out
+
+    def test_extract_byte_exact(self, schema_archive, capsys):
+        cli.main(["x", schema_archive])
+        out = capsys.readouterr().out
+        assert "2016-05-08 07:34:05 job 12 started ok" in out
+        assert "2016-05-08 07:34:06 job 13 failed badly" in out
+
+    def test_schema_aware_search(self, schema_archive, capsys):
+        # 'failed' is a schema variable (verb rule) — heuristic compilation
+        # would treat it as logtype text and miss
+        cli.main(["s", schema_archive, "* failed badly*"])
+        out = capsys.readouterr().out
+        assert "job 13 failed badly" in out and "job 12" not in out
+
+    def test_schema_search_count(self, schema_archive, capsys):
+        cli.main(["s", schema_archive, "*job 1?*", "--count"])
+        assert capsys.readouterr().out.strip().splitlines()[-1] == "2"
+
+    def test_schema_rejects_glt(self, schema_archive, tmp_path, capsys):
+        with pytest.raises(SystemExit):
+            cli.main(
+                ["c", str(tmp_path / "a"), "nope.log", "--schema-path",
+                 "x", "--glt"]
+            )
