@@ -64,7 +64,9 @@ def decode_df(df: DataFrame, passthrough: list[str], out_col: str = "message") -
     """DataFrame-level decode: passthrough + message via mapInArrow."""
     types = dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields]))
     df = df.select(*passthrough, "logtype", "encoded_vars", "dict_vars")
-    out_schema = ", ".join(f"{c} {types[c]}" for c in passthrough) + f", {out_col} string"
+    out_schema = ", ".join(
+        [f"{c} {types[c]}" for c in passthrough] + [f"{out_col} string"]
+    )
     return df.mapInArrow(make_decode_arrow(passthrough, out_col), out_schema)
 
 
