@@ -248,6 +248,53 @@ def search_archives(
     if not archives:
         return spark.createDataFrame([], _RESULT_SCHEMA)
 
+    # schema-defined archives (c --schema-path) need THEIR OWN query
+    # compilation — federating them through the heuristic compile would
+    # silently miss rows whose query tokens are schema variables. Each such
+    # archive searches schema-aware (compilation is per-schema anyway) and
+    # unions into the federated result at the same schema.
+    from clp_spark.operators.schema_archive import (
+        archive_schema_text,
+        search_schema_archive,
+    )
+
+    schema_archs = [
+        (aid, p) for aid, p in archives if archive_schema_text(p) is not None
+    ]
+    if schema_archs:
+        skip = {aid for aid, _ in schema_archs}
+        archives = [(aid, p) for aid, p in archives if aid not in skip]
+    schema_res: DataFrame | None = None
+    for aid, path in schema_archs:
+        r = search_schema_archive(spark, path, query, ignore_case)
+        sinks_ts = (
+            spark.read.option("basePath", f"{path}/sinks")
+            .parquet(f"{path}/sinks")
+            .select(
+                F.concat_ws("#", "file_id", "msg_ix").alias("doc_id"), "ts_ms"
+            )
+        )
+        r = (
+            r.join(sinks_ts, "doc_id", "left")
+            .withColumn("archive_id", F.lit(aid))
+            .select(
+                "archive_id", "doc_id", "source",
+                F.col("logtype_id").cast("long").alias("logtype_id"),
+                "ts_ms", "message",
+            )
+        )
+        if ts_lo is not None:
+            r = r.where(F.col("ts_ms").isNull() | (F.col("ts_ms") >= ts_lo))
+        if ts_hi is not None:
+            r = r.where(F.col("ts_ms").isNull() | (F.col("ts_ms") <= ts_hi))
+        schema_res = r if schema_res is None else schema_res.unionByName(r)
+
+    def _plus_schema(df: DataFrame) -> DataFrame:
+        return df.unionByName(schema_res) if schema_res is not None else df
+
+    if not archives:
+        return _plus_schema(spark.createDataFrame([], _RESULT_SCHEMA))
+
     def _ts_filter(sinks: DataFrame) -> DataFrame:
         """Per-message time filter, applied on the encoded rows BEFORE decode
         so it pushes down to the parquet scan; ts-less rows are kept (same
@@ -265,7 +312,7 @@ def search_archives(
     subs = compile_subqueries(query, var_u.select("var_value").distinct(), ignore_case)
 
     if subs != MATCH_ALL and not subs:
-        return spark.createDataFrame([], _RESULT_SCHEMA)
+        return _plus_schema(spark.createDataFrame([], _RESULT_SCHEMA))
 
     def _finish(df: DataFrame) -> DataFrame:
         """Re-render timestamps into matched messages (display fidelity —
@@ -289,9 +336,9 @@ def search_archives(
             F.broadcast(lt_u), ["archive_id", "logtype_id"], "left"
         )
         out = decode_df(with_lt, _KEEP + ["ts_pat"])
-        return _finish(
+        return _plus_schema(_finish(
             out.where(wildcard_match(F.col("message"), query, ignore_case))
-        )
+        ))
 
     # candidate (archive_id, logtype_id) -> matching subquery set, resolved
     # entirely as DataFrame ops (no driver id collects, no isin cap)
@@ -331,7 +378,7 @@ def search_archives(
         else:
             sink_parts.append(_normalized_sinks(spark, aid, path))
     if not sink_parts:
-        return spark.createDataFrame([], _RESULT_SCHEMA)
+        return _plus_schema(spark.createDataFrame([], _RESULT_SCHEMA))
     sinks_u = _ts_filter(reduce(DataFrame.unionByName, sink_parts))
 
     joined = sinks_u.join(F.broadcast(cands), ["archive_id", "logtype_id"])
@@ -361,4 +408,4 @@ def search_archives(
     )
     decoded = decode_df(candidates, _KEEP + ["ts_pat", "_no_verify"])
     final = F.col("_no_verify") | wildcard_match(F.col("message"), query, ignore_case)
-    return _finish(decoded.where(final))
+    return _plus_schema(_finish(decoded.where(final)))

@@ -295,3 +295,51 @@ def test_schema_compile_beats_heuristic(spark, tmp_path):
         for r in search_schema_archive(spark, out, "* failed now*").collect()
     ]
     assert got == ["job two failed now"]
+
+
+def test_federated_mixed_schema_and_plain(spark, tmp_path):
+    """An archives directory mixing schema-defined and plain archives: the
+    federated search must compile schema archives schema-aware (heuristic
+    federation would silently miss schema-variable tokens) and still union
+    the plain archives' federated result."""
+    from clp_spark.operators.federation import search_archives
+    from clp_spark.sources.logfiles import compress_text_logs
+
+    adir = tmp_path / "archives"
+    adir.mkdir()
+    plain_src = tmp_path / "plain.log"
+    plain_src.write_text(
+        "2016-05-08 07:00:01 worker went down badly\n"
+        "2016-05-08 07:00:02 worker all fine\n"
+    )
+    compress_text_logs(spark, str(plain_src), str(adir / "plain"))
+    schema_src = tmp_path / "sch.log"
+    schema_src.write_text(
+        "2016-05-08 07:00:03 job one started now\n"
+        "2016-05-08 07:00:04 job two failed badly\n"
+    )
+    schema = (
+        "delimiters: \\t\\r\\n:,=\n"
+        "timestamp:\\d{4}\\-\\d{2}\\-\\d{2} \\d{2}:\\d{2}:\\d{2}\n"
+        "verb:started|failed\n"
+        "int:\\-{0,1}[0-9]+\n"
+    )
+    compress_schema_logs(spark, str(schema_src), str(adir / "sch"), schema)
+
+    # 'failed' is a schema variable in the schema archive; 'badly' is plain
+    # text in both — the query must hit one message from EACH archive
+    res = search_archives(spark, str(adir), "* badly*")
+    msgs = sorted(r["message"] for r in res.collect())
+    assert msgs == [
+        "2016-05-08 07:00:01 worker went down badly",
+        "2016-05-08 07:00:04 job two failed badly",
+    ]
+    # schema-variable token: only the schema archive can match, and only
+    # schema-aware compilation finds it
+    res2 = search_archives(spark, str(adir), "* failed badly*")
+    assert [r["message"] for r in res2.collect()] == [
+        "2016-05-08 07:00:04 job two failed badly"
+    ]
+    # archive_id + ts_ms columns survive for both kinds
+    row = res2.collect()[0]
+    assert row["archive_id"] == "sch" and row["ts_ms"] is not None
