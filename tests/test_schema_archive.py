@@ -343,3 +343,52 @@ def test_federated_mixed_schema_and_plain(spark, tmp_path):
     # archive_id + ts_ms columns survive for both kinds
     row = res2.collect()[0]
     assert row["archive_id"] == "sch" and row["ts_ms"] is not None
+
+
+def test_search_fuzz_differential(spark, archive, originals):
+    """Seeded fuzz: queries derived from random substrings of the real
+    messages (with injected '*'/'?') must match brute-force wildcard search
+    exactly. Substring-derived queries maximize non-trivial hits; the
+    injections exercise midwild/star/in-header compilation paths."""
+    import random
+
+    out, _ = archive
+    rng = random.Random(20260819)
+    queries = set()
+    while len(queries) < 40:
+        m = MESSAGES[rng.randrange(len(MESSAGES))]
+        lo = rng.randrange(len(m))
+        hi = min(len(m), lo + rng.randrange(3, 18))
+        frag = m[lo:hi].replace("\n", " ")
+        if not frag.strip():
+            continue
+        frag = "".join(
+            "\\" + c if c in "*?\\" else c for c in frag
+        )
+        mode = rng.randrange(4)
+        if mode == 0 and len(frag) > 4:  # inner star
+            k = rng.randrange(1, len(frag) - 1)
+            if frag[k - 1] != "\\":
+                frag = frag[:k] + "*" + frag[k:]
+        elif mode == 1 and len(frag) > 4:  # single-char wildcard
+            k = rng.randrange(1, len(frag) - 1)
+            if frag[k - 1] != "\\" and frag[k] != "\\":
+                frag = frag[:k] + "?" + frag[k + 1:]
+        queries.add("*" + frag + "*")
+    from pyspark.sql import functions as SF
+
+    failures = []
+    for q in sorted(queries):
+        got = sorted(
+            r["message"]
+            for r in search_schema_archive(spark, out, q).collect()
+        )
+        want = sorted(
+            r["message"]
+            for r in originals.where(
+                wildcard_match(SF.col("message"), q, False)
+            ).collect()
+        )
+        if got != want:
+            failures.append((q, got, want))
+    assert not failures, failures[:3]
