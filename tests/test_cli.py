@@ -507,3 +507,13 @@ class TestSchemaPath:
                 ["c", str(tmp_path / "a"), "nope.log", "--schema-path",
                  "x", "--glt"]
             )
+
+    def test_schema_search_time_range(self, schema_archive, capsys):
+        # schema archives carry best-effort ts_ms (built-in parse of the
+        # header token) — clg time flags compose with schema-aware search
+        import datetime as _dt
+
+        lo = int(_dt.datetime(2016, 5, 8, 7, 34, 6).timestamp() * 1000) - 1
+        cli.main(["s", schema_archive, "*job*", "--tge", str(lo)])
+        out = capsys.readouterr().out
+        assert "job 13 failed badly" in out and "job 12" not in out
