@@ -45,6 +45,7 @@ single table; its per-archive search processes stay sequential).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from functools import reduce
@@ -243,57 +244,83 @@ def search_archives(
     parity with running `search_archive` per archive and unioning
     (tests/test_federation.py differential). ``ts_lo``/``ts_hi`` (epoch ms,
     inclusive) prune whole archives via their catalog row AND filter
-    individual messages before decode; ts-less rows/archives are kept."""
+    individual messages before decode; ts-less rows/archives are kept.
+
+    Schema-defined archives (c --schema-path) need THEIR OWN query
+    compilation — federating them through the heuristic compile would
+    silently miss rows whose query tokens are schema variables. They group
+    by schema-text hash (the common fleet shape is ONE schema file shared
+    by many archives): each distinct schema compiles ONCE against its
+    group's union var dictionary and scans its archives as one plan — the
+    same O(distinct schemas) shape json_archive.search_json_archives uses.
+    Union-dictionary compilation stays exact for every archive in the group
+    because every probe result is applied per-row (`isin` on the row's own
+    dict vars) and every relaxation degrades to the mandatory final
+    wildcard verification (superset, never a miss)."""
     archives = prune_archives_by_time(discover_archives(archives_dir), ts_lo, ts_hi)
     if not archives:
         return spark.createDataFrame([], _RESULT_SCHEMA)
 
-    # schema-defined archives (c --schema-path) need THEIR OWN query
-    # compilation — federating them through the heuristic compile would
-    # silently miss rows whose query tokens are schema variables. Each such
-    # archive searches schema-aware (compilation is per-schema anyway) and
-    # unions into the federated result at the same schema.
     from clp_spark.operators.schema_archive import (
         archive_schema_text,
-        search_schema_archive,
+        compile_schema_subqueries,
+        load_log_schema,
     )
 
-    schema_archs = [
-        (aid, p) for aid, p in archives if archive_schema_text(p) is not None
-    ]
-    if schema_archs:
-        skip = {aid for aid, _ in schema_archs}
-        archives = [(aid, p) for aid, p in archives if aid not in skip]
-    schema_res: DataFrame | None = None
-    for aid, path in schema_archs:
-        r = search_schema_archive(spark, path, query, ignore_case)
-        sinks_ts = (
-            spark.read.option("basePath", f"{path}/sinks")
-            .parquet(f"{path}/sinks")
-            .select(
-                F.concat_ws("#", "file_id", "msg_ix").alias("doc_id"), "ts_ms"
-            )
-        )
-        r = (
-            r.join(sinks_ts, "doc_id", "left")
-            .withColumn("archive_id", F.lit(aid))
-            .select(
-                "archive_id", "doc_id", "source",
-                F.col("logtype_id").cast("long").alias("logtype_id"),
-                "ts_ms", "message",
-            )
-        )
-        if ts_lo is not None:
-            r = r.where(F.col("ts_ms").isNull() | (F.col("ts_ms") >= ts_lo))
-        if ts_hi is not None:
-            r = r.where(F.col("ts_ms").isNull() | (F.col("ts_ms") <= ts_hi))
-        schema_res = r if schema_res is None else schema_res.unionByName(r)
+    schema_groups: dict[str, list[tuple[str, str]]] = {}
+    schema_texts: dict[str, str] = {}
+    heuristic: list[tuple[str, str]] = []
+    for aid, path in archives:
+        text = archive_schema_text(path)
+        if text is None:
+            heuristic.append((aid, path))
+        else:
+            key = hashlib.sha256(text.encode()).hexdigest()
+            schema_groups.setdefault(key, []).append((aid, path))
+            schema_texts[key] = text
 
-    def _plus_schema(df: DataFrame) -> DataFrame:
-        return df.unionByName(schema_res) if schema_res is not None else df
+    parts: list[DataFrame] = []
+    for key, group in sorted(schema_groups.items()):
+        sf = load_log_schema(schema_texts[key])
+        var_u = _read_union(spark, group, "var_dict", ["var_value"])
+        subs = compile_schema_subqueries(
+            query, var_u.select("var_value").distinct(), sf, ignore_case
+        )
+        parts.append(
+            _execute_compiled(spark, group, subs, query, ignore_case, ts_lo, ts_hi)
+        )
 
-    if not archives:
-        return _plus_schema(spark.createDataFrame([], _RESULT_SCHEMA))
+    if heuristic:
+        var_u = _read_union(spark, heuristic, "var_dict", ["var_value"])
+        subs = compile_subqueries(
+            query, var_u.select("var_value").distinct(), ignore_case
+        )
+        parts.append(
+            _execute_compiled(spark, heuristic, subs, query, ignore_case, ts_lo, ts_hi)
+        )
+
+    if not parts:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    return reduce(DataFrame.unionByName, parts)
+
+
+def _execute_compiled(
+    spark: SparkSession,
+    archives: list[tuple[str, str]],
+    subs,
+    query: str,
+    ignore_case: bool,
+    ts_lo: int | None,
+    ts_hi: int | None,
+) -> DataFrame:
+    """Execute compiled subqueries (heuristic OR schema-aware — the SubQuery
+    contract is shared) over one group of archives as ONE Spark plan:
+    candidate (archive_id, logtype_id) sets resolved as joins, segment
+    pruning, decode, final wildcard verification."""
+    if subs != MATCH_ALL and not subs:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+
+    lt_u = _read_union(spark, archives, "logtype_dict", ["logtype_id", "logtype"])
 
     def _ts_filter(sinks: DataFrame) -> DataFrame:
         """Per-message time filter, applied on the encoded rows BEFORE decode
@@ -305,14 +332,6 @@ def search_archives(
         if ts_hi is not None:
             cond = cond & (F.col("ts_ms").isNull() | (F.col("ts_ms") <= ts_hi))
         return sinks.where(cond) if (ts_lo is not None or ts_hi is not None) else sinks
-
-    var_u = _read_union(spark, archives, "var_dict", ["var_value"])
-    lt_u = _read_union(spark, archives, "logtype_dict", ["logtype_id", "logtype"])
-
-    subs = compile_subqueries(query, var_u.select("var_value").distinct(), ignore_case)
-
-    if subs != MATCH_ALL and not subs:
-        return _plus_schema(spark.createDataFrame([], _RESULT_SCHEMA))
 
     def _finish(df: DataFrame) -> DataFrame:
         """Re-render timestamps into matched messages (display fidelity —
@@ -336,9 +355,9 @@ def search_archives(
             F.broadcast(lt_u), ["archive_id", "logtype_id"], "left"
         )
         out = decode_df(with_lt, _KEEP + ["ts_pat"])
-        return _plus_schema(_finish(
+        return _finish(
             out.where(wildcard_match(F.col("message"), query, ignore_case))
-        ))
+        )
 
     # candidate (archive_id, logtype_id) -> matching subquery set, resolved
     # entirely as DataFrame ops (no driver id collects, no isin cap)
@@ -378,7 +397,7 @@ def search_archives(
         else:
             sink_parts.append(_normalized_sinks(spark, aid, path))
     if not sink_parts:
-        return _plus_schema(spark.createDataFrame([], _RESULT_SCHEMA))
+        return spark.createDataFrame([], _RESULT_SCHEMA)
     sinks_u = _ts_filter(reduce(DataFrame.unionByName, sink_parts))
 
     joined = sinks_u.join(F.broadcast(cands), ["archive_id", "logtype_id"])
@@ -408,4 +427,4 @@ def search_archives(
     )
     decoded = decode_df(candidates, _KEEP + ["ts_pat", "_no_verify"])
     final = F.col("_no_verify") | wildcard_match(F.col("message"), query, ignore_case)
-    return _plus_schema(_finish(decoded.where(final)))
+    return _finish(decoded.where(final))

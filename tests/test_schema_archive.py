@@ -297,6 +297,63 @@ def test_schema_compile_beats_heuristic(spark, tmp_path):
     assert got == ["job two failed now"]
 
 
+def test_federated_schema_groups_compile_once(spark, tmp_path, monkeypatch):
+    """Fleet shape: many archives share ONE schema file. Federated search
+    must compile once per DISTINCT schema text (O(distinct schemas), same
+    shape as search_json_archives), not once per archive — and stay an
+    exact differential twin of per-archive schema-aware search."""
+    import clp_spark.operators.schema_archive as sa
+    from clp_spark.operators.federation import search_archives
+
+    adir = tmp_path / "archives"
+    adir.mkdir()
+    schema_b = (
+        "delimiters: \\t\\r\\n:,=\n"
+        "timestamp:\\d{4}\\-\\d{2}\\-\\d{2} \\d{2}:\\d{2}:\\d{2}\n"
+        "verb:started|failed\n"
+        "int:\\-{0,1}[0-9]+\n"
+    )
+    # three archives under SCHEMA (two message-shards), one under schema_b
+    for i, lines in enumerate(
+        [LINES[:3], LINES[3:5], LINES[5:]]
+    ):
+        src = tmp_path / f"a{i}.log"
+        src.write_text("\n".join(lines) + "\n")
+        compress_schema_logs(spark, str(src), str(adir / f"a{i}"), SCHEMA)
+    src_b = tmp_path / "b.log"
+    src_b.write_text(
+        "2016-05-08 07:00:04 job two failed badly took 12.5 ms\n"
+    )
+    compress_schema_logs(spark, str(src_b), str(adir / "b"), schema_b)
+
+    calls = []
+    real = sa.compile_schema_subqueries
+
+    def counted(query, var_dict, sf, ignore_case=False):
+        calls.append(query)
+        return real(query, var_dict, sf, ignore_case)
+
+    monkeypatch.setattr(sa, "compile_schema_subqueries", counted)
+
+    for q in ["*took 12.5*", "* failed *", "*admin7*"]:
+        calls.clear()
+        fed = sorted(
+            (r["archive_id"], r["message"])
+            for r in search_archives(spark, str(adir), q).collect()
+        )
+        # one compile per distinct schema text, NOT per archive
+        assert len(calls) == 2, (q, len(calls))
+        per = []
+        for aid in ["a0", "a1", "a2", "b"]:
+            per += [
+                (aid, r["message"])
+                for r in search_schema_archive(
+                    spark, str(adir / aid), q
+                ).collect()
+            ]
+        assert fed == sorted(per), q
+
+
 def test_federated_mixed_schema_and_plain(spark, tmp_path):
     """An archives directory mixing schema-defined and plain archives: the
     federated search must compile schema archives schema-aware (heuristic
