@@ -423,6 +423,61 @@ def combine_small_tables(
     return len(small)
 
 
+# Lazily-localized single-file archives: scratch archive dir (realpath) →
+# PackedArchiveReader. Table loads route through _ensure_members so only
+# the members a plan actually touches are ranged-read out of the container
+# (ArchiveReaderAdaptor parity — see localize_single_file_archives).
+_PACKED_READERS: dict[str, object] = {}
+
+
+def _packed_reader(archive_dir: str):
+    return _PACKED_READERS.get(os.path.realpath(archive_dir))
+
+
+def _ensure_members(archive_dir: str, prefix: str) -> None:
+    """Materialize the members under `prefix` when `archive_dir` is a
+    lazily-localized packed archive; no-op for normal directories."""
+    r = _packed_reader(archive_dir)
+    if r is not None:
+        r.ensure_prefix(prefix)
+
+
+def _ddl_prunes(
+    spark: SparkSession,
+    entry: dict,
+    structurize: bool,
+    eff_ts: str | None,
+    ast,
+    ignore_case: bool,
+) -> bool:
+    """True only when compiling the query against the manifest-recorded
+    schema DDL PROVES the table unmatchable — decided without touching any
+    table bytes (pruning in _compile is a column-resolution failure, and
+    the DDL reproduces the table's exact column tree via the same
+    _leaves_to_struct the writer used). Conservative: missing DDL or any
+    compile hiccup returns False so the real table loads and the normal
+    compile decides."""
+    ddl = entry.get("ddl")
+    if not ddl:
+        return False
+    try:
+        from clp_spark.operators.json_schema import _parse_variant_ddl
+        from clp_spark.operators.json_search import (
+            JsonArchive as _JA,
+            _leaves_to_struct,
+        )
+
+        leaves = _parse_variant_ddl(ddl)
+        schema, arr_leaves = _leaves_to_struct(leaves, structurize)
+        probe = spark.createDataFrame([], schema)
+        compiler = _JA.__new__(_JA)
+        compiler.metadata = {IDX_COL: None}
+        compiler.timestamp_key = eff_ts
+        return compiler._compile(probe, ast, ignore_case, arr_leaves) is None
+    except Exception:
+        return False
+
+
 def _load_schema_table(
     spark: SparkSession, archive_dir: str, entry: dict
 ) -> DataFrame:
@@ -431,9 +486,11 @@ def _load_schema_table(
     schema-id column prefixes; types come back exactly as written)."""
     sid = entry["schema_id"]
     if not entry.get("combined"):
+        _ensure_members(archive_dir, f"schema_id={sid}")
         return spark.read.parquet(
             os.path.join(archive_dir, f"schema_id={sid}")
         )
+    _ensure_members(archive_dir, _COMBINED_DIR)
     comb = spark.read.parquet(os.path.join(archive_dir, _COMBINED_DIR))
     pfx = f"{sid}::"
     return comb.where(F.col(_SID_COL) == sid).select(
@@ -613,9 +670,16 @@ def search_json_archive(
     compiler = JsonArchive.__new__(JsonArchive)
     compiler.metadata = {IDX_COL: None}
     compiler.timestamp_key = timestamp_key
+    lazy = _packed_reader(archive_dir) is not None
     out: DataFrame | None = None
     for entry in manifest["schemas"]:
         if entry["schema_id"] == _SCALAR_ID:
+            continue
+        if lazy and _ddl_prunes(
+            spark, entry, structurize, timestamp_key, ast, ignore_case
+        ):
+            # packed archive: the manifest DDL alone proves this schema
+            # unmatchable — its table members never leave the container
             continue
         tbl = _load_schema_table(spark, archive_dir, entry)
         leaves = [(tuple(p), k) for p, k in entry["leaves"]]
@@ -660,11 +724,10 @@ def search_json_archive(
         )
         out = hit if out is None else out.unionAll(hit)
     if out is None:
-        return (
-            reconstruct_jsonl(spark, archive_dir, ordered=False)
-            .where(F.lit(False))
-            .select("log_event_idx", "json")
-        )
+        # every schema pruned: an empty result with the result schema —
+        # built directly so no table is read (matters for packed archives,
+        # where a read would ranged-extract members just to return nothing)
+        return spark.createDataFrame([], "log_event_idx long, json string")
     return out
 
 
@@ -898,12 +961,13 @@ def search_json_archives(
             g = groups.setdefault(
                 key,
                 {"leaves": [(tuple(p), k) for p, k in entry["leaves"]],
-                 "paths": []},
+                 "paths": [], "dirs": [], "ddl": entry.get("ddl")},
             )
             g["paths"].append(
                 os.path.join(d, _COMBINED_DIR) if combined
                 else os.path.join(d, f"schema_id={entry['schema_id']}")
             )
+            g["dirs"].append(d)
     ast = parse_kql(query)
     compiler = JsonArchive.__new__(JsonArchive)
     compiler.metadata = {IDX_COL: None}
@@ -917,6 +981,22 @@ def search_json_archives(
     ).alias("archive_id")
     out: DataFrame | None = None
     for (sid, structurize, eff_ts, _fmt, has_order, combined), g in groups.items():
+        lazy_dirs = [d for d in g["dirs"] if _packed_reader(d) is not None]
+        if lazy_dirs and _ddl_prunes(
+            spark,
+            {"ddl": g["ddl"]},
+            structurize,
+            eff_ts,
+            ast,
+            ignore_case,
+        ):
+            # manifest DDL proves the whole group unmatchable — the packed
+            # archives holding it pay zero container I/O for this schema
+            continue
+        for d in lazy_dirs:
+            _ensure_members(
+                d, _COMBINED_DIR if combined else f"schema_id={sid}"
+            )
         if combined:
             # archives combine independently, so their stores' column sets
             # differ — mergeSchema unions them; the __sid__ filter + prefix
@@ -1269,27 +1349,37 @@ def archive_stats(archive_dir: str) -> dict:
     }
 
 
-def localize_single_file_archives(path: str) -> str:
-    """Make packed archives readable by the directory-based readers.
+def localize_single_file_archives(path: str, lazy: bool = True) -> str:
+    """Make packed archives readable by the directory-based readers —
+    WITHOUT unpacking what the plan won't touch.
 
-    * `path` is a single-file archive → unpack into a session tempdir and
-      return the unpacked archive DIRECTORY.
+    * `path` is a single-file archive → register a direct reader over a
+      session tempdir and return that archive DIRECTORY.
     * `path` is a directory holding single-file archives (possibly mixed
       with normal archive subdirs) → build a tempdir where each packed
-      archive is unpacked under its own name and each normal archive subdir
-      is symlinked, and return that root (so `discover_json_archives` sees
-      every archive).
+      archive gets a direct reader under its own name and each normal
+      archive subdir is symlinked, and return that root (so
+      `discover_json_archives` sees every archive).
     * anything else → returned unchanged.
 
-    The unpack happens ONCE per CLI invocation (tempdirs are removed at
-    process exit); all subsequent search/extract work runs the normal
-    distributed pruned parquet scans over the unpacked directory.
+    Direct-read semantics (the reference's ArchiveReaderAdaptor,
+    components/core/src/clp_s/ArchiveReaderAdaptor.cpp:88-92,196,327): only
+    the tiny manifest is materialized up front; every schema-table member
+    is ranged-read out of the container on demand when a search/extract
+    plan actually loads it (`_load_schema_table` → `_ensure_members`), and
+    schema tables the query compiler prunes from the manifest DDL alone
+    never leave the container. A selective search over a packed fleet reads
+    bytes proportional to the MATCHED schemas, not the container sizes.
+    ``lazy=False`` restores the eager full unpack (tests compare the two).
+
+    Scratch dirs are removed at process exit either way.
     """
     import atexit
     import shutil
     import tempfile
 
     from clp_spark.sinks.single_file_archive import (
+        PackedArchiveReader,
         is_single_file_archive,
         unpack_archive,
     )
@@ -1299,9 +1389,17 @@ def localize_single_file_archives(path: str) -> str:
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         return d
 
+    def _attach(sfa_path: str, out_dir: str) -> None:
+        if not lazy:
+            unpack_archive(sfa_path, out_dir)
+            return
+        reader = PackedArchiveReader(sfa_path, out_dir)
+        reader.ensure([_MANIFEST])  # the catalog row: tiny, always needed
+        _PACKED_READERS[os.path.realpath(out_dir)] = reader
+
     if is_single_file_archive(path):
         out = os.path.join(_tmp(), os.path.basename(path) or "archive")
-        unpack_archive(path, out)
+        _attach(path, out)
         return out
     if not os.path.isdir(path):
         return path
@@ -1315,7 +1413,7 @@ def localize_single_file_archives(path: str) -> str:
         return path
     root = _tmp()
     for e in packed:
-        unpack_archive(e.path, os.path.join(root, e.name))
+        _attach(e.path, os.path.join(root, e.name))
     for e in entries:
         if e.is_dir() and is_json_archive(e.path):
             os.symlink(os.path.abspath(e.path), os.path.join(root, e.name))

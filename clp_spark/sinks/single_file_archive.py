@@ -34,8 +34,10 @@ field).
 
 Packing is a driver-side CLI convenience, same as the reference (the
 archive was already built distributed; the pack is one sequential file
-copy). Distributed search over a packed archive unpacks it once to
-local/shared storage and then runs the normal pruned parquet scans.
+copy). Search/extract over a packed archive reads it DIRECTLY via the
+file-table offsets (PackedArchiveReader, the ArchiveReaderAdaptor shape):
+only the members the pruned plan touches are ranged-read out of the
+container; schema tables the query compiler rules out never leave it.
 """
 
 from __future__ import annotations
@@ -373,32 +375,109 @@ def read_metadata(path: str) -> dict:
     return out
 
 
+def _member_spans(meta: dict) -> dict[str, tuple[int, int]]:
+    """{member name: (absolute offset, size)} from the decoded file table.
+
+    Offsets in the table are cumulative from the files-section start
+    (ArchiveReaderAdaptor.cpp:88-92); sizes are the deltas to the next
+    entry (last member runs to the container's end)."""
+    files = meta["files"]
+    files_start = _HEADER.size + meta["metadata_section_size"]
+    ends = [f["o"] for f in files[1:]] + [meta["compressed_size"] - files_start]
+    spans: dict[str, tuple[int, int]] = {}
+    for info, end in zip(files, ends):
+        rel = info["n"]
+        if rel.startswith("/") or ".." in rel.split("/"):
+            raise ValueError(f"unsafe member path {rel!r}")
+        spans[rel] = (files_start + info["o"], end - info["o"])
+    return spans
+
+
+def _copy_span(src, dst_path: str, offset: int, size: int, name: str) -> None:
+    os.makedirs(os.path.dirname(dst_path), exist_ok=True)
+    src.seek(offset)
+    remaining = size
+    tmp = dst_path + ".tmp"
+    with open(tmp, "wb") as out:
+        while remaining > 0:
+            block = src.read(min(_READ_BLOCK, remaining))
+            if not block:
+                raise ValueError(f"truncated member {name!r}")
+            out.write(block)
+            remaining -= len(block)
+    os.replace(tmp, dst_path)
+
+
 def unpack_archive(path: str, out_dir: str) -> dict:
     """Unpack a single-file archive back into an archive directory."""
     meta = read_metadata(path)
-    files = meta["files"]
-    files_start = _HEADER.size + meta["metadata_section_size"]
-    ends = [f["o"] for f in files[1:]] + [
-        meta["compressed_size"] - files_start
-    ]
+    spans = _member_spans(meta)
     os.makedirs(out_dir, exist_ok=True)
     with open(path, "rb") as src:
-        for info, end in zip(files, ends):
-            rel = info["n"]
-            if rel.startswith("/") or ".." in rel.split("/"):
-                raise ValueError(f"{path}: unsafe member path {rel!r}")
-            dst = os.path.join(out_dir, *rel.split("/"))
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            src.seek(files_start + info["o"])
-            remaining = end - info["o"]
-            with open(dst, "wb") as out:
-                while remaining > 0:
-                    block = src.read(min(_READ_BLOCK, remaining))
-                    if not block:
-                        raise ValueError(f"{path}: truncated member {rel!r}")
-                    out.write(block)
-                    remaining -= len(block)
-    return {"files": len(files), "dir": out_dir}
+        for rel, (off, size) in spans.items():
+            _copy_span(src, os.path.join(out_dir, *rel.split("/")), off, size, rel)
+    return {"files": len(spans), "dir": out_dir}
+
+
+class PackedArchiveReader:
+    """Direct (no-unpack) access to a single-file archive: seek via the
+    file-table offsets and materialize ONLY requested members into a
+    scratch archive directory — the reference's ArchiveReaderAdaptor shape
+    (components/core/src/clp_s/ArchiveReaderAdaptor.cpp:88-92,196,327: it
+    seeks to a member's offset inside the container and streams just that
+    member). Search/extract plans call ``ensure``/``ensure_prefix`` for
+    the tables they actually touch; schema tables pruned by the query
+    compiler cost zero container I/O beyond the metadata section.
+
+    ``member_bytes_read`` counts member bytes ranged-read so far (the
+    metadata section is excluded — it is read once at construction), so
+    tests can assert bytes-read ≪ container size on selective queries.
+    """
+
+    def __init__(self, path: str, out_dir: str):
+        self.path = path
+        self.dir = out_dir
+        self.meta = read_metadata(path)
+        self._spans = _member_spans(self.meta)
+        self._done: set[str] = set()
+        self.member_bytes_read = 0
+        os.makedirs(out_dir, exist_ok=True)
+
+    @property
+    def container_size(self) -> int:
+        return self.meta["compressed_size"]
+
+    def members(self) -> list[str]:
+        return list(self._spans)
+
+    def ensure(self, names) -> int:
+        """Materialize the named members (missing names are ignored —
+        callers probe with candidate paths). Returns bytes read NOW."""
+        todo = [n for n in names if n in self._spans and n not in self._done]
+        if not todo:
+            return 0
+        read = 0
+        with open(self.path, "rb") as src:
+            for rel in todo:
+                off, size = self._spans[rel]
+                _copy_span(
+                    src, os.path.join(self.dir, *rel.split("/")), off, size, rel
+                )
+                self._done.add(rel)
+                read += size
+        self.member_bytes_read += read
+        return read
+
+    def ensure_prefix(self, prefix: str) -> int:
+        """Materialize every member under a directory prefix (e.g.
+        ``schema_id=<sid>`` pulls that whole schema table)."""
+        p = prefix.rstrip("/") + "/"
+        return self.ensure(
+            [n for n in self._spans if n.startswith(p) or n == prefix]
+        )
+
+    def ensure_all(self) -> int:
+        return self.ensure(self.members())
 
 
 def extract_member(path: str, name: str) -> bytes:

@@ -254,6 +254,180 @@ def test_localize_passthrough(tmp_path):
     assert localize_single_file_archives(str(f)) == str(f)
 
 
+# ---------------------------------------------------------------------------
+# direct (no-unpack) reads — ArchiveReaderAdaptor parity
+# ---------------------------------------------------------------------------
+
+
+def _build_two_schema_archive(spark, tmp_path, name: str, salt: str = "") -> str:
+    """One tiny 'hot' schema (has `code`) + one bulky 'cold' schema
+    (payload-only) so a selective search need only touch the hot table."""
+    rows = [(0, f'{{"ts": 1, "msg": "beta{salt}", "code": 404}}'),
+            (1, f'{{"ts": 2, "msg": "alpha{salt}", "code": 200}}')]
+    for i in range(300):
+        body = hashlib.sha256(f"{salt}{i}".encode()).hexdigest() * 4
+        rows.append((i + 2, json.dumps({"seq": i, "payload": body})))
+    df = spark.createDataFrame(rows, "ord long, raw string")
+    out = str(tmp_path / name)
+    compress_jsonl_archive(df, "raw", out, order_col="ord")
+    return out
+
+
+def _cold_sid(archive_dir: str) -> str:
+    """schema_id of the bulky payload-only schema, from the manifest."""
+    with open(os.path.join(archive_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    for entry in manifest["schemas"]:
+        if entry["leaves"] and any(p == ["payload"] for p, _k in entry["leaves"]):
+            return entry["schema_id"]
+    raise AssertionError("no payload schema in manifest")
+
+
+def test_packed_reader_selective(tmp_path):
+    """PackedArchiveReader materializes ONLY requested members and counts
+    ranged bytes."""
+    from clp_spark.sinks.single_file_archive import PackedArchiveReader
+
+    src = _make_dir(tmp_path, FILES)
+    sfa = str(tmp_path / "packed")
+    pack_archive(src, sfa)
+    r = PackedArchiveReader(sfa, str(tmp_path / "scratch"))
+    assert sorted(r.members()) == sorted(FILES)
+    got = r.ensure(["manifest.json"])
+    assert got == len(FILES["manifest.json"])
+    assert os.listdir(r.dir) == ["manifest.json"]
+    # prefix pull: one schema table, not the other
+    r.ensure_prefix("schema_id=ab12")
+    on_disk = sorted(
+        os.path.relpath(os.path.join(root, f), r.dir)
+        for root, _d, fs in os.walk(r.dir) for f in fs
+    )
+    assert on_disk == [
+        "manifest.json",
+        "schema_id=ab12/part-0.parquet",
+        "schema_id=ab12/part-1.parquet",
+    ]
+    for rel in on_disk:
+        assert open(os.path.join(r.dir, rel), "rb").read() == FILES[rel]
+    # repeated ensure is a no-op (no double reads)
+    assert r.ensure_prefix("schema_id=ab12") == 0
+    expected = sum(len(FILES[n]) for n in on_disk)
+    assert r.member_bytes_read == expected
+    r.ensure_all()
+    assert r.member_bytes_read == sum(len(v) for v in FILES.values())
+    assert _tree_hashes(r.dir) == _tree_hashes(src)
+
+
+def test_direct_search_skips_pruned_tables(spark, tmp_path):
+    """`s` over a packed archive without unpacking it: the cold schema's
+    table never leaves the container (bytes-read ≪ container size), and
+    results match the eager-unpack search exactly."""
+    from clp_spark.operators.json_archive import (
+        _packed_reader,
+        search_json_archive,
+    )
+
+    arch = _build_two_schema_archive(spark, tmp_path, "jarch")
+    sfa = str(tmp_path / "packed")
+    pack_archive(arch, sfa)
+
+    lazy = localize_single_file_archives(sfa)
+    reader = _packed_reader(lazy)
+    assert reader is not None
+    got = sorted(
+        (r["log_event_idx"], r["json"])
+        for r in search_json_archive(spark, lazy, "code: 404").collect()
+    )
+    eager = localize_single_file_archives(sfa, lazy=False)
+    want = sorted(
+        (r["log_event_idx"], r["json"])
+        for r in search_json_archive(spark, eager, "code: 404").collect()
+    )
+    assert got == want and len(got) == 1
+    # the cold schema's members were never extracted from the container
+    extracted = {
+        os.path.relpath(os.path.join(root, f), lazy)
+        for root, _d, fs in os.walk(lazy) for f in fs
+    }
+    assert "manifest.json" in extracted
+    cold_sid = _cold_sid(lazy)
+    assert not any(m.startswith(f"schema_id={cold_sid}/") for m in extracted)
+    assert any(m.startswith(f"schema_id={cold_sid}/") for m in reader.members())
+    assert reader.member_bytes_read < 0.5 * reader.container_size
+
+
+def test_direct_search_all_pruned_reads_only_manifest(spark, tmp_path):
+    """A query no schema can match costs zero table I/O on a packed
+    archive — only the manifest leaves the container."""
+    from clp_spark.operators.json_archive import (
+        _packed_reader,
+        search_json_archive,
+    )
+
+    arch = _build_two_schema_archive(spark, tmp_path, "jarch")
+    sfa = str(tmp_path / "packed")
+    pack_archive(arch, sfa)
+    lazy = localize_single_file_archives(sfa)
+    reader = _packed_reader(lazy)
+    manifest_size = reader.member_bytes_read
+    out = search_json_archive(spark, lazy, "no_such_key: 1")
+    assert out.count() == 0
+    assert reader.member_bytes_read == manifest_size
+
+
+def test_direct_extract_parity(spark, tmp_path):
+    """`x` (full reconstruction) over a packed archive materializes what it
+    needs on demand and matches the source archive byte-for-byte."""
+    arch = _build_two_schema_archive(spark, tmp_path, "jarch")
+    sfa = str(tmp_path / "packed")
+    pack_archive(arch, sfa)
+    lazy = localize_single_file_archives(sfa)
+    before = [r["json"] for r in reconstruct_jsonl(spark, arch).collect()]
+    after = [r["json"] for r in reconstruct_jsonl(spark, lazy).collect()]
+    assert before == after
+
+
+def test_direct_federated_search_over_packed_fleet(spark, tmp_path):
+    """A DIRECTORY of packed archives searches federated without unpacking:
+    per-archive cold tables stay in their containers; results match the
+    eager-unpack federated search."""
+    from clp_spark.operators.json_archive import (
+        _packed_reader,
+        discover_json_archives,
+        search_json_archives,
+    )
+
+    root = tmp_path / "fleet"
+    root.mkdir()
+    for i in range(3):
+        arch = _build_two_schema_archive(spark, tmp_path, f"src{i}", salt=str(i))
+        pack_archive(arch, str(root / f"a{i}"))
+
+    lazy_root = localize_single_file_archives(str(root))
+    got = sorted(
+        (r["archive_id"], r["json"])
+        for r in search_json_archives(spark, lazy_root, "code: 404").collect()
+    )
+    eager_root = localize_single_file_archives(str(root), lazy=False)
+    want = sorted(
+        (r["archive_id"], r["json"])
+        for r in search_json_archives(spark, eager_root, "code: 404").collect()
+    )
+    assert got == want and len(got) == 3
+    for d in discover_json_archives(lazy_root):
+        reader = _packed_reader(d)
+        assert reader is not None
+        assert reader.member_bytes_read < 0.5 * reader.container_size
+        extracted = {
+            os.path.relpath(os.path.join(r_, f), d)
+            for r_, _dd, fs in os.walk(d) for f in fs
+        }
+        cold_sid = _cold_sid(d)
+        assert not any(
+            m.startswith(f"schema_id={cold_sid}/") for m in extracted
+        )
+
+
 def test_cli_single_file_archive_lifecycle(tmp_path):
     """c --json --single-file-archive → one FILE; x and s-kql read it."""
     src = tmp_path / "in.jsonl"
