@@ -323,6 +323,30 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         **kv_deser_bench(spark, cpus),
     }
     spark.stop()
+    # Pinned-core kv-IR guard (VERDICT r04 #1): the in-session
+    # kv_spark_1task_vs_loop above runs one unpinned task on a contended
+    # 32-core box while the loop rep grabs a whole quiet core, so it
+    # under-reads (r4 recorded 0.339 against r3's pinned 0.60). The guard
+    # figure is now measured the way the scaling table is: taskset-pinned
+    # subprocess sessions, Spark path and pure loop on the SAME pinned
+    # core, median of 2 runs.
+    import statistics
+
+    try:
+        pinned = [_pinned_kv_run("0", 1) for _ in range(2)]
+        result["kv_spark_1core_vs_loop_pinned"] = round(
+            statistics.median(
+                r["kv_deser_spark_ev_per_sec"]
+                / r["kv_deser_loop_ev_per_sec_1core"]
+                for r in pinned
+            ),
+            3,
+        )
+        result["kv_spark_ev_per_sec_1core_pinned"] = statistics.median(
+            r["kv_deser_spark_ev_per_sec"] for r in pinned
+        )
+    except (RuntimeError, FileNotFoundError) as exc:  # no taskset / failure
+        result["kv_pinned_guard_error"] = str(exc)[:200]
     return result
 
 

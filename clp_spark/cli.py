@@ -36,6 +36,41 @@ def _spark(master: str) -> SparkSession:
     ).getOrCreate()
 
 
+def _clp_s_canonical_names(
+    files: list[str], normalize: bool, prefix: str | None, remove_slash: bool
+) -> dict[str, str]:
+    """abs input path → canonical stored name, the clp-s input bookkeeping
+    (CommandLineArguments.cpp:479-566): --normalize-paths canonicalizes
+    (realpath) the path AND the prefix; --remove-path-prefix removes it
+    component-wise (result keeps its leading '/'); --remove-leading-slash
+    then strips that. Validation errors match the reference's."""
+    from clp_spark.operators.json_archive import remove_path_prefix
+
+    pfx = None
+    if prefix:
+        if not os.path.exists(prefix):
+            sys.exit("error: Specified prefix to remove does not exist.")
+        if not os.path.isdir(prefix):
+            sys.exit("error: Specified prefix to remove is not a directory.")
+        pfx = os.path.realpath(prefix) if normalize else prefix
+    names: dict[str, str] = {}
+    for p in files:
+        ap = os.path.abspath(p)
+        name = os.path.realpath(ap) if normalize else ap
+        if pfx is not None:
+            r = remove_path_prefix(name, pfx)
+            if r is None:
+                sys.exit(
+                    f'error: Failed to remove prefix "{pfx}" from path '
+                    f'"{name}".'
+                )
+            name = r
+        if remove_slash and name.startswith("/"):
+            name = name[1:]
+        names[ap] = name
+    return names
+
+
 def cmd_compress(args) -> None:
     from clp_spark.sources.network import localize_inputs
 
@@ -45,6 +80,36 @@ def cmd_compress(args) -> None:
     if args.print_archive_stats and not args.json:
         sys.exit("error: --print-archive-stats requires --json (a clp-s "
                  "flag in the reference)")
+    if (args.normalize_paths or args.remove_leading_slash) and not args.json:
+        sys.exit("error: --normalize-paths/--remove-leading-slash are clp-s "
+                 "flags (require --json)")
+    if args.json and (
+        args.target_segment_size is not None
+        or args.target_dictionaries_size is not None
+    ):
+        sys.exit("error: --target-segment-size/--target-dictionaries-size "
+                 "are clp (text archive) flags")
+    if args.files_from:
+        # clp/clp-s `--files-from/-f FILE`: one input path per line
+        # (clp utils.cpp:89-107 read_input_paths; empty list = error)
+        if not os.path.exists(args.files_from):
+            sys.exit(f"error: '{args.files_from}' does not exist.")
+        with open(args.files_from) as f:
+            listed = [ln.strip() for ln in f if ln.strip()]
+        if not listed:
+            sys.exit(f"error: '{args.files_from}' did not contain any paths")
+        args.inputs = list(args.inputs) + listed
+    if not args.inputs:
+        sys.exit("error: No input paths specified.")
+    if args.compression == "lzma":
+        # the reference ships an lzma streaming codec
+        # (clp/streaming_compression/lzma/) but parquet has no LZMA codec —
+        # honest parity is zstd + passthrough, with lzma named unsupported
+        sys.exit("error: lzma is not supported by the parquet storage "
+                 "substrate; use zstd or passthrough")
+    if args.compression == "passthrough" and args.compression_level is not None:
+        sys.exit("error: --compression-level is a zstd level; it cannot "
+                 "combine with --compression passthrough")
     args.inputs = localize_inputs(args.inputs)
     from clp_spark.sources.logfiles import (
         compress_text_logs,
@@ -53,6 +118,11 @@ def cmd_compress(args) -> None:
     )
 
     spark = _spark(args.master)
+    if args.compression == "passthrough":
+        # the reference's passthrough codec (streaming_compression/
+        # passthrough/) = uncompressed storage; pinned at the session so
+        # every sink in either mode honors it
+        spark.conf.set("spark.sql.parquet.compression.codec", "uncompressed")
     if args.compression_level is not None and not args.json:
         # text archives write through many sinks; pin the codec at the
         # session so every table honors `clp c --compression-level`
@@ -78,18 +148,35 @@ def cmd_compress(args) -> None:
         # URIs read as JSONL.
         inputs = expand_tar_inputs(args.inputs)
         kv_inputs: list[str] = []
-        if not any("://" in p and not p.startswith("file:") for p in inputs):
+        is_local = not any(
+            "://" in p and not p.startswith("file:") for p in inputs
+        )
+        if is_local:
             from clp_spark.sources.kv_ir import is_kv_ir_file
 
             expanded = list_local_log_files(inputs)
             kv_inputs = [p for p in expanded if is_kv_ir_file(p)]
             inputs = [p for p in expanded if p not in set(kv_inputs)]
+        # canonical stored names for the range index (clp-s records one
+        # range entry per ingested file; --normalize-paths /
+        # --remove-path-prefix / --remove-leading-slash shape the name,
+        # CommandLineArguments.cpp:479-566 — filesystem sources only)
+        src_names = (
+            _clp_s_canonical_names(
+                [*inputs, *kv_inputs],
+                normalize=args.normalize_paths,
+                prefix=args.remove_path_prefix,
+                remove_slash=args.remove_leading_slash,
+            )
+            if is_local else None
+        )
         df = None
         if inputs or not kv_inputs:
             df = (
                 spark.read.text(inputs)
                 .withColumnRenamed("value", "raw")
                 .withColumn("_rec_ix", F.monotonically_increasing_id())
+                .withColumn("_src_file", F.input_file_name())
             )
         if kv_inputs:
             from clp_spark.sources.kv_ir import read_kv_ir_stream_records
@@ -97,7 +184,8 @@ def cmd_compress(args) -> None:
             # kv records order after any JSONL records: mono ids are
             # partition_id<<33 + row, so 1<<52 clears them
             kv_df = read_kv_ir_stream_records(
-                spark, kv_inputs, rec_ix_base=1 << 52
+                spark, kv_inputs, rec_ix_base=1 << 52,
+                with_source="_src_file",
             )
             df = kv_df if df is None else df.unionByName(kv_df)
         if args.target_encoded_size is not None:
@@ -116,6 +204,8 @@ def cmd_compress(args) -> None:
                 compression_level=args.compression_level,
                 max_document_size=args.max_document_size,
                 min_table_size=args.min_table_size,
+                source_col="_src_file",
+                source_names=src_names,
             )
             stats_lines = (
                 [archive_stats(s["dir"]) for s in summary["per_archive"]]
@@ -159,6 +249,8 @@ def cmd_compress(args) -> None:
                 compression_level=args.compression_level,
                 max_document_size=args.max_document_size,
                 min_table_size=args.min_table_size,
+                source_col="_src_file",
+                source_names=src_names,
             )
             stats_lines = (
                 [archive_stats(out_dir)] if args.print_archive_stats else []
@@ -224,17 +316,37 @@ def cmd_compress(args) -> None:
         sys.exit("error: --target-encoded-file-size applies to single "
                  "plain-layout text archives (not --glt or "
                  "--target-archive-size)")
-    if args.target_archive_size is not None:
+    if args.target_segment_size is not None and args.target_segment_size < 1:
+        # CommandLineArguments.cpp:411-414
+        sys.exit("error: Target segment size must be non-zero.")
+    if args.target_dictionaries_size is not None:
+        # dictionaries-size cuts happen between files, so they imply the
+        # multi-archive flow (the reference's `clp c` always writes an
+        # archives DIRECTORY and splits when dictionaries fill,
+        # compression.cpp:128,156)
+        if args.target_dictionaries_size < 1:
+            sys.exit("error: Target data size of dictionaries must be "
+                     "non-zero.")
+        if args.glt or args.target_encoded_file_size_text is not None:
+            sys.exit("error: --target-dictionaries-size splits into "
+                     "multiple plain-layout archives (not --glt / "
+                     "--target-encoded-file-size)")
+    if args.target_archive_size is not None or (
+        args.target_dictionaries_size is not None
+    ):
         # archive splitting: <archive> is an archives DIRECTORY; inputs are
         # grouped/cut into archive-sized tasks (searchable via `s <dir>`)
         summary = compress_text_logs_multi(
             spark,
             list_local_log_files(args.inputs),
             args.archive,
-            args.target_archive_size,
+            args.target_archive_size
+            if args.target_archive_size is not None else 1 << 62,
             lock_patterns=not args.no_pattern_lock,
             remove_path_prefix=args.remove_path_prefix,
             sort_input_files=args.sort_input_files == "true",
+            target_dictionaries_size=args.target_dictionaries_size,
+            target_segment_size=args.target_segment_size,
         )
     else:
         summary = compress_text_logs(
@@ -244,6 +356,7 @@ def cmd_compress(args) -> None:
             combine_threshold_pct=args.combine_threshold,
             remove_path_prefix=args.remove_path_prefix,
             target_encoded_file_size=args.target_encoded_file_size_text,
+            target_segment_size=args.target_segment_size,
         )
     if args.metadata_db:
         # global metadata catalog (GlobalSQLiteMetadataDB parity): register
@@ -968,8 +1081,43 @@ def main(argv: list[str] | None = None) -> None:
 
     c = sub.add_parser("c", help="compress text logs into an archive")
     c.add_argument("archive")
-    c.add_argument("inputs", nargs="+")
+    c.add_argument("inputs", nargs="*")
+    c.add_argument(
+        "-f", "--files-from", default=None, metavar="FILE",
+        help="compress files listed one per line in FILE (clp/clp-s "
+             "--files-from; appended to positional inputs)",
+    )
     c.add_argument("--no-pattern-lock", action="store_true")
+    c.add_argument(
+        "--compression", choices=["zstd", "passthrough", "lzma"],
+        default="zstd",
+        help="storage codec (reference streaming_compression codecs): zstd "
+             "(default) or passthrough (= uncompressed); lzma exists in the "
+             "reference but has no parquet codec and errors here",
+    )
+    c.add_argument(
+        "--target-segment-size", type=int, default=None, metavar="BYTES",
+        help="text mode: target uncompressed size of a segment (one sink "
+             "parquet file) before a new one starts (clp c "
+             "--target-segment-size, Archive.cpp:581)",
+    )
+    c.add_argument(
+        "--target-dictionaries-size", type=int, default=None, metavar="BYTES",
+        help="text mode: start a NEW archive when the current archive's "
+             "dictionary data reaches this size (clp c "
+             "--target-dictionaries-size, compression.cpp:128); <archive> "
+             "becomes a directory of archives",
+    )
+    c.add_argument(
+        "--normalize-paths", action="store_true",
+        help="JSON mode: canonicalize (realpath) ingested file paths before "
+             "storing them in the range index (clp-s --normalize-paths)",
+    )
+    c.add_argument(
+        "--remove-leading-slash", action="store_true",
+        help="JSON mode: strip the leading '/' from each stored file path "
+             "(clp-s --remove-leading-slash)",
+    )
     c.add_argument(
         "--target-archive-size", type=int, default=None, metavar="BYTES",
         help="split the input into archives of ~this raw size; <archive> "

@@ -144,6 +144,87 @@ def _schema_id(leaves: list[tuple[tuple[str, ...], str]]) -> str:
     return hashlib.md5(sig.encode()).hexdigest()[:16]
 
 
+def remove_path_prefix(path: str, prefix: str) -> str | None:
+    """clp-s InputConfig remove_path_prefix (InputConfig.cpp:57-86):
+    component-wise prefix removal; the result ALWAYS starts with '/'
+    (path_without_prefix seeds at "/" — the separate --remove-leading-slash
+    flag strips it). None when the path doesn't start with the prefix.
+    All cases of the reference's test_InputConfig.cpp pass; one divergence:
+    interior './' components are dropped by PurePosixPath while
+    std::filesystem keeps them (leading './' matches the reference)."""
+    from pathlib import PurePosixPath
+
+    p = PurePosixPath(path).parts
+    q = PurePosixPath(prefix).parts
+    if p[: len(q)] != q:
+        return None
+    rest = p[len(q):]
+    if rest and rest[0] == "/":  # absolute path, empty prefix
+        rest = rest[1:]
+    return "/" + "/".join(rest)
+
+
+def _src_norm(source_col: str):
+    """Source-file URI column → local absolute path (the key space
+    source_names maps from), matching the repo's input_file_name handling
+    elsewhere (file:///a%20b.log → /a b.log)."""
+    return F.url_decode(
+        F.regexp_replace(F.col(source_col), "^file:(//)?", "")
+    )
+
+
+def _build_range_index(
+    staged: DataFrame,
+    source_col: str,
+    source_names: dict[str, str] | None,
+    archive_creator_id: str | None,
+    arch_col: str | None = None,
+) -> list[dict] | dict[int, list[dict]]:
+    """Per-input-file [s, e) spans over the ingestion-order column — the
+    clp-s range index (RangeIndexWriter.hpp: non-overlapping ranges, each
+    holding the _filename / _file_split_number / _archive_creator_id
+    metadata fields the reference writes per ingested file,
+    JsonParser.cpp's open_range/close_range around each file).
+
+    With ``arch_col`` (multi-archive split), returns {archive_key:
+    entries}; a file spanning several archives gets one entry per archive
+    with _file_split_number incrementing in archive order — the
+    reference's split counter when --target-encoded-size cuts a file
+    across archives."""
+    import uuid
+
+    cid = archive_creator_id or str(uuid.uuid4())
+    names = source_names or {}
+    grp = [F.col(arch_col)] if arch_col else []
+    rows = (
+        staged.groupBy(*grp, _src_norm(source_col).alias("_p"))
+        .agg(F.min(IDX_COL).alias("s"), F.max(IDX_COL).alias("e"))
+        .collect()
+    )
+
+    def entry(r, split_no: int) -> dict:
+        return {
+            "s": int(r["s"]),
+            "e": int(r["e"]) + 1,
+            "f": {
+                "_filename": names.get(r["_p"], r["_p"]),
+                "_file_split_number": split_no,
+                "_archive_creator_id": cid,
+            },
+        }
+
+    if not arch_col:
+        return [entry(r, 0) for r in sorted(rows, key=lambda r: r["s"])]
+    # split numbers count a file's pieces across archives, in idx order
+    split_no: dict[str, int] = {}
+    out: dict[int, list[dict]] = {}
+    for r in sorted(rows, key=lambda r: int(r["s"])):
+        n = split_no.get(r["_p"], 0)
+        split_no[r["_p"]] = n + 1
+        out.setdefault(int(r[arch_col]), []).append(entry(r, n))
+    return out
+
+
 def compress_jsonl_archive(
     df: DataFrame,
     raw_col: str,
@@ -158,6 +239,9 @@ def compress_jsonl_archive(
     max_document_size: int | None = 512 * 1024 * 1024,
     is_split: bool = False,
     min_table_size: int = 0,
+    source_col: str | None = None,
+    source_names: dict[str, str] | None = None,
+    archive_creator_id: str | None = None,
 ) -> dict:
     """JSONL rows → per-schema typed parquet tables + manifest.
 
@@ -177,6 +261,23 @@ def compress_jsonl_archive(
     rewrites oversized records into invalid rows; None = unlimited.
     ``is_split`` marks the archive as one split of a larger input in the
     manifest (ArchiveWriter::close(true) during --target-encoded-size).
+
+    ``source_col`` names a column carrying each record's source file URI;
+    when given (and log order is recorded), the manifest stores a RANGE
+    INDEX — the clp-s RangeIndexWriter structure, one
+    ``{"s": idx, "e": idx, "f": {_filename, _file_split_number,
+    _archive_creator_id}}`` entry per input file over the ingestion-order
+    column (RangeIndexWriter.hpp:17-30; field names
+    archive_constants.hpp range_index) — so '$'-namespace KQL filters
+    evaluate against it at search time. ``source_names`` optionally maps
+    the file's local absolute path to the canonical stored name
+    (--normalize-paths / --remove-path-prefix / --remove-leading-slash
+    transforms); unmapped files store their URI-stripped path. Like the
+    reference, --disable-log-order also disables the range index (its
+    help text: "Do not record the archive range index"). Deviation noted:
+    ranges are [min, max+1) in ingestion-order-KEY space (sparse monotone
+    ids), not dense record counts — the same space log_event_idx uses
+    everywhere else in this archive format.
 
     Stats parity: the manifest also records ``uncompressed_size`` (raw
     input bytes incl. newlines) and — when ``timestamp_key`` resolves —
@@ -199,12 +300,23 @@ def compress_jsonl_archive(
             else F.monotonically_increasing_id(),
         )
         keep = (IDX_COL,)
+        if source_col:
+            keep = (IDX_COL, source_col)
     else:
         src = df
         keep = ()
+        source_col = None  # no order column → no range index (reference
+        # --disable-log-order also drops the archive range index)
     archive = JsonArchive(
         src, raw_col, structurize_arrays, cache=True, keep_cols=keep
     )
+    range_index = None
+    if source_col:
+        # one agg over the cached staged scan (no extra input read): each
+        # file's [min, max+1) ingestion-order span is its range entry
+        range_index = _build_range_index(
+            archive._staged, source_col, source_names, archive_creator_id
+        )
     manifest: dict = {
         "structurize_arrays": structurize_arrays,
         # clp-s `c --timestamp-key`: the archive REMEMBERS its timestamp
@@ -225,6 +337,8 @@ def compress_jsonl_archive(
         if retain_float_format:
             part = _retain_float_formats(part, grp["leaves"])
         typed = part.drop("__v__", "__raw__")
+        if source_col:
+            typed = typed.drop(source_col)  # range-index bookkeeping only
         data_cols = [c for c in typed.columns if c != IDX_COL]
         if not data_cols:
             # scalar/array/empty-object ROOT records: no typed columns to
@@ -320,6 +434,8 @@ def compress_jsonl_archive(
     manifest["begin_timestamp"] = ts_lo
     manifest["end_timestamp"] = ts_hi
     manifest["is_split"] = is_split
+    if range_index is not None:
+        manifest["range_index"] = range_index
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
         json.dump(manifest, f)
@@ -469,7 +585,12 @@ def _ddl_prunes(
 
         leaves = _parse_variant_ddl(ddl)
         schema, arr_leaves = _leaves_to_struct(leaves, structurize)
-        probe = spark.createDataFrame([], schema)
+        # log_event_idx exists in every ordered table; the probe must carry
+        # it so rewritten '$' range-index filters never prove a schema
+        # unmatchable (they resolve against the idx column, not the DDL)
+        probe = spark.createDataFrame([], schema).withColumn(
+            IDX_COL, F.lit(0).cast("long")
+        )
         compiler = _JA.__new__(_JA)
         compiler.metadata = {IDX_COL: None}
         compiler.timestamp_key = eff_ts
@@ -655,7 +776,12 @@ def search_json_archive(
     comparisons, without altering the reconstructed output.
     """
     from clp_spark.operators.json_search import JsonArchive
-    from clp_spark.operators.kql import parse_kql
+    from clp_spark.operators.kql import (
+        evaluate_range_index_filters,
+        fold_range_index_const,
+        has_range_index_filter,
+        parse_kql,
+    )
     from pyspark.sql.types import DoubleType
 
     with open(os.path.join(archive_dir, _MANIFEST)) as f:
@@ -665,6 +791,15 @@ def search_json_archive(
     if timestamp_key is None:
         timestamp_key = manifest.get("timestamp_key")
     ast = parse_kql(query)
+    if has_range_index_filter(ast):
+        # '$'-namespace filters evaluate against the archive range index
+        # and rewrite into log_event_idx bounds before any table compile
+        # (EvaluateRangeIndexFilters parity)
+        ast = evaluate_range_index_filters(
+            ast, manifest.get("range_index"), IDX_COL, ignore_case
+        )
+        if fold_range_index_const(ast, IDX_COL) is False:
+            return spark.createDataFrame([], "log_event_idx long, json string")
     # borrow JsonArchive's compiler without (re)building an in-memory
     # archive; metadata maps the order column so bare-value filters skip it
     compiler = JsonArchive.__new__(JsonArchive)
@@ -937,6 +1072,14 @@ def search_json_archives(
     # id — and each group reads as ONE multi-directory scan. Plan size is
     # O(distinct schemas), not O(archives x schemas); the whole directory
     # searches as one job regardless of archive count.
+    from clp_spark.operators.kql import (
+        evaluate_range_index_filters,
+        fold_range_index_const,
+        has_range_index_filter,
+    )
+
+    base_ast = parse_kql(query)
+    has_meta = has_range_index_filter(base_ast)
     groups: dict[tuple, dict] = {}
     scalar_paths: list[str] = []
     for d in dirs:
@@ -945,6 +1088,19 @@ def search_json_archives(
         eff_ts = timestamp_key if timestamp_key is not None else manifest.get(
             "timestamp_key"
         )
+        # '$'-namespace filters rewrite PER ARCHIVE (each has its own range
+        # index); archives whose rewrite folds to constant false are pruned
+        # before any footer I/O, and the rest group by the rewritten AST so
+        # fleets sharing a rewrite (e.g. no matching file anywhere) still
+        # scan as one plan per (schema, rewrite)
+        d_ast, ast_key = base_ast, ""
+        if has_meta:
+            d_ast = evaluate_range_index_filters(
+                base_ast, manifest.get("range_index"), IDX_COL, ignore_case
+            )
+            if fold_range_index_const(d_ast, IDX_COL) is False:
+                continue
+            ast_key = repr(d_ast)
         for entry in manifest["schemas"]:
             if entry["schema_id"] == _SCALAR_ID:
                 continue  # no keys → never matches a KQL predicate
@@ -956,19 +1112,19 @@ def search_json_archives(
             key = (
                 entry["schema_id"], manifest["structurize_arrays"], eff_ts,
                 bool(entry.get("fmt")), manifest.get("log_order", True),
-                combined,
+                combined, ast_key,
             )
             g = groups.setdefault(
                 key,
                 {"leaves": [(tuple(p), k) for p, k in entry["leaves"]],
-                 "paths": [], "dirs": [], "ddl": entry.get("ddl")},
+                 "paths": [], "dirs": [], "ddl": entry.get("ddl"),
+                 "ast": d_ast},
             )
             g["paths"].append(
                 os.path.join(d, _COMBINED_DIR) if combined
                 else os.path.join(d, f"schema_id={entry['schema_id']}")
             )
             g["dirs"].append(d)
-    ast = parse_kql(query)
     compiler = JsonArchive.__new__(JsonArchive)
     compiler.metadata = {IDX_COL: None}
     # archive_id recovers from the file path (…/<archive_id>/schema_id=…
@@ -980,7 +1136,8 @@ def search_json_archives(
         1,
     ).alias("archive_id")
     out: DataFrame | None = None
-    for (sid, structurize, eff_ts, _fmt, has_order, combined), g in groups.items():
+    for (sid, structurize, eff_ts, _fmt, has_order, combined, _ak), g in groups.items():
+        ast = g["ast"]
         lazy_dirs = [d for d in g["dirs"] if _packed_reader(d) is not None]
         if lazy_dirs and _ddl_prunes(
             spark,
@@ -1073,6 +1230,9 @@ def compress_jsonl_archives_multi(
     compression_level: int | None = None,
     max_document_size: int | None = 512 * 1024 * 1024,
     min_table_size: int = 0,
+    source_col: str | None = None,
+    source_names: dict[str, str] | None = None,
+    archive_creator_id: str | None = None,
 ) -> dict:
     """clp-s `c --target-encoded-size`: split a JSONL stream into multiple
     self-contained JSON archives under `archives_dir` (the reference's
@@ -1148,10 +1308,23 @@ def compress_jsonl_archives_multi(
     in_counts = {k: n for k, (n, _b) in in_stats.items()}
     assigned = assigned.drop("_len")
     # ONE variant parse + schema grouping across every archive
+    if not record_log_order:
+        source_col = None  # no stored order column → no range index
     archive = JsonArchive(
         assigned, raw_col, structurize_arrays, cache=True,
-        keep_cols=(IDX_COL, "_arch"),
+        keep_cols=(
+            (IDX_COL, "_arch", source_col) if source_col
+            else (IDX_COL, "_arch")
+        ),
     )
+    per_arch_ranges: dict[int, list[dict]] = {}
+    if source_col:
+        # per-(archive, file) spans with cross-archive split numbering —
+        # one agg over the cached staged scan, same as the single path
+        per_arch_ranges = _build_range_index(
+            archive._staged, source_col, source_names,
+            archive_creator_id, arch_col="_arch",
+        )
     merged: dict[str, dict] = {}
     scalar_parts: list[DataFrame] = []
     for grp in archive.schema_groups:
@@ -1159,6 +1332,8 @@ def compress_jsonl_archives_multi(
         if retain_float_format:
             gpart = _retain_float_formats(gpart, grp["leaves"])
         typed = gpart.drop("__v__", "__raw__")
+        if source_col:
+            typed = typed.drop(source_col)  # range-index bookkeeping only
         if not record_log_order:
             # the idx drove archive ASSIGNMENT above but is not stored
             # (clp-s --disable-log-order, JsonParser.cpp:774)
@@ -1296,6 +1471,8 @@ def compress_jsonl_archives_multi(
             # close(is_split=true) while splitting (JsonParser.cpp:1406,1411)
             "is_split": k != last_k,
         }
+        if source_col:
+            manifest["range_index"] = per_arch_ranges.get(k, [])
         with open(os.path.join(out, _MANIFEST), "w") as f:
             json.dump(manifest, f)
         s = {

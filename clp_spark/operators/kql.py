@@ -563,3 +563,225 @@ def _compile(df: DataFrame, node: Node, ignore_case: bool) -> Column:
 
 def kql_filter(df: DataFrame, query: str, ignore_case: bool = False) -> DataFrame:
     return df.where(compile_kql(df, query, ignore_case))
+
+
+# ----------------------------------------------- range-index ('$') filters
+
+def _is_meta_filter(node: Node) -> bool:
+    return (
+        isinstance(node, Filter)
+        and node.column is not None
+        and node.column[0][:1] == "$"
+    )
+
+
+def _meta_pattern(column: list[str]) -> list[str]:
+    """'$'-namespace column → field-name pattern, mirroring
+    _resolve_columns's namespace stripping ($creator → _creator etc.)."""
+    pat = list(column)
+    ns_seg = pat[0][1:]
+    if ns_seg:
+        pat[0] = ns_seg
+    else:
+        pat = pat[1:]
+    if pat and not pat[0].startswith("_") and pat[0] != "*":
+        pat[0] = "_" + pat[0]
+    return pat
+
+
+def _wildcard_regex(v: str, ignore_case: bool) -> re.Pattern:
+    out = []
+    i = 0
+    while i < len(v):
+        c = v[i]
+        if c == "\\" and i + 1 < len(v):
+            out.append(re.escape(v[i + 1]))
+            i += 2
+        elif c == "*":
+            out.append(".*")
+            i += 1
+        elif c == "?":
+            out.append(".")
+            i += 1
+        else:
+            out.append(re.escape(c))
+            i += 1
+    return re.compile("".join(out), re.IGNORECASE if ignore_case else 0)
+
+
+def _meta_value_match(value, lit: Lit, op: str, ignore_case: bool) -> bool:
+    """Driver-side twin of _value_pred over a range-index field value —
+    the reference evaluates '$' filters against each range's metadata
+    key-value pairs on the driver (EvaluateRangeIndexFilters.cpp:76-90),
+    never against row data."""
+    v = lit.value
+    if op == ":":
+        if not lit.quoted and v == "*":
+            return value is not None
+        if not lit.quoted and v == "null":
+            return value is None
+        if isinstance(value, bool):
+            return v.lower() in ("true", "false") and value == (v.lower() == "true")
+        if isinstance(value, (int, float)):
+            try:
+                return value == int(v)
+            except ValueError:
+                try:
+                    return value == float(v)
+                except ValueError:
+                    return False
+        if isinstance(value, str):
+            if lit.has_wild:
+                return _wildcard_regex(v, ignore_case).fullmatch(value) is not None
+            exact = v.replace("\\*", "*").replace("\\?", "?").replace("\\.", ".")
+            if ignore_case:
+                return value.lower() == exact.lower()
+            return value == exact
+        return str(value) == v
+    # range ops: numeric literal never range-matches a string field and
+    # vice versa (NarrowTypes parity, same rule as _value_pred)
+    num: int | float | None
+    try:
+        num = int(v)
+    except ValueError:
+        try:
+            num = float(v)
+        except ValueError:
+            num = None
+    if isinstance(value, str):
+        if num is not None:
+            return False
+        cmp_v: str | int | float = v
+    else:
+        if num is None or isinstance(value, bool):
+            return False
+        cmp_v = num
+    if op == "<":
+        return value < cmp_v
+    if op == ">":
+        return value > cmp_v
+    if op == "<=":
+        return value <= cmp_v
+    return value >= cmp_v
+
+
+def _eval_meta_filter(node: Filter, fields: dict, ignore_case: bool) -> bool:
+    """One '$' filter against one range's metadata fields (OR across
+    matched field names, list_mode across values — the same shape
+    _compile emits for data columns)."""
+    pat = _meta_pattern(node.column)
+    keys = [k for k in fields if _match_path(pat, [k])]
+    if not keys:
+        return False
+    for k in keys:
+        value = fields[k]
+        vm = [_meta_value_match(value, lit, node.op, ignore_case) for lit in node.values]
+        if node.list_mode == "and":
+            ok = all(vm)
+        elif node.list_mode == "not":
+            ok = not any(vm)
+        else:
+            ok = any(vm)
+        if ok:
+            return True
+    return False
+
+
+def _idx_range_node(idx_col: str, ranges: list[tuple[int, int]]) -> Node:
+    """Matched [s, e) ranges → an AST predicate on the ingestion-order
+    column (the reference rewrites matching ranges into log_event_idx
+    range filters, EvaluateRangeIndexFilters.cpp:91-120). No match =
+    constant false (EmptyExpr), spelled idx < 0 since indexes are >= 0."""
+    if not ranges:
+        return Filter([idx_col], "<", [Lit("0", False, False)])
+    node: Node | None = None
+    for s, e in ranges:
+        pair: Node = BoolOp(
+            "AND",
+            Filter([idx_col], ">=", [Lit(str(s), False, False)]),
+            Filter([idx_col], "<", [Lit(str(e), False, False)]),
+        )
+        node = pair if node is None else BoolOp("OR", node, pair)
+    return node
+
+
+def evaluate_range_index_filters(
+    node: Node,
+    range_index: list[dict] | None,
+    idx_col: str,
+    ignore_case: bool = False,
+) -> Node:
+    """Rewrite every '$'-namespace filter in the AST into a predicate on
+    the archive's ingestion-order column, using the archive range index
+    (clp-s EvaluateRangeIndexFilters: each filter is evaluated driver-side
+    against every range's metadata fields; matching ranges replace the
+    filter as log_event_idx bounds). With no range index recorded (e.g.
+    --disable-log-order archives) a '$' filter matches nothing, like the
+    reference's empty-index pass.
+
+    Our ranges always carry all three metadata fields, so leaving NOT
+    structural is exact: ranges partition the record space and
+    ~(matched ranges) == (unmatched ranges)."""
+    rindex = range_index or []
+    ranges_of = lambda flt: [  # noqa: E731
+        (int(r["s"]), int(r["e"]))
+        for r in rindex
+        if _eval_meta_filter(flt, r.get("f", {}), ignore_case)
+    ]
+    if isinstance(node, BoolOp):
+        return BoolOp(
+            node.op,
+            evaluate_range_index_filters(node.lhs, rindex, idx_col, ignore_case),
+            evaluate_range_index_filters(node.rhs, rindex, idx_col, ignore_case),
+        )
+    if isinstance(node, Not):
+        return Not(
+            evaluate_range_index_filters(node.child, rindex, idx_col, ignore_case)
+        )
+    if _is_meta_filter(node):
+        return _idx_range_node(idx_col, ranges_of(node))
+    return node
+
+
+def fold_range_index_const(node: Node, idx_col: str) -> bool | None:
+    """Driver-side constant fold over a rewritten AST: True/False when the
+    node's value is decided by the range-index rewrite alone (the only
+    constants the rewrite emits are `idx < 0` = never), None when data
+    filters participate. Lets a federated search skip archives whose
+    rewritten query is provably false without opening a single footer —
+    the scale analog of the reference pruning an archive whose range
+    index matches nothing."""
+    if isinstance(node, BoolOp):
+        lhs = fold_range_index_const(node.lhs, idx_col)
+        rhs = fold_range_index_const(node.rhs, idx_col)
+        if node.op == "AND":
+            if lhs is False or rhs is False:
+                return False
+            if lhs is True and rhs is True:
+                return True
+            return None
+        if lhs is True or rhs is True:
+            return True
+        if lhs is False and rhs is False:
+            return False
+        return None
+    if isinstance(node, Not):
+        child = fold_range_index_const(node.child, idx_col)
+        return None if child is None else not child
+    if (
+        isinstance(node, Filter)
+        and node.column == [idx_col]
+        and node.op == "<"
+        and len(node.values) == 1
+        and node.values[0].value == "0"
+    ):
+        return False
+    return None
+
+
+def has_range_index_filter(node: Node) -> bool:
+    if isinstance(node, BoolOp):
+        return has_range_index_filter(node.lhs) or has_range_index_filter(node.rhs)
+    if isinstance(node, Not):
+        return has_range_index_filter(node.child)
+    return _is_meta_filter(node)

@@ -110,6 +110,8 @@ def cut_tasks(
     files: list[FileMeta],
     target_task_size: int,
     maintain_file_ordering: bool = False,
+    extra_weights: dict[str, int] | None = None,
+    extra_target: int | None = None,
 ) -> list[TaskPlan]:
     """Greedy task cutting: accumulate (grouped) files and emit a task each
     time the running size reaches the target; the final flush emits the
@@ -118,7 +120,14 @@ def cut_tasks(
     cutting eagerly at 1x yields the identical task-size distribution
     without holding a 2x buffer. In ordering mode every file is its own
     group (grouping is unsupported when order must be preserved,
-    partition.py maintain_file_ordering branch)."""
+    partition.py maintain_file_ordering branch).
+
+    ``extra_weights``/``extra_target`` add a SECOND cut criterion: each
+    file contributes extra_weights[path] to a running total that also
+    triggers a cut at extra_target — how `clp c --target-dictionaries-size`
+    closes an archive between files when its dictionaries fill
+    (compression.cpp:128,156; the file that crosses the threshold stays in
+    the closing archive, exactly the reference's check-after-file)."""
     tasks: list[TaskPlan] = []
     if maintain_file_ordering:
         grouped = [(i, f) for i, f in enumerate(files)]
@@ -129,13 +138,19 @@ def cut_tasks(
             for f in g["files"]
         ]
     cur = TaskPlan(task_id=len(tasks))
+    cur_extra = 0
     for gid, f in grouped:
         cur.file_paths.append(f.path)
         cur.group_ids.append(gid)
         cur.total_size += f.size
-        if cur.total_size >= target_task_size:
+        if extra_weights is not None:
+            cur_extra += extra_weights.get(f.path, 0)
+        if cur.total_size >= target_task_size or (
+            extra_target is not None and cur_extra >= extra_target
+        ):
             tasks.append(cur)
             cur = TaskPlan(task_id=len(tasks))
+            cur_extra = 0
     if cur.file_paths:
         tasks.append(cur)
     for i, t in enumerate(tasks):

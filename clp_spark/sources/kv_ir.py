@@ -1537,10 +1537,15 @@ def is_kv_ir_file(path: str) -> bool:
     return meta.get("VERSION") == KV_VERSION
 
 
-def read_kv_ir_stream_records(spark, ir_paths: list[str], rec_ix_base: int = 0):
+def read_kv_ir_stream_records(
+    spark, ir_paths: list[str], rec_ix_base: int = 0,
+    with_source: str | None = None,
+):
     """kv-IR stream FILES → (raw, _rec_ix) JSON-record lines ready for
     `compress_jsonl_archive` — the clp-s `c` path over kv-IR inputs
     (JsonParser.cpp:663-669 FileType::KeyValueIr → ingest_kvir).
+    ``with_source`` names an extra output column carrying the stream
+    file's absolute path (range-index bookkeeping).
 
     One binaryFile task per stream (the reference's sequential
     deserializer unit; parallelism across files) → the vectorized
@@ -1573,6 +1578,7 @@ def read_kv_ir_stream_records(spark, ir_paths: list[str], rec_ix_base: int = 0):
                 + F.shiftleft(F.col("_rank"), 40)
                 + F.col("event_ix")
             ).alias("_rec_ix"),
+            *([F.col("abs_path").alias(with_source)] if with_source else []),
         )
     )
 

@@ -345,8 +345,17 @@ def compress_text_logs(
     num_buckets: int = 16,
     remove_path_prefix: str | None = None,
     target_encoded_file_size: int | None = None,
+    target_segment_size: int | None = None,
 ) -> dict:
     """Full text→archive compression; returns summary counts.
+
+    ``target_segment_size`` caps each sink parquet FILE (the segment
+    analog) at ~that many encoded bytes — the reference closes a segment
+    when its uncompressed size passes the target (clp c
+    --target-segment-size, streaming_archive/writer/Archive.cpp:581).
+    Bytes→rows via the same File.hpp encoded-size accounting the file
+    splitter uses, applied as the write's maxRecordsPerFile (a per-file
+    row cap needs no extra shuffle).
 
     ``target_encoded_file_size`` splits big files into SPLITS of ~that many
     encoded bytes (clp c --target-encoded-file-size; FileCompressor.cpp:
@@ -408,6 +417,24 @@ def compress_text_logs(
             enc_ir = enc_ir.withColumn("ts_pat", F.lit(None).cast("string"))
         enc = enc_ir if enc is None else enc.unionByName(enc_ir)
     enc = enc.persist()
+    seg_rows: int | None = None
+    if target_segment_size:
+        # average encoded message size (File.hpp:129-133 accounting) →
+        # rows per segment file; one cheap agg over the persisted encode
+        avg = enc.agg(
+            F.avg(
+                F.lit(16) + 8 * (F.size("encoded_vars") + F.size("dict_vars"))
+            ).alias("a")
+        ).collect()[0]["a"]
+        if avg:
+            seg_rows = max(1, int(target_segment_size // avg))
+
+    def _seg(writer):
+        return (
+            writer.option("maxRecordsPerFile", seg_rows) if seg_rows
+            else writer
+        )
+
     logtype_dict = assign_sorted_ids(enc.select("logtype"), "logtype", "logtype_id")
     var_dict = assign_sorted_ids(
         enc.select(F.explode("dict_vars").alias("var_value")), "var_value", "var_id"
@@ -451,12 +478,11 @@ def compress_text_logs(
             )
             .drop("_hot", "logtype")
         )
-        (
+        _seg(
             routed.repartition(F.col("lt_table"))
             .sortWithinPartitions("lt_table", "logtype_id", "file_id", "msg_ix")
             .write.mode("overwrite").partitionBy("lt_table")
-            .parquet(f"{out_dir}/sinks")
-        )
+        ).parquet(f"{out_dir}/sinks")
         write_glt_manifest(
             out_dir.removeprefix("file:"), num_buckets,
             combine_threshold_pct, n_hot, total,
@@ -476,12 +502,11 @@ def compress_text_logs(
             F.floor(cum_before / F.lit(int(target_encoded_file_size)))
             .cast("int"),
         )
-        (
+        _seg(
             split.drop("logtype")
             .sortWithinPartitions("file_id", "split_ix", "logtype_id", "msg_ix")
             .write.mode("overwrite").partitionBy("file_id", "split_ix")
-            .parquet(f"{out_dir}/sinks")
-        )
+        ).parquet(f"{out_dir}/sinks")
         # split index: O(splits) rows of (file, split, begin-message-count,
         # n) — what the reference's per-split File metadata records
         # (begin_message_ix/num_messages); split-addressed readers offset
@@ -511,12 +536,11 @@ def compress_text_logs(
         # only (file_id leads, so the write's partition ordering is already
         # satisfied — no extra shuffle, and msg_ix last keeps
         # decompression's orderBy cheap).
-        (
+        _seg(
             sinks.drop("logtype")
             .sortWithinPartitions("file_id", "logtype_id", "msg_ix")
             .write.mode("overwrite").partitionBy("file_id")
-            .parquet(f"{out_dir}/sinks")
-        )
+        ).parquet(f"{out_dir}/sinks")
     # catalog row (message count + ts range + sizes) — what the reference
     # records in the global metadata DB per archive (ArchiveMetadata
     # uncompressed_size/size → compression ratio); read by federated pruning
@@ -629,6 +653,8 @@ def compress_text_logs_multi(
     lock_patterns: bool = True,
     remove_path_prefix: str | None = None,
     sort_input_files: bool = True,
+    target_dictionaries_size: int | None = None,
+    target_segment_size: int | None = None,
 ) -> dict:
     """`clp c` over many files with ARCHIVE SPLITTING: inputs are grouped by
     similar filename and cut into archive-sized tasks (the reference
@@ -648,6 +674,18 @@ def compress_text_logs_multi(
     `search_archives`. Reference: archives split at a target size
     (clp/streaming_archive/writer/Archive split logic +
     scheduler partition.py target_archive_size).
+
+    ``target_dictionaries_size`` adds the reference's second archive-cut
+    criterion (clp c --target-dictionaries-size, compression.cpp:128,156:
+    a new archive starts once the open archive's dictionary data reaches
+    the target, checked between files): per-file dictionary contributions
+    (distinct logtype + dict-var bytes per file — an upper bound of union
+    growth, since entries shared ACROSS files count once per file; the cut
+    is layout-internal so the bound only makes archives at most smaller)
+    feed the same greedy planner as the raw-size target. One extra
+    distinct+sum agg pair over the persisted encode, O(files) driver rows.
+    ``target_segment_size`` caps sink parquet files like
+    compress_text_logs.
     """
     import json
     import os
@@ -657,26 +695,6 @@ def compress_text_logs_multi(
     from clp_spark.plans.partitioning import FileMeta, cut_tasks
 
     files = [FileMeta(os.path.abspath(p), os.path.getsize(p)) for p in paths]
-    tasks = cut_tasks(files, target_archive_size)
-    if sort_input_files:
-        # clp `c --sort-input-files` (default true, compression.cpp:122-126
-        # file_gt_last_write_time_comparator): compression runs in
-        # DESCENDING last-modified order, so the newest logs fill the first
-        # archives. The name-grouping planner owns WHICH files share a task
-        # (scheduler parity); mtime owns the archive ORDER — tasks renumber
-        # by their newest member.
-        mt = {f.path: os.path.getmtime(f.path) for f in files}
-        tasks.sort(
-            key=lambda t: max(mt[p] for p in t.file_paths), reverse=True
-        )
-        for i, t in enumerate(tasks):
-            t.task_id = i
-    aid_of = {
-        p: f"arch-{t.task_id:05d}" for t in tasks for p in t.file_paths
-    }
-    path_map = spark.createDataFrame(
-        list(aid_of.items()), "abs_path string, archive_id string"
-    )
 
     # container = the INPUT file's URI (for tar members / stem-renamed .gz
     # the emitted file_id differs from the input path); the task cut routes
@@ -699,15 +717,54 @@ def compress_text_logs_multi(
         messages.select(*keys, "container", "message"),
         keys + ["container"], "message",
     )
-    enc = (
+    enc_base = (
         enc.withColumn(
             "abs_path",
             F.url_decode(F.regexp_replace("container", "^file:(//)?", "")),
         )
-        .join(F.broadcast(path_map), "abs_path")
-        .drop("abs_path", "container")
+        .drop("container")
         .persist()
     )
+    dict_weights: dict[str, int] | None = None
+    if target_dictionaries_size:
+        dict_weights = {}
+        for df_sz in (
+            enc_base.select("abs_path", "logtype").distinct()
+            .groupBy("abs_path").agg(F.sum(F.length("logtype")).alias("b")),
+            enc_base.select("abs_path", F.explode("dict_vars").alias("v"))
+            .distinct()
+            .groupBy("abs_path").agg(F.sum(F.length("v")).alias("b")),
+        ):
+            for r in df_sz.collect():
+                dict_weights[r["abs_path"]] = (
+                    dict_weights.get(r["abs_path"], 0) + int(r["b"] or 0)
+                )
+    tasks = cut_tasks(
+        files, target_archive_size,
+        extra_weights=dict_weights, extra_target=target_dictionaries_size,
+    )
+    if sort_input_files:
+        # clp `c --sort-input-files` (default true, compression.cpp:122-126
+        # file_gt_last_write_time_comparator): compression runs in
+        # DESCENDING last-modified order, so the newest logs fill the first
+        # archives. The name-grouping planner owns WHICH files share a task
+        # (scheduler parity); mtime owns the archive ORDER — tasks renumber
+        # by their newest member.
+        mt = {f.path: os.path.getmtime(f.path) for f in files}
+        tasks.sort(
+            key=lambda t: max(mt[p] for p in t.file_paths), reverse=True
+        )
+        for i, t in enumerate(tasks):
+            t.task_id = i
+    aid_of = {
+        p: f"arch-{t.task_id:05d}" for t in tasks for p in t.file_paths
+    }
+    path_map = spark.createDataFrame(
+        list(aid_of.items()), "abs_path string, archive_id string"
+    )
+    # broadcast hash probe over the persisted base — re-run per downstream
+    # job, but shuffle-free and O(1) per row
+    enc = enc_base.join(F.broadcast(path_map), "abs_path").drop("abs_path")
 
     lt_dict = _archive_dict_ids(
         enc.select("archive_id", "logtype").distinct(), "logtype", "logtype_id"
@@ -729,13 +786,23 @@ def compress_text_logs_multi(
     # file count while each file dir stays a single output file. Rows sort
     # by logtype within each segment for compression (GLT insight — ~20%
     # smaller, see compress_text_logs); in-task sort, no extra shuffle.
-    (
+    sink_writer = (
         sinks.repartition("archive_id", "file_id")
         .sortWithinPartitions("archive_id", "file_id", "logtype_id", "msg_ix")
         .write.mode("overwrite")
         .partitionBy("archive_id", "file_id")
-        .parquet(os.path.join(staging, "sinks"))
     )
+    if target_segment_size:
+        avg = enc_base.agg(
+            F.avg(
+                F.lit(16) + 8 * (F.size("encoded_vars") + F.size("dict_vars"))
+            ).alias("a")
+        ).collect()[0]["a"]
+        if avg:
+            sink_writer = sink_writer.option(
+                "maxRecordsPerFile", max(1, int(target_segment_size // avg))
+            )
+    sink_writer.parquet(os.path.join(staging, "sinks"))
     lt_dict.write.mode("overwrite").partitionBy("archive_id").parquet(
         os.path.join(staging, "logtype_dict")
     )
@@ -754,7 +821,7 @@ def compress_text_logs_multi(
         )
         .collect()
     }
-    enc.unpersist()
+    enc_base.unpersist()
     summary = {"archives": 0, "messages": 0}
     for t in tasks:
         aid = f"arch-{t.task_id:05d}"

@@ -1,0 +1,183 @@
+"""CLI parity tail: --files-from, --compression {zstd,passthrough,lzma},
+--target-segment-size, --target-dictionaries-size.
+
+Reference: clp CommandLineArguments.cpp:61-65 (--files-from/-f, also
+clp-s:382-387), :333-344 (--target-segment-size / --target-dictionaries-size
+validation :411-418), streaming_archive/writer/Archive.cpp:581 (segment
+closes at target uncompressed size), clp/clp/compression.cpp:128,156 (new
+archive when dictionaries reach target), streaming_compression/
+{zstd,passthrough,lzma}/ (codecs; parquet has no LZMA, so lzma errors).
+"""
+
+import glob
+import json
+import os
+
+import pytest
+
+from clp_spark import cli
+
+
+def _mklogs(root, n_files=2, lines=30):
+    paths = []
+    for f in range(n_files):
+        p = root / f"svc{f}.log"
+        p.write_text(
+            "".join(
+                f"2024-03-0{f + 1} 10:00:{i % 60:02d} INFO f{f} job {i} "
+                f"took {i * 7}ms\n"
+                for i in range(lines)
+            )
+        )
+        paths.append(str(p))
+    return paths
+
+
+class TestFilesFrom:
+    def test_list_file_inputs(self, spark, tmp_path, capsys):
+        paths = _mklogs(tmp_path)
+        lst = tmp_path / "paths.txt"
+        lst.write_text("\n".join(paths) + "\n\n")  # blank lines skipped
+        arch = str(tmp_path / "arch")
+        cli.main(["c", arch, "-f", str(lst)])
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["messages"] == 60
+
+    def test_combines_with_positionals(self, spark, tmp_path, capsys):
+        a, b = _mklogs(tmp_path)
+        lst = tmp_path / "paths.txt"
+        lst.write_text(b + "\n")
+        arch = str(tmp_path / "arch")
+        cli.main(["c", arch, a, "--files-from", str(lst)])
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["messages"] == 60
+
+    def test_missing_list_file(self, tmp_path):
+        with pytest.raises(SystemExit, match="does not exist"):
+            cli.main(["c", str(tmp_path / "a"), "-f", str(tmp_path / "no")])
+
+    def test_empty_list_file(self, tmp_path):
+        lst = tmp_path / "empty.txt"
+        lst.write_text("\n")
+        with pytest.raises(SystemExit, match="did not contain any paths"):
+            cli.main(["c", str(tmp_path / "a"), "-f", str(lst)])
+
+    def test_no_inputs_at_all(self, tmp_path):
+        with pytest.raises(SystemExit, match="No input paths"):
+            cli.main(["c", str(tmp_path / "a")])
+
+
+class TestCompressionCodec:
+    def test_passthrough_text(self, spark, tmp_path, capsys):
+        paths = _mklogs(tmp_path, n_files=1)
+        arch = str(tmp_path / "arch")
+        cli.main(["c", arch, paths[0], "--compression", "passthrough"])
+        capsys.readouterr()
+        import pyarrow.parquet as pq
+
+        parts = glob.glob(f"{arch}/sinks/**/*.parquet", recursive=True)
+        assert parts
+        for p in parts:
+            md = pq.ParquetFile(p).metadata
+            assert md.row_group(0).column(0).compression == "UNCOMPRESSED"
+        # restore the session default so later tests keep zstd
+        spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
+        cli.main(["x", arch])
+        out = capsys.readouterr().out
+        assert "job 3 took 21ms" in out
+
+    def test_passthrough_json(self, spark, tmp_path, capsys):
+        src = tmp_path / "x.jsonl"
+        src.write_text('{"k": 1}\n{"k": 2}\n')
+        arch = str(tmp_path / "arch")
+        cli.main(["c", arch, str(src), "--json",
+                  "--compression", "passthrough"])
+        capsys.readouterr()
+        import pyarrow.parquet as pq
+
+        parts = glob.glob(f"{arch}/schema_id=*/*.parquet")
+        assert parts
+        for p in parts:
+            md = pq.ParquetFile(p).metadata
+            assert md.row_group(0).column(0).compression == "UNCOMPRESSED"
+        spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
+
+    def test_lzma_rejected(self, tmp_path):
+        with pytest.raises(SystemExit, match="lzma"):
+            cli.main(["c", str(tmp_path / "a"), "in.log",
+                      "--compression", "lzma"])
+
+    def test_passthrough_level_conflict(self, tmp_path):
+        with pytest.raises(SystemExit, match="compression-level"):
+            cli.main(["c", str(tmp_path / "a"), "in.log",
+                      "--compression", "passthrough",
+                      "--compression-level", "3"])
+
+
+class TestTargetSegmentSize:
+    def test_splits_sink_files(self, spark, tmp_path, capsys):
+        paths = _mklogs(tmp_path, n_files=1, lines=60)
+        arch = str(tmp_path / "arch")
+        cli.main(["c", arch, paths[0], "--target-segment-size", "300"])
+        capsys.readouterr()
+        per_dir = glob.glob(f"{arch}/sinks/file_id=*/*.parquet")
+        # ~32 encoded bytes/msg → ~9 rows per segment file → several files
+        assert len(per_dir) > 2
+        import pyarrow.parquet as pq
+
+        rows = [pq.ParquetFile(p).metadata.num_rows for p in per_dir]
+        assert max(rows) <= max(1, 300 // 24)  # cap honored
+        cli.main(["x", arch])
+        out = capsys.readouterr().out
+        assert out.count("INFO f0 job") == 60  # extraction intact
+
+    def test_zero_rejected(self, tmp_path):
+        with pytest.raises(SystemExit, match="non-zero"):
+            cli.main(["c", str(tmp_path / "a"), "in.log",
+                      "--target-segment-size", "0"])
+
+
+class TestTargetDictionariesSize:
+    def test_splits_archives(self, spark, tmp_path, capsys):
+        # distinct-heavy variables: each file contributes ~unique dict bytes
+        paths = _mklogs(tmp_path, n_files=3, lines=20)
+        out = str(tmp_path / "archs")
+        cli.main(["c", out, *paths, "--target-dictionaries-size", "120"])
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["archives"] >= 2
+        assert summary["messages"] == 60
+        # every produced archive is searchable; federated result intact
+        cli.main(["s", out, "*job 7 took*", "--count"])
+        assert capsys.readouterr().out.strip().splitlines()[-1] == "3"
+
+    def test_zero_rejected(self, tmp_path):
+        with pytest.raises(SystemExit, match="non-zero"):
+            cli.main(["c", str(tmp_path / "a"), "in.log",
+                      "--target-dictionaries-size", "0"])
+
+    def test_json_mode_rejected(self, tmp_path):
+        with pytest.raises(SystemExit, match="text archive"):
+            cli.main(["c", str(tmp_path / "a"), "in.jsonl", "--json",
+                      "--target-dictionaries-size", "100"])
+
+    def test_dict_cut_composes_with_archive_size(self, spark, tmp_path,
+                                                 capsys):
+        paths = _mklogs(tmp_path, n_files=2, lines=20)
+        out = str(tmp_path / "archs")
+        # raw-size target huge; only the dictionary criterion can cut
+        cli.main(["c", out, *paths, "--target-archive-size", str(1 << 40),
+                  "--target-dictionaries-size", "100"])
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["archives"] == 2
+
+
+class TestPathFlagGuards:
+    def test_normalize_paths_needs_json(self, tmp_path):
+        with pytest.raises(SystemExit, match="clp-s"):
+            cli.main(["c", str(tmp_path / "a"), "in.log",
+                      "--normalize-paths"])
+
+    def test_remove_leading_slash_needs_json(self, tmp_path):
+        with pytest.raises(SystemExit, match="clp-s"):
+            cli.main(["c", str(tmp_path / "a"), "in.log",
+                      "--remove-leading-slash"])
