@@ -345,6 +345,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         result["kv_spark_ev_per_sec_1core_pinned"] = statistics.median(
             r["kv_deser_spark_ev_per_sec"] for r in pinned
         )
+        result["kv_spark_1task_vs_loop_pinned"] = round(
+            statistics.median(r["kv_spark_1task_vs_loop"] for r in pinned), 3
+        )
     except (RuntimeError, FileNotFoundError) as exc:  # no taskset / failure
         result["kv_pinned_guard_error"] = str(exc)[:200]
     return result
