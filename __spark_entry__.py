@@ -479,14 +479,47 @@ def q_subsequence_match(spark, sf_dir):
 
 
 def q_metadata_prefilter(spark, sf_dir):
-    """Range-index metadata filter (reference EvaluateRangeIndexFilters /
-    $_filename namespace): resolve a metadata-column predicate before the
-    scan — on a partitioned layout this prunes whole partitions."""
+    """Range-index metadata filter, FULL lifecycle (clp-s RangeIndexWriter +
+    search/EvaluateRangeIndexFilters): documents render to JSONL and
+    compress into a JSON archive whose manifest records one range entry
+    per source "file" (source_col drives the index; order_col is
+    source-major so ranges stay non-overlapping); the '$'-namespace query
+    then evaluates driver-side against the recorded ranges, rewrites into
+    log_event_idx bounds, and must compose with data predicates — the
+    oracle is the same filter straight over the documents table. A wrong
+    range boundary, a mis-stored filename, or a broken rewrite changes the
+    row set. Upgraded in round 5 from a plain partition-column filter to
+    the archive-backed range index path."""
+    import tempfile
+
+    from clp_spark.operators.json_archive import (
+        compress_jsonl_archive,
+        search_json_archive,
+    )
+
     docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.where(F.col("source") == "src3")
-        .groupBy("lang")
-        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+    # source-major ingestion order: src ordinal (sources are "srcN") in the
+    # high bits keeps each source's records one contiguous idx range
+    src_ix = F.substring("source", 4, 10).cast("long")
+    raw = docs.select(
+        (F.shiftleft(src_ix, 40) + F.col("doc_id")).alias("_ord"),
+        F.col("source").alias("_src"),
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("raw"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="clp_rindex_")
+    compress_jsonl_archive(
+        raw, "raw", out_dir, order_col="_ord", source_col="_src",
+        archive_creator_id="entry-rindex",
+    )
+    hit = search_json_archive(
+        spark, out_dir,
+        '$_filename: "src3" AND $_file_split_number: 0 AND '
+        "$_archive_creator_id: * AND n_chars >= 200",
+    )
+    return hit.select(
+        F.get_json_object("json", "$.doc_id").cast("long").alias("doc_id"),
+        F.get_json_object("json", "$.lang").alias("lang"),
+        F.get_json_object("json", "$.n_chars").cast("long").alias("n_chars"),
     )
 
 
@@ -1184,10 +1217,12 @@ def oracle_sql() -> dict[str, str]:
             "i > list_position(string_split(text,' '), 'spark'))) > 0"
         ),
         "metadata_prefilter": (
-            # CAST: DuckDB sum(INT) is HUGEINT; Spark returns bigint and the
-            # driver's value hash is type-sensitive (round-1 hash_match:false)
-            "SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars "
-            "FROM documents WHERE source = 'src3' GROUP BY lang"
+            # the Spark side resolves source='src3' via the archive RANGE
+            # INDEX ($_filename rewrite -> log_event_idx bounds); the oracle
+            # states the same filter directly over the table
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, "
+            "CAST(n_chars AS BIGINT) AS n_chars "
+            "FROM documents WHERE source = 'src3' AND n_chars >= 200"
         ),
         "sql_surface": (
             "SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value "
