@@ -1285,6 +1285,19 @@ def blobs_to_leaf_batch(blobs, svals, cvals):
 _LEAF_BATCH_IR_BYTES = 512 * 1024
 
 
+def _blob_spans(blobs, budget: int):
+    """Yield (start, end) index spans covering ``blobs`` with ~``budget``
+    IR bytes per span (always at least one blob)."""
+    i, nb = 0, len(blobs)
+    while i < nb:
+        j, acc = i, 0
+        while j < nb and (j == i or acc < budget):
+            acc += len(blobs[j])
+            j += 1
+        yield i, j
+        i = j
+
+
 def kv_ir_to_rows_df(df, ir_col: str = "ir", stream_col: str = "stream"):
     """kv-IR blobs → one row per (event, key): (stream, chunk_ix, event_ix,
     path, vtype, typed value columns). The inverse view of
@@ -1303,16 +1316,10 @@ def kv_ir_to_rows_df(df, ir_col: str = "ir", stream_col: str = "stream"):
             # group blobs to ~_LEAF_BATCH_IR_BYTES per output batch (leaf
             # rows scale with IR bytes, so the byte budget normalizes
             # across events-per-chunk choices)
-            i, nb = 0, len(blobs)
-            while i < nb:
-                j, acc = i, 0
-                while j < nb and (j == i or acc < _LEAF_BATCH_IR_BYTES):
-                    acc += len(blobs[j])
-                    j += 1
+            for i, j in _blob_spans(blobs, _LEAF_BATCH_IR_BYTES):
                 yield blobs_to_leaf_batch(
                     blobs[i:j], svals.slice(i, j - i), cvals.slice(i, j - i)
                 )
-                i = j
 
     return df.mapInArrow(_fn, KV_ROW_SCHEMA)
 
@@ -1524,7 +1531,14 @@ def kv_ir_to_json_df(df, ir_col: str = "ir", stream_col: str = "stream"):
                 if "chunk_ix" in batch.schema.names
                 else pa.array(np.zeros(len(blobs), dtype=np.int64))
             )
-            yield blobs_to_json_batch(blobs, svals, cvals)
+            # same giant-batch guard as kv_ir_to_rows_df (one output batch
+            # per 10k-blob input batch = up to ~10M event rows in a single
+            # allocation); the render's per-call overhead is higher than
+            # the leaf path's, so the budget is 4x
+            for i, j in _blob_spans(blobs, 4 * _LEAF_BATCH_IR_BYTES):
+                yield blobs_to_json_batch(
+                    blobs[i:j], svals.slice(i, j - i), cvals.slice(i, j - i)
+                )
 
     return df.select(*cols).mapInArrow(_fn, KV_JSON_SCHEMA)
 
