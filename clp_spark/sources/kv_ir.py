@@ -1404,6 +1404,90 @@ def _kv_value_texts(out, ntypes) -> list:
     return vtext
 
 
+def _render_events_template(out, vtext, path_ix, chain_list):
+    """Vectorized record assembly: events sharing the same ordered leaf
+    sequence (path + tree flag) share ONE JSON template — constant text
+    segments with value slots — so the per-event work collapses to an
+    Arrow `binary_join_element_wise` over value columns (C++), with
+    Python confined to O(events) signature hashing and O(distinct
+    signatures) template construction. This is the clp-s premise again
+    (distinct schemas << records) applied to rendering: the old per-row
+    dict-merge loop was the documented kv-ingest bottleneck at ~0.4x of
+    the parse itself.
+
+    Template construction reuses the exact dict-merge semantics of the
+    old loop (duplicate keys overwrite; a later object replaces an
+    earlier leaf at the same key) with placeholder tokens, so surviving
+    value slots and key order are identical by construction. Returns
+    (global_event_index, rendered_text) arrays for events that have at
+    least one leaf row; leafless events are filled by the caller."""
+    import re as _re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    rb, re_, ra = out["row_blob"], out["row_event"], out["row_auto"]
+    nr = len(rb)
+    if not nr:
+        return np.zeros(0, np.int64), np.empty(0, dtype=object)
+    change = np.empty(nr, dtype=bool)
+    change[0] = True
+    change[1:] = (rb[1:] != rb[:-1]) | (re_[1:] != re_[:-1])
+    ev_start = np.flatnonzero(change)
+    ev_end = np.append(ev_start[1:], nr)
+    sig_key = path_ix.astype(np.int64) * 2 + ra.astype(np.int64)
+    n_events = out["n_events"].astype(np.int64)
+    off = np.concatenate([[0], np.cumsum(n_events)])
+    g_ix = off[rb[ev_start]] + re_[ev_start]
+    groups: dict[bytes, list[int]] = {}
+    starts_l, ends_l = ev_start.tolist(), ev_end.tolist()
+    for e in range(len(starts_l)):
+        groups.setdefault(
+            sig_key[starts_l[e]:ends_l[e]].tobytes(), []
+        ).append(e)
+    out_texts = np.empty(len(ev_start), dtype=object)
+    slot_re = _re.compile("\x00(\\d+)\x01")
+    for members in groups.values():
+        s = starts_l[members[0]]
+        length = ends_l[members[0]] - s
+        user: dict = {}
+        auto: dict = {}
+        for li in range(length):
+            r = s + li
+            chain = chain_list[path_ix[r]]
+            d = auto if ra[r] else user
+            for seg in chain[:-1]:
+                nxt = d.get(seg)
+                if type(nxt) is not dict:
+                    nxt = d[seg] = {}
+                d = nxt
+            # \x00<i>\x01 can never appear in template text otherwise:
+            # every key is json.dumps-escaped, and values are not in it
+            d[chain[-1]] = f"\x00{li}\x01"
+        rec = {'"@"': auto, **user} if auto else user
+        parts = slot_re.split(_render_texts(rec))
+        mstarts = ev_start[members]
+        args: list = []
+        for i, p in enumerate(parts):
+            if i % 2 == 0:
+                if p:
+                    args.append(p)  # literal segment, broadcast scalar
+            else:
+                args.append(
+                    pa.array(vtext[mstarts + int(p)], type=pa.string())
+                )
+        mix = np.asarray(members, dtype=np.int64)
+        if all(isinstance(a, str) for a in args):
+            # every slot was shadowed by the merge — constant record text
+            out_texts[mix] = "".join(args)
+        else:
+            out_texts[mix] = np.asarray(
+                pc.binary_join_element_wise(*args, "").to_pylist(),
+                dtype=object,
+            )
+    return g_ix, out_texts
+
+
 def blobs_to_json_batch(blobs, svals, cvals):
     """Render kv-IR blobs back to ONE JSON record text per event — the
     deserialize half of clp-s's `ingest_kvir` (JsonParser.cpp:920-1060:
@@ -1459,52 +1543,23 @@ def blobs_to_json_batch(blobs, svals, cvals):
     rb, re_, ra = out["row_blob"], out["row_event"], out["row_auto"]
     vtext = _kv_value_texts(out, ntypes)
 
-    made: dict[tuple[int, int], str] = {}
-    cur: tuple[int, int] | None = None
-    user: dict = {}
-    auto: dict = {}
-
-    def _flush():
-        if cur is None:
-            return
-        rec = {'"@"': auto, **user} if auto else user
-        made[cur] = _render_texts(rec)
-
-    # python lists once — numpy scalar indexing inside the row loop is
-    # several times slower than list indexing
-    rb_l, re_l, ra_l = rb.tolist(), re_.tolist(), ra.tolist()
-    pix_l, vt_l = path_ix.tolist(), vtext.tolist()
-    for r in range(nr):
-        key = (rb_l[r], re_l[r])
-        if key != cur:
-            _flush()
-            cur, user, auto = key, {}, {}
-        chain = chain_list[pix_l[r]]
-        d = auto if ra_l[r] else user
-        for seg in chain[:-1]:
-            nxt = d.get(seg)
-            if type(nxt) is not dict:
-                nxt = d[seg] = {}
-            d = nxt
-        d[chain[-1]] = vt_l[r]
-    _flush()
+    g_ix, rendered = _render_events_template(out, vtext, path_ix, chain_list)
 
     # leafless events ({} on the wire, ValueEmpty) produced no rows —
     # fill every (blob, event) slot from the per-blob event counts
-    ev_blob: list[int] = []
-    ev_ix: list[int] = []
-    texts: list[str] = []
-    for b, n in enumerate(out["n_events"]):
-        for e in range(int(n)):
-            ev_blob.append(b)
-            ev_ix.append(e)
-            texts.append(made.get((b, e), "{}"))
-    ridx = pa.array(np.array(ev_blob, dtype=np.int64))
+    n_events = out["n_events"].astype(np.int64)
+    tot = int(n_events.sum())
+    ev_blob = np.repeat(np.arange(len(n_events), dtype=np.int64), n_events)
+    off = np.concatenate([[0], np.cumsum(n_events)])
+    ev_ix = np.arange(tot, dtype=np.int64) - off[ev_blob]
+    texts = np.full(tot, "{}", dtype=object)
+    texts[g_ix] = rendered
+    ridx = pa.array(ev_blob)
     return pa.RecordBatch.from_arrays(
         [
             pa.compute.take(svals, ridx),
             pa.compute.take(cvals, ridx),
-            pa.array(np.array(ev_ix, dtype=np.int64)),
+            pa.array(ev_ix),
             pa.array(texts, type=pa.string()),
         ],
         ["stream", "chunk_ix", "event_ix", "json"],

@@ -356,3 +356,31 @@ class TestRenderFuzz:
                 assert got == want, (row["json"], want)
 
         run()
+
+
+def test_leaf_shadowed_by_object_renders_like_merge():
+    """A leaf at path ("a",) followed by a leaf at ("a","b") in the SAME
+    event: the record-assembly merge replaces the scalar with an object
+    (production semantics since round 4); the round-5 template renderer
+    must reproduce that exactly — the shadowed value slot disappears from
+    the template."""
+    import numpy as np
+    import pyarrow as pa
+
+    import clp_spark.sources.kv_ir as kv
+
+    n = 3
+    data = b"xyz"
+    offs = np.array([0, 1, 2, 3], dtype=np.int64)
+    leaves = [
+        kv.Leaf(("a",), "int", [1, 1, 0], values=np.array([7, 8, 9])),
+        kv.Leaf(("a", "b"), "str", [1, 0, 1], data=np.frombuffer(data, np.uint8), offsets=offs),
+    ]
+    blob = kv.serialize_kv_ir_core(n, leaves).tobytes()
+    batch = kv.blobs_to_json_batch(
+        [blob], pa.array(["s"]), pa.array([0], type=pa.int64())
+    )
+    got = [json.loads(r["json"]) for r in batch.to_pylist()]
+    # event 0: both present -> the object shadows the scalar
+    # event 1: only the scalar; event 2: only the object
+    assert got == [{"a": {"b": "x"}}, {"a": 8}, {"a": {"b": "z"}}], got
