@@ -719,28 +719,35 @@ def evaluate_range_index_filters(
     --disable-log-order archives) a '$' filter matches nothing, like the
     reference's empty-index pass.
 
-    Our ranges always carry all three metadata fields, so leaving NOT
-    structural is exact: ranges partition the record space and
-    ~(matched ranges) == (unmatched ranges)."""
+    NOT is consumed AT the meta filter, like the reference (OrOfAndForm
+    pushes NOT into the filter op before this pass, so the negated filter
+    is what gets evaluated per range): `NOT $f: v` selects the ranges
+    where the inner match FAILS — over an empty or missing range index
+    that is zero ranges, i.e. constant false, NOT everything. De Morgan
+    distributes NOT over boolean subtrees that contain meta filters; a
+    structural NOT survives only on pure-data subtrees."""
     rindex = range_index or []
-    ranges_of = lambda flt: [  # noqa: E731
-        (int(r["s"]), int(r["e"]))
-        for r in rindex
-        if _eval_meta_filter(flt, r.get("f", {}), ignore_case)
-    ]
-    if isinstance(node, BoolOp):
-        return BoolOp(
-            node.op,
-            evaluate_range_index_filters(node.lhs, rindex, idx_col, ignore_case),
-            evaluate_range_index_filters(node.rhs, rindex, idx_col, ignore_case),
-        )
-    if isinstance(node, Not):
-        return Not(
-            evaluate_range_index_filters(node.child, rindex, idx_col, ignore_case)
-        )
-    if _is_meta_filter(node):
-        return _idx_range_node(idx_col, ranges_of(node))
-    return node
+
+    def ranges_of(flt: Filter, neg: bool) -> list[tuple[int, int]]:
+        return [
+            (int(r["s"]), int(r["e"]))
+            for r in rindex
+            if _eval_meta_filter(flt, r.get("f", {}), ignore_case) != neg
+        ]
+
+    def walk(n: Node, neg: bool) -> Node:
+        if isinstance(n, BoolOp):
+            op = n.op if not neg else ("OR" if n.op == "AND" else "AND")
+            return BoolOp(op, walk(n.lhs, neg), walk(n.rhs, neg))
+        if isinstance(n, Not):
+            if has_range_index_filter(n.child):
+                return walk(n.child, not neg)
+            return Not(n.child) if not neg else n.child
+        if _is_meta_filter(n):
+            return _idx_range_node(idx_col, ranges_of(n, neg))
+        return n if not neg else Not(n)
+
+    return walk(node, False)
 
 
 def fold_range_index_const(node: Node, idx_col: str) -> bool | None:

@@ -254,3 +254,72 @@ class TestAstRewrite:
         ast = parse_kql('$_filename: * AND a: 1')
         out = evaluate_range_index_filters(ast, None, "log_event_idx")
         assert fold_range_index_const(out, "log_event_idx") is False
+
+
+class TestNotSemantics:
+    """NOT is consumed AT the '$' filter (the reference pushes NOT into
+    the filter op via OrOfAndForm BEFORE EvaluateRangeIndexFilters, so
+    the negated filter evaluates per range): over an empty or missing
+    range index, NOT $f: v matches NOTHING — there are no ranges for the
+    inverted op to match either."""
+
+    RINDEX = [
+        {"s": 0, "e": 5, "f": {"_filename": "x", "_file_split_number": 0,
+                               "_archive_creator_id": "c"}},
+        {"s": 5, "e": 9, "f": {"_filename": "y", "_file_split_number": 1,
+                               "_archive_creator_id": "c"}},
+    ]
+
+    def test_not_over_missing_index_is_false(self):
+        ast = parse_kql('NOT $_filename: "x" AND a: 1')
+        out = evaluate_range_index_filters(ast, None, "log_event_idx")
+        assert fold_range_index_const(out, "log_event_idx") is False
+
+    def test_not_over_empty_index_is_false(self):
+        ast = parse_kql('NOT $_filename: "x" AND a: 1')
+        out = evaluate_range_index_filters(ast, [], "log_event_idx")
+        assert fold_range_index_const(out, "log_event_idx") is False
+
+    def test_not_selects_complement_ranges(self):
+        ast = parse_kql('NOT $_filename: "x"')
+        out = evaluate_range_index_filters(
+            ast, self.RINDEX, "log_event_idx"
+        )
+        # exactly y's range [5, 9) — rendered as idx>=5 AND idx<9
+        assert repr(out).count("'>='") == 1
+        assert "'5'" in repr(out) and "'9'" in repr(out)
+
+    def test_double_not_cancels(self):
+        a1 = evaluate_range_index_filters(
+            parse_kql('NOT NOT $_filename: "x"'), self.RINDEX,
+            "log_event_idx",
+        )
+        a2 = evaluate_range_index_filters(
+            parse_kql('$_filename: "x"'), self.RINDEX, "log_event_idx"
+        )
+        assert repr(a1) == repr(a2)
+
+    def test_de_morgan_over_mixed_subtree(self):
+        # NOT (meta AND data) -> (NOT-meta ranges) OR NOT(data)
+        ast = parse_kql('NOT ($_filename: "x" AND a: 1)')
+        out = evaluate_range_index_filters(ast, self.RINDEX, "log_event_idx")
+        r = repr(out)
+        assert "op='OR'" in r and "Not(" in r and "'5'" in r
+
+    def test_not_on_compressed_archive(self, spark, two_file_archive):
+        res = search_json_archive(
+            spark, two_file_archive, 'NOT $_filename: "a.jsonl" AND msg: *'
+        )
+        assert _msgs(res) == ["delta", "gamma"]
+
+    def test_not_meta_on_indexless_archive_matches_nothing(
+        self, spark, tmp_path
+    ):
+        src = tmp_path / "x.jsonl"
+        src.write_text('{"k": 1}\n')
+        arch = str(tmp_path / "arch")
+        cli.main(["c", arch, str(src), "--json", "--disable-log-order"])
+        res = search_json_archive(
+            spark, arch, 'NOT $_filename: "other" AND k: 1'
+        )
+        assert res.count() == 0
