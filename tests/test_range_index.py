@@ -323,3 +323,51 @@ class TestNotSemantics:
             spark, arch, 'NOT $_filename: "other" AND k: 1'
         )
         assert res.count() == 0
+
+
+class TestStorageLayoutInterplay:
+    """'$' filters must compose with the two storage transforms that
+    reroute table reads: packed single-file archives (ranged member
+    extraction) and the combined small-table store (--min-table-size)."""
+
+    def test_meta_search_over_packed_archive(self, spark, tmp_path, capsys):
+        a = tmp_path / "p1.jsonl"
+        a.write_text('{"m": "aa", "v": 1}\n{"m": "bb", "v": 2}\n')
+        b = tmp_path / "p2.jsonl"
+        b.write_text('{"m": "cc", "v": 3}\n')
+        arch = str(tmp_path / "packed")
+        cli.main([
+            "c", arch, str(a), str(b), "--json", "--single-file-archive",
+        ])
+        capsys.readouterr()
+        assert os.path.isfile(arch)  # really packed into one file
+        cli.main(["s-kql", arch, '$_filename: "*p1.jsonl" AND v > 0'])
+        out = capsys.readouterr().out.strip().splitlines()
+        got = sorted(json.loads(ln)["m"] for ln in out if ln.startswith("{"))
+        assert got == ["aa", "bb"]
+
+    def test_meta_search_over_combined_store(self, spark, tmp_path):
+        # two schemas so --min-table-size has tables to combine
+        src = tmp_path / "c1.jsonl"
+        src.write_text('{"a": 1}\n{"b": "x"}\n{"a": 2}\n')
+        src2 = tmp_path / "c2.jsonl"
+        src2.write_text('{"a": 3}\n')
+        arch = str(tmp_path / "arch")
+        cli.main([
+            "c", arch, str(src), str(src2), "--json",
+            "--min-table-size", str(1 << 20),
+        ])
+        with open(os.path.join(arch, "manifest.json")) as f:
+            manifest = json.load(f)
+        assert any(e.get("combined") for e in manifest["schemas"])
+        res = search_json_archive(
+            spark, arch, '$_filename: "*c2.jsonl" AND a: *'
+        )
+        got = [json.loads(r["json"])["a"] for r in res.collect()]
+        assert got == [3]
+        res2 = search_json_archive(
+            spark, arch, 'NOT $_filename: "*c2.jsonl" AND a: *'
+        )
+        assert sorted(
+            json.loads(r["json"])["a"] for r in res2.collect()
+        ) == [1, 2]
