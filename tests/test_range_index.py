@@ -371,3 +371,18 @@ class TestStorageLayoutInterplay:
         assert sorted(
             json.loads(r["json"])["a"] for r in res2.collect()
         ) == [1, 2]
+
+
+def test_idx_filter_pushes_to_parquet_scan(spark, two_file_archive):
+    """The rewritten '$' filter is plain log_event_idx bounds, so it
+    reaches the parquet scan (PushedFilters/DataFilters) — at scale the
+    scan row-group-prunes on the idx column, whose values are written in
+    ingestion order (the 100x story: a one-file query touches ~one
+    file's worth of row groups, not the archive)."""
+    res = search_json_archive(
+        spark, two_file_archive, '$_filename: "a.jsonl" AND level > 0'
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert any("log_event_idx" in ln and "DataFilters" in ln
+               for ln in scan_lines), plan
