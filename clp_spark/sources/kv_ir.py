@@ -1387,20 +1387,41 @@ def _kv_value_texts(out, ntypes) -> list:
             spans_bad[nz] = (
                 csum[so[1:][ix[nz]]] - csum[starts[nz]]
             ) > 0
-        data = sd.tobytes()
-        uarr = (ntypes == NODE_UARRAY).tolist()
-        so_l = so.tolist()
-        bad_l = spans_bad.tolist()
-        strs = np.empty(len(ix), dtype=object)
-        for j, r in enumerate(ix.tolist()):
-            s = data[so_l[r]:so_l[r + 1]].decode("utf-8")
-            if uarr[r]:
-                strs[j] = s  # array JSON text, verbatim
-            elif bad_l[j]:
-                strs[j] = json.dumps(s, ensure_ascii=False)
-            else:
-                strs[j] = f'"{s}"'
-        vtext[m] = strs
+        # bulk decode through Arrow (one C pass over the flat buffers)
+        # instead of a per-string slice+decode loop; only the rare
+        # escapable strings pay a per-row json.dumps
+        import pyarrow as pa
+
+        import pyarrow.compute as pc
+
+        # gather ONLY the str rows' byte spans into a compact buffer
+        # (vectorized repeat/arange gather), then decode + quote-wrap in
+        # two C passes — no per-string Python slicing
+        lens_ix = lens[ix]
+        new_off = np.concatenate([[0], np.cumsum(lens_ix)]).astype(np.int64)
+        _check_str_offsets_fit_int32(new_off)
+        pos = np.repeat(starts, lens_ix) + (
+            np.arange(new_off[-1], dtype=np.int64)
+            - np.repeat(new_off[:-1], lens_ix)
+        )
+        pa_strs = pa.StringArray.from_buffers(
+            len(ix),
+            pa.py_buffer(new_off.astype(np.int32).tobytes()),
+            pa.py_buffer(sd[pos].tobytes()),
+        )
+        uarr_m = ntypes[ix] == NODE_UARRAY
+        raw_np = pa_strs.to_numpy(zero_copy_only=False)
+        quoted_np = pc.binary_join_element_wise(
+            '"', pa_strs, '"', ""
+        ).to_numpy(zero_copy_only=False)
+        out_s = np.where(uarr_m, raw_np, quoted_np)
+        fix = spans_bad & ~uarr_m
+        if fix.any():
+            for j, r in zip(
+                np.flatnonzero(fix).tolist(), raw_np[fix].tolist()
+            ):
+                out_s[j] = json.dumps(r, ensure_ascii=False)
+        vtext[m] = out_s
     return vtext
 
 
