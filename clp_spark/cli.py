@@ -26,14 +26,21 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
-def _spark(master: str) -> SparkSession:
+def _spark(master: str, show_progress: bool = False) -> SparkSession:
     from clp_spark.plans.pipeline import session_defaults
 
-    return session_defaults(
+    builder = session_defaults(
         SparkSession.builder.master(master)
         .appName("clp-spark-cli")
         .config("spark.sql.shuffle.partitions", "32")
-    ).getOrCreate()
+    )
+    if show_progress:
+        # `clp c --progress` (CommandLineArguments.cpp:355-357) prints
+        # per-file progress to stderr; the distributed analog is the
+        # engine's live stage progress bar (same channel, same cadence:
+        # one updating line as work completes)
+        builder = builder.config("spark.ui.showConsoleProgress", "true")
+    return builder.getOrCreate()
 
 
 def _clp_s_canonical_names(
@@ -117,7 +124,7 @@ def cmd_compress(args) -> None:
         list_local_log_files,
     )
 
-    spark = _spark(args.master)
+    spark = _spark(args.master, show_progress=args.progress)
     if args.compression == "passthrough":
         # the reference's passthrough codec (streaming_compression/
         # passthrough/) = uncompressed storage; pinned at the session so
@@ -371,6 +378,41 @@ def cmd_compress(args) -> None:
         summary["metadata_db_archives"] = record_archives_dir(
             spark, args.metadata_db, root
         )
+    if args.print_archive_stats_progress:
+        # clp c --print-archive-stats-progress (Archive.cpp:247-248,
+        # 703-709): one {"id", "uncompressed_size", "size"} JSON line per
+        # archive at close; the distributed flow emits each archive's line
+        # as its directory finalizes into the standard layout
+        from clp_spark.operators.federation import METADATA_FILE
+
+        multi = (
+            args.target_archive_size is not None
+            or args.target_dictionaries_size is not None
+        )
+        dirs = (
+            sorted(
+                os.path.join(args.archive, d)
+                for d in os.listdir(args.archive)
+                if os.path.isfile(os.path.join(args.archive, d, METADATA_FILE))
+            )
+            if multi
+            else [args.archive]
+        )
+        for d in dirs:
+            try:
+                with open(os.path.join(d, METADATA_FILE)) as f:
+                    meta = json.load(f)
+            except FileNotFoundError:
+                continue
+            print(json.dumps({
+                "id": os.path.basename(os.path.normpath(d)),
+                "uncompressed_size": meta.get("raw_bytes", 0),
+                "size": meta.get("archive_bytes", 0),
+            }))
+    if args.progress:
+        # the reference's final progress line (compression.cpp:143-147)
+        nf = len(list_local_log_files(args.inputs))
+        print(f"Compressed {nf}/{nf} files", file=sys.stderr)
     print(json.dumps(summary))
 
 
@@ -473,6 +515,41 @@ def _file_path_pred(col, path: str):
     return (col == F.lit(path)) | (col_norm == F.lit(norm))
 
 
+def _emit_search_results(res, args, ts_lookup=None) -> None:
+    """Final result emission for `s` — the clg output methods
+    (clg CommandLineArguments.cpp:67-74): 's' prints each decompressed
+    message (print_result_text), 'b' writes the reference's binary framing
+    to stdout: <u64 path-len><path bytes><i64 ts-ms><u64 logtype-id>
+    <u64 msg-len><msg bytes>, little-endian (clg.cpp:420-470
+    print_result_binary). ``ts_lookup`` (doc_id → ts_ms) supplies the
+    timestamp field when the result set doesn't carry one; results with no
+    stored timestamp write 0."""
+    out = res.limit(args.limit) if args.limit is not None else res
+    if getattr(args, "output_method", "s") != "b":
+        for r in out.collect():
+            print(r["message"])
+        return
+    import struct
+
+    if "ts_ms" not in out.columns and ts_lookup is not None:
+        out = out.join(ts_lookup, "doc_id", "left")
+    has_ts = "ts_ms" in out.columns
+    has_lt = "logtype_id" in out.columns
+    buf = sys.stdout.buffer
+    for r in out.collect():
+        path = (r["source"] or "").encode("utf-8", "surrogateescape")
+        msg = (r["message"] or "").encode("utf-8", "surrogateescape")
+        ts = r["ts_ms"] if has_ts else None
+        lt = r["logtype_id"] if has_lt else None
+        buf.write(struct.pack("<Q", len(path)))
+        buf.write(path)
+        buf.write(struct.pack("<q", int(ts) if ts is not None else 0))
+        buf.write(struct.pack("<Q", int(lt) if lt is not None else 0))
+        buf.write(struct.pack("<Q", len(msg)))
+        buf.write(msg)
+    buf.flush()
+
+
 def cmd_search(args) -> None:
     from clp_spark.operators.aggregate import count_by_time, count_matched
     from clp_spark.operators.seg_index import search_archive_pruned
@@ -555,9 +632,7 @@ def cmd_search(args) -> None:
                 for r in rows:
                     print(r["bucket_ts"], r["cnt"])
             else:
-                out = res.limit(args.limit) if args.limit is not None else res
-                for r in out.collect():
-                    print(r["message"])
+                _emit_search_results(res, args)
             return
     # one sinks read, reused for the columns probe / search input / ts join
     raw_sinks = spark.read.option("basePath", f"{args.archive}/sinks").parquet(
@@ -676,9 +751,17 @@ def cmd_search(args) -> None:
         for r in rows:
             print(r["bucket_ts"], r["cnt"])
     else:
-        out = res.limit(args.limit) if args.limit is not None else res
-        for r in out.collect():
-            print(r["message"])
+        ts_lookup = None
+        if "ts_ms" in raw_sinks.columns:
+            ts_lookup = (
+                raw_sinks.select("doc_id", "ts_ms")
+                if "doc_id" in raw_sinks.columns
+                else raw_sinks.select(
+                    F.concat_ws("#", "file_id", "msg_ix").alias("doc_id"),
+                    "ts_ms",
+                )
+            )
+        _emit_search_results(res, args, ts_lookup)
 
 
 def _kql_agg_flags(args) -> list[str]:
@@ -1032,6 +1115,30 @@ def cmd_extract_ir(args) -> None:
     from clp_spark.sources.logfiles import extract_ir_from_archive
 
     archive_dir = args.archive
+    if args.file_split_id is not None:
+        # clo i's positional file-split-id (CommandLineArguments.cpp:
+        # 207-222): the split addresses DIRECTLY by its files-table id —
+        # no message-index resolution; <archive> is the one archive that
+        # holds it (clo is handed (archive-path, file-split-id) by the
+        # scheduler). Split ids carry the `#s<ix>` suffix our files table
+        # records for split archives; a plain id is an unsplit file.
+        if args.msg_ix is not None or args.file_id is not None:
+            sys.exit("error: --file-split-id replaces --file-id/--msg-ix "
+                     "(it already names one split)")
+        fid = args.file_split_id
+        # files-table ids are "<archive>/<stored path>[#s<ix>]" — drop the
+        # archive segment (same transform the --msg-ix resolution applies);
+        # the remaining stored path suffix-matches the sinks' file_id
+        fid = fid.split("/", 1)[1] if "/" in fid else fid
+        split_ix = None
+        if "#s" in fid:
+            fid, _, six = fid.rpartition("#s")
+            if not six.isdigit():
+                sys.exit(f"error: malformed file split id "
+                         f"{args.file_split_id!r}")
+            split_ix = int(six)
+        args.file_id = fid
+        args.split_ix = split_ix
     if args.msg_ix is not None:
         from clp_spark.sinks.metadata_db import GlobalMetadataDB
 
@@ -1064,6 +1171,17 @@ def cmd_extract_ir(args) -> None:
         encoding="four" if args.four_byte else "eight",
         split_ix=getattr(args, "split_ix", None),
     )
+    if args.print_ir_stats:
+        # clo i --print-ir-stats (clo.cpp:229-234): one ndjson {"path": …}
+        # line per extracted IR chunk file
+        manifest_path = os.path.join(args.output, "ir_manifest.jsonl")
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                for line in f:
+                    m = json.loads(line)
+                    print(json.dumps(
+                        {"path": os.path.join(args.output, m["path"])}
+                    ))
     print(json.dumps(summary))
 
 
@@ -1148,6 +1266,18 @@ def main(argv: list[str] | None = None) -> None:
         "with ordered reconstruction (x) support",
     )
     c.add_argument("--structurize-arrays", action="store_true")
+    c.add_argument(
+        "--progress", action="store_true",
+        help="show progress during compression (clp c --progress; the "
+             "distributed analog is the live stage progress bar plus the "
+             "final per-file count line)",
+    )
+    c.add_argument(
+        "--print-archive-stats-progress", action="store_true",
+        help="print stats (ndjson) about each archive as it's compressed "
+             "(clp c; one {id, uncompressed_size, size} line per archive "
+             "at close)",
+    )
     c.add_argument(
         "--schema-path", default=None, metavar="FILE",
         help="text mode: tokenize variables with this log-surgeon schema "
@@ -1250,6 +1380,12 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("archive")
     s.add_argument("query")
     s.add_argument("--ignore-case", action="store_true")
+    s.add_argument(
+        "--output-method", choices=["s", "b"], default="s",
+        help="output method: s - stdout text, b - stdout binary framing "
+             "(clg --output-method, <u64 path-len><path><i64 ts-ms>"
+             "<u64 logtype-id><u64 msg-len><msg> per result)",
+    )
     s.add_argument(
         "--regex", action="store_true",
         help="treat QUERY as a regex; translate to a CLP wildcard query "
@@ -1386,6 +1522,18 @@ def main(argv: list[str] | None = None) -> None:
         "--file-id", default=None,
         help="original file URI or unambiguous path suffix (the file split "
         "to extract); omit to extract every file in the archive",
+    )
+    ei.add_argument(
+        "--file-split-id", default=None, metavar="ID",
+        help="extract the file split with this files-table id directly "
+             "(clo i's file-split-id positional; split ids end in #s<ix>, "
+             "a plain id names an unsplit file) — replaces "
+             "--file-id/--msg-ix",
+    )
+    ei.add_argument(
+        "--print-ir-stats", action="store_true",
+        help="print statistics (ndjson) about each IR file after it's "
+             "extracted (clo i --print-ir-stats)",
     )
     ei.add_argument("--events-per-chunk", type=int, default=1024)
     ei.add_argument("--four-byte", action="store_true")

@@ -181,3 +181,162 @@ class TestPathFlagGuards:
         with pytest.raises(SystemExit, match="clp-s"):
             cli.main(["c", str(tmp_path / "a"), "in.log",
                       "--remove-leading-slash"])
+
+
+class TestOutputMethodBinary:
+    """`s --output-method {s,b}` (clg CommandLineArguments.cpp:67-74):
+    'b' streams each result as the reference's little-endian framing —
+    <u64 path-len><path bytes><i64 ts-ms><u64 logtype-id><u64 msg-len>
+    <msg bytes> (clg.cpp:420-470 print_result_binary)."""
+
+    @staticmethod
+    def _decode(buf: bytes):
+        import struct
+
+        out = []
+        off = 0
+        while off < len(buf):
+            (plen,) = struct.unpack_from("<Q", buf, off)
+            off += 8
+            path = buf[off:off + plen].decode()
+            off += plen
+            (ts,) = struct.unpack_from("<q", buf, off)
+            off += 8
+            (lt,) = struct.unpack_from("<Q", buf, off)
+            off += 8
+            (mlen,) = struct.unpack_from("<Q", buf, off)
+            off += 8
+            msg = buf[off:off + mlen].decode()
+            off += mlen
+            out.append((path, ts, lt, msg))
+        assert off == len(buf), "trailing bytes after the last record"
+        return out
+
+    def test_single_archive_framing(self, spark, tmp_path, capsysbinary):
+        paths = _mklogs(tmp_path, n_files=1, lines=8)
+        arch = str(tmp_path / "arch")
+        cli.main(["c", arch, *paths])
+        capsysbinary.readouterr()
+        cli.main(["s", arch, "*job 3 *"])
+        text_lines = capsysbinary.readouterr().out.decode().splitlines()
+        cli.main(["s", arch, "*job 3 *", "--output-method", "b"])
+        recs = self._decode(capsysbinary.readouterr().out)
+        # same matches, same rendered messages as the text method
+        assert [m for (_p, _t, _l, m) in recs] == text_lines
+        assert len(recs) == 1
+        path, ts, lt, msg = recs[0]
+        assert path.endswith("svc0.log")
+        assert "job 3 took 21ms" in msg
+        # ts field = the message's stored epoch-ms; logtype id is real
+        sinks = spark.read.option("basePath", f"{arch}/sinks").parquet(
+            f"{arch}/sinks"
+        )
+        row = sinks.where("msg_ix = 4").select("ts_ms", "logtype_id").collect()[0]
+        assert ts == row["ts_ms"] > 0
+        assert lt == row["logtype_id"]
+
+    def test_federated_binary(self, spark, tmp_path, capsysbinary):
+        paths = _mklogs(tmp_path)
+        root = str(tmp_path / "archs")
+        cli.main(["c", root, *paths, "--target-archive-size", "10"])
+        capsysbinary.readouterr()
+        cli.main(["s", root, "*job 3 *", "--output-method", "b"])
+        recs = self._decode(capsysbinary.readouterr().out)
+        assert len(recs) == 2
+        assert {p.rsplit("/", 1)[-1] for p, _, _, _ in recs} == {
+            "svc0.log", "svc1.log"
+        }
+        assert all(ts > 0 for _, ts, _, _ in recs)
+        assert all("job 3 " in m for *_, m in recs)
+
+
+class TestCompressionProgress:
+    """`clp c --progress` (CommandLineArguments.cpp:355-357,
+    compression.cpp:143-147) and `--print-archive-stats-progress`
+    (Archive.cpp:247-248,703-709: {"id", "uncompressed_size", "size"}
+    ndjson per archive at close)."""
+
+    def test_progress_final_line(self, spark, tmp_path, capsys):
+        paths = _mklogs(tmp_path)
+        cli.main(["c", str(tmp_path / "arch"), *paths, "--progress"])
+        assert "Compressed 2/2 files" in capsys.readouterr().err
+
+    def test_stats_progress_single(self, spark, tmp_path, capsys):
+        paths = _mklogs(tmp_path)
+        arch = str(tmp_path / "arch")
+        cli.main(["c", arch, *paths, "--print-archive-stats-progress"])
+        lines = capsys.readouterr().out.strip().splitlines()
+        stats = [json.loads(ln) for ln in lines[:-1]]
+        assert len(stats) == 1
+        with open(os.path.join(arch, "metadata.json")) as f:
+            meta = json.load(f)
+        assert stats[0]["id"] == "arch"
+        assert stats[0]["uncompressed_size"] == meta["raw_bytes"] > 0
+        assert stats[0]["size"] == meta["archive_bytes"] > 0
+
+    def test_stats_progress_multi(self, spark, tmp_path, capsys):
+        paths = _mklogs(tmp_path)
+        root = str(tmp_path / "archs")
+        cli.main(["c", root, *paths, "--target-archive-size", "10",
+                  "--print-archive-stats-progress"])
+        lines = capsys.readouterr().out.strip().splitlines()
+        stats = [json.loads(ln) for ln in lines[:-1]]
+        assert len(stats) >= 2  # one line per produced archive
+        for s in stats:
+            assert s["uncompressed_size"] > 0 and s["size"] > 0
+            assert os.path.isdir(os.path.join(root, s["id"]))
+
+
+class TestExtractIrTail:
+    """clo i tail: --print-ir-stats ndjson (clo.cpp:229-234) and direct
+    file-split-id addressing (CommandLineArguments.cpp:207-222)."""
+
+    def test_print_ir_stats(self, spark, tmp_path, capsys):
+        paths = _mklogs(tmp_path, n_files=1, lines=6)
+        arch = str(tmp_path / "arch")
+        cli.main(["c", arch, *paths])
+        capsys.readouterr()
+        out = str(tmp_path / "ir")
+        cli.main(["i", arch, out, "--events-per-chunk", "2",
+                  "--print-ir-stats"])
+        lines = capsys.readouterr().out.strip().splitlines()
+        summary = json.loads(lines[-1])
+        stats = [json.loads(ln) for ln in lines[:-1]]
+        assert len(stats) == summary["chunks"] >= 2
+        for s in stats:
+            assert list(s) == ["path"]
+            assert os.path.exists(s["path"])
+
+    def test_file_split_id_addressing(self, spark, tmp_path, capsys):
+        from clp_spark.sinks.metadata_db import GlobalMetadataDB
+
+        paths = _mklogs(tmp_path, n_files=1, lines=12)
+        arch = str(tmp_path / "arch")
+        db_path = str(tmp_path / "metadata.db")
+        cli.main(["c", arch, *paths, "--target-encoded-file-size", "120",
+                  "--metadata-db", db_path])
+        capsys.readouterr()
+        db = GlobalMetadataDB(db_path)
+        rows = db.conn.execute(
+            "SELECT id, begin_message_ix, num_messages FROM files "
+            "ORDER BY begin_message_ix"
+        ).fetchall()
+        db.close()
+        assert len(rows) >= 2 and all("#s" in r[0] for r in rows)
+        split_id, begin, n = rows[-1]
+        out = str(tmp_path / "ir")
+        cli.main(["i", arch, out, "--file-split-id", split_id])
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["events"] == n  # ONLY the addressed split extracts
+        # one chunk, named with FILE-GLOBAL message indexes (split offset
+        # comes from the archive's split index, clo.cpp:186-189 parity)
+        names = sorted(x for x in os.listdir(out) if x.endswith(".clp"))
+        assert names == [f"svc0.log_{begin}_{begin + n}.clp"]
+
+    def test_file_split_id_conflicts(self, tmp_path):
+        with pytest.raises(SystemExit, match="replaces"):
+            cli.main(["i", str(tmp_path), str(tmp_path / "o"),
+                      "--file-split-id", "a.log#s0", "--file-id", "a.log"])
+        with pytest.raises(SystemExit, match="malformed"):
+            cli.main(["i", str(tmp_path), str(tmp_path / "o"),
+                      "--file-split-id", "a.log#sxx"])
