@@ -155,22 +155,29 @@ def cmd_compress(args) -> None:
         # URIs read as JSONL.
         inputs = expand_tar_inputs(args.inputs)
         kv_inputs: list[str] = []
+        zst_inputs: list[str] = []
         is_local = not any(
             "://" in p and not p.startswith("file:") for p in inputs
         )
         if is_local:
             from clp_spark.sources.kv_ir import is_kv_ir_file
+            from clp_spark.sources.logfiles import classify_log_input
 
             expanded = list_local_log_files(inputs)
             kv_inputs = [p for p in expanded if is_kv_ir_file(p)]
-            inputs = [p for p in expanded if p not in set(kv_inputs)]
+            rest = [p for p in expanded if p not in set(kv_inputs)]
+            # zstd-wrapped JSONL (clp-s InputConfig Zstd→Json nesting):
+            # spark.read.text has no zstd codec, so these route through
+            # the binaryFile + pyarrow decompression reader
+            zst_inputs = [p for p in rest if classify_log_input(p) == "zst"]
+            inputs = [p for p in rest if p not in set(zst_inputs)]
         # canonical stored names for the range index (clp-s records one
         # range entry per ingested file; --normalize-paths /
         # --remove-path-prefix / --remove-leading-slash shape the name,
         # CommandLineArguments.cpp:479-566 — filesystem sources only)
         src_names = (
             _clp_s_canonical_names(
-                [*inputs, *kv_inputs],
+                [*inputs, *zst_inputs, *kv_inputs],
                 normalize=args.normalize_paths,
                 prefix=args.remove_path_prefix,
                 remove_slash=args.remove_leading_slash,
@@ -178,13 +185,47 @@ def cmd_compress(args) -> None:
             if is_local else None
         )
         df = None
-        if inputs or not kv_inputs:
+        if inputs or (not kv_inputs and not zst_inputs):
             df = (
                 spark.read.text(inputs)
                 .withColumnRenamed("value", "raw")
                 .withColumn("_rec_ix", F.monotonically_increasing_id())
                 .withColumn("_src_file", F.input_file_name())
             )
+        if zst_inputs:
+            import os as _os
+
+            from clp_spark.sources.logfiles import read_zstd_log_lines
+
+            # per-file record order from line_no; files rank in path order
+            # (same _rec_ix shape as the kv route); base 1<<51 orders zst
+            # records after plain JSONL and before kv streams
+            zlines = read_zstd_log_lines(spark, zst_inputs)
+            ranks = spark.createDataFrame(
+                [
+                    (_os.path.abspath(p.removeprefix("file://")
+                                      .removeprefix("file:")), i)
+                    for i, p in enumerate(zst_inputs)
+                ],
+                "abs_path string, _rank long",
+            )
+            norm = F.url_decode(
+                F.regexp_replace("container", "^file:(//)?", "")
+            )
+            z_df = (
+                zlines.withColumn("abs_path", norm)
+                .join(F.broadcast(ranks), "abs_path")
+                .select(
+                    F.col("line").alias("raw"),
+                    (
+                        F.lit(1 << 51)
+                        + F.shiftleft(F.col("_rank"), 40)
+                        + F.col("line_no")
+                    ).alias("_rec_ix"),
+                    F.col("abs_path").alias("_src_file"),
+                )
+            )
+            df = z_df if df is None else df.unionByName(z_df)
         if kv_inputs:
             from clp_spark.sources.kv_ir import read_kv_ir_stream_records
 
@@ -1170,6 +1211,7 @@ def cmd_extract_ir(args) -> None:
         events_per_chunk=args.events_per_chunk,
         encoding="four" if args.four_byte else "eight",
         split_ix=getattr(args, "split_ix", None),
+        chunk_compression=args.chunk_compression,
     )
     if args.print_ir_stats:
         # clo i --print-ir-stats (clo.cpp:229-234): one ndjson {"path": …}
@@ -1536,6 +1578,12 @@ def main(argv: list[str] | None = None) -> None:
              "extracted (clo i --print-ir-stats)",
     )
     ei.add_argument("--events-per-chunk", type=int, default=1024)
+    ei.add_argument(
+        "--chunk-compression", choices=["none", "zstd"], default="none",
+        help="chunk container: zstd writes the reference's .clp.zst "
+             "framing (clo.cpp:186-189); none writes raw .clp — every "
+             "reader here sniffs the magic, so both round-trip",
+    )
     ei.add_argument("--four-byte", action="store_true")
     ei.add_argument(
         "--msg-ix", type=int, default=None, metavar="N",

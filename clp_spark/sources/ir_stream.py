@@ -783,12 +783,19 @@ def ir_to_events_df(df, ir_col: str = "ir", stream_col: str = "stream"):
     One transposed-parser call per Arrow batch decodes every blob in the
     batch in lockstep; placeholder codes are reconstructed from the logtype
     bytes and cross-checked against the stream's var tags.
+
+    Zstd-wrapped streams (``.clp.zst``, the container clo itself writes —
+    clo.cpp:186-189) decode transparently: each blob is magic-checked and
+    unwrapped executor-side before the parse, the reference's
+    nest-a-decompressor-and-re-deduce shape (clp_s/InputConfig.cpp:552-563).
     """
     import pyarrow as pa
 
+    from clp_spark.sources.zstd_io import maybe_unzstd
+
     def _fn(batches):
         for batch in batches:
-            blobs = batch.column(ir_col).to_pylist()
+            blobs = [maybe_unzstd(b) for b in batch.column(ir_col).to_pylist()]
             svals = batch.column(stream_col).to_pylist()
             out = deserialize_ir_many(blobs)
             n = out["n"]

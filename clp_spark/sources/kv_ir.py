@@ -1301,12 +1301,16 @@ def _blob_spans(blobs, budget: int):
 def kv_ir_to_rows_df(df, ir_col: str = "ir", stream_col: str = "stream"):
     """kv-IR blobs → one row per (event, key): (stream, chunk_ix, event_ix,
     path, vtype, typed value columns). The inverse view of
-    events_to_kv_ir_df — pivoting on path reconstructs the input columns."""
+    events_to_kv_ir_df — pivoting on path reconstructs the input columns.
+    Zstd-wrapped blobs decode transparently (magic-checked per blob, the
+    reference's decompressor nesting, clp_s/InputConfig.cpp:552-563)."""
     import pyarrow as pa
+
+    from clp_spark.sources.zstd_io import maybe_unzstd
 
     def _fn(batches):
         for batch in batches:
-            blobs = batch.column(ir_col).to_pylist()
+            blobs = [maybe_unzstd(b) for b in batch.column(ir_col).to_pylist()]
             svals = batch.column(stream_col)
             cvals = (
                 batch.column("chunk_ix")
@@ -1591,8 +1595,12 @@ def kv_ir_to_json_df(df, ir_col: str = "ir", stream_col: str = "stream"):
     """kv-IR blobs → (stream, chunk_ix, event_ix, json): one reconstructed
     JSON record per event, auto-gen keys under "@" (see
     blobs_to_json_batch). The bridge from kv-IR streams into the
-    JSON-archive compressor (clp-s FileType::KeyValueIr ingestion)."""
+    JSON-archive compressor (clp-s FileType::KeyValueIr ingestion).
+    Zstd-wrapped blobs decode transparently (magic-checked per blob, the
+    reference's decompressor nesting, clp_s/InputConfig.cpp:552-563)."""
     import pyarrow as pa
+
+    from clp_spark.sources.zstd_io import maybe_unzstd
 
     cols = [stream_col, ir_col] + (
         ["chunk_ix"] if "chunk_ix" in df.columns else []
@@ -1600,7 +1608,7 @@ def kv_ir_to_json_df(df, ir_col: str = "ir", stream_col: str = "stream"):
 
     def _fn(batches):
         for batch in batches:
-            blobs = batch.column(ir_col).to_pylist()
+            blobs = [maybe_unzstd(b) for b in batch.column(ir_col).to_pylist()]
             svals = batch.column(stream_col)
             cvals = (
                 batch.column("chunk_ix")
@@ -1619,33 +1627,50 @@ def kv_ir_to_json_df(df, ir_col: str = "ir", stream_col: str = "stream"):
     return df.select(*cols).mapInArrow(_fn, KV_JSON_SCHEMA)
 
 
-def is_kv_ir_file(path: str) -> bool:
-    """Content sniff: does this LOCAL file carry the structured kv-IR
-    protocol? Both stream families share the IR magics; the preamble
+def is_kv_ir_bytes(head: bytes) -> bool:
+    """Content sniff over a stream HEAD: does it carry the structured
+    kv-IR protocol? Both stream families share the IR magics; the preamble
     metadata VERSION separates them ("0.1.0" = kv,
     protocol_constants.hpp:15-16 — vs "0.0.2" for the kv-free streams).
     The reference deduces input types by content the same way
-    (JsonParser.cpp try_create_reader_and_deduce_type)."""
+    (JsonParser.cpp try_create_reader_and_deduce_type). ``head`` must hold
+    at least the magic + preamble (64 KiB covers the 0x12 two-byte length
+    maximum)."""
     from clp_spark.sources.ir_four import MAGIC_4BYTE
+
+    if head[:4] not in (MAGIC_8BYTE, MAGIC_4BYTE) or len(head) < 7:
+        return False
+    if head[4] != 0x01:
+        return False
+    if head[5] == 0x11:
+        ln, start = head[6], 7
+    elif head[5] == 0x12:
+        ln, start = (head[6] << 8) | head[7], 8
+    else:
+        return False
+    try:
+        meta = json.loads(head[start:start + ln].decode("utf-8"))
+    except ValueError:
+        return False
+    return meta.get("VERSION") == KV_VERSION
+
+
+def is_kv_ir_file(path: str) -> bool:
+    """``is_kv_ir_bytes`` over a LOCAL file, unwrapping a zstd container
+    first when the 4-byte magic says so — the reference nests a zstd
+    decompressor and re-deduces the inner type
+    (clp_s/InputConfig.cpp:552-563), so ``.clp.zst`` kv-IR streams sniff
+    identically to raw ones."""
+    from clp_spark.sources.zstd_io import is_zstd_bytes, zstd_peek
 
     try:
         with open(path, "rb") as f:
-            head = f.read(8)
-            if head[:4] not in (MAGIC_8BYTE, MAGIC_4BYTE) or len(head) < 7:
-                return False
-            if head[4] != 0x01:
-                return False
-            if head[5] == 0x11:
-                ln, rest = head[6], head[7:8]
-            elif head[5] == 0x12:
-                ln, rest = (head[6] << 8) | head[7], b""
-            else:
-                return False
-            payload = rest + f.read(ln - len(rest))
-        meta = json.loads(payload.decode("utf-8"))
+            head = f.read(65544)
+        if is_zstd_bytes(head[:4]):
+            head = zstd_peek(path, 65544)
     except (OSError, ValueError):
         return False
-    return meta.get("VERSION") == KV_VERSION
+    return is_kv_ir_bytes(head)
 
 
 def read_kv_ir_stream_records(

@@ -46,29 +46,48 @@ def read_log_lines(spark: SparkSession, paths: str | list[str]) -> DataFrame:
 
 def classify_log_input(path: str) -> str:
     """Content-sniff one LOCAL input file → 'text' | 'gz' | 'tar' | 'ir' |
-    'kvir'.
+    'kvir' | 'zst'.
 
     Reference parity: the reference decides by CONTENT, not extension —
     FileCompressor.cpp:158-170 tries UTF-8 first, then hands non-UTF-8
     inputs to libarchive (FileCompressor.hpp:11-12 LibarchiveReader) or,
     on the IR magic, to the IR-stream deserializer
-    (FileCompressor.cpp:406-430 compress_ir_stream).
+    (FileCompressor.cpp:406-430 compress_ir_stream); clp-s additionally
+    peeks the zstd magic, nests a streaming decompressor, and re-deduces
+    the INNER type (clp_s/InputConfig.cpp:163-279,540-575), so zstd is a
+    transparent wrapper around any other kind.
     Here: gzip magic (1f 8b) → peek the decompressed head for the tar
     magic ('ustar' at offset 257) to split single-member .gz from .tar.gz;
     raw tar magic → tar; IR stream magic (either width) → 'kvir' when the
     preamble VERSION is the structured kv protocol's (a clp-s `c --json`
-    input), else 'ir'; anything else → text. (gz-wrapped IR is not
-    sniffed — gunzip it first.)"""
+    input), else 'ir'; zstd magic → re-deduce on the decompressed head
+    (IR/kv-IR and .tar.zst keep their inner kind — the blob readers
+    unwrap transparently; other payloads classify 'zst', zstd-wrapped
+    text); anything else → text. (gz-wrapped IR is not sniffed — gunzip
+    it first.)"""
     import gzip
 
     from clp_spark.sources.ir_four import MAGIC_4BYTE
     from clp_spark.sources.ir_stream import MAGIC_8BYTE
+    from clp_spark.sources.zstd_io import is_zstd_bytes, zstd_peek
 
     try:
         with open(path, "rb") as f:
             head = f.read(512)
     except OSError:
         return "text"
+    if is_zstd_bytes(head[:4]):
+        try:
+            inner = zstd_peek(path, 65544)
+        except (OSError, ValueError):
+            return "zst"
+        if inner[:4] in (MAGIC_8BYTE, MAGIC_4BYTE):
+            from clp_spark.sources.kv_ir import is_kv_ir_bytes
+
+            return "kvir" if is_kv_ir_bytes(inner) else "ir"
+        if inner[257:262] == b"ustar":
+            return "tar"
+        return "zst"
     if head[:4] in (MAGIC_8BYTE, MAGIC_4BYTE):
         from clp_spark.sources.kv_ir import is_kv_ir_file
 
@@ -98,8 +117,13 @@ def _tar_member_lines(tar_uri: str, blob: bytes):
     import re
     import tarfile
 
+    from clp_spark.sources.zstd_io import maybe_unzstd
+
     splitter = re.compile(rb"\r\n|\r|\n")
     parent = tar_uri.rsplit("/", 1)[0]
+    # .tar.zst: tarfile has no zstd filter — unwrap the container first
+    # (the reference reads it via libarchive's zstd filter)
+    blob = maybe_unzstd(blob)
     with tarfile.open(fileobj=io.BytesIO(blob), mode="r:*") as tf:
         for member in tf:
             if not member.isreg():
@@ -158,6 +182,95 @@ def read_tar_log_lines(spark: SparkSession, tar_paths: list[str]) -> DataFrame:
     )
 
 
+def read_zstd_log_lines(spark: SparkSession, zst_paths: list[str]) -> DataFrame:
+    """(file_id, container, line_no, line) over zstd-wrapped TEXT files —
+    the clp-s LogText-inside-Zstd input kind (InputConfig.cpp:540-575
+    nests a zstd decompressor and hands the inner stream to the log-text
+    handler).
+
+    Spark shape: binaryFile scan (one task per .zst file — the same
+    sequential unit as the reference's one streaming decompressor per
+    input; parallelism comes from the NUMBER of files) → mapInPandas
+    decompresses and line-splits. Line-split semantics mirror Hadoop's
+    LineRecordReader (LF, CR, or CRLF terminate; a trailing terminator
+    emits no empty final line) so .zst ingestion is byte-identical to
+    plain-text ingestion of the decompressed file. file_id drops the
+    final extension, the same stem rule as .gz inputs
+    (FileCompressor.cpp:313-319: syslog.zst → syslog)."""
+    import re
+
+    import pandas as pd
+
+    splitter = re.compile(rb"\r\n|\r|\n")
+
+    blobs = (
+        spark.read.format("binaryFile")
+        .load(zst_paths)
+        .select("path", "content")
+    )
+
+    def expand(batches):
+        from clp_spark.sources.zstd_io import zstd_decompress
+
+        for pdf in batches:
+            for uri, blob in zip(pdf["path"], pdf["content"]):
+                data = zstd_decompress(bytes(blob))
+                parts = splitter.split(data)
+                if parts and parts[-1] == b"":
+                    parts.pop()
+                stem = re.sub(r"\.[^./]+$", "", uri)
+                yield pd.DataFrame({
+                    "file_id": stem,
+                    "container": uri,
+                    "line_no": range(len(parts)),
+                    "line": [p.decode("utf-8", "replace") for p in parts],
+                })
+
+    return blobs.mapInPandas(
+        expand,
+        "file_id string, container string, line_no long, line string",
+    )
+
+
+def logical_input_size(path: str) -> int:
+    """Bytes the compressor logically consumes from one LOCAL input — for
+    container inputs (gzip, zstd) the DECOMPRESSED size, matching the
+    reference's uncompressed_size semantics: its readers count bytes
+    drained from the decompressor chain, not the container on disk
+    (ArchiveMetadata uncompressed_size feeds the compression-ratio stat).
+    Streaming count in 1 MiB chunks — bounded memory on any input size."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(4)
+    except OSError:
+        return 0
+    stream = None
+    if head[:2] == b"\x1f\x8b":
+        import gzip
+
+        stream = gzip.open(path, "rb")
+    else:
+        from clp_spark.sources.zstd_io import is_zstd_bytes
+
+        if is_zstd_bytes(head):
+            import pyarrow as pa
+
+            stream = pa.CompressedInputStream(pa.OSFile(path, "rb"), "zstd")
+    if stream is None:
+        return os.path.getsize(path)
+    n = 0
+    try:
+        with stream as st:
+            while True:
+                chunk = st.read(1 << 20)
+                if not chunk:
+                    break
+                n += len(chunk)
+    except (OSError, ValueError):
+        return os.path.getsize(path)
+    return n
+
+
 def expand_tar_inputs(inputs: list[str], tmp_root: str | None = None) -> list[str]:
     """Replace any LOCAL tar/tar.gz inputs with their unpacked regular
     members (driver-side unpack into a temp dir, preserving member paths).
@@ -184,7 +297,13 @@ def expand_tar_inputs(inputs: list[str], tmp_root: str | None = None) -> list[st
         base = os.path.join(
             tmp_dir, os.path.basename(local).replace(".", "_")
         )
-        with tarfile.open(local, mode="r:*") as tf:
+        import io
+
+        from clp_spark.sources.zstd_io import maybe_unzstd
+
+        with open(local, "rb") as f:
+            tar_bytes = maybe_unzstd(f.read())  # .tar.zst support
+        with tarfile.open(fileobj=io.BytesIO(tar_bytes), mode="r:*") as tf:
             members = [m for m in tf.getmembers() if m.isreg()]
             tf.extractall(base, members=members, filter="data")
         out.extend(
@@ -227,8 +346,11 @@ def read_log_lines_any(
       per file — parallelism across files, same as the reference's one
       libarchive stream per input); file_id drops the final extension
       (FileCompressor.cpp:313-319 stem rule: syslog.gz → syslog)
-    - tar / tar.gz: binaryFile + tarfile member expansion, member paths =
-      parent_dir/member (FileCompressor.cpp:392-394)
+    - tar / tar.gz / tar.zst: binaryFile + tarfile member expansion,
+      member paths = parent_dir/member (FileCompressor.cpp:392-394)
+    - zstd-wrapped text: binaryFile + pyarrow zstd decompression
+      (clp-s InputConfig.cpp:540-575 Zstd→LogText nesting), same stem rule
+      as .gz
 
     Remote URIs (s3a://, hdfs://) skip the content sniff and read as text
     (sniffing would need a remote byte-range read per file; Hadoop still
@@ -239,7 +361,7 @@ def read_log_lines_any(
         return out.withColumn("container", F.col("file_id")) if with_container else out
     files = list_local_log_files(plist)
     kinds: dict[str, list[str]] = {
-        "text": [], "gz": [], "tar": [], "ir": [], "kvir": [],
+        "text": [], "gz": [], "tar": [], "ir": [], "kvir": [], "zst": [],
     }
     for p in files:
         kinds[classify_log_input(p)].append(p)
@@ -278,6 +400,12 @@ def read_log_lines_any(
                 "file_id", "container", "line_no", "line"
             )
         )
+    if kinds["zst"]:
+        parts.append(
+            read_zstd_log_lines(spark, kinds["zst"]).select(
+                "file_id", "container", "line_no", "line"
+            )
+        )
     if not parts:
         # empty input set — keep read_log_lines' loud-failure contract
         return read_log_lines(spark, plist)
@@ -310,7 +438,9 @@ def read_ir_encoded_messages(spark: SparkSession, ir_paths: list[str]) -> DataFr
     ev = ev.withColumn("_m", F.monotonically_increasing_id())
     w = Window.partitionBy("stream").orderBy("_m")
     return ev.select(
-        F.regexp_replace("stream", r"\.clp$", "").alias("file_id"),
+        # stored path drops .clp (FileCompressor.cpp:407-411); a zstd
+        # wrapper's .zst goes too (clo writes .clp.zst, clo.cpp:186-189)
+        F.regexp_replace("stream", r"(\.clp)?(\.zst)?$", "").alias("file_id"),
         F.col("stream").alias("container"),
         F.row_number().over(w).cast("long").alias("msg_ix"),
         F.col("ts").alias("ts_ms"),
@@ -550,7 +680,7 @@ def compress_text_logs(
     local = out_dir.removeprefix("file:") if "://" not in out_dir or out_dir.startswith("file:") else None
     if local is not None:
         raw = sum(
-            os.path.getsize(p)
+            logical_input_size(p)
             for p in list_local_log_files(
                 (paths if isinstance(paths, list) else [paths]) + ir_files
             )
@@ -930,6 +1060,7 @@ def extract_ir_from_archive(
     events_per_chunk: int = 1024,
     encoding: str = "eight",
     split_ix: int | None = None,
+    chunk_compression: str = "none",
 ) -> dict:
     """`clo i` analog (clo.cpp:120-240 extract_ir): re-emit a compressed
     file's events from an EXISTING archive as kv-free IR chunk files — the
@@ -944,9 +1075,13 @@ def extract_ir_from_archive(
     time) because the reference's clo is likewise a single-node writer that
     renames local chunks into the output dir (clo.cpp:185-201). Naming
     parity: {orig_file_basename}_{begin_msg_ix}_{end_msg_ix}.clp
-    (clo.cpp:186-189; the reference zstd-wraps as .clp.zst — no zstd codec
-    in this environment, documented waiver). A results-cache analog row per
-    chunk (path, stream_id, begin_msg_ix, end_msg_ix, is_last_chunk —
+    (clo.cpp:186-189). ``chunk_compression="zstd"`` zstd-wraps each chunk
+    and names it ``.clp.zst`` — exactly the container the reference's clo
+    always writes (clo.cpp:186-189 cIrFileExtension ".clp.zst"); "none"
+    (default) writes raw IR. Every ingestion/search surface in this repo
+    sniffs the zstd magic and unwraps transparently, so either form
+    round-trips. A results-cache analog row per chunk (path, stream_id,
+    begin_msg_ix, end_msg_ix, is_last_chunk —
     cResultsCacheKeys::IrOutput) lands in out_dir/ir_manifest.jsonl."""
     import json
 
@@ -1010,13 +1145,21 @@ def extract_ir_from_archive(
     ).orderBy("stream", "chunk_ix")
     os.makedirs(out_dir, exist_ok=True)
     manifest = []
+    if chunk_compression not in ("none", "zstd"):
+        raise ValueError(f"unsupported chunk compression {chunk_compression!r}")
     for row in numbered.toLocalIterator():
         base = row["stream"].rstrip("/").rsplit("/", 1)[-1]
         begin = int(row["begin_ix"])
         end = begin + int(row["n_events"])
+        payload = bytes(row["ir"])
         name = f"{base}_{begin}_{end}.clp"
+        if chunk_compression == "zstd":
+            from clp_spark.sources.zstd_io import zstd_compress
+
+            payload = zstd_compress(payload)
+            name += ".zst"
         with open(os.path.join(out_dir, name), "wb") as f:
-            f.write(bytes(row["ir"]))
+            f.write(payload)
         manifest.append({
             "path": name,
             "stream_id": row["stream"],

@@ -1,0 +1,70 @@
+"""Zstd container support for every ingestion surface.
+
+The reference deduces input types by CONTENT and treats zstd as a
+transparent wrapper: clp-s peeks the 4-byte zstd magic
+(components/core/src/clp_s/InputConfig.cpp:163-279 ``could_be_zstd``),
+nests a streaming decompressor, and re-deduces the inner type — so
+``.zst`` can wrap JSONL, structured kv-IR, kv-free IR streams, or plain
+log text (InputConfig.cpp:540-575 ``try_deduce_reader_type``'s
+decompressor-nesting loop), and libarchive gives it ``.tar.zst`` for
+free. clo likewise writes its extracted IR chunks zstd-wrapped as
+``.clp.zst`` (clo.cpp:186-189).
+
+This module is the Spark-side analog, built on pyarrow's bundled zstd
+codec (the public Arrow API — no native Hadoop codec or extra Python
+package needed, and it is already on every executor that runs our Arrow
+UDFs). Decompression of input BLOBS happens executor-side inside the
+binaryFile readers (one task per stream file — the reference's
+sequential decompressor unit); only the driver-side content SNIFF uses
+the streaming peek here, reading a bounded head.
+"""
+
+from __future__ import annotations
+
+ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+
+def is_zstd_bytes(head: bytes) -> bool:
+    """InputConfig.cpp:274-279 could_be_zstd: 4-byte magic check."""
+    return head[:4] == ZSTD_MAGIC
+
+
+def zstd_decompress(data: bytes) -> bytes:
+    """Decompress a complete zstd stream (multi-frame safe — concatenated
+    frames decode to concatenated payloads, like the reference's
+    streaming decompressor)."""
+    import pyarrow as pa
+
+    with pa.CompressedInputStream(pa.BufferReader(data), "zstd") as st:
+        return st.read()
+
+
+def maybe_unzstd(data: bytes) -> bytes:
+    """Magic-checked decompress: zstd blobs decode, anything else passes
+    through untouched. Lets mixed raw/zstd input sets share one reader."""
+    return zstd_decompress(data) if is_zstd_bytes(data[:4]) else data
+
+
+def zstd_peek(path: str, n: int = 65536) -> bytes:
+    """First ``n`` DECOMPRESSED bytes of a local zstd file (streaming —
+    does not decompress the whole file). The driver-side content sniff
+    uses this to re-deduce the inner type, the reference's
+    peek-then-nest-decompressor shape."""
+    import pyarrow as pa
+
+    with pa.CompressedInputStream(pa.OSFile(path, "rb"), "zstd") as st:
+        return st.read(n)
+
+
+def zstd_compress(data: bytes, level: int | None = None) -> bytes:
+    """One complete zstd frame (proper framed stream, decodable by any
+    zstd reader). ``level`` maps to the codec's compression level; None =
+    the codec default (3, the reference's default)."""
+    import pyarrow as pa
+
+    codec = (
+        pa.Codec("zstd")
+        if level is None
+        else pa.Codec("zstd", compression_level=level)
+    )
+    return codec.compress(data, asbytes=True)

@@ -1,0 +1,290 @@
+"""Zstd container support — the reference treats zstd as a transparent
+wrapper deduced by CONTENT: clp-s peeks the 4-byte magic
+(clp_s/InputConfig.cpp:163-279 could_be_zstd), nests a streaming
+decompressor, and re-deduces the inner type (InputConfig.cpp:540-575), so
+``.zst`` can wrap JSONL, structured kv-IR, kv-free IR streams, or plain
+log text — and libarchive gives it ``.tar.zst``. clo writes its extracted
+IR chunks zstd-wrapped as ``.clp.zst`` (clo.cpp:186-189). Differential
+contract throughout: zstd-wrapped inputs produce results IDENTICAL to the
+raw form of the same content."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+FILE_A = """\
+2016-05-08 07:34:05,251 INFO starting job 42
+2016-05-08 07:34:06,002 WARN slow response 120 ms from node-7
+2016-05-08 07:34:07,000 ERROR failed after 0.75 s hash deadbeef
+"""
+
+FILE_B = """\
+preamble line without timestamp
+2016-05-08 08:00:00,000 INFO other file start
+"""
+
+
+def _zst(data: bytes) -> bytes:
+    from clp_spark.sources.zstd_io import zstd_compress
+
+    return zstd_compress(data)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Same content three ways: plain text, .zst, tar.zst."""
+    import io
+    import tarfile
+
+    d = tmp_path_factory.mktemp("zstd_inputs")
+    (d / "plain").mkdir()
+    (d / "plain" / "a.log").write_text(FILE_A)
+    (d / "plain" / "b.log").write_text(FILE_B)
+    (d / "zstdir").mkdir()
+    (d / "zstdir" / "a.log.zst").write_bytes(_zst(FILE_A.encode()))
+    (d / "zstdir" / "b.log.zst").write_bytes(_zst(FILE_B.encode()))
+    (d / "tardir").mkdir()
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, text in {"sub/a.log": FILE_A, "b.log": FILE_B}.items():
+            data = text.encode()
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    (d / "tardir" / "logs.tar.zst").write_bytes(_zst(buf.getvalue()))
+    return str(d)
+
+
+def test_classify_zstd_reduces_inner_type(corpus, tmp_path):
+    """The sniff re-deduces the INNER kind through the zstd wrapper —
+    InputConfig.cpp:540-575's nest-and-loop, extensions still lie."""
+    from clp_spark.sources.ir_stream import MAGIC_8BYTE
+    from clp_spark.sources.kv_ir import KV_VERSION
+    from clp_spark.sources.logfiles import classify_log_input
+
+    assert classify_log_input(f"{corpus}/zstdir/a.log.zst") == "zst"
+    assert classify_log_input(f"{corpus}/tardir/logs.tar.zst") == "tar"
+    # zstd-wrapped kv-free IR classifies 'ir'
+    p_ir = tmp_path / "x.weird"
+    p_ir.write_bytes(_zst(MAGIC_8BYTE + b"\x00" * 16))
+    assert classify_log_input(str(p_ir)) == "ir"
+    # zstd-wrapped structured kv-IR classifies 'kvir' (preamble VERSION)
+    meta = json.dumps({"VERSION": KV_VERSION}).encode()
+    p_kv = tmp_path / "y.weird"
+    p_kv.write_bytes(
+        _zst(MAGIC_8BYTE + b"\x01\x11" + bytes([len(meta)]) + meta)
+    )
+    assert classify_log_input(str(p_kv)) == "kvir"
+    # misnamed: zstd bytes behind a .log name still classify by content
+    lying = tmp_path / "lying.log"
+    lying.write_bytes(_zst(FILE_A.encode()))
+    assert classify_log_input(str(lying)) == "zst"
+
+
+def test_is_kv_ir_file_through_zstd(tmp_path):
+    from clp_spark.sources.ir_stream import MAGIC_8BYTE
+    from clp_spark.sources.kv_ir import KV_VERSION, is_kv_ir_file
+
+    meta = json.dumps({"VERSION": KV_VERSION}).encode()
+    raw = MAGIC_8BYTE + b"\x01\x11" + bytes([len(meta)]) + meta
+    p = tmp_path / "s.clp.zst"
+    p.write_bytes(_zst(raw))
+    assert is_kv_ir_file(str(p))
+    p2 = tmp_path / "notkv.clp.zst"
+    p2.write_bytes(_zst(MAGIC_8BYTE + b"\x00" * 8))
+    assert not is_kv_ir_file(str(p2))
+
+
+def test_zst_text_lines_match_plain(spark, corpus):
+    """.zst text ingestion = plain ingestion with the stem file_id (same
+    rule as .gz: syslog.zst → syslog)."""
+    from clp_spark.sources.logfiles import read_log_lines, read_log_lines_any
+
+    plain = read_log_lines(spark, f"{corpus}/plain/*.log").collect()
+    zst = read_log_lines_any(spark, f"{corpus}/zstdir/*.zst").collect()
+
+    def key(rows):
+        return sorted(
+            (r["file_id"].rsplit("/", 1)[-1], r["line_no"], r["line"])
+            for r in rows
+        )
+
+    assert key(zst) == key(plain)
+    assert all(r["file_id"].endswith(".log") for r in zst)  # stem rule
+
+
+def test_tar_zst_members_match_plain(spark, corpus):
+    """.tar.zst members read as parent_dir/member_path with byte-identical
+    lines (libarchive's zstd filter in the reference)."""
+    from clp_spark.sources.logfiles import read_log_lines, read_log_lines_any
+
+    plain = read_log_lines(spark, f"{corpus}/plain/*.log").collect()
+    tar = read_log_lines_any(spark, f"{corpus}/tardir/logs.tar.zst").collect()
+    k = lambda rows: sorted(  # noqa: E731
+        (r["file_id"].rsplit("/", 1)[-1], r["line_no"], r["line"]) for r in rows
+    )
+    assert k(tar) == k(plain)
+    assert any(r["file_id"].endswith("/tardir/sub/a.log") for r in tar)
+
+
+def test_mixed_zst_and_plain_one_call(spark, corpus):
+    from clp_spark.sources.logfiles import read_log_lines_any
+
+    rows = read_log_lines_any(
+        spark, [f"{corpus}/plain/a.log", f"{corpus}/zstdir/b.log.zst"]
+    ).collect()
+    bases = {r["file_id"].rsplit("/", 1)[-1] for r in rows}
+    assert bases == {"a.log", "b.log"}
+
+
+@pytest.fixture(scope="module")
+def archive(spark, corpus, tmp_path_factory):
+    from clp_spark.sources.logfiles import compress_text_logs
+
+    arch = str(tmp_path_factory.mktemp("zstd_arch") / "archive")
+    compress_text_logs(spark, f"{corpus}/plain/*.log", arch)
+    return arch
+
+
+def test_chunk_compression_zstd(spark, archive, tmp_path):
+    """`i --chunk-compression zstd` writes the reference's .clp.zst chunks
+    (clo.cpp:186-189): identical IR bytes inside the wrapper, and the
+    wrapped chunks re-ingest identically to the raw ones."""
+    from clp_spark.sources.logfiles import (
+        extract_ir_from_archive,
+        read_ir_encoded_messages,
+    )
+    from clp_spark.sources.zstd_io import ZSTD_MAGIC, zstd_decompress
+
+    raw_dir = str(tmp_path / "raw")
+    zst_dir = str(tmp_path / "zst")
+    s1 = extract_ir_from_archive(spark, archive, raw_dir)
+    s2 = extract_ir_from_archive(
+        spark, archive, zst_dir, chunk_compression="zstd"
+    )
+    assert s1["chunks"] == s2["chunks"] and s1["events"] == s2["events"]
+    raw_names = sorted(
+        n for n in os.listdir(raw_dir) if n.endswith(".clp")
+    )
+    zst_names = sorted(
+        n for n in os.listdir(zst_dir) if n.endswith(".clp.zst")
+    )
+    assert zst_names == [n + ".zst" for n in raw_names]
+    for rn, zn in zip(raw_names, zst_names):
+        blob = open(os.path.join(zst_dir, zn), "rb").read()
+        assert blob[:4] == ZSTD_MAGIC
+        assert zstd_decompress(blob) == open(
+            os.path.join(raw_dir, rn), "rb"
+        ).read()
+    # manifest records the actual names
+    with open(os.path.join(zst_dir, "ir_manifest.jsonl")) as f:
+        paths = [json.loads(line)["path"] for line in f]
+    assert sorted(paths) == zst_names
+    # the wrapped chunks ingest decode-free, identical rows AND file_ids
+    # (x_0_5.clp → x_0_5, x_0_5.clp.zst → x_0_5: .zst strips too)
+    a = read_ir_encoded_messages(
+        spark, [os.path.join(raw_dir, n) for n in raw_names]
+    ).collect()
+    b = read_ir_encoded_messages(
+        spark, [os.path.join(zst_dir, n) for n in zst_names]
+    ).collect()
+
+    def key(rows):
+        return sorted(
+            (r["file_id"].rsplit("/", 1)[-1], r["msg_ix"], r["logtype"],
+             tuple(r["encoded_vars"]), tuple(r["dict_vars"]))
+            for r in rows
+        )
+
+    assert key(b) == key(a) and len(a) > 0
+
+
+def test_raw_bytes_counts_decompressed(spark, corpus, tmp_path):
+    """The archive's uncompressed-size stat counts the bytes the compressor
+    logically consumed — for container inputs the DECOMPRESSED size (the
+    reference's readers count bytes drained from the decompressor chain,
+    not the container on disk), so a zstd-wrapped corpus reports the same
+    raw_bytes as its plain twin."""
+    from clp_spark.sources.logfiles import compress_text_logs
+
+    a = compress_text_logs(
+        spark, f"{corpus}/plain/*.log", str(tmp_path / "arch_plain")
+    )
+    b = compress_text_logs(
+        spark, f"{corpus}/zstdir/*.zst", str(tmp_path / "arch_zst")
+    )
+    assert a["raw_bytes"] == b["raw_bytes"] == len(FILE_A) + len(FILE_B)
+
+
+def test_kv_ir_zst_stream_matches_raw(spark, tmp_path):
+    """Zstd-wrapped kv-IR streams deserialize to the same JSON records as
+    the raw streams (InputConfig Zstd→KeyValueIr nesting)."""
+    from clp_spark.sources.kv_ir import read_kv_ir_stream_records
+    from clp_spark.sources.kv_ir import events_to_kv_ir_df
+
+    recs = [
+        {"ts": 1, "msg": "hello", "ctx": {"lat": 1.5}},
+        {"ts": 2, "arr": [1, 2, 3], "flag": True},
+    ]
+    jsonl = tmp_path / "r.jsonl"
+    jsonl.write_text("".join(json.dumps(r) + "\n" for r in recs))
+    df = (
+        spark.read.json(str(jsonl))
+        .withColumn("_stream", F.lit("s"))
+        .withColumn("_rec_ix", F.monotonically_increasing_id())
+    )
+    chunks = events_to_kv_ir_df(
+        df, stream_col="_stream", order_col="_rec_ix"
+    ).collect()
+    rawdir = tmp_path / "raw"
+    zstdir = tmp_path / "zst"
+    rawdir.mkdir(), zstdir.mkdir()
+    for r in chunks:
+        blob = bytes(r["ir"])
+        (rawdir / f"c{r['chunk_ix']}.clp").write_bytes(blob)
+        (zstdir / f"c{r['chunk_ix']}.clp.zst").write_bytes(_zst(blob))
+    raw_paths = sorted(str(p) for p in rawdir.iterdir())
+    zst_paths = sorted(str(p) for p in zstdir.iterdir())
+    a = read_kv_ir_stream_records(spark, raw_paths).collect()
+    b = read_kv_ir_stream_records(spark, zst_paths).collect()
+    norm = lambda rows: sorted(  # noqa: E731
+        (r["_rec_ix"] & ((1 << 40) - 1), json.loads(r["raw"])) for r in rows
+    )
+    assert norm(b) == norm(a) and len(a) == len(recs)
+
+
+def test_cli_json_zst_jsonl(spark, tmp_path, capsys):
+    """`c --json` over a zstd-wrapped JSONL file builds an archive that
+    reconstructs identically to the plain-JSONL archive (the reference's
+    Zstd→Json deduction, JsonParser.cpp:726)."""
+    from clp_spark import cli
+    from clp_spark.operators.json_archive import reconstruct_jsonl
+
+    recs = [{"a": 1, "b": "x"}, {"a": 2, "c": {"d": False}}, {"a": 3}]
+    text = "".join(json.dumps(r) + "\n" for r in recs)
+    plain = tmp_path / "logs.jsonl"
+    plain.write_text(text)
+    wrapped = tmp_path / "logs.jsonl.zst"
+    wrapped.write_bytes(_zst(text.encode()))
+    arch_a = str(tmp_path / "arch_plain")
+    arch_b = str(tmp_path / "arch_zst")
+    cli.main(["c", arch_a, str(plain), "--json"])
+    cli.main(["c", arch_b, str(wrapped), "--json"])
+    capsys.readouterr()
+    vals = lambda arch: sorted(  # noqa: E731
+        json.loads(r["json"])["a"]
+        for r in reconstruct_jsonl(spark, arch).collect()
+    )
+    a, b = vals(arch_a), vals(arch_b)
+    assert b == a == [1, 2, 3]
+    ra = [
+        json.loads(r["json"])
+        for r in reconstruct_jsonl(spark, arch_a).collect()
+    ]
+    rb = [
+        json.loads(r["json"])
+        for r in reconstruct_jsonl(spark, arch_b).collect()
+    ]
+    assert sorted(ra, key=lambda r: r["a"]) == sorted(rb, key=lambda r: r["a"])
