@@ -166,10 +166,15 @@ def cmd_compress(args) -> None:
             expanded = list_local_log_files(inputs)
             kv_inputs = [p for p in expanded if is_kv_ir_file(p)]
             rest = [p for p in expanded if p not in set(kv_inputs)]
-            # zstd-wrapped JSONL (clp-s InputConfig Zstd→Json nesting):
-            # spark.read.text has no zstd codec, so these route through
-            # the binaryFile + pyarrow decompression reader
-            zst_inputs = [p for p in rest if classify_log_input(p) == "zst"]
+            # container-wrapped JSONL (clp-s InputConfig Zstd→Json
+            # nesting; xz/bz2 accepted as a superset matching the text
+            # path's libarchive coverage): spark.read.text has no codec
+            # for these, so they route through the binaryFile +
+            # magic-dispatched decompression reader
+            zst_inputs = [
+                p for p in rest
+                if classify_log_input(p) in ("zst", "xz", "bz2")
+            ]
             inputs = [p for p in rest if p not in set(zst_inputs)]
         # canonical stored names for the range index (clp-s records one
         # range entry per ingested file; --normalize-paths /

@@ -791,11 +791,11 @@ def ir_to_events_df(df, ir_col: str = "ir", stream_col: str = "stream"):
     """
     import pyarrow as pa
 
-    from clp_spark.sources.zstd_io import maybe_unzstd
+    from clp_spark.sources.zstd_io import maybe_decompress
 
     def _fn(batches):
         for batch in batches:
-            blobs = [maybe_unzstd(b) for b in batch.column(ir_col).to_pylist()]
+            blobs = [maybe_decompress(b) for b in batch.column(ir_col).to_pylist()]
             svals = batch.column(stream_col).to_pylist()
             out = deserialize_ir_many(blobs)
             n = out["n"]

@@ -1306,11 +1306,11 @@ def kv_ir_to_rows_df(df, ir_col: str = "ir", stream_col: str = "stream"):
     reference's decompressor nesting, clp_s/InputConfig.cpp:552-563)."""
     import pyarrow as pa
 
-    from clp_spark.sources.zstd_io import maybe_unzstd
+    from clp_spark.sources.zstd_io import maybe_decompress
 
     def _fn(batches):
         for batch in batches:
-            blobs = [maybe_unzstd(b) for b in batch.column(ir_col).to_pylist()]
+            blobs = [maybe_decompress(b) for b in batch.column(ir_col).to_pylist()]
             svals = batch.column(stream_col)
             cvals = (
                 batch.column("chunk_ix")
@@ -1600,7 +1600,7 @@ def kv_ir_to_json_df(df, ir_col: str = "ir", stream_col: str = "stream"):
     reference's decompressor nesting, clp_s/InputConfig.cpp:552-563)."""
     import pyarrow as pa
 
-    from clp_spark.sources.zstd_io import maybe_unzstd
+    from clp_spark.sources.zstd_io import maybe_decompress
 
     cols = [stream_col, ir_col] + (
         ["chunk_ix"] if "chunk_ix" in df.columns else []
@@ -1608,7 +1608,7 @@ def kv_ir_to_json_df(df, ir_col: str = "ir", stream_col: str = "stream"):
 
     def _fn(batches):
         for batch in batches:
-            blobs = [maybe_unzstd(b) for b in batch.column(ir_col).to_pylist()]
+            blobs = [maybe_decompress(b) for b in batch.column(ir_col).to_pylist()]
             svals = batch.column(stream_col)
             cvals = (
                 batch.column("chunk_ix")
@@ -1656,19 +1656,21 @@ def is_kv_ir_bytes(head: bytes) -> bool:
 
 
 def is_kv_ir_file(path: str) -> bool:
-    """``is_kv_ir_bytes`` over a LOCAL file, unwrapping a zstd container
-    first when the 4-byte magic says so — the reference nests a zstd
+    """``is_kv_ir_bytes`` over a LOCAL file, unwrapping a compression
+    container first when the magic says so — the reference nests a zstd
     decompressor and re-deduces the inner type
     (clp_s/InputConfig.cpp:552-563), so ``.clp.zst`` kv-IR streams sniff
-    identically to raw ones."""
-    from clp_spark.sources.zstd_io import is_zstd_bytes, zstd_peek
+    identically to raw ones (xz/bz2 accepted as a superset, matching the
+    text path's libarchive filter coverage)."""
+    from clp_spark.sources.zstd_io import container_kind, container_peek
 
     try:
         with open(path, "rb") as f:
             head = f.read(65544)
-        if is_zstd_bytes(head[:4]):
-            head = zstd_peek(path, 65544)
-    except (OSError, ValueError):
+        ckind = container_kind(head[:6])
+        if ckind is not None:
+            head = container_peek(path, ckind, 65544)
+    except (OSError, ValueError, EOFError):
         return False
     return is_kv_ir_bytes(head)
 

@@ -46,48 +46,50 @@ def read_log_lines(spark: SparkSession, paths: str | list[str]) -> DataFrame:
 
 def classify_log_input(path: str) -> str:
     """Content-sniff one LOCAL input file → 'text' | 'gz' | 'tar' | 'ir' |
-    'kvir' | 'zst'.
+    'kvir' | 'zst' | 'xz' | 'bz2'.
 
     Reference parity: the reference decides by CONTENT, not extension —
     FileCompressor.cpp:158-170 tries UTF-8 first, then hands non-UTF-8
-    inputs to libarchive (FileCompressor.hpp:11-12 LibarchiveReader) or,
-    on the IR magic, to the IR-stream deserializer
-    (FileCompressor.cpp:406-430 compress_ir_stream); clp-s additionally
-    peeks the zstd magic, nests a streaming decompressor, and re-deduces
-    the INNER type (clp_s/InputConfig.cpp:163-279,540-575), so zstd is a
-    transparent wrapper around any other kind.
+    inputs to libarchive (FileCompressor.hpp:11-12 LibarchiveReader, whose
+    filter auto-detection covers gzip/bzip2/xz/zstd) or, on the IR magic,
+    to the IR-stream deserializer (FileCompressor.cpp:406-430
+    compress_ir_stream); clp-s additionally peeks the zstd magic, nests a
+    streaming decompressor, and re-deduces the INNER type
+    (clp_s/InputConfig.cpp:163-279,540-575), so a compression container is
+    a transparent wrapper around any other kind.
     Here: gzip magic (1f 8b) → peek the decompressed head for the tar
     magic ('ustar' at offset 257) to split single-member .gz from .tar.gz;
     raw tar magic → tar; IR stream magic (either width) → 'kvir' when the
     preamble VERSION is the structured kv protocol's (a clp-s `c --json`
-    input), else 'ir'; zstd magic → re-deduce on the decompressed head
-    (IR/kv-IR and .tar.zst keep their inner kind — the blob readers
-    unwrap transparently; other payloads classify 'zst', zstd-wrapped
-    text); anything else → text. (gz-wrapped IR is not sniffed — gunzip
-    it first.)"""
+    input), else 'ir'; zstd/xz/bz2 magic → re-deduce on the decompressed
+    head (IR/kv-IR and tar.{zst,xz,bz2} keep their inner kind — the blob
+    readers unwrap transparently; other payloads classify by container
+    kind, container-wrapped text); anything else → text. (gz-wrapped IR
+    is not sniffed — gunzip it first.)"""
     import gzip
 
     from clp_spark.sources.ir_four import MAGIC_4BYTE
     from clp_spark.sources.ir_stream import MAGIC_8BYTE
-    from clp_spark.sources.zstd_io import is_zstd_bytes, zstd_peek
+    from clp_spark.sources.zstd_io import container_kind, container_peek
 
     try:
         with open(path, "rb") as f:
             head = f.read(512)
     except OSError:
         return "text"
-    if is_zstd_bytes(head[:4]):
+    ckind = container_kind(head[:6])
+    if ckind is not None:
         try:
-            inner = zstd_peek(path, 65544)
-        except (OSError, ValueError):
-            return "zst"
+            inner = container_peek(path, ckind, 65544)
+        except (OSError, ValueError, EOFError):
+            return ckind
         if inner[:4] in (MAGIC_8BYTE, MAGIC_4BYTE):
             from clp_spark.sources.kv_ir import is_kv_ir_bytes
 
             return "kvir" if is_kv_ir_bytes(inner) else "ir"
         if inner[257:262] == b"ustar":
             return "tar"
-        return "zst"
+        return ckind
     if head[:4] in (MAGIC_8BYTE, MAGIC_4BYTE):
         from clp_spark.sources.kv_ir import is_kv_ir_file
 
@@ -117,13 +119,14 @@ def _tar_member_lines(tar_uri: str, blob: bytes):
     import re
     import tarfile
 
-    from clp_spark.sources.zstd_io import maybe_unzstd
+    from clp_spark.sources.zstd_io import maybe_decompress
 
     splitter = re.compile(rb"\r\n|\r|\n")
     parent = tar_uri.rsplit("/", 1)[0]
-    # .tar.zst: tarfile has no zstd filter — unwrap the container first
-    # (the reference reads it via libarchive's zstd filter)
-    blob = maybe_unzstd(blob)
+    # tar.{zst,xz,bz2}: unwrap the container first (the reference reads
+    # these via libarchive's filter auto-detection; tarfile handles only
+    # gz natively here)
+    blob = maybe_decompress(blob)
     with tarfile.open(fileobj=io.BytesIO(blob), mode="r:*") as tf:
         for member in tf:
             if not member.isreg():
@@ -182,21 +185,24 @@ def read_tar_log_lines(spark: SparkSession, tar_paths: list[str]) -> DataFrame:
     )
 
 
-def read_zstd_log_lines(spark: SparkSession, zst_paths: list[str]) -> DataFrame:
-    """(file_id, container, line_no, line) over zstd-wrapped TEXT files —
-    the clp-s LogText-inside-Zstd input kind (InputConfig.cpp:540-575
-    nests a zstd decompressor and hands the inner stream to the log-text
-    handler).
+def read_container_log_lines(
+    spark: SparkSession, zst_paths: list[str]
+) -> DataFrame:
+    """(file_id, container, line_no, line) over compression-container-
+    wrapped TEXT files — the clp-s LogText-inside-Zstd input kind
+    (InputConfig.cpp:540-575 nests a zstd decompressor and hands the
+    inner stream to the log-text handler), extended to the xz/bz2
+    containers the unstructured clp's libarchive input path auto-detects.
 
-    Spark shape: binaryFile scan (one task per .zst file — the same
+    Spark shape: binaryFile scan (one task per container file — the same
     sequential unit as the reference's one streaming decompressor per
     input; parallelism comes from the NUMBER of files) → mapInPandas
-    decompresses and line-splits. Line-split semantics mirror Hadoop's
-    LineRecordReader (LF, CR, or CRLF terminate; a trailing terminator
-    emits no empty final line) so .zst ingestion is byte-identical to
-    plain-text ingestion of the decompressed file. file_id drops the
-    final extension, the same stem rule as .gz inputs
-    (FileCompressor.cpp:313-319: syslog.zst → syslog)."""
+    decompresses (magic-dispatched per blob) and line-splits. Line-split
+    semantics mirror Hadoop's LineRecordReader (LF, CR, or CRLF
+    terminate; a trailing terminator emits no empty final line) so
+    container ingestion is byte-identical to plain-text ingestion of the
+    decompressed file. file_id drops the final extension, the same stem
+    rule as .gz inputs (FileCompressor.cpp:313-319: syslog.zst → syslog)."""
     import re
 
     import pandas as pd
@@ -210,11 +216,11 @@ def read_zstd_log_lines(spark: SparkSession, zst_paths: list[str]) -> DataFrame:
     )
 
     def expand(batches):
-        from clp_spark.sources.zstd_io import zstd_decompress
+        from clp_spark.sources.zstd_io import maybe_decompress
 
         for pdf in batches:
             for uri, blob in zip(pdf["path"], pdf["content"]):
-                data = zstd_decompress(bytes(blob))
+                data = maybe_decompress(bytes(blob))
                 parts = splitter.split(data)
                 if parts and parts[-1] == b"":
                     parts.pop()
@@ -232,16 +238,20 @@ def read_zstd_log_lines(spark: SparkSession, zst_paths: list[str]) -> DataFrame:
     )
 
 
+# back-compat name (the surface began as zstd-only, clp-s parity)
+read_zstd_log_lines = read_container_log_lines
+
+
 def logical_input_size(path: str) -> int:
     """Bytes the compressor logically consumes from one LOCAL input — for
-    container inputs (gzip, zstd) the DECOMPRESSED size, matching the
-    reference's uncompressed_size semantics: its readers count bytes
+    container inputs (gzip, zstd, xz, bz2) the DECOMPRESSED size, matching
+    the reference's uncompressed_size semantics: its readers count bytes
     drained from the decompressor chain, not the container on disk
     (ArchiveMetadata uncompressed_size feeds the compression-ratio stat).
     Streaming count in 1 MiB chunks — bounded memory on any input size."""
     try:
         with open(path, "rb") as f:
-            head = f.read(4)
+            head = f.read(6)
     except OSError:
         return 0
     stream = None
@@ -250,12 +260,14 @@ def logical_input_size(path: str) -> int:
 
         stream = gzip.open(path, "rb")
     else:
-        from clp_spark.sources.zstd_io import is_zstd_bytes
+        from clp_spark.sources.zstd_io import (
+            container_kind,
+            open_container_stream,
+        )
 
-        if is_zstd_bytes(head):
-            import pyarrow as pa
-
-            stream = pa.CompressedInputStream(pa.OSFile(path, "rb"), "zstd")
+        ckind = container_kind(head)
+        if ckind is not None:
+            stream = open_container_stream(path, ckind)
     if stream is None:
         return os.path.getsize(path)
     n = 0
@@ -266,7 +278,7 @@ def logical_input_size(path: str) -> int:
                 if not chunk:
                     break
                 n += len(chunk)
-    except (OSError, ValueError):
+    except (OSError, ValueError, EOFError):
         return os.path.getsize(path)
     return n
 
@@ -299,10 +311,11 @@ def expand_tar_inputs(inputs: list[str], tmp_root: str | None = None) -> list[st
         )
         import io
 
-        from clp_spark.sources.zstd_io import maybe_unzstd
+        from clp_spark.sources.zstd_io import maybe_decompress
 
         with open(local, "rb") as f:
-            tar_bytes = maybe_unzstd(f.read())  # .tar.zst support
+            # tar.{zst,xz,bz2} support — unwrap the container first
+            tar_bytes = maybe_decompress(f.read())
         with tarfile.open(fileobj=io.BytesIO(tar_bytes), mode="r:*") as tf:
             members = [m for m in tf.getmembers() if m.isreg()]
             tf.extractall(base, members=members, filter="data")
@@ -346,10 +359,11 @@ def read_log_lines_any(
       per file — parallelism across files, same as the reference's one
       libarchive stream per input); file_id drops the final extension
       (FileCompressor.cpp:313-319 stem rule: syslog.gz → syslog)
-    - tar / tar.gz / tar.zst: binaryFile + tarfile member expansion,
+    - tar / tar.{gz,zst,xz,bz2}: binaryFile + tarfile member expansion,
       member paths = parent_dir/member (FileCompressor.cpp:392-394)
-    - zstd-wrapped text: binaryFile + pyarrow zstd decompression
-      (clp-s InputConfig.cpp:540-575 Zstd→LogText nesting), same stem rule
+    - zstd/xz/bz2-wrapped text: binaryFile + magic-dispatched
+      decompression (clp-s InputConfig.cpp:540-575 Zstd→LogText nesting;
+      xz/bz2 are libarchive filters on the clp text path), same stem rule
       as .gz
 
     Remote URIs (s3a://, hdfs://) skip the content sniff and read as text
@@ -361,7 +375,8 @@ def read_log_lines_any(
         return out.withColumn("container", F.col("file_id")) if with_container else out
     files = list_local_log_files(plist)
     kinds: dict[str, list[str]] = {
-        "text": [], "gz": [], "tar": [], "ir": [], "kvir": [], "zst": [],
+        "text": [], "gz": [], "tar": [], "ir": [], "kvir": [],
+        "zst": [], "xz": [], "bz2": [],
     }
     for p in files:
         kinds[classify_log_input(p)].append(p)
@@ -400,9 +415,10 @@ def read_log_lines_any(
                 "file_id", "container", "line_no", "line"
             )
         )
-    if kinds["zst"]:
+    containers = kinds["zst"] + kinds["xz"] + kinds["bz2"]
+    if containers:
         parts.append(
-            read_zstd_log_lines(spark, kinds["zst"]).select(
+            read_container_log_lines(spark, containers).select(
                 "file_id", "container", "line_no", "line"
             )
         )

@@ -22,11 +22,80 @@ the streaming peek here, reading a bounded head.
 from __future__ import annotations
 
 ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+# The unstructured clp's text path reads inputs through libarchive
+# (FileCompressor.hpp:11-12 LibarchiveReader), whose filter
+# auto-detection also covers xz/lzma and bzip2 — both in the Python
+# stdlib, so those containers get the same transparent treatment here.
+XZ_MAGIC = b"\xfd7zXZ\x00"
+BZ2_MAGIC = b"BZh"
 
 
 def is_zstd_bytes(head: bytes) -> bool:
     """InputConfig.cpp:274-279 could_be_zstd: 4-byte magic check."""
     return head[:4] == ZSTD_MAGIC
+
+
+def container_kind(head: bytes) -> str | None:
+    """Magic-sniff a stream head → 'zst' | 'xz' | 'bz2' | None (not a
+    recognized compression container). bzip2's 3-byte magic is followed
+    by the block-size digit '1'-'9' (BZh1..BZh9) — checked to keep the
+    short prefix from matching text that merely starts with 'BZh'."""
+    if head[:4] == ZSTD_MAGIC:
+        return "zst"
+    if head[:6] == XZ_MAGIC:
+        return "xz"
+    if head[:3] == BZ2_MAGIC and len(head) > 3 and 0x31 <= head[3] <= 0x39:
+        return "bz2"
+    return None
+
+
+def decompress_container(data: bytes, kind: str) -> bytes:
+    """Decompress one complete container blob of a known kind."""
+    if kind == "zst":
+        return zstd_decompress(data)
+    if kind == "xz":
+        import lzma
+
+        return lzma.decompress(data)
+    if kind == "bz2":
+        import bz2
+
+        return bz2.decompress(data)
+    raise ValueError(f"unknown container kind: {kind}")
+
+
+def maybe_decompress(data: bytes) -> bytes:
+    """Magic-checked decompress across all recognized containers
+    (zstd/xz/bz2); anything else passes through untouched. Lets mixed
+    raw/compressed input sets share one reader."""
+    kind = container_kind(data[:6])
+    return decompress_container(data, kind) if kind else data
+
+
+def open_container_stream(path: str, kind: str):
+    """Streaming read handle over one LOCAL container file's decompressed
+    bytes (never materializes the whole payload)."""
+    if kind == "zst":
+        import pyarrow as pa
+
+        return pa.CompressedInputStream(pa.OSFile(path, "rb"), "zstd")
+    if kind == "xz":
+        import lzma
+
+        return lzma.open(path, "rb")
+    if kind == "bz2":
+        import bz2
+
+        return bz2.open(path, "rb")
+    raise ValueError(f"unknown container kind: {kind}")
+
+
+def container_peek(path: str, kind: str, n: int = 65536) -> bytes:
+    """First ``n`` DECOMPRESSED bytes of a LOCAL container file
+    (streaming). The driver-side content sniff uses this to re-deduce the
+    inner type — the reference's peek-then-nest-decompressor shape."""
+    with open_container_stream(path, kind) as st:
+        return st.read(n)
 
 
 def zstd_decompress(data: bytes) -> bytes:
@@ -46,14 +115,9 @@ def maybe_unzstd(data: bytes) -> bytes:
 
 
 def zstd_peek(path: str, n: int = 65536) -> bytes:
-    """First ``n`` DECOMPRESSED bytes of a local zstd file (streaming —
-    does not decompress the whole file). The driver-side content sniff
-    uses this to re-deduce the inner type, the reference's
-    peek-then-nest-decompressor shape."""
-    import pyarrow as pa
-
-    with pa.CompressedInputStream(pa.OSFile(path, "rb"), "zstd") as st:
-        return st.read(n)
+    """``container_peek`` specialized to zstd (the clp-s-parity paths
+    that nest ONLY a zstd decompressor, InputConfig.cpp:552-563)."""
+    return container_peek(path, "zst", n)
 
 
 def zstd_compress(data: bytes, level: int | None = None) -> bytes:

@@ -288,3 +288,96 @@ def test_cli_json_zst_jsonl(spark, tmp_path, capsys):
         for r in reconstruct_jsonl(spark, arch_b).collect()
     ]
     assert sorted(ra, key=lambda r: r["a"]) == sorted(rb, key=lambda r: r["a"])
+
+# ---------------------------------------------------------------------------
+# xz / bz2 containers — the unstructured clp ingests through libarchive
+# (FileCompressor.hpp:11-12), whose filter auto-detection also covers
+# xz/lzma and bzip2; same transparent-wrapper contract as zstd.
+
+def _wrap(data: bytes, kind: str) -> bytes:
+    if kind == "zst":
+        return _zst(data)
+    if kind == "xz":
+        import lzma
+
+        return lzma.compress(data)
+    import bz2
+
+    return bz2.compress(data)
+
+
+@pytest.mark.parametrize("kind,ext", [("xz", "xz"), ("bz2", "bz2")])
+def test_classify_xz_bz2_reduces_inner_type(tmp_path, kind, ext):
+    import io
+    import tarfile
+
+    from clp_spark.sources.ir_stream import MAGIC_8BYTE
+    from clp_spark.sources.logfiles import classify_log_input
+
+    p = tmp_path / f"a.log.{ext}"
+    p.write_bytes(_wrap(FILE_A.encode(), kind))
+    assert classify_log_input(str(p)) == kind
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        info = tarfile.TarInfo("a.log")
+        info.size = len(FILE_A)
+        tf.addfile(info, io.BytesIO(FILE_A.encode()))
+    pt = tmp_path / f"logs.tar.{ext}"
+    pt.write_bytes(_wrap(buf.getvalue(), kind))
+    assert classify_log_input(str(pt)) == "tar"
+    pir = tmp_path / f"x.clp.{ext}"
+    pir.write_bytes(_wrap(MAGIC_8BYTE + b"\x00" * 16, kind))
+    assert classify_log_input(str(pir)) == "ir"
+    # plain text starting with 'BZh' must NOT classify as a bz2 container
+    # (the 3-byte magic needs its block-size digit)
+    lying = tmp_path / "bzh.log"
+    lying.write_text("BZh said hello\nsecond line\n")
+    assert classify_log_input(str(lying)) == "text"
+
+
+@pytest.mark.parametrize("kind,ext", [("xz", "xz"), ("bz2", "bz2")])
+def test_xz_bz2_text_and_tar_match_plain(spark, corpus, tmp_path, kind, ext):
+    """Container-wrapped text and tar.{xz,bz2} ingest byte-identically to
+    the plain corpus, stem/member path rules included."""
+    import io
+    import tarfile
+
+    from clp_spark.sources.logfiles import read_log_lines, read_log_lines_any
+
+    d = tmp_path / "wrapped"
+    d.mkdir()
+    (d / f"a.log.{ext}").write_bytes(_wrap(FILE_A.encode(), kind))
+    (d / f"b.log.{ext}").write_bytes(_wrap(FILE_B.encode(), kind))
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, text in {"sub/a.log": FILE_A, "b.log": FILE_B}.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(text.encode())
+            tf.addfile(info, io.BytesIO(text.encode()))
+    (d / f"logs.tar.{ext}").write_bytes(_wrap(buf.getvalue(), kind))
+
+    def key(rows):
+        return sorted(
+            (r["file_id"].rsplit("/", 1)[-1], r["line_no"], r["line"])
+            for r in rows
+        )
+
+    plain = key(read_log_lines(spark, f"{corpus}/plain/*.log").collect())
+    got = read_log_lines_any(spark, [str(d / f"a.log.{ext}"),
+                                     str(d / f"b.log.{ext}")]).collect()
+    assert key(got) == plain
+    assert all(r["file_id"].endswith(".log") for r in got)  # stem rule
+    tar_rows = read_log_lines_any(spark, str(d / f"logs.tar.{ext}")).collect()
+    assert key(tar_rows) == plain
+    assert any(r["file_id"].endswith("/wrapped/sub/a.log") for r in tar_rows)
+
+
+def test_raw_bytes_counts_decompressed_xz_bz2(spark, tmp_path):
+    from clp_spark.sources.logfiles import compress_text_logs
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "a.log.xz").write_bytes(_wrap(FILE_A.encode(), "xz"))
+    (d / "b.log.bz2").write_bytes(_wrap(FILE_B.encode(), "bz2"))
+    stats = compress_text_logs(spark, f"{d}/*", str(tmp_path / "arch"))
+    assert stats["raw_bytes"] == len(FILE_A) + len(FILE_B)
