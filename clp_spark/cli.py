@@ -235,9 +235,14 @@ def cmd_compress(args) -> None:
             from clp_spark.sources.kv_ir import read_kv_ir_stream_records
 
             # kv records order after any JSONL records: mono ids are
-            # partition_id<<33 + row, so 1<<52 clears them
+            # partition_id<<33 + row, so 1<<52 clears them — and after the
+            # container band, whose width is len(zst_inputs)<<40 (a fleet
+            # ingest of >2048 containers would otherwise overlap kv ids)
             kv_df = read_kv_ir_stream_records(
-                spark, kv_inputs, rec_ix_base=1 << 52,
+                spark, kv_inputs,
+                rec_ix_base=max(
+                    1 << 52, (1 << 51) + (len(zst_inputs) << 40)
+                ),
                 with_source="_src_file",
             )
             df = kv_df if df is None else df.unionByName(kv_df)
