@@ -1222,6 +1222,7 @@ def cmd_extract_ir(args) -> None:
         encoding="four" if args.four_byte else "eight",
         split_ix=getattr(args, "split_ix", None),
         chunk_compression=args.chunk_compression,
+        target_size=args.target_size,
     )
     if args.print_ir_stats:
         # clo i --print-ir-stats (clo.cpp:229-234): one ndjson {"path": …}
@@ -1588,6 +1589,12 @@ def main(argv: list[str] | None = None) -> None:
              "extracted (clo i --print-ir-stats)",
     )
     ei.add_argument("--events-per-chunk", type=int, default=1024)
+    ei.add_argument(
+        "--target-size", type=int, default=None, metavar="BYTES",
+        help="target size (B) for each IR chunk before a new chunk is "
+             "created (clo i --target-size; uncompressed serialized bytes "
+             "— replaces the --events-per-chunk criterion)",
+    )
     ei.add_argument(
         "--chunk-compression", choices=["none", "zstd"], default="none",
         help="chunk container: zstd writes the reference's .clp.zst "

@@ -332,3 +332,57 @@ def serialize_ir_core4(
     if eof:
         buf[-1] = EOF_BYTE
     return buf
+
+
+def event_ir_sizes4(
+    ts: np.ndarray,
+    lt_data: np.ndarray,
+    lt_offsets: np.ndarray,
+    codes_flat: np.ndarray,
+    var_offsets: np.ndarray,
+    nd_values: np.ndarray,
+    d_data: np.ndarray,
+    d_inner_offsets: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact per-event serialized sizes under the FOUR-byte encoding — the
+    same arithmetic serialize_ir_core4 performs (including demotions via
+    to_four_byte_columns), factored out so byte-targeted chunk cutting can
+    size a whole stream run in one vectorized pass.
+
+    Returns ``(ev_sizes, ev_first)``: ``ev_sizes[i]`` takes event i's
+    timestamp delta against the PREVIOUS event (first-of-run delta 0) —
+    correct for any event that is NOT a chunk's first, because chunks cut
+    from a contiguous run keep consecutive deltas; ``ev_first[i]`` is the
+    size when event i OPENS a chunk (REFERENCE_TIMESTAMP = its own ts, so
+    the delta is 0 → the 2-byte i8 form). Differential-tested against
+    serialize_ir_core4 output lengths (tests/test_extract_ir.py)."""
+    from clp_spark.sources.ir_stream import _len_header_sizes
+
+    n = len(ts)
+    if not n:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    _lt4, codes4, _nd4, _dd4, d_in4 = to_four_byte_columns(
+        lt_data, lt_offsets, codes_flat, var_offsets, nd_values,
+        d_data, d_inner_offsets,
+    )
+    is_dict = codes4 == DICT_PH
+    d_lens = np.diff(d_in4).astype(np.int64)
+    var_sizes = np.full(len(codes4), 5, dtype=np.int64)
+    var_sizes[is_dict] = _len_header_sizes(d_lens) + d_lens
+    lt_lens = np.diff(lt_offsets).astype(np.int64)
+    lt_sizes = _len_header_sizes(lt_lens) + lt_lens
+    deltas = np.diff(ts, prepend=np.int64(int(ts[0]))).astype(np.int64)
+    ts_sizes = np.select(
+        [
+            (deltas >= -(1 << 7)) & (deltas < (1 << 7)),
+            (deltas >= -(1 << 15)) & (deltas < (1 << 15)),
+            (deltas >= -(1 << 31)) & (deltas < (1 << 31)),
+        ],
+        [2, 3, 5],
+        default=9,
+    ).astype(np.int64)
+    vcs = np.concatenate([[0], np.cumsum(var_sizes)]).astype(np.int64)
+    ev_var_bytes = vcs[var_offsets[1:]] - vcs[var_offsets[:-1]]
+    base = ev_var_bytes + lt_sizes
+    return base + ts_sizes, base + 2

@@ -223,6 +223,65 @@ def serialize_ir_core(
     return buf
 
 
+def event_ir_sizes8(
+    lt_offsets: np.ndarray,
+    codes_flat: np.ndarray,
+    var_offsets: np.ndarray,
+    d_inner_offsets: np.ndarray,
+) -> np.ndarray:
+    """Exact per-event serialized size under the 8-byte encoding — the
+    same arithmetic serialize_ir_core performs before writing (timestamp
+    tag+8, logtype header+len, encoded var tag+8, dict var header+len),
+    kept separate so byte-targeted chunk cutting can size a whole stream
+    run in one vectorized pass. Chunk-boundary independent (absolute
+    timestamps). Differential-tested against serialize_ir_core output
+    lengths (tests/test_extract_ir.py)."""
+    is_dict = codes_flat == DICT_PH
+    d_lens = np.diff(d_inner_offsets).astype(np.int64)
+    var_sizes = np.full(len(codes_flat), 9, dtype=np.int64)
+    var_sizes[is_dict] = _len_header_sizes(d_lens) + d_lens
+    lt_lens = np.diff(lt_offsets).astype(np.int64)
+    lt_sizes = _len_header_sizes(lt_lens) + lt_lens
+    vcs = np.concatenate([[0], np.cumsum(var_sizes)]).astype(np.int64)
+    ev_var_bytes = vcs[var_offsets[1:]] - vcs[var_offsets[:-1]]
+    return ev_var_bytes + lt_sizes + 9
+
+
+def _byte_chunk_bounds(
+    ev_sizes: np.ndarray,
+    ev_first: np.ndarray,
+    pre_size_at,
+    target: int,
+) -> list[tuple[int, int]]:
+    """Greedy [a, b) chunk bounds over one stream run for a byte target: a
+    chunk CLOSES after the first event that brings its serialized size
+    (preamble + events so far, EOF excluded) to >= target — the
+    reference's check-before-appending-the-next-event
+    (clp/FileDecompressor.hpp decompress_to_ir:
+    ``if (serializer.get_serialized_size() >= target) close``).
+    ``ev_first[a]`` is event a's size when it OPENS a chunk (differs from
+    ``ev_sizes[a]`` only in the four-byte encoding, where a chunk's first
+    timestamp delta is 0); ``pre_size_at(i)`` is the preamble size when
+    the chunk opens at run-relative index i. O(chunks) python, one
+    searchsorted per chunk."""
+    n = len(ev_sizes)
+    cum = np.concatenate([[0], np.cumsum(ev_sizes)]).astype(np.int64)
+    bounds: list[tuple[int, int]] = []
+    a = 0
+    while a < n:
+        base = int(pre_size_at(a)) + int(ev_first[a])
+        if base >= target:
+            b = a + 1
+        else:
+            b = min(
+                int(np.searchsorted(cum, target - base + cum[a + 1], "left")),
+                n,
+            )
+        bounds.append((a, b))
+        a = b
+    return bounds
+
+
 def _skip_preamble(blob: np.ndarray) -> tuple[int, dict, bool]:
     """Returns (body offset, metadata, is_four_byte_encoding)."""
     from clp_spark.sources.ir_four import MAGIC_4BYTE
@@ -640,6 +699,7 @@ def events_to_ir_df(
     timestamp_pattern: str = "",
     order_col: str | None = None,
     encoding: str = "eight",
+    target_chunk_bytes: int | None = None,
 ):
     """Encoded events → chunked IR blobs, one row per chunk.
 
@@ -654,6 +714,16 @@ def events_to_ir_df(
     events in that order — without it the within-stream order is whatever
     the shuffle delivers. A log CONVERTER must pass it: the reference's
     LogConverter preserves source log order in the IR it emits.
+
+    ``target_chunk_bytes`` switches the chunk criterion from event COUNT to
+    serialized BYTES (`clo i --target-size`): a chunk closes after the
+    first event that brings its serialized size (preamble + events, EOF
+    excluded) to >= the target — the reference's check-before-appending
+    (clp/FileDecompressor.hpp decompress_to_ir). Sizes are exact
+    (event_ir_sizes8 / ir_four.event_ir_sizes4, demotions included), so
+    every chunk except a stream's last reaches the target and would drop
+    below it without its final event. Like the event-count mode, chunk
+    bounds also cut at Arrow-batch boundaries (a run never spans batches).
     """
     import pyarrow as pa
 
@@ -695,8 +765,57 @@ def events_to_ir_df(
             run_streams = streams.take(pa.array(run_starts, type=pa.int64())).to_pylist()
             out_stream, out_ix, out_n, out_ir = [], [], [], []
             for rs, re_, sval in zip(run_starts, run_ends, run_streams):
-                for a in range(rs, re_, events_per_chunk):
-                    b = min(a + events_per_chunk, re_)
+                if target_chunk_bytes is None:
+                    bounds = [
+                        (a, min(a + events_per_chunk, re_))
+                        for a in range(rs, re_, events_per_chunk)
+                    ]
+                else:
+                    run_args = (
+                        ts[rs:re_],
+                        lt_data[lt_offs[rs] : lt_offs[re_]],
+                        lt_offs[rs : re_ + 1] - lt_offs[rs],
+                        codes_all[ph_offs[rs] : ph_offs[re_]],
+                        ph_offs[rs : re_ + 1] - ph_offs[rs],
+                        nd_all[nd_offs[rs] : nd_offs[re_]],
+                        d_data_all[d_in_offs[dv_offs[rs]] : d_in_offs[dv_offs[re_]]],
+                        d_in_offs[dv_offs[rs] : dv_offs[re_] + 1]
+                        - d_in_offs[dv_offs[rs]],
+                    )
+                    if four:
+                        from clp_spark.sources.ir_four import (
+                            event_ir_sizes4,
+                            make_preamble4,
+                        )
+
+                        ev_sz, ev_first = event_ir_sizes4(*run_args)
+                        # the four-byte preamble embeds str(REFERENCE_
+                        # TIMESTAMP) = the chunk's first ts — size it per
+                        # chunk start (digit-count varies)
+                        ref0 = int(ts[rs])
+                        pre_base = len(
+                            make_preamble4(
+                                ref0, timestamp_pattern=timestamp_pattern
+                            )
+                        ) - len(str(ref0))
+
+                        def pre_at(i, _rs=rs, _pb=pre_base):
+                            return _pb + len(str(int(ts[_rs + i])))
+                    else:
+                        ev_sz = event_ir_sizes8(
+                            run_args[2], run_args[3], run_args[4], run_args[7]
+                        )
+                        ev_first = ev_sz
+
+                        def pre_at(i, _p=len(pre)):
+                            return _p
+                    bounds = [
+                        (rs + a, rs + b)
+                        for a, b in _byte_chunk_bounds(
+                            ev_sz, ev_first, pre_at, target_chunk_bytes
+                        )
+                    ]
+                for a, b in bounds:
                     chunk_args = (
                         ts[a:b],
                         lt_data[lt_offs[a] : lt_offs[b]],

@@ -1077,6 +1077,7 @@ def extract_ir_from_archive(
     encoding: str = "eight",
     split_ix: int | None = None,
     chunk_compression: str = "none",
+    target_size: int | None = None,
 ) -> dict:
     """`clo i` analog (clo.cpp:120-240 extract_ir): re-emit a compressed
     file's events from an EXISTING archive as kv-free IR chunk files — the
@@ -1096,7 +1097,11 @@ def extract_ir_from_archive(
     always writes (clo.cpp:186-189 cIrFileExtension ".clp.zst"); "none"
     (default) writes raw IR. Every ingestion/search surface in this repo
     sniffs the zstd magic and unwraps transparently, so either form
-    round-trips. A results-cache analog row per chunk (path, stream_id,
+    round-trips. ``target_size`` switches chunk cutting from event count
+    to UNCOMPRESSED serialized bytes — `clo i --target-size`
+    (CommandLineArguments.hpp:187, default 128 MiB there): a chunk closes
+    after the first event that brings it to >= the target
+    (FileDecompressor.hpp decompress_to_ir check-before-appending). A results-cache analog row per chunk (path, stream_id,
     begin_msg_ix, end_msg_ix, is_last_chunk —
     cResultsCacheKeys::IrOutput) lands in out_dir/ir_manifest.jsonl."""
     import json
@@ -1131,6 +1136,7 @@ def extract_ir_from_archive(
     chunks = events_to_ir_df(
         enc, "ts", "stream", events_per_chunk=events_per_chunk,
         order_col="msg_ix", encoding=encoding,
+        target_chunk_bytes=target_size,
     )
     # chunk names carry FILE-GLOBAL message indexes (clo.cpp:186-189 names
     # {orig}_{begin}_{end} with the original file's numbering) — when a
