@@ -699,12 +699,133 @@ def run_glt_bench(cpus: int) -> None:
     spark.stop()
 
 
+def run_packed_bench(cpus: int) -> None:
+    """--packed: selective KQL search over a fleet of SINGLE-FILE archives —
+    lazy ranged member reads (PackedArchiveReader, the ArchiveReaderAdaptor
+    shape) vs eager full unpack. The figure that scales is member bytes
+    ranged-read out of the containers vs total container bytes: the eager
+    path's I/O is O(total archive bytes) regardless of selectivity, the
+    lazy path's is O(matched schema tables + manifests). Updates the
+    <!-- packed-read --> block in BENCH.md."""
+    import re
+    import statistics
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clp_spark.operators import json_archive as ja
+    from clp_spark.sinks.single_file_archive import pack_archive
+
+    n_arch, rows_per, rare_every = 16, 25_000, 4
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).count()
+    fleet = tempfile.mkdtemp(prefix="bench_packed_")
+    container_bytes = 0
+    import shutil
+
+    for i in range(n_arch):
+        base = spark.range(rows_per).select(
+            F.col("id").alias("_ord"),
+            F.to_json(F.struct(
+                (F.col("id") * 1000 + i).alias("ts"),
+                F.concat(F.lit("req-"), F.col("id").cast("string")).alias("req_id"),
+                F.lit("INFO").alias("level"),
+                F.concat(F.lit(f"archive {i} event "),
+                         F.col("id").cast("string")).alias("msg"),
+            )).alias("raw"),
+        )
+        if i % rare_every == 0:
+            # a minority schema present in a minority of archives: the
+            # selective query's only possible matches
+            rare = spark.range(rows_per, rows_per + 50).select(
+                F.col("id").alias("_ord"),
+                F.to_json(F.struct(
+                    (F.col("id") * 1000 + i).alias("ts"),
+                    F.lit(777).alias("rare_code"),
+                    F.lit("RARE").alias("level"),
+                )).alias("raw"),
+            )
+            base = base.unionByName(rare)
+        d = os.path.join(fleet, f"build_{i}")
+        ja.compress_jsonl_archive(base, "raw", d, order_col="_ord")
+        info = pack_archive(d, os.path.join(fleet, f"arch_{i:02d}.clps"))
+        container_bytes += info["size"]
+        shutil.rmtree(d)
+
+    query = "rare_code: 777"
+    results = {}
+    for mode, lazy in (("lazy", True), ("eager", False)):
+        reps = []
+        hits = None
+        for _ in range(3):
+            ja._PACKED_READERS.clear()
+            t0 = time.monotonic()
+            root = ja.localize_single_file_archives(fleet, lazy=lazy)
+            n = ja.search_json_archives(spark, root, query).count()
+            reps.append(time.monotonic() - t0)
+            if lazy:
+                read = sum(
+                    r.member_bytes_read for k, r in ja._PACKED_READERS.items()
+                    if k.startswith(os.path.realpath(root))
+                )
+            else:
+                read = container_bytes  # the unpack streamed every member
+            hits = n
+        results[mode] = {"sec": statistics.median(reps), "bytes": read,
+                         "hits": hits}
+    assert results["lazy"]["hits"] == results["eager"]["hits"] > 0, results
+    lazy_b, eager_b = results["lazy"]["bytes"], results["eager"]["bytes"]
+    skip_pct = 100.0 * (1 - lazy_b / eager_b) if eager_b else 0.0
+    block = (
+        "<!-- packed-read -->\n"
+        "### Packed-archive direct read (single-file archives, round 5)\n\n"
+        f"{n_arch} packed archives ({container_bytes / 1e6:.1f} MB of "
+        f"containers, {n_arch * rows_per:,} records, 1-in-{rare_every} "
+        "archives carrying the 50-row minority schema the query matches), "
+        f"selective KQL `{query}`; identical result sets both paths.\n\n"
+        f"- **container bytes touched: {lazy_b / 1e6:.2f} MB of "
+        f"{eager_b / 1e6:.1f} MB ({skip_pct:.1f}% never leaves the "
+        "containers)** — the file-table seek reads ONLY the manifests plus "
+        "the minority schema's tables; majority-schema tables are DDL-pruned "
+        "from the manifest alone (ArchiveReaderAdaptor parity). This is the "
+        "figure that scales: the eager path's I/O grows with fleet size, "
+        "the lazy path's with matched data\n"
+        f"- end-to-end (localize + search): "
+        f"{results['lazy']['sec']:.2f} s lazy vs "
+        f"{results['eager']['sec']:.2f} s eager "
+        f"({results['eager']['sec'] / results['lazy']['sec']:.2f}x) on "
+        "local disk — at fleet scale the gap follows the byte ratio, since "
+        "remote ranged GETs replace full-container downloads\n"
+        "<!-- /packed-read -->"
+    )
+    path = os.path.join(_REPO, "BENCH.md")
+    with open(path) as f:
+        doc = f.read()
+    pat = re.compile(r"<!-- packed-read -->.*?<!-- /packed-read -->", re.S)
+    doc = pat.sub(lambda _m: block, doc, count=1) if pat.search(doc) \
+        else doc + "\n" + block + "\n"
+    with open(path, "w") as f:
+        f.write(doc)
+    print(json.dumps({
+        "packed_lazy_bytes": lazy_b,
+        "packed_container_bytes": eager_b,
+        "packed_bytes_skipped_pct": round(skip_pct, 2),
+        "packed_lazy_sec": round(results["lazy"]["sec"], 3),
+        "packed_eager_sec": round(results["eager"]["sec"], 3),
+        "hits": results["lazy"]["hits"],
+    }))
+    shutil.rmtree(fleet, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--kv-deser-only", action="store_true")
     ap.add_argument("--glt", action="store_true")
+    ap.add_argument("--packed", action="store_true")
     args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -713,6 +834,9 @@ def main() -> None:
         return
     if args.glt:
         run_glt_bench(cpus)
+        return
+    if args.packed:
+        run_packed_bench(cpus)
         return
     if args.kv_deser_only:
         spark = make_spark(cpus)
