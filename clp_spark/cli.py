@@ -1245,9 +1245,161 @@ def cmd_readable_dicts(args) -> None:
     print(json.dumps(make_dictionaries_readable(spark, args.archive, args.output)))
 
 
+class _VersionAction(argparse.Action):
+    """-V/--version: print the bare version string to stderr and exit —
+    the reference prints cVersion to cerr and stops
+    (clg/CommandLineArguments.cpp:188-192)."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        from clp_spark import __version__
+
+        print(__version__, file=sys.stderr)
+        parser.exit(0)
+
+
+def default_config_file_path() -> str:
+    """$HOME/.clp.rc, falling back to ./.clp.rc when HOME is unset
+    (clp/Defs.h cDefaultConfigFilename, clg/CommandLineArguments.cpp:34-43)."""
+    home = os.environ.get("HOME")
+    return os.path.join(home if home else ".", ".clp.rc")
+
+
+def parse_config_file(path: str) -> list[tuple[str, str]]:
+    """Read a boost::program_options config file: ``key = value`` lines,
+    ``#`` comments, ``[section]`` headers prefixing later keys as
+    ``section.key``. A file that can't be opened yields no options — the
+    reference opens the stream and silently skips when it isn't there,
+    even for an explicit --config-file path
+    (clg/CommandLineArguments.cpp:157-165)."""
+    pairs: list[tuple[str, str]] = []
+    try:
+        f = open(path)
+    except OSError:
+        return pairs
+    with f:
+        section = ""
+        for raw in f:
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                continue
+            if line.startswith("[") and line.endswith("]"):
+                section = line[1:-1].strip()
+                continue
+            if "=" not in line:
+                continue
+            key, val = line.split("=", 1)
+            key = key.strip()
+            if section:
+                key = f"{section}.{key}"
+            pairs.append((key, val.strip()))
+    return pairs
+
+
+_CONFIG_TRUE = {"true", "1", "yes", "on"}
+
+
+def _config_tokens(parser: argparse.ArgumentParser,
+                   pairs: list[tuple[str, str]]) -> list[str]:
+    """Convert config-file (key, value) pairs into argv tokens for one
+    subcommand's parser. Keys the parser doesn't know are skipped — the
+    reference parses its config files with allow_unregistered=true since
+    one ~/.clp.rc serves every binary (clg/CommandLineArguments.cpp:160-162)."""
+    by_name: dict[str, argparse.Action] = {}
+    for act in parser._actions:
+        for opt in act.option_strings:
+            if opt.startswith("--"):
+                by_name[opt[2:]] = act
+    toks: list[str] = []
+    for key, val in pairs:
+        act = by_name.get(key)
+        if act is None or key == "config-file":
+            continue
+        if act.nargs == 0:
+            if val.lower() in _CONFIG_TRUE:
+                toks.append("--" + key)
+        else:
+            toks.extend(["--" + key, val])
+    return toks
+
+
+def _inject_config_options(argv: list[str],
+                           choices: dict[str, argparse.ArgumentParser]
+                           ) -> list[str]:
+    """Splice config-file options into argv right after the subcommand, so
+    tokens typed on the command line (parsed later, for store actions)
+    take priority — the reference's "command line arguments will take
+    priority over config file" rule (clg/CommandLineArguments.cpp:154-156)."""
+    ci = None
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if tok == "--master":
+            i += 2
+            continue
+        if tok.startswith("-"):
+            i += 1
+            continue
+        if tok in choices:
+            ci = i
+        break
+    if ci is None:
+        return argv
+    tail = argv[ci + 1:]
+    path = None
+    for j, tok in enumerate(tail):
+        if tok == "--config-file" and j + 1 < len(tail):
+            path = tail[j + 1]
+        elif tok.startswith("--config-file="):
+            path = tok.split("=", 1)[1]
+    pairs = parse_config_file(path if path is not None
+                              else default_config_file_path())
+    if not pairs:
+        return argv
+    return argv[:ci + 1] + _config_tokens(choices[argv[ci]], pairs) + tail
+
+
+def _add_metadata_db_opts(p: argparse.ArgumentParser) -> None:
+    """GlobalMetadataDBConfig option group (clp/GlobalMetadataDBConfig.cpp):
+    --db-type {sqlite,mysql} plus the mysql-only connection knobs. The
+    sqlite flavor (the default, and the one this repo implements) ignores
+    host/port/name/table-prefix exactly like the reference."""
+    p.add_argument("--db-type", choices=["sqlite", "mysql"], default="sqlite",
+                   help="Database type [sqlite | mysql]")
+    p.add_argument("--db-host", default="127.0.0.1",
+                   help="(--db-type=mysql only) Database host")
+    p.add_argument("--db-port", type=int, default=3306,
+                   help="(--db-type=mysql only) Database port")
+    p.add_argument("--db-name", default="clp-db",
+                   help="(--db-type=mysql only) Database name")
+    p.add_argument("--db-table-prefix", default="clp_",
+                   help="(--db-type=mysql only) Database table prefix")
+
+
+def _validate_metadata_db_config(args) -> None:
+    """read_credentials_from_env_if_needed + validate parity
+    (GlobalMetadataDBConfig.cpp:114-160): sqlite needs nothing; mysql
+    requires a sane port and CLP_DB_USER/CLP_DB_PASS in the environment,
+    then is refused honestly — no MySQL server or client driver exists in
+    this environment (declared waiver, STATUS.md)."""
+    if getattr(args, "db_type", "sqlite") == "sqlite":
+        return
+    if not (1 <= args.db_port <= 65535):
+        sys.exit("error: Database port must be in the range [1, 65535]")
+    if not os.environ.get("CLP_DB_USER"):
+        sys.exit("error: Database username not specified (set CLP_DB_USER)")
+    if not os.environ.get("CLP_DB_PASS"):
+        sys.exit("error: Database password not specified (set CLP_DB_PASS)")
+    sys.exit("error: --db-type=mysql: no MySQL server or driver is "
+             "available in this environment (waiver: STATUS.md); the "
+             "global metadata catalog here is the sqlite flavor")
+
+
 def main(argv: list[str] | None = None) -> None:
+    argv = list(sys.argv[1:] if argv is None else argv)
     ap = argparse.ArgumentParser(prog="clp_spark", description=__doc__)
     ap.add_argument("--master", default="local[*]")
+    ap.add_argument("-V", "--version", action=_VersionAction, nargs=0,
+                    help="Print version")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("c", help="compress text logs into an archive")
@@ -1625,7 +1777,20 @@ def main(argv: list[str] | None = None) -> None:
     hr.add_argument("output")
     hr.set_defaults(fn=cmd_readable_dicts)
 
-    args = ap.parse_args(argv)
+    # Every binary in the reference accepts --config-file (options_general
+    # is per-binary); the metadata-db group rides on the binaries that
+    # touch the global catalog (clp c, clg s, clo i).
+    for p in sub.choices.values():
+        p.add_argument(
+            "--config-file", default=None, metavar="FILE",
+            help="Use configuration options from FILE (default ~/.clp.rc; "
+                 "command-line arguments take priority)",
+        )
+    for name in ("c", "s", "i"):
+        _add_metadata_db_opts(sub.choices[name])
+
+    args = ap.parse_args(_inject_config_options(argv, sub.choices))
+    _validate_metadata_db_config(args)
     args.fn(args)
 
 

@@ -340,3 +340,105 @@ class TestExtractIrTail:
         with pytest.raises(SystemExit, match="malformed"):
             cli.main(["i", str(tmp_path), str(tmp_path / "o"),
                       "--file-split-id", "a.log#sxx"])
+
+
+class TestVersionAndConfigFile:
+    """-V/--version and --config-file parity: boost config-file format,
+    CLI-wins precedence, silent missing file, unrecognized keys allowed
+    (clg/CommandLineArguments.cpp:34-43,148-192, clp/Defs.h .clp.rc)."""
+
+    @pytest.fixture()
+    def archive(self, spark, tmp_path, capsys):
+        paths = _mklogs(tmp_path, n_files=1, lines=10)
+        arch = str(tmp_path / "arch")
+        cli.main(["c", arch, *paths])
+        capsys.readouterr()
+        return arch
+
+    def test_version_prints_and_exits(self, capsys):
+        from clp_spark import __version__
+
+        with pytest.raises(SystemExit) as ei:
+            cli.main(["-V"])
+        assert ei.value.code == 0
+        assert capsys.readouterr().err.strip() == __version__
+
+    def test_config_sets_flag(self, archive, tmp_path, capsys):
+        cfg = tmp_path / "clp.rc"
+        cfg.write_text("# a comment\ncount = true\n")
+        cli.main(["s", archive, "*job*", "--config-file", str(cfg)])
+        assert capsys.readouterr().out.strip().splitlines()[-1] == "10"
+
+    def test_cli_beats_config(self, archive, tmp_path, capsys):
+        cfg = tmp_path / "clp.rc"
+        cfg.write_text("limit = 1\n")
+        cli.main(["s", archive, "*job*", "--config-file", str(cfg),
+                  "--limit", "3"])
+        out = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+        assert len(out) == 3  # the command line wins over the file
+
+    def test_config_value_applies_when_cli_silent(self, archive, tmp_path,
+                                                  capsys):
+        cfg = tmp_path / "clp.rc"
+        cfg.write_text("limit = 2\n")
+        cli.main(["s", archive, "*job*", "--config-file", str(cfg)])
+        out = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+        assert len(out) == 2
+
+    def test_unknown_and_sectioned_keys_ignored(self, archive, tmp_path,
+                                                capsys):
+        cfg = tmp_path / "clp.rc"
+        cfg.write_text(
+            "some-other-binary-opt = zzz\n[db]\nhost = nowhere\n"
+            "count = true\n"
+        )
+        cli.main(["s", archive, "*job*", "--config-file", str(cfg)])
+        # [db] prefixes the later `count` key as db.count -> unmatched, so
+        # plain message output, not a count
+        out = capsys.readouterr().out
+        assert "job 3" in out
+
+    def test_false_value_leaves_default(self, archive, tmp_path, capsys):
+        cfg = tmp_path / "clp.rc"
+        cfg.write_text("count = false\n")
+        cli.main(["s", archive, "*job 3*", "--config-file", str(cfg)])
+        assert "job 3" in capsys.readouterr().out
+
+    def test_missing_config_is_silent(self, archive, tmp_path, capsys):
+        cli.main(["s", archive, "*job*", "--count",
+                  "--config-file", str(tmp_path / "no-such.rc")])
+        assert capsys.readouterr().out.strip().splitlines()[-1] == "10"
+
+
+class TestMetadataDbOpts:
+    """GlobalMetadataDBConfig option group: sqlite default ignores the
+    mysql-only knobs; mysql validates env credentials then is refused
+    honestly (GlobalMetadataDBConfig.cpp:114-160 + STATUS.md waiver)."""
+
+    def test_sqlite_ignores_mysql_knobs(self, spark, tmp_path, capsys):
+        paths = _mklogs(tmp_path, n_files=1, lines=5)
+        arch = str(tmp_path / "arch")
+        cli.main(["c", arch, *paths, "--db-type", "sqlite",
+                  "--db-host", "nowhere.invalid", "--db-port", "1",
+                  "--db-table-prefix", "zzz_"])
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["messages"] == 5
+
+    def test_mysql_requires_credentials(self, tmp_path, monkeypatch):
+        monkeypatch.delenv("CLP_DB_USER", raising=False)
+        monkeypatch.delenv("CLP_DB_PASS", raising=False)
+        with pytest.raises(SystemExit, match="CLP_DB_USER"):
+            cli.main(["s", str(tmp_path), "*", "--db-type", "mysql"])
+        monkeypatch.setenv("CLP_DB_USER", "u")
+        with pytest.raises(SystemExit, match="CLP_DB_PASS"):
+            cli.main(["s", str(tmp_path), "*", "--db-type", "mysql"])
+        monkeypatch.setenv("CLP_DB_PASS", "p")
+        with pytest.raises(SystemExit, match="waiver"):
+            cli.main(["s", str(tmp_path), "*", "--db-type", "mysql"])
+
+    def test_mysql_port_range(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("CLP_DB_USER", "u")
+        monkeypatch.setenv("CLP_DB_PASS", "p")
+        with pytest.raises(SystemExit, match="range"):
+            cli.main(["s", str(tmp_path), "*", "--db-type", "mysql",
+                      "--db-port", "0"])
