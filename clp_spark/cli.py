@@ -576,6 +576,9 @@ def _emit_search_results(res, args, ts_lookup=None) -> None:
     timestamp field when the result set doesn't carry one; results with no
     stored timestamp write 0."""
     out = res.limit(args.limit) if args.limit is not None else res
+    if getattr(args, "output_handler", "stdout") == "network":
+        _send_results_network(out, args, ts_lookup)
+        return
     if getattr(args, "output_method", "s") != "b":
         for r in out.collect():
             print(r["message"])
@@ -601,6 +604,36 @@ def _emit_search_results(res, args, ts_lookup=None) -> None:
     buf.flush()
 
 
+def _send_results_network(out, args, ts_lookup=None) -> None:
+    """clo's network output handler (clo/OutputHandler.hpp:68-115,
+    OutputHandler.cpp:20-44): connect to host:port and send each result as
+    one msgpack tuple (ts_ms, message, orig_file_path, orig_file_id,
+    log_event_ix); the socket closes at flush. Results stream driver-side
+    in archive order, the same bounded sink every CLI output method uses.
+    doc_id here is "<file_id>#<msg_ix>", so the id/event-index fields
+    recover by splitting it."""
+    import socket
+
+    from clp_spark.sinks.single_file_archive import msgpack_pack
+
+    if "ts_ms" not in out.columns and ts_lookup is not None:
+        out = out.join(ts_lookup, "doc_id", "left")
+    has_ts = "ts_ms" in out.columns
+    has_doc = "doc_id" in out.columns
+    with socket.create_connection((args.host, args.port)) as sk:
+        for r in out.collect():
+            ts = int(r["ts_ms"]) if has_ts and r["ts_ms"] is not None else 0
+            fid, ix = "", 0
+            if has_doc and r["doc_id"]:
+                fid, _, tail = str(r["doc_id"]).rpartition("#")
+                ix = int(tail) if tail.isdigit() else 0
+                if not fid:
+                    fid = str(r["doc_id"])
+            sk.sendall(msgpack_pack(
+                (ts, r["message"] or "", r["source"] or "", fid, ix)
+            ))
+
+
 def cmd_search(args) -> None:
     from clp_spark.operators.aggregate import count_by_time, count_matched
     from clp_spark.operators.seg_index import search_archive_pruned
@@ -610,6 +643,15 @@ def cmd_search(args) -> None:
 
     if args.count_by_time is not None and args.count_by_time <= 0:
         sys.exit("error: --count-by-time needs a positive bucket size in ms")
+    if args.output_handler == "network":
+        # the reference's count handlers are distinct output handlers
+        # (clo CountOutputHandler / reducer), so they can't stack on network
+        if args.count or args.count_by_time is not None:
+            sys.exit("error: --count/--count-by-time cannot combine with "
+                     "the network output handler")
+        if not args.host or args.port is None:
+            sys.exit("error: the network output handler needs --host and "
+                     "--port")
     # clg time flags (clg/CommandLineArguments.cpp:216-257): --teq is
     # exclusive with every other time flag and pins both bounds; --tgt/--tlt
     # are the strict forms (begin = tgt+1, end = tlt-1) and can't combine
@@ -1591,6 +1633,16 @@ def main(argv: list[str] | None = None) -> None:
              "(clg --output-method, <u64 path-len><path><i64 ts-ms>"
              "<u64 logtype-id><u64 msg-len><msg> per result)",
     )
+    s.add_argument(
+        "--output-handler", choices=["stdout", "network"], default="stdout",
+        help="where matched messages go (clo output-handler): stdout, or "
+             "network — one msgpack tuple (ts_ms, message, path, file-id, "
+             "event-ix) per result to --host/--port",
+    )
+    s.add_argument("--host", default=None,
+                   help="network output handler destination host")
+    s.add_argument("--port", type=int, default=None,
+                   help="network output handler destination port")
     s.add_argument(
         "--regex", action="store_true",
         help="treat QUERY as a regex; translate to a CLP wildcard query "

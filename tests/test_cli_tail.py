@@ -442,3 +442,63 @@ class TestMetadataDbOpts:
         with pytest.raises(SystemExit, match="range"):
             cli.main(["s", str(tmp_path), "*", "--db-type", "mysql",
                       "--db-port", "0"])
+
+
+class TestNetworkOutputHandler:
+    """clo's network output handler: each matched message streams to a TCP
+    destination as one msgpack tuple (ts_ms, message, orig_file_path,
+    orig_file_id, log_event_ix) — clo/OutputHandler.cpp:20-44. Driven
+    against an in-test loopback server; no external service."""
+
+    def _recv_all(self, server_sock):
+        conn, _ = server_sock.accept()
+        buf = b""
+        with conn:
+            while True:
+                chunk = conn.recv(65536)
+                if not chunk:
+                    break
+                buf += chunk
+        return buf
+
+    def test_results_stream_as_msgpack_tuples(self, spark, tmp_path, capsys):
+        import socket
+        import threading
+
+        from clp_spark.sinks.single_file_archive import _unpack_from
+
+        paths = _mklogs(tmp_path, n_files=1, lines=6)
+        arch = str(tmp_path / "arch")
+        cli.main(["c", arch, *paths])
+        capsys.readouterr()
+
+        srv = socket.create_server(("127.0.0.1", 0))
+        port = srv.getsockname()[1]
+        got = {}
+        t = threading.Thread(target=lambda: got.update(b=self._recv_all(srv)))
+        t.start()
+        cli.main(["s", arch, "*job 3*", "--output-handler", "network",
+                  "--host", "127.0.0.1", "--port", str(port)])
+        t.join(timeout=30)
+        srv.close()
+        assert not t.is_alive()
+        buf, pos, tuples = got["b"], 0, []
+        while pos < len(buf):
+            obj, pos = _unpack_from(buf, pos)
+            tuples.append(obj)
+        assert len(tuples) == 1
+        ts, msg, path, fid, ix = tuples[0]
+        assert "job 3" in msg
+        assert path.endswith("svc0.log") and fid
+        assert isinstance(ts, int) and isinstance(ix, int)
+        # nothing goes to stdout in network mode
+        assert "job 3" not in capsys.readouterr().out
+
+    def test_network_needs_host_and_port(self, tmp_path):
+        with pytest.raises(SystemExit, match="--host"):
+            cli.main(["s", str(tmp_path), "*", "--output-handler", "network"])
+
+    def test_network_excludes_count(self, tmp_path):
+        with pytest.raises(SystemExit, match="cannot combine"):
+            cli.main(["s", str(tmp_path), "*", "--output-handler", "network",
+                      "--host", "h", "--port", "9", "--count"])
