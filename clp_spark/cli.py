@@ -1005,6 +1005,63 @@ def _apply_projection(res, json_col: str, paths: list[str]):
     return res.withColumn(json_col, F.to_json(build(tree)))
 
 
+def _json_path_get(obj, dotted: str | None):
+    """Resolve a dotted key path inside a parsed JSON object; None when any
+    step is missing or non-object."""
+    if not dotted:
+        return None
+    for part in dotted.split("."):
+        if not isinstance(obj, dict) or part not in obj:
+            return None
+        obj = obj[part]
+    return obj
+
+
+def _emit_kql_results(out, col: str, args, archive_id: str = "",
+                      ts_key: str | None = None) -> None:
+    """clp-s output handlers (clp-s.cpp:296-342, OutputHandlerImpl.cpp:
+    31-72): stdout prints each serialized record; file and network emit
+    one msgpack tuple (timestamp, message, orig_file_path, archive_id,
+    log_event_idx) per result — the orig-file-path slot is an empty
+    placeholder in the reference too. Driver-side bounded sink, like
+    every CLI output path."""
+    handler = getattr(args, "output_handler", "stdout")
+    rows = out.collect()
+    if handler == "stdout":
+        for r in rows:
+            print(r[col])
+        return
+
+    from clp_spark.sinks.single_file_archive import msgpack_pack
+
+    has_idx = "log_event_idx" in out.columns
+    has_aid = "archive_id" in out.columns
+
+    def _tuple_bytes(r) -> bytes:
+        msg = r[col]
+        ts = 0
+        if ts_key:
+            v = _json_path_get(json.loads(msg), ts_key)
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                ts = int(v)
+        idx = r["log_event_idx"] if has_idx else None
+        aid = r["archive_id"] if has_aid else archive_id
+        return msgpack_pack(
+            (ts, msg, "", aid or "", int(idx) if idx is not None else 0)
+        )
+
+    if handler == "file":
+        with open(args.path, "wb") as f:
+            for r in rows:
+                f.write(_tuple_bytes(r))
+        return
+    import socket
+
+    with socket.create_connection((args.host, args.port)) as sk:
+        for r in rows:
+            sk.sendall(_tuple_bytes(r))
+
+
 def cmd_search_kql(args) -> None:
     from clp_spark.operators.json_archive import (
         is_json_archive,
@@ -1016,6 +1073,18 @@ def cmd_search_kql(args) -> None:
     if len(flags) > 1:
         sys.exit("error: the --count, --count-by-time, --min, --max, and "
                  "--unique options are mutually exclusive")
+    if args.output_handler != "stdout":
+        # aggregates route to the reducer handler in the reference, not
+        # the file/network record stream
+        if flags:
+            sys.exit("error: aggregation options cannot combine with the "
+                     f"{args.output_handler} output handler")
+        if args.output_handler == "file" and not args.path:
+            sys.exit("error: the file output handler needs --path")
+        if args.output_handler == "network" and (
+                not args.host or args.port is None):
+            sys.exit("error: the network output handler needs --host and "
+                     "--port")
     if os.path.exists(args.input):
         args.input = localize_single_file_archives(args.input)
     spark = _spark(args.master)
@@ -1044,8 +1113,7 @@ def cmd_search_kql(args) -> None:
             if args.projection:
                 res = _apply_projection(res, "json", args.projection)
             out = res.limit(args.limit) if args.limit is not None else res
-            for r in out.collect():
-                print(r["json"])
+            _emit_kql_results(out, "json", args, ts_key=ts_key)
         return
     if args.archive_id:
         sys.exit("error: --archive-id needs a directory of JSON archives")
@@ -1075,8 +1143,11 @@ def cmd_search_kql(args) -> None:
             if args.projection:
                 res = _apply_projection(res, "json", args.projection)
             out = res.limit(args.limit) if args.limit is not None else res
-            for r in out.collect():
-                print(r["json"])
+            _emit_kql_results(
+                out, "json", args,
+                archive_id=os.path.basename(os.path.normpath(args.input)),
+                ts_key=args.timestamp_key,
+            )
         return
     df = spark.read.text(args.input).withColumnRenamed("value", "raw")
     query = _kql_with_ts_range(
@@ -1096,8 +1167,7 @@ def cmd_search_kql(args) -> None:
         if args.projection:
             res = _apply_projection(res, "raw", args.projection)
         out = res.limit(args.limit) if args.limit is not None else res
-        for r in out.collect():
-            print(r["raw"])
+        _emit_kql_results(out, "raw", args, ts_key=args.timestamp_key)
 
 
 def cmd_kv_import(args) -> None:
@@ -1679,6 +1749,19 @@ def main(argv: list[str] | None = None) -> None:
     )
     sk.add_argument("input")
     sk.add_argument("query")
+    sk.add_argument(
+        "--output-handler", choices=["stdout", "file", "network"],
+        default="stdout",
+        help="where results go (clp-s s output-handler): stdout prints "
+             "records; file/network emit one msgpack tuple (ts, message, "
+             "path-placeholder, archive-id, event-ix) per result",
+    )
+    sk.add_argument("--path", default=None,
+                    help="file output handler destination path")
+    sk.add_argument("--host", default=None,
+                    help="network output handler destination host")
+    sk.add_argument("--port", type=int, default=None,
+                    help="network output handler destination port")
     sk.add_argument("--ignore-case", action="store_true")
     sk.add_argument("--structurize-arrays", action="store_true")
     sk.add_argument("--count", action="store_true")

@@ -502,3 +502,84 @@ class TestNetworkOutputHandler:
         with pytest.raises(SystemExit, match="cannot combine"):
             cli.main(["s", str(tmp_path), "*", "--output-handler", "network",
                       "--host", "h", "--port", "9", "--count"])
+
+
+class TestClpSOutputHandlers:
+    """clp-s file/network output handlers for s-kql: one msgpack tuple
+    (timestamp, message, "", archive_id, log_event_idx) per result
+    (OutputHandlerImpl.cpp:31-72; the path slot is a placeholder in the
+    reference too)."""
+
+    @pytest.fixture()
+    def archive(self, spark, tmp_path, capsys):
+        src = tmp_path / "logs.jsonl"
+        src.write_text(
+            "".join(
+                json.dumps({"ts": 1700000000000 + i, "lvl": "INFO",
+                            "n": i}) + "\n"
+                for i in range(5)
+            )
+        )
+        arch = str(tmp_path / "jarch")
+        cli.main(["c", arch, str(src), "--json", "--timestamp-key", "ts"])
+        capsys.readouterr()
+        return arch
+
+    def _decode_stream(self, buf):
+        from clp_spark.sinks.single_file_archive import _unpack_from
+
+        pos, out = 0, []
+        while pos < len(buf):
+            obj, pos = _unpack_from(buf, pos)
+            out.append(obj)
+        return out
+
+    def test_file_handler_writes_tuples(self, archive, tmp_path, capsys):
+        dest = tmp_path / "results.bin"
+        cli.main(["s-kql", archive, "n >= 3", "--output-handler", "file",
+                  "--path", str(dest)])
+        assert capsys.readouterr().out == ""  # nothing on stdout
+        tuples = self._decode_stream(dest.read_bytes())
+        assert len(tuples) == 2
+        by_n = sorted(tuples, key=lambda t: json.loads(t[1])["n"])
+        ts, msg, path, aid, ix = by_n[0]
+        assert json.loads(msg)["n"] == 3
+        assert ts == 1700000000003  # timestamp-key value rides the tuple
+        assert path == "" and aid == "jarch"
+        assert isinstance(ix, int)
+
+    def test_network_handler(self, archive, tmp_path, capsys):
+        import socket
+        import threading
+
+        srv = socket.create_server(("127.0.0.1", 0))
+        port = srv.getsockname()[1]
+        got = {}
+
+        def recv():
+            conn, _ = srv.accept()
+            b = b""
+            with conn:
+                while (ch := conn.recv(65536)):
+                    b += ch
+            got["b"] = b
+
+        t = threading.Thread(target=recv)
+        t.start()
+        cli.main(["s-kql", archive, "lvl: INFO", "--output-handler",
+                  "network", "--host", "127.0.0.1", "--port", str(port)])
+        t.join(timeout=30)
+        srv.close()
+        tuples = self._decode_stream(got["b"])
+        assert len(tuples) == 5
+        assert {json.loads(t[1])["n"] for t in tuples} == set(range(5))
+
+    def test_handler_excludes_aggregates(self, tmp_path):
+        with pytest.raises(SystemExit, match="aggregation"):
+            cli.main(["s-kql", str(tmp_path), "*", "--output-handler",
+                      "file", "--path", "x", "--count"])
+
+    def test_file_handler_needs_path(self, tmp_path):
+        with pytest.raises(SystemExit, match="--path"):
+            cli.main(["s-kql", str(tmp_path), "*", "--output-handler",
+                      "file"])
