@@ -18,6 +18,11 @@ epoch values:
       2082-2097 estimate_timestamp_precision, 1971-threshold rule)
   \\z{±HH[:MM] | ±HHMM} literal timezone-offset text, offset applied
   \\o{NAME,±HHMM} literal timezone-name text, offset applied
+  \\s generic zero-padded second (00-60; leap 60 clamps to 59)
+  \\? generic fraction (1-9 digits; trailing '0' only at widths 3/6/9)
+  \\O{chars} one literal character from the set
+  \\Z generic timezone ([space] UTC[±HH[:MM]][Z] | UT | GMT | named US
+      zone | ±HH[[:]MM][Z] | Z — lines 1810-1888)
   \\\\ literal backslash; other characters are literals.
 
 Compile-time validation mirrors the reference error taxonomy: control
@@ -66,7 +71,49 @@ _SIMPLE = {
     "C": r"(-?\d{1,19})",
     "N": r"(-?\d{1,19})",
     "P": r"(-?\d{1,19})",
+    # generic zero-padded second (00-60; 60 = leap second, clamped to 59 —
+    # TimestampParser.cpp:1953-1974)
+    "s": r"([0-5]\d|60)",
+    # generic fraction: 1-9 digits, a trailing '0' only legal at the exact
+    # 3/6/9-digit precisions (TimestampParser.cpp:1889-1916). Exact widths
+    # first so backtracking can still accept e.g. "120"
+    "?": r"(\d{3}|\d{6}|\d{9}|\d{0,8}[1-9])",
 }
+
+# \Z generic timezone (TimestampParser.cpp:1810-1888, golden forms in
+# test_TimestampParser.cpp:463-484): optional leading space, then one of
+#  - "UTC" with an optional ±HH[[:]MM] offset and optional Zulu suffix
+#    ("UTC", "UTC+04", "UTC+04Z" all valid — UTC falls through to the
+#    offset extractor; the offset, when present, wins)
+#  - "UT" or "GMT" alone (no adjustment)
+#  - a named US zone alone (break after match — "EST+04" is not a thing)
+#  - a bare ±HH[[:]MM] offset with optional Zulu suffix, or bare Zulu.
+# Check order matches the reference: UTC before UT; names before offsets.
+# U+2212 minus is accepted alongside '-' (cPlusMinus).
+_NAMED_TZ_MINUTES = {
+    "EDT": -240, "EST": -300, "CDT": -300, "CST": -360,
+    "MDT": -360, "MST": -420, "PDT": -420, "PST": -480,
+}
+_TZ_OFFSET_RX = r"[+\-−](?:[01]\d|2[0-3])(?::?[0-5]\d)?"
+_TZ_REGEX = (
+    r"( ?(?:UTC(?:" + _TZ_OFFSET_RX + r")?Z?"
+    r"|UT|GMT|" + "|".join(_NAMED_TZ_MINUTES) +
+    r"|(?:" + _TZ_OFFSET_RX + r")Z?|Z))"
+)
+
+
+def _tz_text_offset_minutes(t: str) -> int:
+    """Offset minutes for one \\Z capture (already regex-validated)."""
+    t = t.lstrip(" ")
+    if t in _NAMED_TZ_MINUTES:
+        return _NAMED_TZ_MINUTES[t]
+    m = _re.search(_TZ_OFFSET_RX, t)
+    if m is None:
+        return 0  # UTC / UT / GMT / Zulu
+    o = m.group().replace(":", "")
+    sign = 1 if o[0] == "+" else -1
+    minutes = int(o[3:5]) if len(o) >= 5 else 0
+    return sign * (int(o[1:3]) * 60 + minutes)
 
 _EPOCH_MULT = {"E": _NS, "L": 1_000_000, "C": 1_000, "N": 1}
 _FRAC_MULT = {"3": 1_000_000, "6": 1_000, "9": 1}
@@ -128,6 +175,25 @@ def compile_cat_pattern(pattern: str) -> CatPattern:
                 out.append(f"({alt})")
                 groups.append(("B", names))
             continue
+        if s == "O":
+            # one of several literal characters (TimestampParser.cpp:
+            # 1929-1952): \O{-/} matches exactly one char from the set
+            if i >= n or pattern[i] != "{":
+                raise CatPatternError("\\O requires a {chars} set")
+            j = pattern.index("}", i)
+            chars = pattern[i + 1 : j]
+            i = j + 1
+            if not chars or "\\" in chars:
+                raise CatPatternError(f"invalid \\O char set {chars!r}")
+            out.append("(?:" + "|".join(_re.escape(ch) for ch in chars) + ")")
+            continue
+        if s == "Z":
+            if tz_seen:
+                raise CatPatternError("at most one timezone specifier")
+            tz_seen = True
+            out.append(_TZ_REGEX)
+            groups.append(("Z", None))
+            continue
         if s in ("z", "o"):
             if tz_seen:
                 raise CatPatternError("at most one timezone specifier")
@@ -177,6 +243,7 @@ def parse_cat_timestamp_ns(col: Column, pattern: str | CatPattern) -> Column:
     frac_ns = F.lit(0).cast("long")
     epoch: Column | None = None
     epoch_text: Column | None = None
+    row_tz_min: Column | None = None
     for ix, (s, extra) in enumerate(p.groups):
         g = grab(ix)
         if s == "y":
@@ -203,9 +270,12 @@ def parse_cat_timestamp_ns(col: Column, pattern: str | CatPattern) -> Column:
             minute = g.cast("int")
         elif s in ("S", "J"):
             second = g.cast("int")
+        elif s == "s":
+            # generic second: leap 60 clamps to 59 (cMaxParsedSecond)
+            second = F.least(g.cast("int"), F.lit(59))
         elif s in ("3", "6", "9"):
             frac_ns = (g.cast("long") * F.lit(_FRAC_MULT[s])).cast("long")
-        elif s == "T":
+        elif s in ("T", "?"):
             frac_ns = F.rpad(g, 9, "0").cast("long")
         elif s in _EPOCH_MULT:
             epoch = g.cast("long") * F.lit(_EPOCH_MULT[s]).cast("long")
@@ -225,6 +295,32 @@ def parse_cat_timestamp_ns(col: Column, pattern: str | CatPattern) -> Column:
             ).cast("long")
             epoch = v * factor
             epoch_text = g
+        elif s == "Z":
+            t = F.regexp_replace(g, r"^ ", "")
+            # the explicit ±HH[[:]MM] part, if any ("" otherwise) — UTC /
+            # UT / GMT / Zulu without one contribute no adjustment
+            off = F.regexp_replace(
+                F.regexp_extract(t, "(" + _TZ_OFFSET_RX + ")", 1), ":", ""
+            )
+            hh = F.substring(off, 2, 2).cast("int")
+            mm = F.when(
+                F.length(off) >= 5, F.substring(off, 4, 2).cast("int")
+            ).otherwise(F.lit(0))
+            sign = F.when(
+                F.substring(off, 1, 1) == "+", F.lit(1)
+            ).otherwise(F.lit(-1))
+            named = F.element_at(
+                F.create_map(*[
+                    F.lit(x)
+                    for kv in _NAMED_TZ_MINUTES.items()
+                    for x in kv
+                ]),
+                t,
+            )
+            row_tz_min = F.coalesce(
+                named,
+                F.when(off == "", F.lit(0)).otherwise(sign * (hh * 60 + mm)),
+            )
     if hour12 is not None:
         h = F.pmod(hour12, F.lit(12))
         hour = F.when(pm if pm is not None else F.lit(False), h + 12).otherwise(h)
@@ -246,6 +342,9 @@ def parse_cat_timestamp_ns(col: Column, pattern: str | CatPattern) -> Column:
         ns = secs * F.lit(_NS).cast("long") + frac_ns
     if p.tz_offset_s:
         ns = ns - F.lit(p.tz_offset_s).cast("long") * F.lit(_NS).cast("long")
+    if row_tz_min is not None:
+        ns = ns - row_tz_min.cast("long") * F.lit(60).cast("long") \
+            * F.lit(_NS).cast("long")
     return F.when(col.rlike(rx), ns).otherwise(F.lit(None).cast("long"))
 
 
@@ -255,3 +354,165 @@ def parse_cat_timestamp_ms(col: Column, pattern: str | CatPattern) -> Column:
     value exceeds 2^53 and a double quotient would be off by a few ms."""
     ns = parse_cat_timestamp_ns(col, pattern)
     return F.floor(ns.cast("decimal(38,0)") / F.lit(1_000_000)).cast("long")
+
+
+# ----------------------------------------------------------- driver-side
+
+_MONTH_SECONDS_1971 = 31_536_000  # 1971-01-01T00:00:00Z in epoch seconds
+
+
+def estimate_epoch_precision_factor(value: int) -> int:
+    """ns-multiplier for a \\P unknown-precision epoch integer: the unit is
+    the coarsest whose magnitude lands after 1971
+    (TimestampParser.cpp:2082-2097 estimate_timestamp_precision)."""
+    a = abs(value)
+    if a > _MONTH_SECONDS_1971 * 10**9:
+        return 1
+    if a > _MONTH_SECONDS_1971 * 10**6:
+        return 10**3
+    if a > _MONTH_SECONDS_1971 * 10**3:
+        return 10**6
+    return 10**9
+
+
+def parse_cat_timestamp_py(text: str, pattern: str | CatPattern) -> int | None:
+    """Driver-side twin of `parse_cat_timestamp_ns`: epoch NANOSECONDS for
+    one string fully matching the pattern, None otherwise. Identical field
+    semantics to the Column evaluator (differential-tested) — used where a
+    single literal parses at plan time, e.g. the KQL timestamp() function
+    (clp_s/search/kql/kql.cpp:82-146)."""
+    from datetime import date
+
+    p = pattern if isinstance(pattern, CatPattern) else compile_cat_pattern(pattern)
+    m = _re.match(p.regex, text)
+    if m is None:
+        return None
+    year, month, day = 1970, 1, 1
+    hour = minute = second = 0
+    hour12: int | None = None
+    pm = False
+    frac_ns = 0
+    epoch: int | None = None
+    epoch_text = ""
+    tz_min = 0
+    for ix, (s, extra) in enumerate(p.groups):
+        g = m.group(ix + 1)
+        if s == "y":
+            v = int(g)
+            year = 1900 + v if v >= 69 else 2000 + v
+        elif s == "Y":
+            year = int(g)
+        elif s == "m":
+            month = int(g)
+        elif s == "B":
+            month = extra.index(g) + 1
+        elif s in ("d", "e"):
+            day = int(g.strip())
+        elif s in ("H", "k"):
+            hour = int(g.strip())
+        elif s in ("I", "l"):
+            hour12 = int(g.strip())
+        elif s == "p":
+            pm = g == "PM"
+        elif s == "M":
+            minute = int(g)
+        elif s in ("S", "J"):
+            second = int(g)
+        elif s == "s":
+            second = min(int(g), 59)
+        elif s in ("3", "6", "9"):
+            frac_ns = int(g) * _FRAC_MULT[s]
+        elif s in ("T", "?"):
+            frac_ns = int(g) * 10 ** (9 - len(g))
+        elif s in _EPOCH_MULT:
+            epoch = int(g) * _EPOCH_MULT[s]
+            epoch_text = g
+        elif s == "P":
+            v = int(g)
+            epoch = v * estimate_epoch_precision_factor(v)
+            epoch_text = g
+        elif s == "Z":
+            tz_min = _tz_text_offset_minutes(g)
+    if hour12 is not None:
+        hour = hour12 % 12 + (12 if pm else 0)
+    if epoch is not None:
+        sign = -1 if epoch_text.startswith("-") else 1
+        ns = epoch + sign * frac_ns
+    else:
+        try:
+            days = (date(year, month, day) - date(1970, 1, 1)).days
+        except ValueError:
+            return None  # e.g. Feb 30 — regex can't validate calendars
+        secs = days * 86400 + hour * 3600 + minute * 60 + second
+        ns = secs * _NS + frac_ns
+    ns -= p.tz_offset_s * _NS
+    ns -= tz_min * 60 * _NS
+    return ns
+
+
+# The reference's default pattern tables, tried in order when no explicit
+# pattern is given (TimestampParser.cpp:98-170 cDefaultDateTimePatterns /
+# cDefaultNumericPatterns; get_all_default_timestamp_patterns appends the
+# numeric pair after the date-time list).
+_MON = "Jan,Feb,Mar,Apr,May,Jun,Jul,Aug,Sep,Oct,Nov,Dec"
+_MON_FULL = ("January,February,March,April,May,June,July,August,September,"
+             "October,November,December")
+_DAY = "Sun,Mon,Tue,Wed,Thu,Fri,Sat"
+DEFAULT_DATE_TIME_PATTERNS: list[str] = [
+    r"\Y\O{-/}\m\O{-/}\d\O{T }\H:\M:\s\O{,.}\?\Z",
+    r"\Y\O{-/}\m\O{-/}\d\O{T }\H:\M:\s\Z",
+    r"\Y\O{-/}\m\O{-/}\d\O{T }\H:\M:\s\O{,.}\?",
+    r"\Y\O{-/}\m\O{-/}\d\O{T }\H:\M:\s",
+    r"[\Y\O{-/}\m\O{-/}\d\O{T }\H:\M:\s\O{,.}\?]",
+    r"[\Y\O{-/}\m\O{-/}\d\O{T }\H:\M:\s]",
+    r"[\Y\O{-/}\m\O{-/}\d\O{T }\H:\M:\s",
+    r"<<<\Y\O{-/}\m\O{-/}\d\O{T }\H:\M:\s:\?",
+    rf"\d \B{{{_MON}}} \Y \H:\M:\s\O{{,.}}\?",
+    r"[\Y\m\d-\H:\M:\s]",
+    r"\y\O{-/}\m\O{-/}\d\O{T }\H:\M:\s",
+    r"\y\m\d\O{T }\k:\M:\s",
+    rf"\B{{{_MON}}} \d, \Y \l:\M:\s \p",
+    rf"\B{{{_MON}}} \d, \Y \I:\M:\s \p",
+    rf"\B{{{_MON_FULL}}} \d, \Y \H:\M",
+    rf"[\d\O{{-/}}\B{{{_MON}}}\O{{-/}}\Y:\H:\M:\s",
+    rf"\A{{{_DAY}}} \B{{{_MON}}} \e \H:\M:\s \Y",
+    rf"\B{{{_MON}}} \d \H:\M:\s",
+    rf"\B{{{_MON}}} \d \H:\M:\s\Z",
+    r"\m\O{- }\d \H:\M:\s\O{,.}\?",
+    rf"\A{{{_DAY}}}, \d \B{{{_MON}}} \Y \H:\M:\s\Z",
+    rf"\d \B{{{_MON}}} \Y \H:\M:\s\Z",
+    rf"\A{{{_DAY}}}, \e \B{{{_MON}}} \Y \H:\M:\s\Z",
+    rf"\e \B{{{_MON}}} \Y \H:\M:\s\Z",
+    rf"\A{{{_DAY}}}, \d \B{{{_MON}}} \y \H:\M:\s\Z",
+    rf"\d \B{{{_MON}}} \y \H:\M:\s\Z",
+    rf"\A{{{_DAY}}}, \e \B{{{_MON}}} \y \H:\M:\s\Z",
+    rf"\e \B{{{_MON}}} \y \H:\M:\s\Z",
+    rf"\A{{{_DAY}}}, \d \B{{{_MON}}} \Y \H:\M\Z",
+    rf"\d \B{{{_MON}}} \Y \H:\M\Z",
+    rf"\A{{{_DAY}}}, \e \B{{{_MON}}} \Y \H:\M\Z",
+    rf"\e \B{{{_MON}}} \Y \H:\M\Z",
+    rf"\A{{{_DAY}}}, \d \B{{{_MON}}} \y \H:\M\Z",
+    rf"\d \B{{{_MON}}} \y \H:\M\Z",
+    rf"\A{{{_DAY}}}, \e \B{{{_MON}}} \y \H:\M\Z",
+    rf"\e \B{{{_MON}}} \y \H:\M\Z",
+]
+DEFAULT_NUMERIC_PATTERNS: list[str] = [r"\P", r"\E.\?"]
+
+_DEFAULT_COMPILED: list[CatPattern] | None = None
+
+
+def search_default_cat_patterns(text: str) -> int | None:
+    """Epoch ns for the first default pattern that fully parses `text`
+    (search_known_timestamp_patterns over get_all_default_timestamp_patterns
+    order: date-time first, then \\P / \\E.\\?), or None."""
+    global _DEFAULT_COMPILED
+    if _DEFAULT_COMPILED is None:
+        _DEFAULT_COMPILED = [
+            compile_cat_pattern(p)
+            for p in DEFAULT_DATE_TIME_PATTERNS + DEFAULT_NUMERIC_PATTERNS
+        ]
+    for p in _DEFAULT_COMPILED:
+        ns = parse_cat_timestamp_py(text, p)
+        if ns is not None:
+            return ns
+    return None

@@ -248,8 +248,40 @@ class _Parser:
             self.eat()
             self.eat("lparen")
             inner = self._literal()
+            # timestamp("...", "CAT pattern") — the optional explicit
+            # pattern form (Kql.g4 timestamp_expression). ',' is an
+            # ordinary unquoted character to the lexer, so it may arrive
+            # standalone, glued to an unquoted timestamp ("123,"), or
+            # prefixing an unquoted pattern (",\\P").
+            pattern = None
+            expect_pattern = False
+            if not inner.quoted and inner.value.endswith(","):
+                inner = Lit(inner.value[:-1], False, inner.has_wild)
+                expect_pattern = True
+            nxt = self.peek()
+            if nxt.kind == "unquoted" and nxt.text.startswith(","):
+                if nxt.text == ",":
+                    self.eat()
+                else:
+                    self.toks[self.i] = Tok("unquoted", nxt.text[1:])
+                expect_pattern = True
+            if expect_pattern:
+                # the reference hands the RAW token text to
+                # TimestampPattern::create (kql.cpp:92 ctx.pattern->
+                # getText()) — KQL string unescaping must not eat the CAT
+                # pattern's backslashes, so take the token verbatim minus
+                # surrounding quotes
+                ptok = self.peek()
+                if ptok.kind not in ("quoted", "unquoted"):
+                    raise ValueError("timestamp() pattern must be a literal")
+                pattern = (
+                    ptok.text[1:-1] if ptok.kind == "quoted" else ptok.text
+                )
+                self.eat()
             self.eat("rparen")
-            return Lit(str(_parse_timestamp(inner.value)), False, False)
+            return Lit(
+                str(_parse_timestamp(inner.value, pattern)), False, False
+            )
         return self._literal()
 
 
@@ -290,26 +322,47 @@ def _prefix_columns(node: Node, prefix: list[str]) -> None:
         _prefix_columns(node.child, prefix)
 
 
-def _parse_timestamp(s: str) -> int:
-    """→ epoch ms. Bare integers are already ms; a fractional number is
-    epoch SECONDS (reference TimestampLiteral.cpp:18 — stored as ns, exposed
-    as double seconds; the clp-s float-timestamp tests compare e.g.
-    timestamp("1759417024.4") against ms-unit columns as 1759417024400)."""
-    try:
-        return int(s)
-    except ValueError:
-        pass
-    try:
-        return int(round(float(s) * 1000))
-    except ValueError:
-        pass
-    for fmt in ("%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+def _parse_timestamp(s: str, pattern: str | None = None) -> int:
+    """→ epoch ms, the search default precision (clp-s.cpp:236-241 sets
+    TimestampLiteral's default precision to milliseconds, and as_int
+    compares at that precision — TimestampLiteral.cpp:28-31,53-55).
+
+    With an explicit CAT pattern, parse with it (kql.cpp:91-119). Without,
+    try the reference's default pattern tables in order (kql.cpp:121-146 →
+    TimestampParser.cpp:98-170): date-time patterns first, then \\P
+    unknown-precision epoch (1971-threshold unit estimation — so a bare
+    second-scale integer is seconds, an ms-scale one is ms) and \\E.\\?
+    epoch seconds with a fraction. Bare dates like "2024-01-01" aren't in
+    the reference's table; they keep working via a documented strptime
+    fallback."""
+    from clp_spark.functions.cat_parser import (
+        parse_cat_timestamp_py,
+        search_default_cat_patterns,
+    )
+
+    if pattern is not None:
+        ns = parse_cat_timestamp_py(s, pattern)
+        if ns is None:
+            raise ValueError(
+                f"failed to parse timestamp {s!r} using pattern {pattern!r}"
+            )
+        return _trunc_div_ns_to_ms(ns)
+    ns = search_default_cat_patterns(s)
+    if ns is not None:
+        return _trunc_div_ns_to_ms(ns)
+    for fmt in ("%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d"):
         try:
             dt = datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
             return int(dt.timestamp() * 1000)
         except ValueError:
             continue
     raise ValueError(f"unparseable timestamp literal: {s!r}")
+
+
+def _trunc_div_ns_to_ms(ns: int) -> int:
+    """ns → ms with C++ integer-division semantics (truncation toward
+    zero, as_precision uses operator/ — TimestampLiteral.cpp:38-51)."""
+    return -(-ns // 1_000_000) if ns < 0 else ns // 1_000_000
 
 
 def parse_kql(query: str) -> Node:

@@ -208,3 +208,147 @@ class TestUnknownPrecisionEpoch:
         }
         for s, want in cases:
             assert got[s] == want, (s, got[s], want)
+
+
+class TestGenericSpecifiers:
+    """\\s \\? \\O{} \\Z — the generic CAT specifiers, against the
+    reference's own transformation/golden forms
+    (test_TimestampParser.cpp:463-531)."""
+
+    BASE_NS = 1_709_287_201 * 10**9  # 2024-03-01 10:00:01 UTC
+
+    TZ_FORMS = [  # (suffix text, expected offset minutes)
+        ("Z", 0), ("-04", -240), ("-04:30", -270), ("-0430", -270),
+        ("\u221204", -240), ("\u221204:30", -270), ("\u22120430", -270),
+        ("+04", 240), ("+04:30", 270), ("+0430", 270),
+        ("UTC+04", 240), (" UTC+04", 240), ("UTC+04Z", 240),
+        (" UTC+04Z", 240), ("+04Z", 240), (" +04Z", 240), (" Z", 0),
+        ("EST", -300), ("UT", 0), (" GMT", 0), ("UTC", 0), ("PDT", -420),
+    ]
+
+    def test_z_forms_python(self):
+        from clp_spark.functions.cat_parser import parse_cat_timestamp_py
+
+        for txt, off_min in self.TZ_FORMS:
+            got = parse_cat_timestamp_py(
+                "2024-03-01 10:00:01" + txt, r"\Y-\m-\d \H:\M:\s\Z"
+            )
+            assert got == self.BASE_NS - off_min * 60 * 10**9, txt
+
+    def test_z_forms_column_differential(self, spark):
+        from pyspark.sql import functions as F
+
+        from clp_spark.functions.cat_parser import parse_cat_timestamp_ns
+
+        df = spark.createDataFrame(
+            [("2024-03-01 10:00:01" + t,) for t, _ in self.TZ_FORMS], ["s"]
+        )
+        got = [
+            r["ns"]
+            for r in df.select(
+                parse_cat_timestamp_ns(
+                    F.col("s"), r"\Y-\m-\d \H:\M:\s\Z"
+                ).alias("ns")
+            ).collect()
+        ]
+        want = [self.BASE_NS - off * 60 * 10**9 for _, off in self.TZ_FORMS]
+        assert got == want
+
+    def test_fraction_widths(self):
+        from clp_spark.functions.cat_parser import parse_cat_timestamp_py
+
+        # reference \? transformations: 3/6/9 digits exact, other widths
+        # only when not ending in '0' (test_TimestampParser.cpp:487-497)
+        for frac, ok in [("123", True), ("123456", True),
+                         ("123456789", True), ("12", True), ("1234", True),
+                         ("1234567", True), ("12345678", True),
+                         ("50", False), ("1200", False)]:
+            got = parse_cat_timestamp_py(
+                f"2024-03-01 10:00:01.{frac}", r"\Y-\m-\d \H:\M:\s.\?"
+            )
+            assert (got is not None) == ok, frac
+            if ok:
+                assert got == self.BASE_NS + int(frac) * 10 ** (9 - len(frac))
+
+    def test_one_of_literals(self):
+        from clp_spark.functions.cat_parser import parse_cat_timestamp_py
+
+        assert parse_cat_timestamp_py("A", r"\O{A}") == 0
+        assert parse_cat_timestamp_py("AB", r"\O{BA}\O{AB}") == 0
+        assert parse_cat_timestamp_py("F", r"\O{ABCDEFGHIJKLMNOP}") == 0
+        assert parse_cat_timestamp_py("Q", r"\O{ABC}") is None
+
+    def test_generic_second(self):
+        from clp_spark.functions.cat_parser import parse_cat_timestamp_py
+
+        for v, sec in [("00", 0), ("01", 1), ("58", 58), ("59", 59),
+                       ("60", 59)]:  # leap 60 clamps (cMaxParsedSecond)
+            got = parse_cat_timestamp_py(
+                f"2024-03-01 10:00:{v}", r"\Y-\m-\d \H:\M:\s"
+            )
+            assert got == (1_709_287_200 + sec) * 10**9, v
+        assert parse_cat_timestamp_py(
+            "2024-03-01 10:00:61", r"\Y-\m-\d \H:\M:\s"
+        ) is None
+
+
+class TestPythonColumnDifferential:
+    """The driver-side evaluator must agree with the Column evaluator on
+    every accuracy-table row and on inputs exercising each specifier."""
+
+    def test_accuracy_table(self, spark):
+        from pyspark.sql import functions as F
+
+        from clp_spark.functions.cat_parser import (
+            parse_cat_timestamp_ns,
+            parse_cat_timestamp_py,
+        )
+
+        for text, pattern, want in ACCURACY:
+            py = parse_cat_timestamp_py(text, pattern)
+            assert py == want, (text, pattern)
+        # one Spark pass over the whole table, pattern-grouped
+        for text, pattern, want in ACCURACY[:8]:
+            df = spark.createDataFrame([(text,)], ["s"])
+            got = df.select(
+                parse_cat_timestamp_ns(F.col("s"), pattern).alias("ns")
+            ).collect()[0]["ns"]
+            assert got == want, (text, pattern)
+
+
+class TestDefaultPatternSearch:
+    """search_default_cat_patterns ≡ the reference's
+    get_all_default_timestamp_patterns order: date-time table first, then
+    \\P and \\E.\\? (TimestampParser.cpp:98-170, kql.cpp:121-146)."""
+
+    def test_iso_forms(self):
+        from clp_spark.functions.cat_parser import search_default_cat_patterns
+
+        base = 1_709_287_201 * 10**9
+        assert search_default_cat_patterns("2024-03-01 10:00:01") == base
+        assert search_default_cat_patterns("2024-03-01T10:00:01") == base
+        assert search_default_cat_patterns("2024/03/01 10:00:01") == base
+        assert search_default_cat_patterns(
+            "2024-03-01T10:00:01.123Z") == base + 123 * 10**6
+        assert search_default_cat_patterns(
+            "2024-03-01 10:00:01,123+05:30"
+        ) == base + 123 * 10**6 - 330 * 60 * 10**9
+        assert search_default_cat_patterns(
+            "[2024-03-01 10:00:01]") == base
+        assert search_default_cat_patterns(
+            "Mar 01, 2024 10:00:01 AM") == base
+        assert search_default_cat_patterns(
+            "Fri Mar  1 10:00:01 2024") == base
+
+    def test_numeric_fallback_is_unknown_precision(self):
+        from clp_spark.functions.cat_parser import search_default_cat_patterns
+
+        # \P: unit by 1971-threshold magnitude
+        assert search_default_cat_patterns("1") == 10**9
+        assert search_default_cat_patterns("1700000000") == 1_700_000_000 * 10**9
+        assert search_default_cat_patterns(
+            "1700000000123") == 1_700_000_000_123 * 10**6
+        # \E.\?: epoch seconds with fraction
+        assert search_default_cat_patterns(
+            "1759417024.4") == 1_759_417_024_400 * 10**6
+        assert search_default_cat_patterns("not a time") is None

@@ -89,8 +89,11 @@ GOLDEN = [
     (r'idx: 0 AND NOT $_filename: "clp string"', {0}),
     (r'idx: 0 AND NOT $*._filename.*: "clp string"', {0}),
     (
+        # timestamp("0.001") = \E.\? epoch seconds -> 1 ms (at the ms
+        # default precision, clp-s.cpp:236-241); a bare integer would be
+        # \P unknown-precision (timestamp("1") = 1 SECOND = 1000)
         r"($_filename: file OR $_file_split_number: 1 OR $_archive_creator_id > 0) AND "
-        r'idx: 0 OR idx: timestamp("1")',
+        r'idx: 0 OR idx: timestamp("0.001")',
         {1},
     ),
     (r'ambiguous_varstring: "a*e"', {10, 11, 12}),
@@ -221,3 +224,62 @@ class TestParserRobustness:
         assert parse_kql(q) is not None
         with pytest.raises(ValueError):
             parse_kql("(" * 80 + "a: 1")  # unbalanced
+
+
+class TestTimestampFunction:
+    """KQL timestamp() semantics per kql.cpp:82-146 + clp-s.cpp:236-241:
+    CAT-parse to ns, compare at the ms default precision; optional second
+    argument is an explicit CAT pattern."""
+
+    def _lit(self, q):
+        from clp_spark.operators.kql import parse_kql
+
+        node = parse_kql(f"x: {q}")
+        return int(node.values[0].value)
+
+    def test_unknown_precision_integer(self):
+        # \P: second-scale int is SECONDS, ms-scale int is ms
+        assert self._lit('timestamp("1")') == 1000
+        assert self._lit('timestamp("1700000000")') == 1_700_000_000_000
+        assert self._lit('timestamp("1700000000123")') == 1_700_000_000_123
+
+    def test_fractional_seconds(self):
+        assert self._lit('timestamp("1759417024.4")') == 1_759_417_024_400
+        assert self._lit('timestamp("0.001")') == 1
+
+    def test_default_date_time_patterns(self):
+        base = 1_709_287_201_000
+        assert self._lit('timestamp("2024-03-01 10:00:01")') == base
+        assert self._lit('timestamp("2024-03-01T10:00:01.123Z")') == base + 123
+        assert self._lit('timestamp("2024-03-01 10:00:01 EST")') == \
+            base + 300 * 60 * 1000
+
+    def test_explicit_pattern_argument(self):
+        assert self._lit(
+            r'timestamp("01/Mar/2024:10:00:01", "\d/\B{Jan,Feb,Mar,Apr,May,'
+            r'Jun,Jul,Aug,Sep,Oct,Nov,Dec}/\Y:\H:\M:\s")'
+        ) == 1_709_287_201_000
+        # epoch-seconds pattern beats the \P default for bare integers
+        assert self._lit(r'timestamp("1700000000", "\E")') == \
+            1_700_000_000_000
+        assert self._lit(r'timestamp("1700000000", "\L")') == 1_700_000_000
+
+    def test_explicit_pattern_mismatch_errors(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="failed to parse"):
+            self._lit(r'timestamp("boom", "\E")')
+
+    def test_filters_rows(self, spark):
+        from clp_spark.operators.kql import kql_filter
+
+        df = spark.createDataFrame(
+            [(1, 1_709_287_201_000), (2, 1_709_287_202_000)], ["id", "ts"]
+        )
+        got = {
+            r["id"]
+            for r in kql_filter(
+                df, 'ts >= timestamp("2024-03-01T10:00:02")'
+            ).collect()
+        }
+        assert got == {2}
