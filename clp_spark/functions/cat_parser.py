@@ -501,10 +501,11 @@ DEFAULT_NUMERIC_PATTERNS: list[str] = [r"\P", r"\E.\?"]
 _DEFAULT_COMPILED: list[CatPattern] | None = None
 
 
-def search_default_cat_patterns(text: str) -> int | None:
-    """Epoch ns for the first default pattern that fully parses `text`
-    (search_known_timestamp_patterns over get_all_default_timestamp_patterns
-    order: date-time first, then \\P / \\E.\\?), or None."""
+def match_default_cat_pattern(text: str) -> tuple[int, CatPattern] | None:
+    """(epoch ns, matching pattern) for the first default pattern that
+    fully parses `text` (search_known_timestamp_patterns over
+    get_all_default_timestamp_patterns order: date-time first, then
+    \\P / \\E.\\?), or None."""
     global _DEFAULT_COMPILED
     if _DEFAULT_COMPILED is None:
         _DEFAULT_COMPILED = [
@@ -514,5 +515,11 @@ def search_default_cat_patterns(text: str) -> int | None:
     for p in _DEFAULT_COMPILED:
         ns = parse_cat_timestamp_py(text, p)
         if ns is not None:
-            return ns
+            return ns, p
     return None
+
+
+def search_default_cat_patterns(text: str) -> int | None:
+    """Epoch ns for the first default pattern that fully parses `text`."""
+    hit = match_default_cat_pattern(text)
+    return hit[0] if hit is not None else None

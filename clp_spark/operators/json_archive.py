@@ -123,20 +123,19 @@ def _cap_document_size(df: DataFrame, raw_col: str, max_document_size: int):
     )
 
 
-def _ts_norm(df: DataFrame, key: str | None) -> Column | None:
+def _ts_norm(df: DataFrame, key: str | None,
+             pattern_sink: list[str] | None = None) -> Column | None:
     """clp-s timestamp normalization for a top-level column (the same rule
-    the search paths apply): double = epoch seconds → ms; anything else
-    casts to long (digit strings included). None when the column is absent."""
-    from pyspark.sql.types import DoubleType
+    the search paths apply — json_search.normalize_ts_column): double =
+    epoch seconds → ms; STRING = CAT default-pattern parse with the
+    discovered patterns recorded into ``pattern_sink`` (the manifest's
+    timestamp-pattern dictionary, TimestampDictionaryWriter parity);
+    integers pass through as ms. None when the column is absent."""
+    from clp_spark.operators.json_search import normalize_ts_column
 
     if not key:
         return None
-    t = {f.name: f.dataType for f in df.schema.fields}.get(key)
-    if t is None:
-        return None
-    if isinstance(t, DoubleType):
-        return F.round(F.col(key) * 1000).cast("long")
-    return F.col(key).cast("long")
+    return normalize_ts_column(df, key, pattern_sink=pattern_sink)
 
 
 def _schema_id(leaves: list[tuple[tuple[str, ...], str]]) -> str:
@@ -326,6 +325,11 @@ def compress_jsonl_archive(
         "log_order": record_log_order,
         "schemas": [],
     }
+    # string-timestamp pattern dictionary (TimestampDictionaryWriter
+    # parity): patterns discovered while normalizing a STRING timestamp
+    # key, recorded so search normalizes identically without re-probing.
+    # list.append is GIL-atomic, safe under the write pool below.
+    ts_patterns: list[str] = []
     total_rows = 0
     scalar_parts: list[DataFrame] = []
     # Variant DDLs are finer than the typed schema (every DECIMAL(p,s) is
@@ -373,7 +377,7 @@ def compress_jsonl_archive(
         path = os.path.join(out_dir, f"schema_id={sid}")
         obs = Observation()
         metrics = [F.count(F.lit(1)).alias("n")]
-        ts = _ts_norm(entry["typed"], timestamp_key)
+        ts = _ts_norm(entry["typed"], timestamp_key, ts_patterns)
         if ts is not None:
             metrics += [F.min(ts).alias("lo"), F.max(ts).alias("hi")]
         typed = entry["typed"].observe(obs, *metrics)
@@ -433,6 +437,8 @@ def compress_jsonl_archive(
     manifest["uncompressed_size"] = int(obs_in.get["bytes"] or 0)
     manifest["begin_timestamp"] = ts_lo
     manifest["end_timestamp"] = ts_hi
+    if ts_patterns:
+        manifest["timestamp_patterns"] = ts_patterns
     manifest["is_split"] = is_split
     if range_index is not None:
         manifest["range_index"] = range_index
@@ -833,14 +839,14 @@ def search_json_archive(
             )
             work = work.withColumn("__v__", F.parse_json(varr))
         if timestamp_key and timestamp_key in work.columns:
-            ts_t = {
-                f.name: f.dataType for f in work.schema.fields
-            }[timestamp_key]
-            if isinstance(ts_t, DoubleType):
-                norm = F.round(F.col(timestamp_key) * 1000).cast("long")
-            else:
-                norm = F.col(timestamp_key).cast("long")
-            work = work.withColumn(timestamp_key, norm)
+            from clp_spark.operators.json_search import normalize_ts_column
+
+            norm = normalize_ts_column(
+                work, timestamp_key,
+                patterns=manifest.get("timestamp_patterns"),
+            )
+            if norm is not None:
+                work = work.withColumn(timestamp_key, norm)
         # storage internals (the reconstruction text and float-format
         # descriptor columns) must never resolve as record columns — a
         # bare-value or wildcard-column filter would otherwise probe them
@@ -1118,13 +1124,16 @@ def search_json_archives(
                 key,
                 {"leaves": [(tuple(p), k) for p, k in entry["leaves"]],
                  "paths": [], "dirs": [], "ddl": entry.get("ddl"),
-                 "ast": d_ast},
+                 "ast": d_ast, "ts_patterns": []},
             )
             g["paths"].append(
                 os.path.join(d, _COMBINED_DIR) if combined
                 else os.path.join(d, f"schema_id={entry['schema_id']}")
             )
             g["dirs"].append(d)
+            for p in manifest.get("timestamp_patterns") or []:
+                if p not in g["ts_patterns"]:
+                    g["ts_patterns"].append(p)
     compiler = JsonArchive.__new__(JsonArchive)
     compiler.metadata = {IDX_COL: None}
     # archive_id recovers from the file path (…/<archive_id>/schema_id=…
@@ -1185,12 +1194,13 @@ def search_json_archives(
             )
             work = work.withColumn("__v__", F.parse_json(varr))
         if eff_ts and eff_ts in work.columns:
-            ts_t = {f.name: f.dataType for f in work.schema.fields}[eff_ts]
-            if isinstance(ts_t, DoubleType):
-                norm = F.round(F.col(eff_ts) * 1000).cast("long")
-            else:
-                norm = F.col(eff_ts).cast("long")
-            work = work.withColumn(eff_ts, norm)
+            from clp_spark.operators.json_search import normalize_ts_column
+
+            norm = normalize_ts_column(
+                work, eff_ts, patterns=g.get("ts_patterns") or None
+            )
+            if norm is not None:
+                work = work.withColumn(eff_ts, norm)
         compiler.timestamp_key = eff_ts
         # storage internals (the reconstruction text and float-format
         # descriptor columns) must never resolve as record columns — a
@@ -1357,6 +1367,10 @@ def compress_jsonl_archives_multi(
     staging = os.path.join(archives_dir, "_staging")
     from concurrent.futures import ThreadPoolExecutor
 
+    # string-timestamp pattern dictionary, shared across the split archives
+    # (they come from one input stream — one discovery pass suffices)
+    ts_patterns: list[str] = []
+
     def _write_one(item):
         sid, entry = item
         path = os.path.join(staging, f"schema_id={sid}")
@@ -1371,7 +1385,7 @@ def compress_jsonl_archives_multi(
         # range rides the same job reading just the ts column
         back = spark.read.parquet(path)
         aggs = [F.count("*").alias("n")]
-        ts = _ts_norm(back, timestamp_key)
+        ts = _ts_norm(back, timestamp_key, ts_patterns)
         if ts is not None:
             aggs += [F.min(ts).alias("lo"), F.max(ts).alias("hi")]
         rows = back.groupBy("_arch").agg(*aggs).collect()
@@ -1461,6 +1475,7 @@ def compress_jsonl_archives_multi(
         manifest = {
             "structurize_arrays": structurize_arrays,
             "timestamp_key": timestamp_key,
+            **({"timestamp_patterns": ts_patterns} if ts_patterns else {}),
             "log_order": record_log_order,
             "schemas": per_arch[k]["schemas"],
             "invalid": invalid,

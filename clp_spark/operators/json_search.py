@@ -56,6 +56,78 @@ from clp_spark.operators.kql import (
 
 _INTERNAL = ("__raw__", "__v__")
 
+_TS_PROBE_LIMIT = 64
+
+
+def detect_string_ts_patterns(df: DataFrame, key: str) -> list[str]:
+    """Which default CAT patterns parse this table's STRING timestamps —
+    the TimestampDictionaryWriter pattern-discovery flow
+    (TimestampDictionaryWriter.cpp:42-97: try seen patterns, then search
+    the default table, record new patterns) run as ONE bounded driver
+    probe per schema table instead of per row. A log stream's timestamps
+    overwhelmingly share one format, so a small sample finds the pattern
+    set; rows in a format the sample missed parse as NULL and are counted
+    nowhere — the reference hard-errors on them instead, which a
+    distributed writer can't do cheaply. O(1) rows collected, O(schemas)
+    probes per archive."""
+    from clp_spark.functions.cat_parser import match_default_cat_pattern
+
+    samples = [
+        r[0]
+        for r in df.select(key)
+        .where(F.col(key).isNotNull())
+        .limit(_TS_PROBE_LIMIT)
+        .collect()
+    ]
+    pats: list[str] = []
+    for v in samples:
+        hit = match_default_cat_pattern(str(v))
+        if hit is not None and hit[1].source not in pats:
+            pats.append(hit[1].source)
+    return pats
+
+
+def string_ts_ms(key: str, patterns: list[str]) -> Column:
+    """Epoch-ms Column for a string timestamp column under the archive's
+    recorded pattern set (first matching pattern wins, discovery order —
+    the pattern-id lookup order of the reference's timestamp dictionary).
+    Pure JVM regexp arithmetic per pattern, no UDFs."""
+    from clp_spark.functions.cat_parser import parse_cat_timestamp_ms
+
+    return F.coalesce(
+        *[parse_cat_timestamp_ms(F.col(key), p) for p in patterns]
+    )
+
+
+def normalize_ts_column(
+    df: DataFrame, key: str, patterns: list[str] | None = None,
+    pattern_sink: list[str] | None = None,
+) -> Column | None:
+    """clp-s timestamp-key normalization to epoch ms for a stored column:
+    double = epoch seconds → ms (\\E.\\?); string = CAT default-pattern
+    parse (JsonParser.cpp:578-601 ingest_string_timestamp), using
+    `patterns` when the archive recorded them, else a bounded probe whose
+    discoveries land in `pattern_sink`; integers pass through as ms (this
+    engine's pinned storage precision — a deliberate deviation from the
+    current reference writer, whose \\P estimation rescales second-scale
+    integers; both sides of every comparison here normalize the same way).
+    None when the column is absent or no string pattern matches."""
+    t = {f.name: f.dataType for f in df.schema.fields}.get(key)
+    if t is None:
+        return None
+    if isinstance(t, DoubleType):
+        return F.round(F.col(key) * 1000).cast("long")
+    if isinstance(t, StringType):
+        pats = patterns if patterns else detect_string_ts_patterns(df, key)
+        if pattern_sink is not None:
+            for p in pats:
+                if p not in pattern_sink:
+                    pattern_sink.append(p)
+        if not pats:
+            return None
+        return string_ts_ms(key, pats)
+    return F.col(key).cast("long")
+
 _KIND_TO_SPARK: dict[str, DataType] = {
     "int": LongType(),
     "float": DoubleType(),
@@ -223,14 +295,9 @@ class JsonArchive:
             for name, val in self.metadata.items():
                 part = part.withColumn(name, F.lit(val))
             if timestamp_key and timestamp_key in part.columns:
-                ts_t = dict(zip(part.columns, [f.dataType for f in part.schema.fields]))[
-                    timestamp_key
-                ]
-                if isinstance(ts_t, DoubleType):
-                    norm = F.round(F.col(timestamp_key) * 1000).cast("long")
-                else:
-                    norm = F.col(timestamp_key).cast("long")
-                part = part.withColumn(timestamp_key, norm)
+                norm = normalize_ts_column(part, timestamp_key)
+                if norm is not None:
+                    part = part.withColumn(timestamp_key, norm)
             self.tables.append((part, array_leaves))
             self.schema_groups.append(
                 {"ddl": ddl, "leaves": leaves, "part": part,

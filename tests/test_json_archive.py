@@ -1043,3 +1043,113 @@ class TestMinTableSize:
         assert [
             json.loads(r["json"]) for r in reconstruct_jsonl(spark, arch).collect()
         ] == [json.loads(s) for s in self.LINES]
+
+
+class TestStringTimestampKey:
+    """String timestamp-key values parse through the default CAT patterns
+    at ingest (JsonParser.cpp:578-601 ingest_string_timestamp →
+    TimestampDictionaryWriter.cpp:42-97), the discovered patterns are
+    recorded in the manifest (the timestamp-dictionary analog), and search
+    normalizes identically — while the stored string column reconstructs
+    byte-exact."""
+
+    LINES = [
+        '{"ts": "2024-03-01T10:00:01.123Z", "msg": "a"}',
+        '{"ts": "2024-03-01T10:00:02.456Z", "msg": "b"}',
+        '{"ts": "2024-03-01T10:00:03.789Z", "msg": "c"}',
+    ]
+    MS = [1_709_287_201_123, 1_709_287_202_456, 1_709_287_203_789]
+
+    def _arch(self, spark, tmp_path):
+        from clp_spark.operators.json_archive import compress_jsonl_archive
+
+        df = spark.createDataFrame(
+            [(i, ln) for i, ln in enumerate(self.LINES)], ["ord", "raw"]
+        )
+        out = str(tmp_path / "arch")
+        compress_jsonl_archive(
+            df, "raw", out, order_col="ord", timestamp_key="ts"
+        )
+        return out
+
+    def test_manifest_range_and_patterns(self, spark, tmp_path):
+        import json as _json
+        import os as _os
+
+        out = self._arch(spark, tmp_path)
+        with open(_os.path.join(out, "manifest.json")) as f:
+            m = _json.load(f)
+        assert m["begin_timestamp"] == self.MS[0]
+        assert m["end_timestamp"] == self.MS[2]
+        assert m["timestamp_patterns"] == [
+            r"\Y\O{-/}\m\O{-/}\d\O{T }\H:\M:\s\O{,.}\?\Z"
+        ]
+
+    def test_ts_range_search_and_roundtrip(self, spark, tmp_path):
+        import json as _json
+
+        from clp_spark.operators.json_archive import (
+            reconstruct_jsonl,
+            search_json_archive,
+        )
+
+        out = self._arch(spark, tmp_path)
+        hits = search_json_archive(
+            spark, out,
+            'ts > timestamp("2024-03-01T10:00:01.123Z") AND '
+            'ts <= timestamp("2024-03-01T10:00:03.789Z")',
+        ).collect()
+        assert sorted(
+            _json.loads(r["json"])["msg"] for r in hits
+        ) == ["b", "c"]
+        # reconstruction keeps the original STRING form byte-exact
+        back = [r["json"] for r in reconstruct_jsonl(spark, out).collect()]
+        # the string form survives exactly (the stored column is untouched)
+        assert all('"2024-03-01T10:00:0' in b for b in back)
+        assert len(back) == 3
+
+    def test_federated_and_cli_tge(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from clp_spark import cli
+
+        src = tmp_path / "logs.jsonl"
+        src.write_text("\n".join(self.LINES) + "\n")
+        arch = str(tmp_path / "jarch")
+        cli.main(["c", arch, str(src), "--json", "--timestamp-key", "ts"])
+        capsys.readouterr()
+        cli.main(["s-kql", arch, "*", "--tge", str(self.MS[1])])
+        got = [
+            _json.loads(ln)["msg"]
+            for ln in capsys.readouterr().out.strip().splitlines()
+            if ln.startswith("{")
+        ]
+        assert sorted(got) == ["b", "c"]
+
+    def test_mixed_formats_two_patterns(self, spark, tmp_path):
+        import json as _json
+        import os as _os
+
+        from clp_spark.operators.json_archive import (
+            compress_jsonl_archive,
+            search_json_archive,
+        )
+
+        lines = [
+            '{"ts": "2024-03-01 10:00:01", "msg": "iso"}',
+            '{"ts": "Mar 01, 2024 10:00:02 AM", "msg": "us"}',
+        ]
+        df = spark.createDataFrame(
+            [(i, ln) for i, ln in enumerate(lines)], ["ord", "raw"]
+        )
+        out = str(tmp_path / "arch2")
+        compress_jsonl_archive(
+            df, "raw", out, order_col="ord", timestamp_key="ts"
+        )
+        with open(_os.path.join(out, "manifest.json")) as f:
+            m = _json.load(f)
+        assert len(m["timestamp_patterns"]) == 2
+        hits = search_json_archive(
+            spark, out, 'ts >= timestamp("2024-03-01 10:00:02")'
+        ).collect()
+        assert [_json.loads(r["json"])["msg"] for r in hits] == ["us"]
