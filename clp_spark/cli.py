@@ -869,7 +869,22 @@ def _kql_agg_flags(args) -> list[str]:
     ]
 
 
-def _kql_aggregate(res, json_col: str, args) -> bool:
+def _json_ts_ms(v, patterns=None):
+    """Value-based twin of the archive's schema-based timestamp
+    normalization: digit-only lexeme = already epoch ms; other numerics =
+    double epoch seconds; anything else CAT-parses with the archive's
+    recorded string patterns (manifest timestamp_patterns)."""
+    num = F.when(v.rlike("^-?[0-9]+$"), v.try_cast("long")).otherwise(
+        F.round(v.try_cast("double") * 1000).try_cast("long")
+    )
+    if not patterns:
+        return num
+    from clp_spark.operators.json_search import string_ts_ms
+
+    return F.coalesce(num, string_ts_ms(v, patterns))
+
+
+def _kql_aggregate(res, json_col: str, args, ts_patterns=None) -> bool:
     """clp-s search aggregators (--count / --count-by-time / --min / --max /
     --unique, mutually exclusive — reference CommandLineArguments.cpp:783-798,
     1166-1184; aggregators.hpp:66-183). Returns True if an aggregate flag
@@ -894,7 +909,9 @@ def _kql_aggregate(res, json_col: str, args) -> bool:
             sys.exit("error: --count-by-time needs --timestamp-key "
                      "(or an archive compressed with one)")
         key = args.timestamp_key.split(":", 1)[0]
-        ts = F.get_json_object(F.col(json_col), "$." + key).cast("long")
+        ts = _json_ts_ms(
+            F.get_json_object(F.col(json_col), "$." + key), ts_patterns
+        )
         rows = count_by_time(
             res.where(ts.isNotNull()), ts, args.count_by_time
         ).orderBy("bucket_ts").collect()
@@ -943,7 +960,8 @@ def _kql_with_ts_range(query: str, key: str | None, tge, tle) -> str:
     return " AND ".join(conds)
 
 
-def _latest_n(res, json_col: str, key: str | None, n: int):
+def _latest_n(res, json_col: str, key: str | None, n: int,
+              ts_patterns=None):
     """clp-s --max-num-results (OutputHandlerImpl.cpp:155-178): keep the n
     results with the LARGEST authoritative timestamps — the reference's
     min-heap, Spark's TakeOrderedAndProject (no full sort at scale).
@@ -951,12 +969,8 @@ def _latest_n(res, json_col: str, key: str | None, n: int):
     identical timestamps), so this degrades to an arbitrary n."""
     if key is None:
         return res.limit(n)
-    v = F.get_json_object(F.col(json_col), "$." + key)
-    # value-based twin of the archive's schema-based normalization
-    # (json_search.py JsonArchive): digit-only lexeme = already epoch ms;
-    # anything else parses as double epoch SECONDS
-    ts = F.when(v.rlike("^-?[0-9]+$"), v.cast("long")).otherwise(
-        F.round(v.cast("double") * 1000).cast("long")
+    ts = _json_ts_ms(
+        F.get_json_object(F.col(json_col), "$." + key), ts_patterns
     )
     return (
         res.withColumn("__ts__", ts)
@@ -1094,12 +1108,19 @@ def cmd_search_kql(args) -> None:
         # clp-s `s <archives-dir>`: a DIRECTORY of JSON archives searches
         # federated in one Spark job; --archive-id restricts to one
         from clp_spark.operators.json_archive import (
-            archive_timestamp_key, search_json_archives,
+            archive_timestamp_key,
+            archive_timestamp_patterns,
+            search_json_archives,
         )
 
         ts_key = args.timestamp_key or archive_timestamp_key(
             discover_json_archives(args.input)[0]
         )
+        ts_pats: list[str] = []
+        for d in discover_json_archives(args.input):
+            for p in archive_timestamp_patterns(d):
+                if p not in ts_pats:
+                    ts_pats.append(p)
         query = _kql_with_ts_range(args.query, ts_key, args.tge, args.tle)
         res = search_json_archives(
             spark, args.input, query,
@@ -1107,9 +1128,10 @@ def cmd_search_kql(args) -> None:
             timestamp_key=args.timestamp_key,
             archive_id=args.archive_id,
         )
-        if not _kql_aggregate(res, "json", args):
+        if not _kql_aggregate(res, "json", args, ts_pats):
             if args.max_num_results is not None:
-                res = _latest_n(res, "json", ts_key, args.max_num_results)
+                res = _latest_n(res, "json", ts_key, args.max_num_results,
+                                ts_pats)
             if args.projection:
                 res = _apply_projection(res, "json", args.projection)
             out = res.limit(args.limit) if args.limit is not None else res
@@ -1121,11 +1143,14 @@ def cmd_search_kql(args) -> None:
         # compressed JSON archive: search the typed tables directly
         # (clp-s `s <archive>` — no raw JSON re-parse)
         from clp_spark.operators.json_archive import (
-            archive_timestamp_key, search_json_archive,
+            archive_timestamp_key,
+            archive_timestamp_patterns,
+            search_json_archive,
         )
 
         if args.timestamp_key is None:
             args.timestamp_key = archive_timestamp_key(args.input)
+        ts_pats = archive_timestamp_patterns(args.input)
 
         query = _kql_with_ts_range(
             args.query, args.timestamp_key, args.tge, args.tle
@@ -1135,10 +1160,11 @@ def cmd_search_kql(args) -> None:
             ignore_case=args.ignore_case,
             timestamp_key=args.timestamp_key,
         )
-        if not _kql_aggregate(res, "json", args):
+        if not _kql_aggregate(res, "json", args, ts_pats):
             if args.max_num_results is not None:
                 res = _latest_n(
-                    res, "json", args.timestamp_key, args.max_num_results
+                    res, "json", args.timestamp_key, args.max_num_results,
+                    ts_pats,
                 )
             if args.projection:
                 res = _apply_projection(res, "json", args.projection)

@@ -1513,6 +1513,17 @@ def compress_jsonl_archives_multi(
     }
 
 
+def archive_timestamp_patterns(archive_dir: str) -> list[str]:
+    """The string-timestamp CAT patterns recorded at compression (empty
+    when the key was numeric or unset) — the timestamp-dictionary pattern
+    table (TimestampDictionaryWriter parity)."""
+    try:
+        with open(os.path.join(archive_dir, _MANIFEST)) as f:
+            return json.load(f).get("timestamp_patterns") or []
+    except OSError:
+        return []
+
+
 def archive_timestamp_key(archive_dir: str) -> str | None:
     """The timestamp key recorded at compression (None if unset)."""
     with open(os.path.join(archive_dir, _MANIFEST)) as f:

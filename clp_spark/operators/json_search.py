@@ -87,15 +87,17 @@ def detect_string_ts_patterns(df: DataFrame, key: str) -> list[str]:
     return pats
 
 
-def string_ts_ms(key: str, patterns: list[str]) -> Column:
-    """Epoch-ms Column for a string timestamp column under the archive's
-    recorded pattern set (first matching pattern wins, discovery order —
-    the pattern-id lookup order of the reference's timestamp dictionary).
-    Pure JVM regexp arithmetic per pattern, no UDFs."""
+def string_ts_ms(key: str | Column, patterns: list[str]) -> Column:
+    """Epoch-ms Column for a string timestamp column (by name or as an
+    expression) under the archive's recorded pattern set (first matching
+    pattern wins, discovery order — the pattern-id lookup order of the
+    reference's timestamp dictionary). Pure JVM regexp arithmetic per
+    pattern, no UDFs."""
     from clp_spark.functions.cat_parser import parse_cat_timestamp_ms
 
+    col = F.col(key) if isinstance(key, str) else key
     return F.coalesce(
-        *[parse_cat_timestamp_ms(F.col(key), p) for p in patterns]
+        *[parse_cat_timestamp_ms(col, p) for p in patterns]
     )
 
 

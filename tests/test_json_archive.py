@@ -1153,3 +1153,43 @@ class TestStringTimestampKey:
             spark, out, 'ts >= timestamp("2024-03-01 10:00:02")'
         ).collect()
         assert [_json.loads(r["json"])["msg"] for r in hits] == ["us"]
+
+
+class TestStringTsAggregates:
+    """count-by-time and --max-num-results over a STRING timestamp key:
+    the value-based paths normalize with the archive-recorded patterns."""
+
+    def _arch(self, spark, tmp_path, capsys):
+        from clp_spark import cli
+
+        src = tmp_path / "logs.jsonl"
+        src.write_text(
+            '{"ts": "2024-03-01T10:00:01Z", "msg": "a"}\n'
+            '{"ts": "2024-03-01T10:00:02Z", "msg": "b"}\n'
+            '{"ts": "2024-03-01T10:01:05Z", "msg": "c"}\n'
+        )
+        arch = str(tmp_path / "jarch")
+        cli.main(["c", arch, str(src), "--json", "--timestamp-key", "ts"])
+        capsys.readouterr()
+        return arch
+
+    def test_count_by_time(self, spark, tmp_path, capsys):
+        from clp_spark import cli
+
+        arch = self._arch(spark, tmp_path, capsys)
+        cli.main(["s-kql", arch, "*", "--count-by-time", "60000"])
+        out = capsys.readouterr().out.strip().splitlines()
+        assert out == ["1709287200000 2", "1709287260000 1"]
+
+    def test_latest_n(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from clp_spark import cli
+
+        arch = self._arch(spark, tmp_path, capsys)
+        cli.main(["s-kql", arch, "*", "--max-num-results", "2"])
+        got = sorted(
+            _json.loads(ln)["msg"]
+            for ln in capsys.readouterr().out.strip().splitlines()
+        )
+        assert got == ["b", "c"]  # the two LATEST by parsed string ts
