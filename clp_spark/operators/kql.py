@@ -327,11 +327,13 @@ def _parse_timestamp(s: str, pattern: str | None = None) -> int:
     TimestampLiteral's default precision to milliseconds, and as_int
     compares at that precision — TimestampLiteral.cpp:28-31,53-55).
 
-    With an explicit CAT pattern, parse with it (kql.cpp:91-119). Without,
-    try the reference's default pattern tables in order (kql.cpp:121-146 →
-    TimestampParser.cpp:98-170): date-time patterns first, then \\P
-    unknown-precision epoch (1971-threshold unit estimation — so a bare
-    second-scale integer is seconds, an ms-scale one is ms) and \\E.\\?
+    With an explicit CAT pattern, parse with it (kql.cpp:91-119) — \\P's
+    unit estimation included. Without one: a BARE INTEGER passes through
+    at face value — the reference's own search golden pins that behavior
+    (test-clp_s-search.cpp:227: `idx: 0 OR idx: timestamp("1")` → the
+    record with idx 1), and this engine's columns compare in ms — then
+    the reference's default pattern tables run in order (kql.cpp:121-146
+    → TimestampParser.cpp:98-170): the date-time patterns, then \\E.\\?
     epoch seconds with a fraction. Bare dates like "2024-01-01" aren't in
     the reference's table; they keep working via a documented strptime
     fallback."""
@@ -347,6 +349,8 @@ def _parse_timestamp(s: str, pattern: str | None = None) -> int:
                 f"failed to parse timestamp {s!r} using pattern {pattern!r}"
             )
         return _trunc_div_ns_to_ms(ns)
+    if re.fullmatch(r"-?\d+", s):
+        return int(s)
     ns = search_default_cat_patterns(s)
     if ns is not None:
         return _trunc_div_ns_to_ms(ns)

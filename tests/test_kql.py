@@ -89,11 +89,8 @@ GOLDEN = [
     (r'idx: 0 AND NOT $_filename: "clp string"', {0}),
     (r'idx: 0 AND NOT $*._filename.*: "clp string"', {0}),
     (
-        # timestamp("0.001") = \E.\? epoch seconds -> 1 ms (at the ms
-        # default precision, clp-s.cpp:236-241); a bare integer would be
-        # \P unknown-precision (timestamp("1") = 1 SECOND = 1000)
         r"($_filename: file OR $_file_split_number: 1 OR $_archive_creator_id > 0) AND "
-        r'idx: 0 OR idx: timestamp("0.001")',
+        r'idx: 0 OR idx: timestamp("1")',
         {1},
     ),
     (r'ambiguous_varstring: "a*e"', {10, 11, 12}),
@@ -237,11 +234,15 @@ class TestTimestampFunction:
         node = parse_kql(f"x: {q}")
         return int(node.values[0].value)
 
-    def test_unknown_precision_integer(self):
-        # \P: second-scale int is SECONDS, ms-scale int is ms
-        assert self._lit('timestamp("1")') == 1000
-        assert self._lit('timestamp("1700000000")') == 1_700_000_000_000
+    def test_bare_integer_face_value(self):
+        # pinned by the reference search golden (test-clp_s-search.cpp:227:
+        # timestamp("1") matches idx 1): bare integers pass through at the
+        # engine's ms precision; \P unit estimation needs an explicit
+        # pattern argument
+        assert self._lit('timestamp("1")') == 1
         assert self._lit('timestamp("1700000000123")') == 1_700_000_000_123
+        assert self._lit(r'timestamp("1700000000", "\P")') == \
+            1_700_000_000_000
 
     def test_fractional_seconds(self):
         assert self._lit('timestamp("1759417024.4")') == 1_759_417_024_400
