@@ -634,6 +634,45 @@ def _send_results_network(out, args, ts_lookup=None) -> None:
             ))
 
 
+def _search_query_list(args) -> list[str]:
+    """clg/clo query-string handling (clg.cpp:503-521, clo.cpp:505): every
+    wildcard string gets implicit '*' wrapping (substring-match semantics),
+    and `-f FILE` supplies multiple strings (one per line, empties
+    skipped) that OR together. --regex queries control their own anchoring
+    through the translator, so they skip the wrap."""
+    if getattr(args, "queries_from", None):
+        if args.query is not None:
+            sys.exit("error: QUERY and -f/--file are mutually exclusive")
+        if not os.path.exists(args.queries_from):
+            sys.exit(f"error: '{args.queries_from}' does not exist.")
+        with open(args.queries_from) as f:
+            qs = [ln.rstrip("\n") for ln in f]
+        qs = [q for q in qs if q]
+        if not qs:
+            sys.exit(f"error: '{args.queries_from}' did not contain any "
+                     "search strings")
+    else:
+        if args.query is None:
+            sys.exit("error: no wildcard string specified")
+        qs = [args.query]
+    if getattr(args, "regex", False):
+        return qs
+    return ["*" + q + "*" for q in qs]
+
+
+def _union_query_results(run, queries):
+    """OR across query strings (clg.cpp:210-241 builds one query vector;
+    search_files emits each message once if ANY query matches): union the
+    per-query plans, dedup on the message key when more than one query ran."""
+    res = run(queries[0])
+    for q in queries[1:]:
+        res = res.unionByName(run(q))
+    if len(queries) > 1:
+        res = res.dropDuplicates(["doc_id"]) if "doc_id" in res.columns \
+            else res.dropDuplicates()
+    return res
+
+
 def cmd_search(args) -> None:
     from clp_spark.operators.aggregate import count_by_time, count_matched
     from clp_spark.operators.seg_index import search_archive_pruned
@@ -684,15 +723,20 @@ def cmd_search(args) -> None:
         )
 
         try:
-            args.query = regex_to_wildcard(
-                args.query,
-                TranslatorConfig(
-                    case_insensitive_wildcard=args.ignore_case,
-                    add_prefix_suffix_wildcards=True,
-                ),
-            )
+            queries = [
+                regex_to_wildcard(
+                    q,
+                    TranslatorConfig(
+                        case_insensitive_wildcard=args.ignore_case,
+                        add_prefix_suffix_wildcards=True,
+                    ),
+                )
+                for q in _search_query_list(args)
+            ]
         except RegexTranslationError as exc:
             sys.exit(f"error: regex not translatable to wildcard: {exc}")
+    else:
+        queries = _search_query_list(args)
     spark = _spark(args.master)
     # archives DIRECTORY (clg semantics: search every archive, time-pruned)
     # vs a single archive dir — detected by where sinks/ lives
@@ -708,9 +752,12 @@ def cmd_search(args) -> None:
 
             if not discover_archives(local_root):
                 sys.exit(f"error: {args.archive} contains no archives")
-            res = search_archives(
-                spark, local_root, args.query, args.ignore_case,
-                ts_lo=args.tge, ts_hi=args.tle,
+            res = _union_query_results(
+                lambda q: search_archives(
+                    spark, local_root, q, args.ignore_case,
+                    ts_lo=args.tge, ts_hi=args.tle,
+                ),
+                queries,
             )
             if args.file_path:
                 # clg --file-path: only messages from one original file
@@ -769,8 +816,11 @@ def cmd_search(args) -> None:
     if is_local and archive_schema_text(args.archive) is not None:
         # archive built with `c --schema-path`: compile schema-aware
         # (use_heuristic=false) against the stored schema file
-        res = search_schema_archive(
-            spark, args.archive, args.query, args.ignore_case
+        res = _union_query_results(
+            lambda q: search_schema_archive(
+                spark, args.archive, q, args.ignore_case
+            ),
+            queries,
         )
         if args.file_path:
             res = res.where(_file_path_pred(F.col("source"), args.file_path))
@@ -785,8 +835,11 @@ def cmd_search(args) -> None:
     elif is_local and is_glt_archive(local_root):
         # GLT archive: candidate logtypes prune to their tables (partition
         # filter on lt_table) before any segment I/O — the glt.md:7 path
-        res, _tables = search_glt_archive(
-            spark, args.archive, args.query, args.ignore_case
+        res = _union_query_results(
+            lambda q: search_glt_archive(
+                spark, args.archive, q, args.ignore_case
+            )[0],
+            queries,
         )
         if args.file_path:
             res = res.where(_file_path_pred(F.col("source"), args.file_path))
@@ -799,8 +852,11 @@ def cmd_search(args) -> None:
                 "doc_id",
             ).transform(_ts_filter).drop("ts_ms")
     elif has_index and "split" in raw_sinks.columns:
-        res, _segments = search_archive_pruned(
-            spark, args.archive, args.query, args.ignore_case
+        res = _union_query_results(
+            lambda q: search_archive_pruned(
+                spark, args.archive, q, args.ignore_case
+            )[0],
+            queries,
         )
         if want_ts:
             # pruned-path results carry ts_ms when the archive stores it
@@ -821,7 +877,10 @@ def cmd_search(args) -> None:
             ).withColumn("source", F.col("file_id"))
         lt = spark.read.parquet(f"{args.archive}/logtype_dict")
         vd = spark.read.parquet(f"{args.archive}/var_dict")
-        res = search_archive(sinks, lt, vd, args.query, args.ignore_case)
+        res = _union_query_results(
+            lambda q: search_archive(sinks, lt, vd, q, args.ignore_case),
+            queries,
+        )
     if args.count:
         print(count_matched(res).collect()[0]["cnt"])
     elif args.count_by_time is not None:
@@ -1721,7 +1780,12 @@ def main(argv: list[str] | None = None) -> None:
         "s", help="wildcard search over an archive (or a directory of archives)"
     )
     s.add_argument("archive")
-    s.add_argument("query")
+    s.add_argument("query", nargs="?", default=None)
+    s.add_argument(
+        "-f", "--file", dest="queries_from", default=None, metavar="FILE",
+        help="Obtain wildcard strings from FILE, one per line (clg -f); "
+             "a message matching any of them is emitted once",
+    )
     s.add_argument("--ignore-case", action="store_true")
     s.add_argument(
         "--output-method", choices=["s", "b"], default="s",

@@ -583,3 +583,54 @@ class TestClpSOutputHandlers:
         with pytest.raises(SystemExit, match="--path"):
             cli.main(["s-kql", str(tmp_path), "*", "--output-handler",
                       "file"])
+
+
+class TestImplicitWildcardsAndQueryFile:
+    """clg/clo query handling: implicit '*' wrapping on every wildcard
+    string (clg.cpp:505-506, clo.cpp:505) and `s -f FILE` multi-query OR
+    (clg.cpp:510-521 + search_files: one emission per matching message)."""
+
+    @pytest.fixture()
+    def archive(self, spark, tmp_path, capsys):
+        p = tmp_path / "app.log"
+        p.write_text(
+            "2024-03-01 10:00:01 INFO job alpha took 7ms\n"
+            "2024-03-01 10:00:02 INFO job beta took 9ms\n"
+            "2024-03-01 10:00:03 ERROR task gamma failed\n"
+        )
+        arch = str(tmp_path / "arch")
+        cli.main(["c", arch, str(p)])
+        capsys.readouterr()
+        return arch
+
+    def test_bare_query_is_substring_match(self, archive, capsys):
+        cli.main(["s", archive, "job", "--count"])
+        assert capsys.readouterr().out.strip().splitlines()[-1] == "2"
+
+    def test_starred_query_unchanged(self, archive, capsys):
+        cli.main(["s", archive, "*job*", "--count"])
+        assert capsys.readouterr().out.strip().splitlines()[-1] == "2"
+
+    def test_query_file_ors_and_dedups(self, archive, tmp_path, capsys):
+        qf = tmp_path / "qs.txt"
+        # 'job' matches two, 'took' matches the same two (dedup), 'gamma'
+        # matches the third — 3 distinct messages total
+        qf.write_text("job\n\ntook\ngamma\n")
+        cli.main(["s", archive, "-f", str(qf), "--count"])
+        assert capsys.readouterr().out.strip().splitlines()[-1] == "3"
+
+    def test_query_file_excludes_positional(self, archive, tmp_path):
+        qf = tmp_path / "qs.txt"
+        qf.write_text("job\n")
+        with pytest.raises(SystemExit, match="mutually exclusive"):
+            cli.main(["s", archive, "job", "-f", str(qf)])
+
+    def test_no_query_at_all(self, archive):
+        with pytest.raises(SystemExit, match="no wildcard string"):
+            cli.main(["s", archive])
+
+    def test_empty_query_file(self, archive, tmp_path):
+        qf = tmp_path / "qs.txt"
+        qf.write_text("\n\n")
+        with pytest.raises(SystemExit, match="did not contain"):
+            cli.main(["s", archive, "-f", str(qf)])
