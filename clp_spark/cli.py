@@ -498,6 +498,9 @@ def cmd_extract(args) -> None:
         [args.archive] if is_json_archive(args.archive)
         else discover_json_archives(args.archive)
     )
+    if args.paths and (json_archive_dirs or is_json_archive(args.archive)):
+        sys.exit("error: path positionals apply to text-log archives "
+                 "(clp x); clp-s archives reconstruct whole")
     if json_archive_dirs and not is_json_archive(args.archive):
         # clp-s x over a DIRECTORY of archives: each reconstructs into the
         # same output dir; chunk names carry the archive id so they never
@@ -543,14 +546,17 @@ def cmd_extract(args) -> None:
             for r in reconstruct_jsonl(spark, args.archive).collect():
                 print(r["json"])
         return
+    wanted = list(args.paths or [])
+    if args.file:
+        wanted.append(args.file)
     if args.output:
         # reference `clp x` semantics: recreate one file per original input
         summary = extract_to_files(
-            spark, args.archive, args.output, file_id=args.file
+            spark, args.archive, args.output, file_id=wanted or None
         )
         print(json.dumps({**summary, "output": args.output}))
     else:
-        out = decompress_file(spark, args.archive, file_id=args.file)
+        out = decompress_file(spark, args.archive, file_id=wanted or None)
         for r in out.collect():
             print(r["message"])
 
@@ -1754,6 +1760,11 @@ def main(argv: list[str] | None = None) -> None:
 
     x = sub.add_parser("x", help="decompress an archive back to messages")
     x.add_argument("archive")
+    x.add_argument(
+        "paths", nargs="*",
+        help="original file paths to extract (clp x's trailing "
+             "positionals); empty = every file",
+    )
     x.add_argument("--file", default=None)
     x.add_argument("-o", "--output", default=None)
     x.add_argument(

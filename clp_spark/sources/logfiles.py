@@ -733,7 +733,20 @@ def decompress_file(
 
     sinks = spark.read.option("basePath", f"{out_dir}/sinks").parquet(f"{out_dir}/sinks")
     if file_id is not None:
-        sinks = sinks.where(F.col("file_id") == file_id)
+        # one id or several (clp x's trailing `paths...` positionals,
+        # clp/CommandLineArguments.cpp:166-176); match tolerant of the
+        # URI-scheme spelling difference between stored ids and typed paths
+        import re as _re
+
+        ids = [file_id] if isinstance(file_id, str) else list(file_id)
+        col_norm = F.regexp_replace(F.col("file_id"), r"^file:/+", "/")
+        pred = None
+        for fid in ids:
+            p = (F.col("file_id") == fid) | (
+                col_norm == _re.sub(r"^file:/+", "/", fid)
+            )
+            pred = p if pred is None else (pred | p)
+        sinks = sinks.where(pred)
     logtype_dict = spark.read.parquet(f"{out_dir}/logtype_dict")
     with_lt = sinks.join(
         F.broadcast(logtype_dict.select("logtype_id", "logtype")), "logtype_id"

@@ -634,3 +634,42 @@ class TestImplicitWildcardsAndQueryFile:
         qf.write_text("\n\n")
         with pytest.raises(SystemExit, match="did not contain"):
             cli.main(["s", archive, "-f", str(qf)])
+
+
+class TestExtractPaths:
+    """clp x's trailing path positionals (CommandLineArguments.cpp:166-176):
+    extract only the named original files; several may be given."""
+
+    def test_subset_extraction(self, spark, tmp_path, capsys):
+        paths = _mklogs(tmp_path, n_files=3, lines=4)
+        arch = str(tmp_path / "arch")
+        cli.main(["c", arch, *paths])
+        capsys.readouterr()
+        out = str(tmp_path / "out")
+        cli.main(["x", arch, paths[0], paths[2], "-o", out])
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["files"] == 2  # two of the three files
+        names = sorted(
+            n for n in os.listdir(out) if not n.startswith("_")
+        )
+        assert names == ["svc0.log", "svc2.log"]
+        text = open(os.path.join(out, "svc2.log")).read()
+        assert text.count("\n") == 4 and "f2" in text
+
+    def test_stdout_subset(self, spark, tmp_path, capsys):
+        paths = _mklogs(tmp_path, n_files=2, lines=3)
+        arch = str(tmp_path / "arch")
+        cli.main(["c", arch, *paths])
+        capsys.readouterr()
+        cli.main(["x", arch, paths[1]])
+        out = capsys.readouterr().out
+        assert "f1" in out and "f0" not in out
+
+    def test_json_archive_rejects_paths(self, spark, tmp_path, capsys):
+        src = tmp_path / "l.jsonl"
+        src.write_text('{"a": 1}\n')
+        arch = str(tmp_path / "jarch")
+        cli.main(["c", arch, str(src), "--json"])
+        capsys.readouterr()
+        with pytest.raises(SystemExit, match="text-log"):
+            cli.main(["x", arch, "some/path", "-o", str(tmp_path / "o")])
