@@ -581,7 +581,18 @@ def _emit_search_results(res, args, ts_lookup=None) -> None:
     print_result_binary). ``ts_lookup`` (doc_id → ts_ms) supplies the
     timestamp field when the result set doesn't carry one; results with no
     stored timestamp write 0."""
-    out = res.limit(args.limit) if args.limit is not None else res
+    out = res
+    if getattr(args, "max_num_results", None):
+        # clo -m/--max-num-results (OutputHandler.hpp latest-N min-heap):
+        # keep the n results with the largest timestamps —
+        # TakeOrderedAndProject, no full sort
+        if "ts_ms" not in out.columns and ts_lookup is not None:
+            out = out.join(ts_lookup, "doc_id", "left")
+        if "ts_ms" in out.columns:
+            out = out.orderBy(F.desc_nulls_last("ts_ms"))
+        out = out.limit(args.max_num_results)
+    if args.limit is not None:
+        out = out.limit(args.limit)
     if getattr(args, "output_handler", "stdout") == "network":
         _send_results_network(out, args, ts_lookup)
         return
@@ -1822,6 +1833,11 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--count", action="store_true")
     s.add_argument("--count-by-time", type=int, default=None, metavar="BUCKET_MS")
     s.add_argument("--limit", type=int, default=None)
+    s.add_argument(
+        "-m", "--max-num-results", type=int, default=None, metavar="NUM",
+        help="keep only the NUM results with the largest timestamps "
+             "(clo -m latest-N heap)",
+    )
     s.add_argument(
         "--tge", type=int, default=None, metavar="EPOCH_MS",
         help="only messages with ts >= this (archives-dir mode prunes whole archives)",

@@ -673,3 +673,21 @@ class TestExtractPaths:
         capsys.readouterr()
         with pytest.raises(SystemExit, match="text-log"):
             cli.main(["x", arch, "some/path", "-o", str(tmp_path / "o")])
+
+
+class TestTextSearchMaxNumResults:
+    """clo -m over text archives: latest-N by per-message timestamp."""
+
+    def test_latest_two(self, spark, tmp_path, capsys):
+        p = tmp_path / "a.log"
+        p.write_text(
+            "2024-03-01 10:00:01 INFO job one\n"
+            "2024-03-01 10:00:02 INFO job two\n"
+            "2024-03-01 10:00:03 INFO job three\n"
+        )
+        arch = str(tmp_path / "arch")
+        cli.main(["c", arch, str(p)])
+        capsys.readouterr()
+        cli.main(["s", arch, "job", "-m", "2"])
+        out = capsys.readouterr().out
+        assert "three" in out and "two" in out and "one" not in out
