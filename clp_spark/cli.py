@@ -501,6 +501,19 @@ def cmd_extract(args) -> None:
     if args.paths and (json_archive_dirs or is_json_archive(args.archive)):
         sys.exit("error: path positionals apply to text-log archives "
                  "(clp x); clp-s archives reconstruct whole")
+    if args.archive_id is not None:
+        # clp-s x --archive-id (CommandLineArguments.cpp:605-608): only the
+        # named subdirectory archive decompresses
+        if not json_archive_dirs or is_json_archive(args.archive):
+            sys.exit("error: --archive-id needs a directory of JSON "
+                     "archives")
+        picked = [
+            d for d in json_archive_dirs
+            if os.path.basename(os.path.normpath(d)) == args.archive_id
+        ]
+        if not picked:
+            sys.exit(f"error: no archive with ID '{args.archive_id}'")
+        json_archive_dirs = picked
     if json_archive_dirs and not is_json_archive(args.archive):
         # clp-s x over a DIRECTORY of archives: each reconstructs into the
         # same output dir; chunk names carry the archive id so they never
@@ -1777,6 +1790,11 @@ def main(argv: list[str] | None = None) -> None:
              "positionals); empty = every file",
     )
     x.add_argument("--file", default=None)
+    x.add_argument(
+        "--archive-id", default=None, metavar="ID",
+        help="Limit decompression to the archive with the given ID in a "
+             "subdirectory of archive-path (clp-s x --archive-id)",
+    )
     x.add_argument("-o", "--output", default=None)
     x.add_argument(
         "--ordered", action="store_true",

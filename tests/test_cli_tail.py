@@ -691,3 +691,50 @@ class TestTextSearchMaxNumResults:
         cli.main(["s", arch, "job", "-m", "2"])
         out = capsys.readouterr().out
         assert "three" in out and "two" in out and "one" not in out
+
+
+class TestExtractArchiveId:
+    """clp-s x --archive-id (CommandLineArguments.cpp:605-608): limit
+    decompression to one archive subdirectory."""
+
+    def test_single_archive_extracted(self, spark, tmp_path, capsys):
+        src = tmp_path / "l.jsonl"
+        src.write_text(
+            "".join(json.dumps({"n": i}) + "\n" for i in range(40))
+        )
+        out = str(tmp_path / "archs")
+        cli.main(["c", out, str(src), "--json",
+                  "--target-encoded-size", "200"])
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["archives"] >= 2
+        aid = os.path.basename(
+            os.path.normpath(summary["per_archive"][0]["dir"])
+        )
+        dest = str(tmp_path / "x")
+        cli.main(["x", out, "-o", dest, "--archive-id", aid])
+        s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert s2["archives"] == 1
+        assert s2["rows"] == summary["per_archive"][0]["rows"]
+
+    def test_unknown_id(self, spark, tmp_path, capsys):
+        src = tmp_path / "l.jsonl"
+        src.write_text(
+            "".join(json.dumps({"n": i}) + "\n" for i in range(40))
+        )
+        out = str(tmp_path / "archs")
+        cli.main(["c", out, str(src), "--json",
+                  "--target-encoded-size", "200"])
+        capsys.readouterr()
+        with pytest.raises(SystemExit, match="no archive with ID"):
+            cli.main(["x", out, "-o", str(tmp_path / "o"),
+                      "--archive-id", "zzz"])
+
+    def test_single_archive_input_rejected(self, spark, tmp_path, capsys):
+        src = tmp_path / "l.jsonl"
+        src.write_text('{"n": 1}\n')
+        out = str(tmp_path / "arch")
+        cli.main(["c", out, str(src), "--json"])
+        capsys.readouterr()
+        with pytest.raises(SystemExit, match="directory of JSON"):
+            cli.main(["x", out, "-o", str(tmp_path / "o"),
+                      "--archive-id", "zzz"])
