@@ -335,7 +335,16 @@ def parse_cat_timestamp_ns(col: Column, pattern: str | CatPattern) -> Column:
         ns = epoch + sign * frac_ns
     else:
         days = F.datediff(
-            F.make_date(year, month, day), F.to_date(F.lit("1970-01-01"))
+            # a calendar-invalid date the regex can't reject (Feb 30) must
+            # parse as NULL like the driver-side twin — ANSI make_date
+            # would crash the whole job on one malformed row. Spark has no
+            # try_make_date, so the date goes through try_to_timestamp's
+            # CORRECTED-mode parser, which rejects invalid calendars.
+            F.try_to_timestamp(
+                F.format_string("%04d-%02d-%02d", year, month, day),
+                F.lit("yyyy-MM-dd"),
+            ).cast("date"),
+            F.to_date(F.lit("1970-01-01"))
         ).cast("long")
         secs = days * 86400 + hour.cast("long") * 3600 + minute.cast("long") * 60 \
             + second.cast("long")

@@ -352,3 +352,36 @@ class TestDefaultPatternSearch:
         assert search_default_cat_patterns(
             "1759417024.4") == 1_759_417_024_400 * 10**6
         assert search_default_cat_patterns("not a time") is None
+
+
+class TestCalendarInvalidDates:
+    """A calendar-invalid date that the regex can't reject (Feb 30) must
+    parse as NULL in BOTH evaluators — under ANSI, make_date would crash
+    the whole job on one malformed row (try_make_date regression)."""
+
+    def test_column_null_not_crash(self, spark):
+        from pyspark.sql import functions as F
+
+        from clp_spark.functions.cat_parser import parse_cat_timestamp_ns
+
+        df = spark.createDataFrame(
+            [("2024-02-30 10:00:01",), ("2024-03-01 10:00:01",),
+             ("2024-13-01 10:00:01",)], ["s"]
+        )
+        got = [
+            r["ns"]
+            for r in df.select(
+                parse_cat_timestamp_ns(
+                    F.col("s"), r"\Y-\m-\d \H:\M:\s"
+                ).alias("ns")
+            ).collect()
+        ]
+        assert got == [None, 1_709_287_201 * 10**9, None]
+
+    def test_python_matches(self):
+        from clp_spark.functions.cat_parser import parse_cat_timestamp_py
+
+        assert parse_cat_timestamp_py(
+            "2024-02-30 10:00:01", r"\Y-\m-\d \H:\M:\s") is None
+        assert parse_cat_timestamp_py(
+            "2024-13-01 10:00:01", r"\Y-\m-\d \H:\M:\s") is None
