@@ -278,14 +278,20 @@ def parse_cat_timestamp_ns(col: Column, pattern: str | CatPattern) -> Column:
         elif s in ("T", "?"):
             frac_ns = F.rpad(g, 9, "0").cast("long")
         elif s in _EPOCH_MULT:
-            epoch = g.cast("long") * F.lit(_EPOCH_MULT[s]).cast("long")
+            # try_cast + try_multiply: a 19-digit token past int64, or a
+            # seconds value whose ns scaling overflows, parses as NULL —
+            # the reference's int64 parse/scale fails the same way
+            # (no match), and ANSI would otherwise kill the job on one row
+            epoch = F.try_multiply(
+                g.try_cast("long"), F.lit(_EPOCH_MULT[s]).cast("long")
+            )
             epoch_text = g
         elif s == "P":
             # \P unknown-precision epoch (TimestampParser.cpp:2082-2097
             # estimate_timestamp_precision): the unit is the coarsest whose
             # value lands after 1971 — |v| > 1971-in-ns → ns, > 1971-in-µs
             # → µs, > 1971-in-ms → ms, else seconds
-            v = g.cast("long")
+            v = g.try_cast("long")
             a = F.abs(v)
             factor = (
                 F.when(a > F.lit(31_536_000_000_000_000), F.lit(1))
@@ -293,7 +299,7 @@ def parse_cat_timestamp_ns(col: Column, pattern: str | CatPattern) -> Column:
                 .when(a > F.lit(31_536_000_000), F.lit(1_000_000))
                 .otherwise(F.lit(_NS))
             ).cast("long")
-            epoch = v * factor
+            epoch = F.try_multiply(v, factor)
             epoch_text = g
         elif s == "Z":
             t = F.regexp_replace(g, r"^ ", "")
@@ -332,7 +338,7 @@ def parse_cat_timestamp_ns(col: Column, pattern: str | CatPattern) -> Column:
         sign = F.when(
             epoch_text.startswith("-"), F.lit(-1)
         ).otherwise(F.lit(1)).cast("long")
-        ns = epoch + sign * frac_ns
+        ns = F.try_add(epoch, sign * frac_ns)
     else:
         days = F.datediff(
             # a calendar-invalid date the regex can't reject (Feb 30) must
@@ -348,13 +354,24 @@ def parse_cat_timestamp_ns(col: Column, pattern: str | CatPattern) -> Column:
         ).cast("long")
         secs = days * 86400 + hour.cast("long") * 3600 + minute.cast("long") * 60 \
             + second.cast("long")
-        ns = secs * F.lit(_NS).cast("long") + frac_ns
+        # try_* arithmetic: a far-future date (year 9999) overflows int64
+        # at ns precision — NULL, like the epoch specifiers, not a crash
+        ns = F.try_add(F.try_multiply(secs, F.lit(_NS).cast("long")), frac_ns)
     if p.tz_offset_s:
-        ns = ns - F.lit(p.tz_offset_s).cast("long") * F.lit(_NS).cast("long")
+        ns = F.try_subtract(
+            ns, F.lit(p.tz_offset_s).cast("long") * F.lit(_NS).cast("long")
+        )
     if row_tz_min is not None:
-        ns = ns - row_tz_min.cast("long") * F.lit(60).cast("long") \
-            * F.lit(_NS).cast("long")
-    return F.when(col.rlike(rx), ns).otherwise(F.lit(None).cast("long"))
+        ns = F.try_subtract(
+            ns,
+            row_tz_min.cast("long") * F.lit(60).cast("long")
+            * F.lit(_NS).cast("long"),
+        )
+    # gate on \z, not $: Java's '$' (like Python's) would accept one
+    # trailing newline, which the reference's exact-consumption parse
+    # rejects ("do not allow trailing unmatched content")
+    rx_gate = rx[:-1] + "\\z" if rx.endswith("$") else rx
+    return F.when(col.rlike(rx_gate), ns).otherwise(F.lit(None).cast("long"))
 
 
 def parse_cat_timestamp_ms(col: Column, pattern: str | CatPattern) -> Column:
@@ -368,6 +385,11 @@ def parse_cat_timestamp_ms(col: Column, pattern: str | CatPattern) -> Column:
 # ----------------------------------------------------------- driver-side
 
 _MONTH_SECONDS_1971 = 31_536_000  # 1971-01-01T00:00:00Z in epoch seconds
+_I64_MAX = (1 << 63) - 1
+
+
+def _fits_i64(v: int) -> bool:
+    return -(1 << 63) <= v <= _I64_MAX
 
 
 def estimate_epoch_precision_factor(value: int) -> int:
@@ -393,7 +415,10 @@ def parse_cat_timestamp_py(text: str, pattern: str | CatPattern) -> int | None:
     from datetime import date
 
     p = pattern if isinstance(pattern, CatPattern) else compile_cat_pattern(pattern)
-    m = _re.match(p.regex, text)
+    # fullmatch + ASCII: Python's \d would otherwise accept Unicode digits
+    # and '$' a trailing newline — the JVM regex engine and the reference's
+    # C++ digit parsing take neither (caught by the fuzz differential)
+    m = _re.fullmatch(p.regex, text, _re.ASCII)
     if m is None:
         return None
     year, month, day = 1970, 1, 1
@@ -434,11 +459,20 @@ def parse_cat_timestamp_py(text: str, pattern: str | CatPattern) -> int | None:
         elif s in ("T", "?"):
             frac_ns = int(g) * 10 ** (9 - len(g))
         elif s in _EPOCH_MULT:
-            epoch = int(g) * _EPOCH_MULT[s]
+            v = int(g)
+            if not _fits_i64(v):
+                return None
+            epoch = v * _EPOCH_MULT[s]
+            if not _fits_i64(epoch):
+                return None
             epoch_text = g
         elif s == "P":
             v = int(g)
+            if not _fits_i64(v):
+                return None
             epoch = v * estimate_epoch_precision_factor(v)
+            if not _fits_i64(epoch):
+                return None
             epoch_text = g
         elif s == "Z":
             tz_min = _tz_text_offset_minutes(g)
@@ -456,7 +490,7 @@ def parse_cat_timestamp_py(text: str, pattern: str | CatPattern) -> int | None:
         ns = secs * _NS + frac_ns
     ns -= p.tz_offset_s * _NS
     ns -= tz_min * 60 * _NS
-    return ns
+    return ns if _fits_i64(ns) else None
 
 
 # The reference's default pattern tables, tried in order when no explicit

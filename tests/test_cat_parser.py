@@ -385,3 +385,95 @@ class TestCalendarInvalidDates:
             "2024-02-30 10:00:01", r"\Y-\m-\d \H:\M:\s") is None
         assert parse_cat_timestamp_py(
             "2024-13-01 10:00:01", r"\Y-\m-\d \H:\M:\s") is None
+
+
+class TestEpochOverflow:
+    """Int64-overflowing epoch tokens parse as NULL in BOTH evaluators —
+    the reference's int64 parse/scale fails (no match); ANSI cast or
+    multiply would otherwise crash the job on one malformed row."""
+
+    CASES = [
+        ("9999999999999999999", r"\P"),   # > int64 at the cast
+        ("9999999999999999999", r"\E"),
+        ("123456789012", r"\E"),          # seconds whose ns scale overflows
+        ("-9999999999999", r"\E"),
+        ("9223372036854775807", r"\N"),   # int64 max, ns precision: fine
+    ]
+    EXPECT = [None, None, None, None, 9_223_372_036_854_775_807]
+
+    def test_python(self):
+        from clp_spark.functions.cat_parser import parse_cat_timestamp_py
+
+        got = [parse_cat_timestamp_py(t, p) for t, p in self.CASES]
+        assert got == self.EXPECT
+
+    def test_column(self, spark):
+        from pyspark.sql import functions as F
+
+        from clp_spark.functions.cat_parser import parse_cat_timestamp_ns
+
+        for (txt, pat), want in zip(self.CASES, self.EXPECT):
+            df = spark.createDataFrame([(txt,)], ["s"])
+            got = df.select(
+                parse_cat_timestamp_ns(F.col("s"), pat).alias("ns")
+            ).collect()[0]["ns"]
+            assert got == want, (txt, pat)
+
+class TestEvaluatorFuzzDifferential:
+    """Property check: for strings GENERATED from each pattern's own regex,
+    the driver-side evaluator and the Column evaluator agree exactly (both
+    NULL or both the same ns). Catches divergences hand-written goldens
+    miss — this fuzz found the Unicode-digit and trailing-newline Python
+    permissiveness and the ANSI overflow crashes. One Spark job per
+    pattern over the whole example batch."""
+
+    PATTERNS = [
+        r"\Y-\m-\d \H:\M:\s",               # invalid calendars reachable
+        r"\Y\O{-/}\m\O{-/}\d\O{T }\H:\M:\s\O{,.}\?\Z",  # richest default
+        r"\y\m\d\O{T }\k:\M:\s",
+        r"\d \B{Jan,Feb,Mar} \Y \I:\M:\S \p",
+        r"\E.\?",                           # overflow reachable
+        r"\P",
+    ]
+
+    def test_python_column_agree(self, spark):
+        import re
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+        from pyspark.sql import functions as F
+
+        from clp_spark.functions.cat_parser import (
+            compile_cat_pattern,
+            parse_cat_timestamp_ns,
+            parse_cat_timestamp_py,
+        )
+
+        def draw_examples(rx, n):
+            out = []
+
+            @settings(max_examples=n, deadline=None, database=None,
+                      derandomize=True,
+                      suppress_health_check=list(HealthCheck))
+            @given(st.from_regex(re.compile(rx, re.ASCII)))
+            def collect(s):
+                out.append(s)
+
+            collect()
+            return out
+
+        for pat in self.PATTERNS:
+            p = compile_cat_pattern(pat)
+            examples = sorted(set(draw_examples(p.regex, 60)))
+            py = [parse_cat_timestamp_py(s, p) for s in examples]
+            df = spark.createDataFrame([(s,) for s in examples], ["s"])
+            got = {
+                r["s"]: r["ns"]
+                for r in df.select(
+                    "s", parse_cat_timestamp_ns(F.col("s"), p).alias("ns")
+                ).collect()
+            }
+            col = [got[s] for s in examples]
+            assert col == py, (pat, [
+                (s, a, b) for s, a, b in zip(examples, col, py) if a != b
+            ][:5])
