@@ -1994,9 +1994,10 @@ def main(argv: list[str] | None = None) -> None:
     ei.add_argument("archive")
     ei.add_argument("output")
     ei.add_argument(
-        "--file-id", default=None,
+        "--file-id", "--orig-file-id", default=None,
         help="original file URI or unambiguous path suffix (the file split "
-        "to extract); omit to extract every file in the archive",
+        "to extract; clp i --orig-file-id); omit to extract every file in "
+        "the archive",
     )
     ei.add_argument(
         "--file-split-id", default=None, metavar="ID",
