@@ -117,7 +117,10 @@ def cmd_compress(args) -> None:
     if args.compression == "passthrough" and args.compression_level is not None:
         sys.exit("error: --compression-level is a zstd level; it cannot "
                  "combine with --compression passthrough")
-    args.inputs = localize_inputs(args.inputs)
+    try:
+        args.inputs = localize_inputs(args.inputs, auth=args.auth)
+    except ValueError as exc:
+        sys.exit(f"error: {exc}")
     from clp_spark.sources.logfiles import (
         compress_text_logs,
         compress_text_logs_multi,
@@ -1288,7 +1291,10 @@ def cmd_search_kql(args) -> None:
 def cmd_kv_import(args) -> None:
     from clp_spark.sources.network import localize_inputs
 
-    args.inputs = localize_inputs(args.inputs)
+    try:
+        args.inputs = localize_inputs(args.inputs, auth=args.auth)
+    except ValueError as exc:
+        sys.exit(f"error: {exc}")
     """JSON-lines logs → structured kv-IR chunk rows (one stream per file).
     spark.read.json infers the nested schema; NULL/absent keys are omitted
     per event (kv_ir.py scope notes)."""
@@ -1369,7 +1375,10 @@ def cmd_kv_export(args) -> None:
 def cmd_convert(args) -> None:
     from clp_spark.sources.network import localize_inputs
 
-    args.inputs = localize_inputs(args.inputs)
+    try:
+        args.inputs = localize_inputs(args.inputs, auth=args.auth)
+    except ValueError as exc:
+        sys.exit(f"error: {exc}")
     from clp_spark.sources.logfiles import convert_to_ir
 
     spark = _spark(args.master)
@@ -2052,6 +2061,13 @@ def main(argv: list[str] | None = None) -> None:
     # is per-binary); the metadata-db group rides on the binaries that
     # touch the global catalog (clp c, clg s, clo i).
     for p in sub.choices.values():
+        p.add_argument(
+            "--auth", choices=["none", "s3", "auto"], default="none",
+            help="authentication for network inputs (clp-s --auth): s3 "
+                 "requires AWS_ACCESS_KEY_ID/AWS_SECRET_ACCESS_KEY "
+                 "(optionally AWS_SESSION_TOKEN) and SigV4-presigns S3 "
+                 "URLs; none sends requests unsigned",
+        )
         p.add_argument(
             "--config-file", default=None, metavar="FILE",
             help="Use configuration options from FILE (default ~/.clp.rc; "

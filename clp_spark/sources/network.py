@@ -109,14 +109,24 @@ def fetch_to_local(
         raise
 
 
-def localize_inputs(paths: list[str], spool_dir: str | None = None) -> list[str]:
-    """CLI front door: URLs fetch to a local spool (S3 HTTP URLs presign
-    first when AWS credentials are in the environment — sources/s3.py
-    SigV4, the reference's NetworkAuth flow), filesystem paths pass
-    through untouched."""
-    from clp_spark.sources.s3 import presign_if_s3
+def localize_inputs(paths: list[str], spool_dir: str | None = None,
+                    auth: str = "auto") -> list[str]:
+    """CLI front door: URLs fetch to a local spool, filesystem paths pass
+    through untouched. ``auth`` follows clp-s --auth
+    (CommandLineArguments.cpp:423-430): "none" sends requests unsigned,
+    "s3" REQUIRES AWS_ACCESS_KEY_ID/AWS_SECRET_ACCESS_KEY in the
+    environment (optionally AWS_SESSION_TOKEN) and SigV4-presigns S3 URLs
+    (sources/s3.py); "auto" (library default) presigns whenever
+    credentials happen to be present."""
+    from clp_spark.sources.s3 import AwsAuthenticationSigner, presign_if_s3
 
+    if auth == "s3" and AwsAuthenticationSigner.from_env() is None:
+        raise ValueError(
+            "--auth s3 requires the AWS_ACCESS_KEY_ID and "
+            "AWS_SECRET_ACCESS_KEY environment variables"
+        )
+    sign = (lambda p: p) if auth == "none" else presign_if_s3
     return [
-        fetch_to_local(presign_if_s3(p), spool_dir) if is_url(p) else p
+        fetch_to_local(sign(p), spool_dir) if is_url(p) else p
         for p in paths
     ]
