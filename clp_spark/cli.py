@@ -90,6 +90,14 @@ def cmd_compress(args) -> None:
     if (args.normalize_paths or args.remove_leading_slash) and not args.json:
         sys.exit("error: --normalize-paths/--remove-leading-slash are clp-s "
                  "flags (require --json)")
+    if args.timestamp_key:
+        # JsonParser.cpp:167-171: the timestamp key is an exact column
+        # descriptor — unescaped wildcards are rejected at startup
+        import re as _re2
+
+        if _re2.search(r"(?<!\\)[*?]", args.timestamp_key):
+            sys.exit("error: Timestamp key can not contain wildcards: "
+                     f'"{args.timestamp_key}"')
     if args.json and (
         args.target_segment_size is not None
         or args.target_dictionaries_size is not None

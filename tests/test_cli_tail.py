@@ -738,3 +738,25 @@ class TestExtractArchiveId:
         with pytest.raises(SystemExit, match="directory of JSON"):
             cli.main(["x", out, "-o", str(tmp_path / "o"),
                       "--archive-id", "zzz"])
+
+
+class TestTimestampKeyValidation:
+    """JsonParser.cpp:167-171: wildcard timestamp keys are rejected at
+    startup; escaped wildcards are literal key characters."""
+
+    def test_wildcard_rejected(self, tmp_path):
+        with pytest.raises(SystemExit, match="can not contain wildcards"):
+            cli.main(["c", str(tmp_path / "a"), "in.jsonl", "--json",
+                      "--timestamp-key", "ts*"])
+        with pytest.raises(SystemExit, match="wildcards"):
+            cli.main(["c", str(tmp_path / "a"), "in.jsonl", "--json",
+                      "--timestamp-key", "a.b?"])
+
+    def test_escaped_wildcard_ok(self, spark, tmp_path, capsys):
+        src = tmp_path / "l.jsonl"
+        src.write_text('{"t*s": 5, "m": "x"}\n')
+        arch = str(tmp_path / "arch")
+        cli.main(["c", arch, str(src), "--json",
+                  "--timestamp-key", r"t\*s"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["rows"] == 1
