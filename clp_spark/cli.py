@@ -1176,6 +1176,66 @@ def _emit_kql_results(out, col: str, args, archive_id: str = "",
             sk.sendall(_tuple_bytes(r))
 
 
+def _kv_ir_stream_paths(input_path: str) -> list[str]:
+    """Inputs that ARE raw kv-IR streams (a .clp/.clp.zst file, or a
+    directory of them) — the clp-s `s` routing check
+    (clp-s.cpp:499-516 sniffs the IR file kind per input path)."""
+    import glob as _glob
+
+    from clp_spark.sources.kv_ir import is_kv_ir_file
+
+    p = input_path.removeprefix("file:")
+    if os.path.isfile(p):
+        return [p] if is_kv_ir_file(p) else []
+    if os.path.isdir(p):
+        return sorted(
+            x for x in _glob.glob(os.path.join(p, "*"))
+            if os.path.isfile(x) and is_kv_ir_file(x)
+        )
+    return []
+
+
+def _search_kv_ir_streams(spark, paths: list[str], args) -> None:
+    """clp-s `s` over raw kv-IR streams (clp-s.cpp:499-516 →
+    kv_ir_search.cpp search_kv_ir_stream): events matching the KQL query
+    emit as reconstructed JSON records through the normal output
+    handlers. Aggregations beyond --count are unsupported on this path,
+    like the reference (kv_ir_search.hpp). Two vectorized passes over the
+    streams (leaf-row search, then JSON render of matched events only) —
+    both mapInArrow, parallel per stream file."""
+    from clp_spark.operators.kv_ir_search import search_kv_ir
+    from clp_spark.sources.kv_ir import kv_ir_to_json_df
+
+    flags = [f for f in _kql_agg_flags(args) if "count" not in f]
+    if flags or args.count_by_time is not None:
+        sys.exit("error: aggregations are not supported when searching "
+                 "kv-IR streams directly (kv_ir_search parity); compress "
+                 "into an archive first")
+    query = _kql_with_ts_range(
+        args.query, args.timestamp_key, args.tge, args.tle
+    )
+    blobs = (
+        spark.read.format("binaryFile").load(paths)
+        .select(F.col("path").alias("stream"), F.col("content").alias("ir"))
+    )
+    rows = search_kv_ir(blobs, query, ignore_case=args.ignore_case)
+    keys = rows.select("stream", "chunk_ix", "event_ix").distinct()
+    if args.count:
+        print(keys.count())
+        return
+    recs = kv_ir_to_json_df(blobs).join(
+        keys, ["stream", "chunk_ix", "event_ix"]
+    )
+    if args.max_num_results is not None:
+        recs = _latest_n(
+            recs, "json", args.timestamp_key, args.max_num_results
+        )
+    if args.projection:
+        recs = _apply_projection(recs, "json", args.projection)
+    out = recs.limit(args.limit) if args.limit is not None else recs
+    _emit_kql_results(out, "json", args, ts_key=args.timestamp_key)
+
+
 def cmd_search_kql(args) -> None:
     from clp_spark.operators.json_archive import (
         is_json_archive,
@@ -1202,6 +1262,11 @@ def cmd_search_kql(args) -> None:
     if os.path.exists(args.input):
         args.input = localize_single_file_archives(args.input)
     spark = _spark(args.master)
+    kv_paths = _kv_ir_stream_paths(args.input)
+    if kv_paths:
+        # clp-s `s` routes IR-file inputs to the direct kv-IR search
+        _search_kv_ir_streams(spark, kv_paths, args)
+        return
     from clp_spark.operators.json_archive import discover_json_archives
 
     if not is_json_archive(args.input) and discover_json_archives(args.input):

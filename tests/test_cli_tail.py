@@ -760,3 +760,53 @@ class TestTimestampKeyValidation:
                   "--timestamp-key", r"t\*s"])
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["rows"] == 1
+
+
+class TestKvIrStreamSearch:
+    """clp-s `s` over RAW kv-IR stream files (clp-s.cpp:499-516 routes
+    IR-file inputs to search_kv_ir_stream): matching events emit as
+    reconstructed JSON records; aggregations beyond --count are rejected
+    like the reference."""
+
+    @pytest.fixture()
+    def stream_dir(self, spark, tmp_path, capsys):
+        src = tmp_path / "logs.jsonl"
+        src.write_text(
+            "".join(
+                json.dumps({"lvl": "ERROR" if i % 3 == 0 else "INFO",
+                            "n": i}) + "\n"
+                for i in range(9)
+            )
+        )
+        out = str(tmp_path / "kvout")
+        cli.main(["kv-import", out, str(src)])
+        capsys.readouterr()
+        # export the parquet chunk rows to raw .clp stream files
+        import pyarrow.parquet as pq
+
+        from clp_spark.sources.kv_ir import is_kv_ir_file
+
+        tbl = pq.read_table(out)
+        raw = str(tmp_path / "streams")
+        os.makedirs(raw)
+        for i, b in enumerate(tbl.column("ir").to_pylist()):
+            with open(os.path.join(raw, f"s{i}.clp"), "wb") as f:
+                f.write(b)
+        assert all(
+            is_kv_ir_file(os.path.join(raw, x)) for x in os.listdir(raw)
+        )
+        return raw
+
+    def test_search_matches(self, stream_dir, capsys):
+        cli.main(["s-kql", stream_dir, "lvl: ERROR"])
+        out = [json.loads(ln)
+               for ln in capsys.readouterr().out.strip().splitlines()]
+        assert sorted(r["n"] for r in out) == [0, 3, 6]
+
+    def test_count(self, stream_dir, capsys):
+        cli.main(["s-kql", stream_dir, "lvl: INFO", "--count"])
+        assert capsys.readouterr().out.strip().splitlines()[-1] == "6"
+
+    def test_aggregates_rejected(self, stream_dir):
+        with pytest.raises(SystemExit, match="kv-IR"):
+            cli.main(["s-kql", stream_dir, "*", "--min", "n"])
