@@ -1223,7 +1223,13 @@ def _search_kv_ir_streams(spark, paths: list[str], args) -> None:
     if args.count:
         print(keys.count())
         return
-    recs = kv_ir_to_json_df(blobs).join(
+    # render pass touches ONLY streams that produced a match (left-semi
+    # prune before the decode — at fleet scale a selective query renders
+    # a handful of files, not the whole input set)
+    matched = blobs.join(
+        keys.select("stream").distinct(), "stream", "left_semi"
+    )
+    recs = kv_ir_to_json_df(matched).join(
         keys, ["stream", "chunk_ix", "event_ix"]
     )
     if args.max_num_results is not None:
