@@ -732,6 +732,10 @@ def cmd_search(args) -> None:
         if not args.host or args.port is None:
             sys.exit("error: the network output handler needs --host and "
                      "--port")
+    elif args.output_handler == "reducer":
+        _require_reducer_args(
+            args, args.count or args.count_by_time is not None
+        )
     # clg time flags (clg/CommandLineArguments.cpp:216-257): --teq is
     # exclusive with every other time flag and pins both bounds; --tgt/--tlt
     # are the strict forms (begin = tgt+1, end = tlt-1) and can't combine
@@ -804,14 +808,20 @@ def cmd_search(args) -> None:
                 # clg --file-path: only messages from one original file
                 res = res.where(_file_path_pred(F.col("source"), args.file_path))
             if args.count:
-                print(count_matched(res).collect()[0]["cnt"])
+                if args.output_handler == "reducer":
+                    _send_reducer_count(res, args)
+                else:
+                    print(count_matched(res).collect()[0]["cnt"])
             elif args.count_by_time is not None:
-                rows = count_by_time(
-                    res.where(F.col("ts_ms").isNotNull()),
-                    F.col("ts_ms"), args.count_by_time,
-                ).orderBy("bucket_ts").collect()
-                for r in rows:
-                    print(r["bucket_ts"], r["cnt"])
+                cbt = res.where(F.col("ts_ms").isNotNull())
+                if args.output_handler == "reducer":
+                    _send_reducer_count_by_time(cbt, "ts_ms", args)
+                else:
+                    rows = count_by_time(
+                        cbt, F.col("ts_ms"), args.count_by_time,
+                    ).orderBy("bucket_ts").collect()
+                    for r in rows:
+                        print(r["bucket_ts"], r["cnt"])
             else:
                 _emit_search_results(res, args)
             return
@@ -923,7 +933,10 @@ def cmd_search(args) -> None:
             queries,
         )
     if args.count:
-        print(count_matched(res).collect()[0]["cnt"])
+        if args.output_handler == "reducer":
+            _send_reducer_count(res, args)
+        else:
+            print(count_matched(res).collect()[0]["cnt"])
     elif args.count_by_time is not None:
         if "ts_ms" not in raw_sinks.columns:
             sys.exit(
@@ -931,18 +944,20 @@ def cmd_search(args) -> None:
                 "timestamps (text-log archives carry ts_ms; token-pipeline "
                 "archives do not)"
             )
-        rows = count_by_time(
-            res.join(
-                raw_sinks.select(
-                    F.concat_ws("#", "file_id", "msg_ix").alias("doc_id"), "ts_ms"
-                ),
-                "doc_id",
+        cbt = res.join(
+            raw_sinks.select(
+                F.concat_ws("#", "file_id", "msg_ix").alias("doc_id"), "ts_ms"
             ),
-            F.col("ts_ms"),
-            args.count_by_time,
-        ).orderBy("bucket_ts").collect()
-        for r in rows:
-            print(r["bucket_ts"], r["cnt"])
+            "doc_id",
+        )
+        if args.output_handler == "reducer":
+            _send_reducer_count_by_time(cbt, "ts_ms", args)
+        else:
+            rows = count_by_time(
+                cbt, F.col("ts_ms"), args.count_by_time,
+            ).orderBy("bucket_ts").collect()
+            for r in rows:
+                print(r["bucket_ts"], r["cnt"])
     else:
         ts_lookup = None
         if "ts_ms" in raw_sinks.columns:
@@ -955,6 +970,40 @@ def cmd_search(args) -> None:
                 )
             )
         _emit_search_results(res, args, ts_lookup)
+
+
+def _require_reducer_args(args, flags_ok: bool) -> None:
+    """Shared validation for `--output-handler reducer` (clp-s
+    CommandLineArguments.cpp:1239-1248 + clp-s.cpp:326-331: job-id
+    required, and the handler only carries the count and count-by-time
+    aggregations)."""
+    if not flags_ok:
+        sys.exit("error: the reducer output handler only supports the "
+                 "count and count-by-time aggregations")
+    if not args.host or args.port is None:
+        sys.exit("error: the reducer output handler needs --host and --port")
+    if args.job_id is None:
+        sys.exit("error: job-id must be specified.")
+    if args.job_id < 0:
+        sys.exit("error: job-id cannot be negative.")
+
+
+def _send_reducer_count(res, args) -> None:
+    """Stream per-partition partial counts to the reducer (clo
+    CountOutputHandler / clp-s CountReducerOutputHandler)."""
+    from clp_spark.streaming.reducer import spark_send_count
+
+    spark_send_count(res, args.host, args.port, args.job_id)
+
+
+def _send_reducer_count_by_time(res, ts_col: str, args) -> None:
+    """Stream per-partition bucket counts to the reducer (clo
+    CountByTimeOutputHandler / clp-s CountByTimeReducerOutputHandler)."""
+    from clp_spark.streaming.reducer import spark_send_count_by_time
+
+    spark_send_count_by_time(
+        res, ts_col, args.count_by_time, args.host, args.port, args.job_id
+    )
 
 
 def _kql_agg_flags(args) -> list[str]:
@@ -999,8 +1048,12 @@ def _kql_aggregate(res, json_col: str, args, ts_patterns=None) -> bool:
     if field is not None and any(c in field for c in "*?"):
         sys.exit("error: the --min, --max, and --unique field must not "
                  "contain wildcards")
+    to_reducer = getattr(args, "output_handler", "stdout") == "reducer"
     if args.count:
-        print(res.count())
+        if to_reducer:
+            _send_reducer_count(res, args)
+        else:
+            print(res.count())
         return True
     if args.count_by_time is not None:
         from clp_spark.operators.aggregate import count_by_time
@@ -1012,6 +1065,14 @@ def _kql_aggregate(res, json_col: str, args, ts_patterns=None) -> bool:
         ts = _json_ts_ms(
             F.get_json_object(F.col(json_col), "$." + key), ts_patterns
         )
+        if to_reducer:
+            _send_reducer_count_by_time(
+                res.select(ts.alias("__ts_ms__")).where(
+                    F.col("__ts_ms__").isNotNull()
+                ),
+                "__ts_ms__", args,
+            )
+            return True
         rows = count_by_time(
             res.where(ts.isNotNull()), ts, args.count_by_time
         ).orderBy("bucket_ts").collect()
@@ -1253,7 +1314,13 @@ def cmd_search_kql(args) -> None:
     if len(flags) > 1:
         sys.exit("error: the --count, --count-by-time, --min, --max, and "
                  "--unique options are mutually exclusive")
-    if args.output_handler != "stdout":
+    if args.output_handler == "reducer":
+        _require_reducer_args(
+            args, bool(flags) and all(
+                f in ("count", "count-by-time") for f in flags
+            ),
+        )
+    elif args.output_handler != "stdout":
         # aggregates route to the reducer handler in the reference, not
         # the file/network record stream
         if flags:
@@ -1709,6 +1776,32 @@ def _validate_metadata_db_config(args) -> None:
              "global metadata catalog here is the sqlite flavor")
 
 
+def cmd_reducer_server(args) -> None:
+    """`reducer-server`: merge partial aggregates from search workers
+    (reference reducer_server.cpp main loop — register with the scheduler,
+    serve one job to completion, reset, repeat). Results land in a sqlite
+    results cache (documented stand-in for the reference's MongoDB)."""
+    from clp_spark.streaming.reducer import ReducerServer, ResultsCache
+
+    cache = ResultsCache(args.results_db)
+    while True:
+        server = ReducerServer(
+            cache,
+            reducer_host=args.reducer_host,
+            reducer_port=args.reducer_port,
+            upsert_interval_ms=args.upsert_interval,
+        )
+        try:
+            ok = server.serve_one_job(args.scheduler_host,
+                                      args.scheduler_port)
+        finally:
+            server.close()
+        if args.one_job:
+            sys.exit(0 if ok else 1)
+        if not ok:
+            sys.exit(1)
+
+
 def main(argv: list[str] | None = None) -> None:
     argv = list(sys.argv[1:] if argv is None else argv)
     ap = argparse.ArgumentParser(prog="clp_spark", description=__doc__)
@@ -1922,15 +2015,23 @@ def main(argv: list[str] | None = None) -> None:
              "<u64 logtype-id><u64 msg-len><msg> per result)",
     )
     s.add_argument(
-        "--output-handler", choices=["stdout", "network"], default="stdout",
-        help="where matched messages go (clo output-handler): stdout, or "
+        "--output-handler", choices=["stdout", "network", "reducer"],
+        default="stdout",
+        help="where matched messages go (clo output-handler): stdout; "
              "network — one msgpack tuple (ts_ms, message, path, file-id, "
-             "event-ix) per result to --host/--port",
+             "event-ix) per result to --host/--port; reducer — stream "
+             "per-partition partial --count/--count-by-time aggregates to "
+             "a reducer server at --host/--port under --job-id",
     )
     s.add_argument("--host", default=None,
-                   help="network output handler destination host")
+                   help="network/reducer output handler destination host")
     s.add_argument("--port", type=int, default=None,
-                   help="network output handler destination port")
+                   help="network/reducer output handler destination port")
+    s.add_argument(
+        "--job-id", type=int, default=None, metavar="ID",
+        help="job ID for the requested aggregation operation "
+             "(reducer output handler)",
+    )
     s.add_argument(
         "--regex", action="store_true",
         help="treat QUERY as a regex; translate to a CLP wildcard query "
@@ -1973,18 +2074,25 @@ def main(argv: list[str] | None = None) -> None:
     sk.add_argument("input")
     sk.add_argument("query")
     sk.add_argument(
-        "--output-handler", choices=["stdout", "file", "network"],
+        "--output-handler", choices=["stdout", "file", "network", "reducer"],
         default="stdout",
         help="where results go (clp-s s output-handler): stdout prints "
              "records; file/network emit one msgpack tuple (ts, message, "
-             "path-placeholder, archive-id, event-ix) per result",
+             "path-placeholder, archive-id, event-ix) per result; reducer "
+             "streams per-partition partial --count/--count-by-time "
+             "aggregates to a reducer server at --host/--port",
     )
     sk.add_argument("--path", default=None,
                     help="file output handler destination path")
     sk.add_argument("--host", default=None,
-                    help="network output handler destination host")
+                    help="network/reducer output handler destination host")
     sk.add_argument("--port", type=int, default=None,
-                    help="network output handler destination port")
+                    help="network/reducer output handler destination port")
+    sk.add_argument(
+        "--job-id", type=int, default=None, metavar="ID",
+        help="job ID for the requested aggregation operation "
+             "(reducer output handler)",
+    )
     sk.add_argument("--ignore-case", action="store_true")
     sk.add_argument("--structurize-arrays", action="store_true")
     sk.add_argument("--count", action="store_true")
@@ -2135,6 +2243,36 @@ def main(argv: list[str] | None = None) -> None:
     hr.add_argument("archive")
     hr.add_argument("output")
     hr.set_defaults(fn=cmd_readable_dicts)
+
+    rs = sub.add_parser(
+        "reducer-server",
+        help="run a reducer that merges partial count/count-by-time "
+             "aggregates streamed by search workers (reference "
+             "reducer_server; results land in a sqlite results cache "
+             "instead of MongoDB)",
+    )
+    rs.add_argument("--reducer-host", default="127.0.0.1",
+                    help="host this reducer advertises to the scheduler")
+    rs.add_argument("--reducer-port", type=int, default=14009,
+                    help="port to listen on for worker connections")
+    rs.add_argument("--scheduler-host", default="127.0.0.1",
+                    help="host the query scheduler is running on")
+    rs.add_argument("--scheduler-port", type=int, default=7000,
+                    help="port the query scheduler is listening on")
+    rs.add_argument(
+        "--upsert-interval", type=int, default=100, metavar="MS",
+        help="interval for upserting timeline aggregation results (ms)",
+    )
+    rs.add_argument(
+        "--results-db", required=True, metavar="SQLITE_PATH",
+        help="sqlite results cache (stands in for the reference's "
+             "MongoDB results-cache URI)",
+    )
+    rs.add_argument(
+        "--one-job", action="store_true",
+        help="serve a single job and exit (the reference loops forever)",
+    )
+    rs.set_defaults(fn=cmd_reducer_server)
 
     # Every binary in the reference accepts --config-file (options_general
     # is per-binary); the metadata-db group rides on the binaries that
