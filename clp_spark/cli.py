@@ -104,6 +104,13 @@ def cmd_compress(args) -> None:
     ):
         sys.exit("error: --target-segment-size/--target-dictionaries-size "
                  "are clp (text archive) flags")
+    if args.json and args.print_archive_stats_progress:
+        # the JSON mode's stats surface is --print-archive-stats (clp-s);
+        # stats-progress is the text archiver's flag (clp
+        # CommandLineArguments.cpp:351) and the JSON branch never reaches
+        # its emitter — error loudly instead of silently ignoring it
+        sys.exit("error: --print-archive-stats-progress is a clp (text "
+                 "archive) flag; use --print-archive-stats with --json")
     if args.files_from:
         # clp/clp-s `--files-from/-f FILE`: one input path per line
         # (clp utils.cpp:89-107 read_input_paths; empty list = error)
@@ -225,9 +232,9 @@ def cmd_compress(args) -> None:
                 ],
                 "abs_path string, _rank long",
             )
-            norm = F.url_decode(
-                F.regexp_replace("container", "^file:(//)?", "")
-            )
+            # container paths are raw scheme-stripped binaryFile paths —
+            # no percent-decoding (it would corrupt '+' / crash on '%')
+            norm = F.regexp_replace("container", "^file:(//)?", "")
             z_df = (
                 zlines.withColumn("abs_path", norm)
                 .join(F.broadcast(ranks), "abs_path")
@@ -1209,7 +1216,10 @@ def _emit_kql_results(out, col: str, args, archive_id: str = "",
 
     from clp_spark.sinks.single_file_archive import msgpack_pack
 
-    has_idx = "log_event_idx" in out.columns
+    # kv-IR direct-search rows carry their event index as `event_ix`
+    idx_col = next(
+        (c for c in ("log_event_idx", "event_ix") if c in out.columns), None
+    )
     has_aid = "archive_id" in out.columns
 
     def _tuple_bytes(r) -> bytes:
@@ -1219,7 +1229,7 @@ def _emit_kql_results(out, col: str, args, archive_id: str = "",
             v = _json_path_get(json.loads(msg), ts_key)
             if isinstance(v, (int, float)) and not isinstance(v, bool):
                 ts = int(v)
-        idx = r["log_event_idx"] if has_idx else None
+        idx = r[idx_col] if idx_col else None
         aid = r["archive_id"] if has_aid else archive_id
         return msgpack_pack(
             (ts, msg, "", aid or "", int(idx) if idx is not None else 0)
@@ -1282,25 +1292,35 @@ def _search_kv_ir_streams(spark, paths: list[str], args) -> None:
     rows = search_kv_ir(blobs, query, ignore_case=args.ignore_case)
     keys = rows.select("stream", "chunk_ix", "event_ix").distinct()
     if args.count:
-        print(keys.count())
+        if getattr(args, "output_handler", "stdout") == "reducer":
+            _send_reducer_count(keys, args)
+        else:
+            print(keys.count())
         return
-    # render pass touches ONLY streams that produced a match (left-semi
-    # prune before the decode — at fleet scale a selective query renders
-    # a handful of files, not the whole input set)
-    matched = blobs.join(
-        keys.select("stream").distinct(), "stream", "left_semi"
-    )
-    recs = kv_ir_to_json_df(matched).join(
-        keys, ["stream", "chunk_ix", "event_ix"]
-    )
-    if args.max_num_results is not None:
-        recs = _latest_n(
-            recs, "json", args.timestamp_key, args.max_num_results
+    # keys (tiny: matched event keys) feeds BOTH the stream prune and the
+    # final event join — persist so the vectorized leaf search over every
+    # stream blob runs once, not once per consumer
+    keys = keys.persist()
+    try:
+        # render pass touches ONLY streams that produced a match
+        # (left-semi prune before the decode — at fleet scale a selective
+        # query renders a handful of files, not the whole input set)
+        matched = blobs.join(
+            keys.select("stream").distinct(), "stream", "left_semi"
         )
-    if args.projection:
-        recs = _apply_projection(recs, "json", args.projection)
-    out = recs.limit(args.limit) if args.limit is not None else recs
-    _emit_kql_results(out, "json", args, ts_key=args.timestamp_key)
+        recs = kv_ir_to_json_df(matched).join(
+            keys, ["stream", "chunk_ix", "event_ix"]
+        )
+        if args.max_num_results is not None:
+            recs = _latest_n(
+                recs, "json", args.timestamp_key, args.max_num_results
+            )
+        if args.projection:
+            recs = _apply_projection(recs, "json", args.projection)
+        out = recs.limit(args.limit) if args.limit is not None else recs
+        _emit_kql_results(out, "json", args, ts_key=args.timestamp_key)
+    finally:
+        keys.unpersist()
 
 
 def cmd_search_kql(args) -> None:

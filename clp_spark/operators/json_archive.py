@@ -164,12 +164,13 @@ def remove_path_prefix(path: str, prefix: str) -> str | None:
 
 
 def _src_norm(source_col: str):
-    """Source-file URI column → local absolute path (the key space
-    source_names maps from), matching the repo's input_file_name handling
-    elsewhere (file:///a%20b.log → /a b.log)."""
-    return F.url_decode(
-        F.regexp_replace(F.col(source_col), "^file:(//)?", "")
-    )
+    """Source-file path column → local absolute path (the key space
+    source_names maps from). Provenance-aware: input_file_name URIs
+    percent-decode ('+' preserved), while the kv/zst routes already carry
+    raw decoded paths that must NOT be decoded a second time."""
+    from clp_spark.sources.logfiles import decode_file_uri_expr
+
+    return decode_file_uri_expr(source_col)
 
 
 def _build_range_index(

@@ -208,6 +208,8 @@ def tasks_to_rdd_partitions(spark, tasks: list[TaskPlan]):
 
     import pyspark.sql.functions as F
 
+    from clp_spark.sources.logfiles import decode_file_uri_expr
+
     if not tasks:
         raise ValueError("no tasks")
     all_paths = [p for t in tasks for p in t.file_paths]
@@ -219,10 +221,7 @@ def tasks_to_rdd_partitions(spark, tasks: list[TaskPlan]):
     lines = (
         spark.read.text(all_paths)
         .withColumn("path", F.input_file_name())
-        .withColumn(
-            "abs_path", F.regexp_replace(F.col("path"), "^file:(//)?", "")
-        )
-        .withColumn("abs_path", F.url_decode("abs_path"))
+        .withColumn("abs_path", decode_file_uri_expr("path"))
     )
     return (
         lines.join(F.broadcast(path_map), "abs_path")

@@ -1645,6 +1645,8 @@ def is_kv_ir_bytes(head: bytes) -> bool:
     if head[5] == 0x11:
         ln, start = head[6], 7
     elif head[5] == 0x12:
+        if len(head) < 8:  # truncated two-byte length — not a kv stream
+            return False
         ln, start = (head[6] << 8) | head[7], 8
     else:
         return False
@@ -1705,7 +1707,9 @@ def read_kv_ir_stream_records(
         for i, p in enumerate(ir_paths)
     ]
     ranks = spark.createDataFrame(rank_rows, "abs_path string, _rank long")
-    norm = F.url_decode(F.regexp_replace("stream", "^file:(//)?", ""))
+    # binaryFile paths are raw (NOT percent-encoded) — url_decode here
+    # would corrupt '+' and crash on a literal '%' in a stream file name
+    norm = F.regexp_replace("stream", "^file:(//)?", "")
     return (
         lines.withColumn("abs_path", norm)
         .join(F.broadcast(ranks), "abs_path")

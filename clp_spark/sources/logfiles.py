@@ -29,6 +29,38 @@ from clp_spark.operators.dictionary import assign_sorted_ids
 from clp_spark.operators.messages import assemble_multiline
 
 
+def decode_file_uri_expr(col):
+    """Source-path column → raw local path, provenance-aware.
+
+    `input_file_name()` returns a percent-encoded `file:` URI (space →
+    %20, % → %25) but leaves '+' LITERAL — java-style url_decode would
+    turn that '+' into a space and silently corrupt the path, so '+' is
+    escaped before decoding. Values without the `file:` scheme are
+    already raw paths (the binaryFile readers emit scheme-stripped,
+    UNencoded paths — url_decode on those would crash on a literal '%'
+    in a file name) and pass through unchanged.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    decoded = F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(c, "^file:(//)?", ""), r"\+", "%2B"
+        )
+    )
+    return F.when(c.startswith("file:"), decoded).otherwise(c)
+
+
+def decode_file_uri(s: str) -> str:
+    """Driver-side twin of ``decode_file_uri_expr`` for stored file ids:
+    `file:` URIs percent-decode (python's unquote already leaves '+'
+    literal, matching the URI form); raw paths pass through."""
+    import re
+    from urllib.parse import unquote
+
+    if not s.startswith("file:"):
+        return s
+    return unquote(re.sub("^file:(//)?", "", s))
+
+
 def read_log_lines(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     """(file_id, line_no, line) over text files; line_no is 0-based per file."""
     raw = spark.read.text(paths).select(
@@ -171,12 +203,15 @@ def read_tar_log_lines(spark: SparkSession, tar_paths: list[str]) -> DataFrame:
     def expand(batches):
         for pdf in batches:
             for uri, blob in zip(pdf["path"], pdf["content"]):
-                rows = list(_tar_member_lines(uri, bytes(blob)))
+                # binaryFile paths are unencoded — strip the scheme here so
+                # downstream path joins never need (crash-prone) url_decode
+                path = uri.removeprefix("file:")
+                rows = list(_tar_member_lines(path, bytes(blob)))
                 if rows:
                     out = pd.DataFrame(
                         rows, columns=["file_id", "line_no", "line"]
                     )
-                    out.insert(1, "container", uri)
+                    out.insert(1, "container", path)
                     yield out
 
     return blobs.mapInPandas(
@@ -220,14 +255,17 @@ def read_container_log_lines(
 
         for pdf in batches:
             for uri, blob in zip(pdf["path"], pdf["content"]):
+                # binaryFile paths are unencoded — strip the scheme here so
+                # downstream path joins never need (crash-prone) url_decode
+                path = uri.removeprefix("file:")
                 data = maybe_decompress(bytes(blob))
                 parts = splitter.split(data)
                 if parts and parts[-1] == b"":
                     parts.pop()
-                stem = re.sub(r"\.[^./]+$", "", uri)
+                stem = re.sub(r"\.[^./]+$", "", path)
                 yield pd.DataFrame({
                     "file_id": stem,
-                    "container": uri,
+                    "container": path,
                     "line_no": range(len(parts)),
                     "line": [p.decode("utf-8", "replace") for p in parts],
                 })
@@ -338,7 +376,7 @@ def strip_path_prefix_expr(col, prefix: str):
     inputs against the prefix up front, mirroring the reference's
     per-path error."""
     pfx = os.path.abspath(prefix).rstrip("/") + "/"
-    path = F.url_decode(F.regexp_replace(col, "^file:(//)?", ""))
+    path = decode_file_uri_expr(col)
     return F.when(
         path.startswith(pfx),
         path.substr(F.lit(len(pfx) + 1), F.lit(1 << 30)),
@@ -446,7 +484,12 @@ def read_ir_encoded_messages(spark: SparkSession, ir_paths: list[str]) -> DataFr
 
     blobs = (
         spark.read.format("binaryFile").load(ir_paths)
-        .select(F.col("path").alias("stream"), F.col("content").alias("ir"))
+        # binaryFile paths are unencoded — strip the scheme so the stored
+        # file_id and the container-routing joins stay raw local paths
+        .select(
+            F.regexp_replace("path", "^file:", "").alias("stream"),
+            F.col("content").alias("ir"),
+        )
     )
     ev = ir_to_events_df(blobs, "ir", "stream")
     # mapInArrow preserves intra-partition order and each stream is one
@@ -877,10 +920,7 @@ def compress_text_logs_multi(
         keys + ["container"], "message",
     )
     enc_base = (
-        enc.withColumn(
-            "abs_path",
-            F.url_decode(F.regexp_replace("container", "^file:(//)?", "")),
-        )
+        enc.withColumn("abs_path", decode_file_uri_expr("container"))
         .drop("container")
         .persist()
     )
@@ -1063,7 +1103,10 @@ def extract_to_files(
             continue
         from urllib.parse import unquote
 
-        uri = unquote(entry.name[len("file_id="):])
+        # one unquote undoes Spark's partition-directory escaping; the
+        # stored file_id may itself be an input_file_name URI whose
+        # percent-escapes must decode for the ORIGINAL file name
+        uri = decode_file_uri(unquote(entry.name[len("file_id="):]))
         base = uri.rstrip("/").rsplit("/", 1)[-1]
         if base in seen:  # same basename from different source dirs
             base = f"{base}.{summary['files']}"

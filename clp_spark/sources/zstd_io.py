@@ -108,18 +108,6 @@ def zstd_decompress(data: bytes) -> bytes:
         return st.read()
 
 
-def maybe_unzstd(data: bytes) -> bytes:
-    """Magic-checked decompress: zstd blobs decode, anything else passes
-    through untouched. Lets mixed raw/zstd input sets share one reader."""
-    return zstd_decompress(data) if is_zstd_bytes(data[:4]) else data
-
-
-def zstd_peek(path: str, n: int = 65536) -> bytes:
-    """``container_peek`` specialized to zstd (the clp-s-parity paths
-    that nest ONLY a zstd decompressor, InputConfig.cpp:552-563)."""
-    return container_peek(path, "zst", n)
-
-
 def zstd_compress(data: bytes, level: int | None = None) -> bytes:
     """One complete zstd frame (proper framed stream, decodable by any
     zstd reader). ``level`` maps to the codec's compression level; None =

@@ -196,10 +196,8 @@ def send_pipeline_results(
     (BufferedSocketWriter with its 1 KiB buffer; byte stream identical)."""
     buf = bytearray()
     try:
-        for tags, records in groups:
-            payload = serialize_record_group(tags, records)
-            buf += struct.pack("<Q", len(payload))
-            buf += payload
+        for group in groups:
+            buf += frame_record_groups([group])
             if len(buf) >= buf_size:
                 sock.sendall(buf)
                 buf.clear()
@@ -661,12 +659,41 @@ def spark_send_count_by_time(
     return sum(r["groups_sent"] for r in rows)
 
 
+def _guard_first_attempt(attempt: int | None) -> None:
+    """Refuse to send from a RETRIED Spark task.
+
+    Partial-count sends are not idempotent: a task that streamed some of
+    its groups before dying would double-count them if its retry re-sent.
+    The reference has the same failure model — a dead worker fails the
+    whole query at the scheduler rather than re-sending partials — so a
+    retried attempt raises here, which (after Spark exhausts
+    spark.task.maxFailures) fails the job; the reducer then never gets
+    the scheduler's "all results sent" message and never publishes a
+    wrong total.
+    """
+    if attempt:
+        raise RuntimeError(
+            "reducer partials may already have been streamed by attempt 0 "
+            "of this task; failing the job instead of double-counting "
+            "(re-run the aggregation)"
+        )
+
+
+def _task_attempt_number() -> int:
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    return ctx.attemptNumber() if ctx is not None else 0
+
+
 def _send_groups(
     host: str, port: int, job_id: int, groups: list[RecordGroup]
 ) -> int:
     """Connect-negotiate-send-close for one partition's partials; every
     partition connects (the reference connects before searching), even
-    when it has nothing to send."""
+    when it has nothing to send. At-most-once: retried task attempts
+    refuse to re-send (see _guard_first_attempt)."""
+    _guard_first_attempt(_task_attempt_number())
     sock = connect_to_reducer(host, port, job_id)
     if sock is None:
         raise RuntimeError(
