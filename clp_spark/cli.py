@@ -593,13 +593,16 @@ def cmd_extract(args) -> None:
 
 
 def _file_path_pred(col, path: str):
-    """file_id match tolerant of URI-scheme spelling: archives store Hadoop
-    URIs (file:///a/b.log) while users type plain paths — compare with the
-    scheme and duplicate slashes normalized away on both sides."""
+    """file_id match tolerant of URI spelling: archives store Hadoop URIs
+    (file:///a/b.log, percent-encoded) while users type plain paths —
+    compare with the scheme, duplicate slashes, AND percent-encoding
+    normalized away on both sides ('+' stays literal in both forms)."""
     import re as _re
 
-    norm = _re.sub(r"^file:/+", "/", path)
-    col_norm = F.regexp_replace(col, r"^file:/+", "/")
+    from clp_spark.sources.logfiles import decode_file_uri, decode_file_uri_expr
+
+    norm = decode_file_uri(_re.sub(r"^file:/+", "file:///", path))
+    col_norm = decode_file_uri_expr(col)
     return (col == F.lit(path)) | (col_norm == F.lit(norm))
 
 

@@ -80,6 +80,27 @@ class TestTextLifecycle:
         assert res["messages"] == 6
 
 
+class TestFilePathFlag:
+    def test_file_path_matches_plain_spelling(self, spark, tmp_path, capsys):
+        """`s --file-path` takes the user's PLAIN path; the archive stores
+        the percent-encoded URI — the comparison must normalize encoding
+        ('%20' ≡ ' ') or files with spaces become unreachable."""
+        from clp_spark import cli
+
+        log = tmp_path / f"{NASTY}.log"
+        log.write_text(
+            "2024-01-01 00:00:01.000 job alpha took 1 ms\n"
+        )
+        other = tmp_path / "other.log"
+        other.write_text("2024-01-01 00:00:02.000 job alpha took 9 ms\n")
+        arch = str(tmp_path / "arch")
+        cli.main(["c", arch, str(log), str(other)])
+        capsys.readouterr()
+        cli.main(["s", arch, "*alpha*", "--count",
+                  "--file-path", str(log)])
+        assert capsys.readouterr().out.strip() == "1"
+
+
 class TestContainerRoutes:
     def test_zstd_container_nasty_filename(self, spark, tmp_path):
         """binaryFile container paths are raw: a literal '%' used to crash
