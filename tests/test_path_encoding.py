@@ -143,6 +143,32 @@ class TestContainerRoutes:
         assert got == [1, 2]  # join matched: records survived
 
 
+class TestRangeIndexNames:
+    def test_json_archive_filename_with_nasty_chars(self, spark, tmp_path):
+        """The range index must record the ORIGINAL file name ('+', '%',
+        space intact) so `$_filename` filters typed as plain paths match
+        — a double-decoded or form-decoded name matches nothing."""
+        from clp_spark import cli
+        from clp_spark.operators.json_archive import search_json_archive
+
+        src = tmp_path / f"{NASTY}.jsonl"
+        src.write_text('{"msg": "alpha", "level": 1}\n')
+        other = tmp_path / "plain.jsonl"
+        other.write_text('{"msg": "beta", "level": 2}\n')
+        arch = str(tmp_path / "arch")
+        cli.main(["c", arch, str(src), str(other), "--json"])
+        with open(f"{arch}/manifest.json") as f:
+            names = sorted(
+                e["f"]["_filename"] for e in json.load(f)["range_index"]
+            )
+        assert names == sorted([str(src), str(other)])
+        res = search_json_archive(
+            spark, arch, f'$_filename: "{src}" AND msg: *'
+        )
+        got = [json.loads(r["json"])["msg"] for r in res.collect()]
+        assert got == ["alpha"]
+
+
 class TestReducerRetryGuard:
     def test_retried_attempt_refuses_to_send(self):
         from clp_spark.streaming.reducer import _guard_first_attempt
