@@ -593,21 +593,44 @@ def trunc_bucket(ts, bucket_ms: int):
     return (q * bucket_ms).astype(np.int64)
 
 
-def spark_send_count(df, host: str, port: int, job_id: int) -> int:
-    """Per-partition partial count → one reducer connection per partition
-    (clo CountOutputHandler: an inter-stage CountOperator fed one record
-    per result, flushed as a single ``{"count": n}`` group with empty
-    tags). Returns the number of partitions that sent at least one group.
+# Bounded sender fan-in: the reducer is a single merge point, so the
+# number of CONNECTIONS must not scale with data partitions. Partials
+# aggregate distributed (side-effect-free — Spark may retry those tasks
+# freely), then shuffle down to at most this many sender tasks, each
+# opening one connection. The reference's concurrency is likewise the
+# worker-slot count, not the task count.
+MAX_SENDERS = 32
+
+
+def spark_send_count(
+    df, host: str, port: int, job_id: int, senders: int = MAX_SENDERS
+) -> int:
+    """Distributed count → reducer (clo CountOutputHandler: an
+    inter-stage CountOperator fed one record per result, flushed as a
+    single ``{"count": n}`` group with empty tags).
+
+    Two stages: per-partition local counts (pure compute, retry-safe),
+    then ≤``senders`` merge-and-send tasks — one connection each, guarded
+    at-most-once. Returns the number of sender tasks that sent a group.
     """
     import pyarrow as pa
     from pyspark.sql import functions as F
 
     out_schema = pa.schema([("groups_sent", pa.int64())])
 
-    def fn(batches):
+    def partial(batches):
         n = 0
         for batch in batches:
             n += batch.num_rows
+        yield pa.RecordBatch.from_pylist(
+            [{"cnt": n}], schema=pa.schema([("cnt", pa.int64())])
+        )
+
+    def send(batches):
+        n = 0
+        for batch in batches:
+            col = batch.column(0)
+            n += pa.compute.sum(col).as_py() or 0
         sent = _send_groups(host, port, job_id,
                             [((), [{COUNT_KEY: n}])] if n else [])
         yield pa.RecordBatch.from_pylist([{"groups_sent": sent}],
@@ -615,27 +638,36 @@ def spark_send_count(df, host: str, port: int, job_id: int) -> int:
 
     rows = (
         df.select(F.lit(1).alias("one"))
-        .mapInArrow(fn, "groups_sent long")
+        .mapInArrow(partial, "cnt long")
+        .repartition(senders)
+        .mapInArrow(send, "groups_sent long")
         .collect()
     )
     return sum(1 for r in rows if r["groups_sent"])
 
 
 def spark_send_count_by_time(
-    df, ts_col: str, bucket_ms: int, host: str, port: int, job_id: int
+    df, ts_col: str, bucket_ms: int, host: str, port: int, job_id: int,
+    senders: int = MAX_SENDERS,
 ) -> int:
-    """Per-partition bucket→count partials → reducer (clo
+    """Distributed bucket→count partials → reducer (clo
     CountByTimeOutputHandler / clp_s CountByTimeReducerOutputHandler:
     ``std::map<int64, int64>`` flushed as one group per bucket, tags =
     [str(bucket)], numeric order). Bucket math and counting are numpy
-    passes over each Arrow batch."""
+    passes over each Arrow batch.
+
+    Two stages: per-partition bucket counts (pure compute, retry-safe)
+    shuffle BY BUCKET down to ≤``senders`` send tasks — each bucket's
+    partials merge inside one sender, one connection per sender,
+    at-most-once guarded. Returns the total groups sent."""
     import numpy as np
     import pyarrow as pa
     from pyspark.sql import functions as F
 
     out_schema = pa.schema([("groups_sent", pa.int64())])
+    part_schema = pa.schema([("bucket", pa.int64()), ("cnt", pa.int64())])
 
-    def fn(batches):
+    def partial(batches):
         acc: dict[int, int] = {}
         for batch in batches:
             ts = batch.column(0).to_numpy(zero_copy_only=False)
@@ -644,6 +676,17 @@ def spark_send_count_by_time(
                 return_counts=True,
             )
             for b, c in zip(buckets.tolist(), counts.tolist()):
+                acc[b] = acc.get(b, 0) + c
+        yield pa.RecordBatch.from_pylist(
+            [{"bucket": b, "cnt": c} for b, c in acc.items()],
+            schema=part_schema,
+        )
+
+    def send(batches):
+        acc: dict[int, int] = {}
+        for batch in batches:
+            for b, c in zip(batch.column(0).to_pylist(),
+                            batch.column(1).to_pylist()):
                 acc[b] = acc.get(b, 0) + c
         groups = [
             ((str(b),), [{COUNT_KEY: acc[b]}]) for b in sorted(acc)
@@ -655,7 +698,12 @@ def spark_send_count_by_time(
     src = df.select(F.col(ts_col).cast("long").alias("ts_ms")).where(
         F.col(ts_col).isNotNull()
     )
-    rows = src.mapInArrow(fn, "groups_sent long").collect()
+    rows = (
+        src.mapInArrow(partial, "bucket long, cnt long")
+        .repartition(senders, F.col("bucket"))
+        .mapInArrow(send, "groups_sent long")
+        .collect()
+    )
     return sum(r["groups_sent"] for r in rows)
 
 
@@ -680,6 +728,12 @@ def _guard_first_attempt(attempt: int | None) -> None:
 
 
 def _task_attempt_number() -> int:
+    """Non-zero when this execution is a task RETRY. (PySpark's
+    TaskContext does not expose the stage attempt, so a whole-stage
+    resubmission after a shuffle-fetch failure is not detectable here —
+    in local mode it cannot occur, and on a cluster the failed send's own
+    exception already fails the job before a resubmitted stage could
+    double-send to a reducer that is still accepting.)"""
     from pyspark import TaskContext
 
     ctx = TaskContext.get()
