@@ -306,6 +306,7 @@ class ReducerServer:
         self._pipeline = CountOperator()
         self._updated_tags: set[GroupTags] = set()
         self._active_receivers = 0
+        self._receiver_conns: set[socket.socket] = set()
         self._receiver_threads: list[threading.Thread] = []
         self._accept_thread: threading.Thread | None = None
         self._upsert_timer: threading.Timer | None = None
@@ -379,7 +380,14 @@ class ReducerServer:
             self.failed = True
             self.done.set()
             return False
-        self._set_up_pipeline(config)
+        try:
+            self._set_up_pipeline(config)
+        except (TypeError, ValueError):
+            # malformed job config (non-integer / negative job id) — the
+            # failed-job contract, not an unhandled traceback
+            self.failed = True
+            self.done.set()
+            return False
         with self._lock:
             self._status = "Running"
         if self._is_timeline:
@@ -400,7 +408,11 @@ class ReducerServer:
         with self._lock:
             self._status = "ReceivedAllResults"
             should_finalize = 0 == self._active_receivers
-        # Stop accepting new senders (tcp_acceptor.cancel()).
+            open_conns = list(self._receiver_conns)
+        # Stop accepting new senders (tcp_acceptor.cancel()). Receivers
+        # poll with a short socket timeout, so still-open connections
+        # observe the status flip and drain out on their own deadline.
+        del open_conns
         self._close_acceptor()
         if should_finalize:
             self._try_finalize()
@@ -411,8 +423,13 @@ class ReducerServer:
 
     def _set_up_pipeline(self, config: dict) -> None:
         """ServerContext::set_up_pipeline — CountOperator always; timeline
-        mode iff the config carries a non-null bucket size."""
-        self._job_id = int(config[JOB_ID_KEY])
+        mode iff the config carries a non-null bucket size. The job id
+        names a results table, so it must be a non-negative integer
+        (the CLIs enforce the same bound on the worker side)."""
+        job_id = int(config[JOB_ID_KEY])
+        if job_id < 0:
+            raise ValueError("job_id cannot be negative")
+        self._job_id = job_id
         bucket = config.get(TIME_BUCKET_SIZE_KEY)
         self._is_timeline = bucket is not None
         self._pipeline = CountOperator()
@@ -422,29 +439,48 @@ class ReducerServer:
         with self._lock:
             if self._status != "Running":
                 return
-        self._upsert_timeline_results()
+        try:
+            self._upsert_timeline_results()
+        except Exception:
+            # a transient cache failure must not kill the timer chain —
+            # the unwritten tags stay queued and the next tick retries
+            pass
         self._upsert_timer = threading.Timer(
             self.upsert_interval_ms / 1000.0, self._schedule_upsert
         )
         self._upsert_timer.daemon = True
         self._upsert_timer.start()
 
-    def _upsert_timeline_results(self) -> None:
+    def _upsert_timeline_results(self) -> bool:
         """Upsert only the buckets touched since the last tick
-        (ServerContext.cpp:172-211)."""
+        (ServerContext.cpp:172-211). The whole read-write-clear runs under
+        the server lock so a stalled tick can never overwrite a newer
+        count written by finalize (lost-update); tags clear only AFTER a
+        successful write, so a failed write retries on the next tick
+        instead of silently dropping those buckets."""
         with self._lock:
             if not self._updated_tags:
-                return
-            rows = [
-                (int(tags[0]), records[0][COUNT_KEY])
-                for tags, records in self._pipeline.result_groups(
-                    set(self._updated_tags)
-                )
-            ]
-            self._updated_tags.clear()
+                return True
+            rows = []
+            for tags, records in self._pipeline.result_groups(
+                set(self._updated_tags)
+            ):
+                try:
+                    rows.append((int(tags[0]), records[0][COUNT_KEY]))
+                except (IndexError, ValueError):
+                    # a count-mode worker (empty tags) aimed at a timeline
+                    # job — drop the non-bucket group rather than killing
+                    # the aggregation (the reference's std::stoll would
+                    # abort the server here)
+                    continue
             job_id = self._job_id
-        assert job_id is not None
-        self.cache.upsert_timeline(job_id, rows)
+            assert job_id is not None
+            try:
+                self.cache.upsert_timeline(job_id, rows)
+            except Exception:
+                return False
+            self._updated_tags.clear()
+            return True
 
     # -- worker channel ----------------------------------------------------
 
@@ -459,6 +495,7 @@ class ReducerServer:
                     conn.close()
                     continue
                 self._active_receivers += 1
+                self._receiver_conns.add(conn)
             t = threading.Thread(
                 target=self._receive_loop, args=(conn,), daemon=True
             )
@@ -468,10 +505,16 @@ class ReducerServer:
     def _receive_loop(self, conn: socket.socket) -> None:
         try:
             self._validate_and_receive(conn)
+        except Exception:
+            # malformed payloads (wrong msgpack shape, non-int counts)
+            # terminate the connection like the reference's invalid-input
+            # handling — never the receiver thread with a traceback
+            pass
         finally:
             conn.close()
             with self._lock:
                 self._active_receivers -= 1
+                self._receiver_conns.discard(conn)
                 should_finalize = (
                     0 == self._active_receivers
                     and self._status == "ReceivedAllResults"
@@ -479,7 +522,15 @@ class ReducerServer:
             if should_finalize:
                 self._try_finalize()
 
+    # After the scheduler declares the job complete, an open worker
+    # connection may still be draining — but a DEAD one (host gone, no
+    # RST) must not block finalization forever. Receivers poll with a
+    # short timeout and give up this many seconds after the flip.
+    DRAIN_DEADLINE_S = 10.0
+    _POLL_S = 1.0
+
     def _validate_and_receive(self, conn: socket.socket) -> None:
+        conn.settimeout(30.0)  # negotiation allowance
         init = _recv_exact(conn, 8)
         if init is None:
             return
@@ -490,14 +541,25 @@ class ReducerServer:
             conn.sendall(b"y")
         except OSError:
             return
+        conn.settimeout(self._POLL_S)
+        idle_after_done = 0.0
         parser = RecordGroupStreamParser()
         while True:
             try:
                 data = conn.recv(65536)
+            except socket.timeout:
+                with self._lock:
+                    running = self._status == "Running"
+                if not running:
+                    idle_after_done += self._POLL_S
+                    if idle_after_done >= self.DRAIN_DEADLINE_S:
+                        return  # drain deadline: give up on a dead peer
+                continue
             except OSError:
                 return
             if not data:
                 return
+            idle_after_done = 0.0
             try:
                 groups = parser.feed(data)
             except ValueError:
@@ -529,19 +591,39 @@ class ReducerServer:
         job_id = self._job_id
         assert job_id is not None
         if self._is_timeline:
-            self._upsert_timeline_results()
+            ok = self._upsert_timeline_results()
         else:
             docs = [
                 {GROUP_TAGS_KEY: list(tags), RECORDS_KEY: records}
                 for tags, records in self._pipeline.result_groups()
             ]
-            self.cache.publish_documents(job_id, docs)
+            try:
+                self.cache.publish_documents(job_id, docs)
+                ok = True
+            except Exception:
+                ok = False
+        if not ok:
+            # the final ack promises published results — on a cache
+            # failure report the job failed instead
+            # (ServerContext.cpp:250-256 UnrecoverableFailure)
+            self._fail()
+            return
         self._ack_scheduler()
         self.done.set()
 
     def _fail(self) -> None:
         self.failed = True
+        with self._lock:
+            # leaving "Running" would let a concurrently-firing upsert
+            # tick re-arm itself forever and receivers keep merging
+            self._status = "Failed"
+            conns = list(self._receiver_conns)
         self._close_acceptor()
+        for conn in conns:
+            try:
+                conn.close()
+            except OSError:
+                pass
         if self._upsert_timer is not None:
             self._upsert_timer.cancel()
         self.done.set()

@@ -302,6 +302,97 @@ class TestLifecycle:
         assert cache.read_documents(3) == []
 
 
+class TestRobustness:
+    def test_count_worker_on_timeline_job_is_dropped(self, tmp_path):
+        """A count-mode worker (empty tags) aimed at a timeline job must
+        not kill the aggregation — its non-bucket group is dropped and
+        the real buckets publish (the reference's std::stoll would
+        abort)."""
+        def drive(server):
+            s = connect_to_reducer("127.0.0.1", server.reducer_port, 9)
+            send_pipeline_results(s, [
+                ((), [{"count": 3}]),        # misconfigured count worker
+                (("2000",), [{"count": 4}]),  # real bucket
+            ])
+            s.close()
+            _wait_for_total(server, 7)
+
+        cache = _run_job(tmp_path, 9, 1000, drive)
+        assert cache.read_timeline(9) == [(2000, 4)]
+
+    def test_malformed_payload_terminates_connection_only(self, tmp_path):
+        """A well-formed msgpack frame of the wrong SHAPE terminates that
+        connection; the job still completes with the good worker's
+        data."""
+        def drive(server):
+            bad = connect_to_reducer("127.0.0.1", server.reducer_port, 10)
+            payload = msgpack_pack(["not", "a", "record", "group"])
+            bad.sendall(struct.pack("<Q", len(payload)) + payload)
+            bad.close()
+            good = connect_to_reducer("127.0.0.1", server.reducer_port, 10)
+            send_pipeline_results(good, [((), [{"count": 5}])])
+            good.close()
+            _wait_for_total(server, 5)
+
+        cache = _run_job(tmp_path, 10, None, drive)
+        assert cache.read_documents(10) == [
+            {"group_tags": [], "records": [{"count": 5}]}
+        ]
+
+    def test_negative_job_id_config_fails_cleanly(self, tmp_path):
+        cache = ResultsCache(str(tmp_path / "r.db"))
+        sched = FakeScheduler()
+        server = ReducerServer(cache)
+        result = {}
+
+        def run():
+            result["ok"] = server.serve_one_job("127.0.0.1", sched.port)
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        try:
+            conn, _ = sched.listener.accept()
+            sched.conn = conn
+            (size,) = struct.unpack("<Q", _recv_exact(conn, 8))
+            msgpack_unpack(_recv_exact(conn, size))
+            cfg = msgpack_pack({"job_id": -3})
+            conn.sendall(struct.pack("<Q", len(cfg)) + cfg)
+            t.join(timeout=10)
+            assert not t.is_alive()
+            assert result["ok"] is False and server.failed
+        finally:
+            server.close()
+            sched.close()
+
+    def test_silent_worker_gets_drain_deadline(self, tmp_path):
+        """A worker that negotiates then goes silent (host died, no RST)
+        must not block finalization forever: once the scheduler declares
+        the job done, open connections get a drain deadline and the job
+        publishes what arrived."""
+        import time as _time
+
+        stuck = {}
+
+        def drive(server):
+            good = connect_to_reducer("127.0.0.1", server.reducer_port, 12)
+            send_pipeline_results(good, [((), [{"count": 8}])])
+            good.close()
+            # negotiated but never sends and never closes
+            stuck["sock"] = connect_to_reducer(
+                "127.0.0.1", server.reducer_port, 12
+            )
+            assert stuck["sock"] is not None
+            _wait_for_total(server, 8)
+
+        start = _time.monotonic()
+        cache = _run_job(tmp_path, 12, None, drive)
+        assert _time.monotonic() - start < 45  # 10 s drain, not 60 s fail
+        assert cache.read_documents(12) == [
+            {"group_tags": [], "records": [{"count": 8}]}
+        ]
+        stuck["sock"].close()
+
+
 # ---------------------------------------------------------------------------
 # Spark-side partial senders
 # ---------------------------------------------------------------------------
