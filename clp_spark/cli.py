@@ -233,10 +233,9 @@ def cmd_compress(args) -> None:
                 "abs_path string, _rank long",
             )
             # container paths are raw scheme-stripped binaryFile paths —
-            # no percent-decoding (it would corrupt '+' / crash on '%')
-            norm = F.regexp_replace("container", "^file:(//)?", "")
+            # no decoding needed (it would corrupt '+' / crash on '%')
             z_df = (
-                zlines.withColumn("abs_path", norm)
+                zlines.withColumn("abs_path", F.col("container"))
                 .join(F.broadcast(ranks), "abs_path")
                 .select(
                     F.col("line").alias("raw"),

@@ -29,16 +29,24 @@ from clp_spark.operators.dictionary import assign_sorted_ids
 from clp_spark.operators.messages import assemble_multiline
 
 
-def decode_file_uri_expr(col):
-    """Source-path column → raw local path, provenance-aware.
+# Any URI scheme (file:, hdfs://, s3a://, ...) — raw local paths never
+# match, so scheme presence separates input_file_name() URIs (encoded)
+# from binaryFile-derived paths (raw, scheme-stripped at the readers).
+_URI_SCHEME_RE = "^[A-Za-z][A-Za-z0-9+.-]*:"
 
-    `input_file_name()` returns a percent-encoded `file:` URI (space →
-    %20, % → %25) but leaves '+' LITERAL — java-style url_decode would
-    turn that '+' into a space and silently corrupt the path, so '+' is
-    escaped before decoding. Values without the `file:` scheme are
-    already raw paths (the binaryFile readers emit scheme-stripped,
-    UNencoded paths — url_decode on those would crash on a literal '%'
-    in a file name) and pass through unchanged.
+
+def decode_file_uri_expr(col):
+    """Source-path column → decoded path, provenance-aware.
+
+    `input_file_name()` returns a percent-encoded URI (space → %20,
+    % → %25) but leaves '+' LITERAL — java-style url_decode would turn
+    that '+' into a space and silently corrupt the path, so '+' is
+    escaped before decoding. The local `file:` scheme strips off; remote
+    schemes (hdfs://, s3a://) keep their scheme but still decode.
+    Values without any scheme are already raw paths (the binaryFile
+    readers emit scheme-stripped, UNencoded paths — url_decode on those
+    would crash on a literal '%' in a file name) and pass through
+    unchanged.
     """
     c = F.col(col) if isinstance(col, str) else col
     decoded = F.url_decode(
@@ -46,19 +54,29 @@ def decode_file_uri_expr(col):
             F.regexp_replace(c, "^file:(//)?", ""), r"\+", "%2B"
         )
     )
-    return F.when(c.startswith("file:"), decoded).otherwise(c)
+    return F.when(c.rlike(_URI_SCHEME_RE), decoded).otherwise(c)
 
 
 def decode_file_uri(s: str) -> str:
     """Driver-side twin of ``decode_file_uri_expr`` for stored file ids:
-    `file:` URIs percent-decode (python's unquote already leaves '+'
-    literal, matching the URI form); raw paths pass through."""
+    URIs percent-decode (python's unquote already leaves '+' literal,
+    matching the URI form) with the local `file:` scheme stripped; raw
+    paths pass through."""
     import re
     from urllib.parse import unquote
 
-    if not s.startswith("file:"):
+    if not re.match(_URI_SCHEME_RE, s):
         return s
     return unquote(re.sub("^file:(//)?", "", s))
+
+
+def strip_file_scheme(s: str) -> str:
+    """One spelling for removing the LOCAL `file:` scheme from a
+    binaryFile / Hadoop path (handles both the `file:/x` and
+    `file:///x` forms); remote schemes pass through untouched."""
+    import re
+
+    return re.sub("^file:(//)?", "", s)
 
 
 def read_log_lines(spark: SparkSession, paths: str | list[str]) -> DataFrame:
@@ -205,7 +223,7 @@ def read_tar_log_lines(spark: SparkSession, tar_paths: list[str]) -> DataFrame:
             for uri, blob in zip(pdf["path"], pdf["content"]):
                 # binaryFile paths are unencoded — strip the scheme here so
                 # downstream path joins never need (crash-prone) url_decode
-                path = uri.removeprefix("file:")
+                path = strip_file_scheme(uri)
                 rows = list(_tar_member_lines(path, bytes(blob)))
                 if rows:
                     out = pd.DataFrame(
@@ -257,7 +275,7 @@ def read_container_log_lines(
             for uri, blob in zip(pdf["path"], pdf["content"]):
                 # binaryFile paths are unencoded — strip the scheme here so
                 # downstream path joins never need (crash-prone) url_decode
-                path = uri.removeprefix("file:")
+                path = strip_file_scheme(uri)
                 data = maybe_decompress(bytes(blob))
                 parts = splitter.split(data)
                 if parts and parts[-1] == b"":
@@ -487,7 +505,7 @@ def read_ir_encoded_messages(spark: SparkSession, ir_paths: list[str]) -> DataFr
         # binaryFile paths are unencoded — strip the scheme so the stored
         # file_id and the container-routing joins stay raw local paths
         .select(
-            F.regexp_replace("path", "^file:", "").alias("stream"),
+            F.regexp_replace("path", "^file:(//)?", "").alias("stream"),
             F.col("content").alias("ir"),
         )
     )

@@ -300,6 +300,10 @@ class ReducerServer:
         )
         self.reducer_port = self._acceptor.getsockname()[1]
         self._lock = threading.Lock()
+        # serializes timeline cache WRITERS (ticks vs finalize) so writes
+        # land in snapshot order — the server lock itself is never held
+        # across cache I/O (receivers must not stall on sqlite)
+        self._upsert_lock = threading.Lock()
         self._status = "Idle"
         self._job_id: int | None = None
         self._is_timeline = False
@@ -408,11 +412,9 @@ class ReducerServer:
         with self._lock:
             self._status = "ReceivedAllResults"
             should_finalize = 0 == self._active_receivers
-            open_conns = list(self._receiver_conns)
         # Stop accepting new senders (tcp_acceptor.cancel()). Receivers
         # poll with a short socket timeout, so still-open connections
         # observe the status flip and drain out on their own deadline.
-        del open_conns
         self._close_acceptor()
         if should_finalize:
             self._try_finalize()
@@ -453,34 +455,39 @@ class ReducerServer:
 
     def _upsert_timeline_results(self) -> bool:
         """Upsert only the buckets touched since the last tick
-        (ServerContext.cpp:172-211). The whole read-write-clear runs under
-        the server lock so a stalled tick can never overwrite a newer
-        count written by finalize (lost-update); tags clear only AFTER a
-        successful write, so a failed write retries on the next tick
-        instead of silently dropping those buckets."""
-        with self._lock:
-            if not self._updated_tags:
-                return True
-            rows = []
-            for tags, records in self._pipeline.result_groups(
-                set(self._updated_tags)
-            ):
-                try:
-                    rows.append((int(tags[0]), records[0][COUNT_KEY]))
-                except (IndexError, ValueError):
-                    # a count-mode worker (empty tags) aimed at a timeline
-                    # job — drop the non-bucket group rather than killing
-                    # the aggregation (the reference's std::stoll would
-                    # abort the server here)
-                    continue
-            job_id = self._job_id
-            assert job_id is not None
+        (ServerContext.cpp:172-211). Writers serialize on the upsert
+        lock and each snapshots AFTER acquiring it, so a stalled tick
+        can never overwrite a newer count written by finalize
+        (lost-update); the dirty set swaps out before the write and
+        merges back on failure, so a failed write retries on the next
+        tick instead of silently dropping those buckets. The server
+        lock is held only for the in-memory snapshot — receivers never
+        block on cache I/O."""
+        with self._upsert_lock:
+            with self._lock:
+                if not self._updated_tags:
+                    return True
+                pending = self._updated_tags
+                self._updated_tags = set()
+                rows = []
+                for tags, records in self._pipeline.result_groups(pending):
+                    try:
+                        rows.append((int(tags[0]), records[0][COUNT_KEY]))
+                    except (IndexError, ValueError):
+                        # a count-mode worker (empty tags) aimed at a
+                        # timeline job — drop the non-bucket group rather
+                        # than killing the aggregation (the reference's
+                        # std::stoll would abort the server here)
+                        continue
+                job_id = self._job_id
+                assert job_id is not None
             try:
                 self.cache.upsert_timeline(job_id, rows)
+                return True
             except Exception:
+                with self._lock:
+                    self._updated_tags |= pending
                 return False
-            self._updated_tags.clear()
-            return True
 
     # -- worker channel ----------------------------------------------------
 
@@ -711,8 +718,9 @@ def spark_send_count(
     def send(batches):
         n = 0
         for batch in batches:
-            col = batch.column(0)
-            n += pa.compute.sum(col).as_py() or 0
+            # tiny column (one partial per upstream partition) — plain sum;
+            # pa.compute is a side-effect import, not guaranteed present
+            n += sum(batch.column(0).to_pylist())
         sent = _send_groups(host, port, job_id,
                             [((), [{COUNT_KEY: n}])] if n else [])
         yield pa.RecordBatch.from_pylist([{"groups_sent": sent}],
@@ -800,6 +808,11 @@ def _guard_first_attempt(attempt: int | None) -> None:
     spark.task.maxFailures) fails the job; the reducer then never gets
     the scheduler's "all results sent" message and never publishes a
     wrong total.
+
+    Corollary: spark.speculation must stay OFF for reducer queries — a
+    speculative copy IS an attempt>0 and would either double-send (no
+    guard) or burn a task failure (with it). The guard picks the safe
+    side: correctness over speculative stragglers.
     """
     if attempt:
         raise RuntimeError(

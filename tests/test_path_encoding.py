@@ -23,6 +23,7 @@ class TestDecodeHelper:
                 ("file:///tmp/a+b%20c%25d.log",),   # input_file_name form
                 ("/tmp/raw+path %file.log",),       # binaryFile raw form
                 ("file:/tmp/x%2By.log",),           # single-slash variant
+                ("hdfs://nn:9000/logs/app%202024.jsonl",),  # remote URI
             ],
             "p string",
         )
@@ -32,7 +33,24 @@ class TestDecodeHelper:
             "/tmp/a+b c%d.log",        # %20→' ', %25→'%', '+' PRESERVED
             "/tmp/raw+path %file.log",  # raw: untouched
             "/tmp/x+y.log",             # %2B decodes to '+'
+            # remote schemes decode but keep the scheme
+            "hdfs://nn:9000/logs/app 2024.jsonl",
         ]
+
+    def test_python_twin_and_scheme_strip(self):
+        from clp_spark.sources.logfiles import (
+            decode_file_uri,
+            strip_file_scheme,
+        )
+
+        assert decode_file_uri("file:///a%20b+c.log") == "/a b+c.log"
+        assert decode_file_uri("/raw %path+1.log") == "/raw %path+1.log"
+        assert (decode_file_uri("hdfs://h/x%25y.log")
+                == "hdfs://h/x%y.log")
+        assert strip_file_scheme("file:/tmp/x") == "/tmp/x"
+        assert strip_file_scheme("file:///tmp/x") == "/tmp/x"
+        assert strip_file_scheme("hdfs://h/x") == "hdfs://h/x"
+        assert strip_file_scheme("/tmp/x") == "/tmp/x"
 
 
 class TestTextLifecycle:
