@@ -302,6 +302,51 @@ class TestLifecycle:
         assert cache.read_documents(3) == []
 
 
+class TestParserFuzz:
+    def test_roundtrip_any_groups_any_chunking(self):
+        """Property: any record-group list framed then fed in arbitrary
+        chunk sizes parses back exactly."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        tags_st = st.lists(
+            st.text(
+                alphabet=st.characters(codec="utf-8",
+                                       blacklist_categories=("Cs",)),
+                max_size=8,
+            ),
+            max_size=3,
+        )
+        group_st = st.tuples(
+            tags_st,
+            st.lists(
+                st.fixed_dictionaries(
+                    {"count": st.integers(0, 2**40)}
+                ),
+                max_size=4,
+            ),
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            groups=st.lists(group_st, max_size=6),
+            cuts=st.lists(st.integers(1, 64), max_size=40),
+        )
+        def check(groups, cuts):
+            groups = [(tuple(t), r) for t, r in groups]
+            stream = frame_record_groups(groups)
+            parser = RecordGroupStreamParser()
+            out, pos, i = [], 0, 0
+            while pos < len(stream):
+                n = cuts[i % len(cuts)] if cuts else 13
+                out.extend(parser.feed(stream[pos:pos + n]))
+                pos += n
+                i += 1
+            assert out == groups
+
+        check()
+
+
 class TestRobustness:
     def test_count_worker_on_timeline_job_is_dropped(self, tmp_path):
         """A count-mode worker (empty tags) aimed at a timeline job must
