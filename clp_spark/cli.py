@@ -1415,25 +1415,73 @@ def cmd_search_kql(args) -> None:
         query = _kql_with_ts_range(
             args.query, args.timestamp_key, args.tge, args.tle
         )
+        tinfo = {} if getattr(args, "enable_telemetry", False) else None
+        span = None
+        if tinfo is not None:
+            # clp-s --enable-telemetry: one span per archive search
+            # (SearchTelemetry.cpp; clp-s.cpp:141-176,209-212)
+            from clp_spark.operators.kql import parse_kql
+            from clp_spark.operators.telemetry import (
+                SearchTelemetrySpan,
+                query_shape_metrics,
+            )
+
+            span = SearchTelemetrySpan()
+            span.set_query_context(query)
+            span.set_query_shape_metrics(
+                query_shape_metrics(parse_kql(query), args.tge, args.tle)
+            )
         res = search_json_archive(
             spark, args.input, query,
             ignore_case=args.ignore_case,
             timestamp_key=args.timestamp_key,
+            telemetry_info=tinfo,
         )
-        if not _kql_aggregate(res, "json", args, ts_pats):
-            if args.max_num_results is not None:
-                res = _latest_n(
-                    res, "json", args.timestamp_key, args.max_num_results,
-                    ts_pats,
-                )
-            if args.projection:
-                res = _apply_projection(res, "json", args.projection)
-            out = res.limit(args.limit) if args.limit is not None else res
-            _emit_kql_results(
-                out, "json", args,
-                archive_id=os.path.basename(os.path.normpath(args.input)),
-                ts_key=args.timestamp_key,
+        if span is not None:
+            span.set_archive_context(tinfo.get("archive_id", ""))
+            # one bounded aggregation over the (already small) result
+            # set supplies the match-side counters
+            res = res.persist()
+            agg = res.agg(
+                F.count("*").alias("n"),
+                F.countDistinct("__sid__").alias("s"),
+            ).collect()[0]
+            span.set_search_result_metrics(
+                num_archive_records=tinfo["num_archive_records"],
+                num_archive_records_matching_schemas=(
+                    tinfo["num_archive_records_matching_schemas"]
+                ),
+                num_archive_records_matching_query=agg["n"],
+                num_matched_schemas=tinfo["num_matched_schemas"],
+                num_schemas_with_matches=int(agg["s"] or 0),
             )
+            span.set_termination_stage(tinfo["termination_stage"])
+            res = res.drop("__sid__")
+        try:
+            if not _kql_aggregate(res, "json", args, ts_pats):
+                if args.max_num_results is not None:
+                    res = _latest_n(
+                        res, "json", args.timestamp_key,
+                        args.max_num_results, ts_pats,
+                    )
+                if args.projection:
+                    res = _apply_projection(res, "json", args.projection)
+                out = (res.limit(args.limit) if args.limit is not None
+                       else res)
+                _emit_kql_results(
+                    out, "json", args,
+                    archive_id=os.path.basename(
+                        os.path.normpath(args.input)
+                    ),
+                    ts_key=args.timestamp_key,
+                )
+        except BaseException as exc:
+            if span is not None:
+                span.set_error(str(exc))
+            raise
+        finally:
+            if span is not None:
+                span.end()
         return
     df = spark.read.text(args.input).withColumnRenamed("value", "raw")
     query = _kql_with_ts_range(
@@ -2116,6 +2164,13 @@ def main(argv: list[str] | None = None) -> None:
              "(reducer output handler)",
     )
     sk.add_argument("--ignore-case", action="store_true")
+    sk.add_argument(
+        "--enable-telemetry", action="store_true",
+        help="publish one search-telemetry span per archive search to "
+             "the OTLP endpoint in CLP_TELEMETRY_ENDPOINT (clp-s "
+             "--enable-telemetry; OTEL_EXPORTER_OTLP_* variables take "
+             "precedence)",
+    )
     sk.add_argument("--structurize-arrays", action="store_true")
     sk.add_argument("--count", action="store_true")
     sk.add_argument(

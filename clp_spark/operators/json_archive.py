@@ -763,6 +763,7 @@ def search_json_archive(
     query: str,
     ignore_case: bool = False,
     timestamp_key: str | None = None,
+    telemetry_info: dict | None = None,
 ) -> DataFrame:
     """KQL search over a COMPRESSED JSON archive on disk — the clp-s
     `s <archive> <query>` path: no raw JSON is re-parsed; each non-pruned
@@ -781,6 +782,15 @@ def search_json_archive(
     ``timestamp_key`` applies clp-s's timestamp normalization (double =
     epoch seconds → ms; digit strings → ms) to the named column for
     comparisons, without altering the reconstructed output.
+
+    ``telemetry_info``, when a dict, is filled with the per-archive
+    search-telemetry counters the reference records
+    (SearchTelemetry.hpp SearchResultMetrics + the termination stage):
+    archive_id, num_schemas, num_matched_schemas, num_archive_records,
+    num_archive_records_matching_schemas, termination_stage. When
+    telemetry is on, result rows also carry a ``__sid__`` schema-id
+    column so the caller can count schemas-with-matches; callers must
+    drop it before output.
     """
     from clp_spark.operators.json_search import JsonArchive
     from clp_spark.operators.kql import (
@@ -798,6 +808,23 @@ def search_json_archive(
     if timestamp_key is None:
         timestamp_key = manifest.get("timestamp_key")
     ast = parse_kql(query)
+    empty_schema = "log_event_idx long, json string" + (
+        ", __sid__ string" if telemetry_info is not None else ""
+    )
+    if telemetry_info is not None:
+        telemetry_info.update({
+            "archive_id": os.path.basename(os.path.normpath(archive_dir)),
+            "num_schemas": sum(
+                1 for e in manifest["schemas"]
+                if e["schema_id"] != _SCALAR_ID
+            ),
+            "num_archive_records": sum(
+                e.get("rows", 0) for e in manifest["schemas"]
+            ),
+            "num_matched_schemas": 0,
+            "num_archive_records_matching_schemas": 0,
+            "termination_stage": "",
+        })
     if has_range_index_filter(ast):
         # '$'-namespace filters evaluate against the archive range index
         # and rewrite into log_event_idx bounds before any table compile
@@ -806,7 +833,9 @@ def search_json_archive(
             ast, manifest.get("range_index"), IDX_COL, ignore_case
         )
         if fold_range_index_const(ast, IDX_COL) is False:
-            return spark.createDataFrame([], "log_event_idx long, json string")
+            if telemetry_info is not None:
+                telemetry_info["termination_stage"] = "range_index_matching"
+            return spark.createDataFrame([], empty_schema)
     # borrow JsonArchive's compiler without (re)building an in-memory
     # archive; metadata maps the order column so bare-value filters skip it
     compiler = JsonArchive.__new__(JsonArchive)
@@ -859,17 +888,28 @@ def search_json_archive(
         )
         if pred is None:
             continue  # schema pruned
+        if telemetry_info is not None:
+            telemetry_info["num_matched_schemas"] += 1
+            telemetry_info["num_archive_records_matching_schemas"] += (
+                entry.get("rows", 0)
+            )
         hit = work.where(pred).select(
             (F.col(IDX_COL) if has_order else F.lit(None).cast("long"))
             .alias("log_event_idx"),
             F.col("__json__").alias("json"),
+            *(
+                [F.lit(str(entry["schema_id"])).alias("__sid__")]
+                if telemetry_info is not None else []
+            ),
         )
         out = hit if out is None else out.unionAll(hit)
     if out is None:
         # every schema pruned: an empty result with the result schema —
         # built directly so no table is read (matters for packed archives,
         # where a read would ranged-extract members just to return nothing)
-        return spark.createDataFrame([], "log_event_idx long, json string")
+        if telemetry_info is not None:
+            telemetry_info["termination_stage"] = "schema_matching"
+        return spark.createDataFrame([], empty_schema)
     return out
 
 

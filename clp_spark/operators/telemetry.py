@@ -1,0 +1,327 @@
+"""Search telemetry: the clp-s `--enable-telemetry` OTLP span.
+
+The reference records one OpenTelemetry span per archive search
+(components/core/src/clp_s/search/SearchTelemetry.cpp — tracer
+"clp.query", span "clp.query.archive") carrying query-shape metrics
+derived from the parsed AST, per-archive search-result counts, a
+termination stage, and non-reversible hashes of the query and archive
+id; the exporter POSTs OTLP/HTTP to `<endpoint>/v1/traces` resolved
+from OTEL_EXPORTER_OTLP_TRACES_ENDPOINT / OTEL_EXPORTER_OTLP_ENDPOINT /
+CLP_TELEMETRY_ENDPOINT with a default service.name of "clp-search"
+(TelemetryContext.cpp:33-93).
+
+This engine emits the same span shape over the public OTLP/HTTP JSON
+encoding (opentelemetry-proto, stdlib urllib — the otel SDK isn't in
+this sandbox). Documented deviation: the non-reversible 64-bit hashes
+use blake2b-8 rather than the reference's XXH3 — the attribute's
+contract is non-reversibility, not cross-engine hash equality.
+Telemetry must never break a search: export failures are swallowed.
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+# SearchTelemetry.cpp:38-75 attribute names.
+TRACER_NAME = "clp.query"
+SPAN_NAME = "clp.query.archive"
+ATTR_SUCCESS = "clp.query.success"
+ATTR_ERROR = "clp.query.error"
+ATTR_QUERY_HASH = "clp.query.query_hash"
+ATTR_QUERY_ID = "clp.query.query_id"
+ATTR_TASK_ID = "clp.query.task_id"
+ATTR_ARCHIVE_ID_HASH = "clp.query.archive_id_hash"
+ATTR_TERMINATION_STAGE = "clp.query.termination_stage"
+DEFAULT_SERVICE_NAME = "clp-search"
+TRACES_PATH = "/v1/traces"
+
+# SearchTelemetry.hpp termination stages.
+STAGE_RANGE_INDEX = "range_index_matching"
+STAGE_TIME_RANGE = "time_range_matching"
+STAGE_SCHEMA_MATCHING = "schema_matching"
+
+
+def hash64(value: str) -> int:
+    """Non-reversible signed-64 hash of a string attribute (the
+    reference uses XXH3_64bits — see the module deviation note)."""
+    h = hashlib.blake2b(value.encode("utf-8"), digest_size=8).digest()
+    return int.from_bytes(h, "little", signed=True)
+
+
+@dataclass
+class QueryShapeMetrics:
+    """Query-shape counters (SearchTelemetry.hpp ColumnShapeMetrics +
+    PredicateTypeMetrics + QueryShapeMetrics)."""
+
+    num_pure_wildcard: int = 0
+    num_some_wildcard: int = 0
+    num_no_wildcard: int = 0
+    num_string: int = 0
+    num_string_with_wildcard: int = 0
+    num_integer: int = 0
+    num_floating_point: int = 0
+    num_null: int = 0
+    num_exact_match: int = 0
+    num_range: int = 0
+    num_exists: int = 0
+    num_predicates: int = 0
+    contains_or_clause: bool = False
+    time_range_millis: int | None = None
+
+
+def _is_float_text(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+def _count_operand(lit, op: str, m: QueryShapeMetrics) -> None:
+    """One value-literal's operand-type counters, mirroring the
+    reference's `as_*` conversion matrix (add_predicate_type,
+    SearchTelemetry.cpp:123-166): a numeric literal also converts to a
+    var-string under equality, so it counts in BOTH the string and
+    numeric buckets, exactly like clp-s's Integral/StringLiteral
+    overloads; `null` converts to the string "null" under equality too.
+    """
+    v = lit.value
+    is_eq = op == ":"
+    if not lit.quoted and v == "null":
+        # NullLiteral: as_null + as_var_string, both only for EQ/NEQ
+        if is_eq:
+            m.num_null += 1
+            m.num_string += 1
+        return
+    numeric = _is_float_text(v)
+    # string bucket: StringLiteral converts under any op; Integral's
+    # as_var_string only under EQ/NEQ (Integral.cpp:57-61)
+    if not numeric or lit.quoted or is_eq:
+        if lit.has_wild:
+            m.num_string_with_wildcard += 1
+        else:
+            m.num_string += 1
+    if numeric:
+        # Integral::as_timestamp() is unconditionally true and
+        # StringLiteral::as_int parses numerics (incl. via
+        # double_as_int), so every numeric operand counts as integer
+        m.num_integer += 1
+        m.num_floating_point += 1
+
+
+def query_shape_metrics(
+    node, tge: int | None = None, tle: int | None = None
+) -> QueryShapeMetrics:
+    """Walk a parsed KQL AST (operators/kql.py Node tree) accumulating
+    the reference's query-shape metrics
+    (collect_query_shape_metrics + QueryShapeMetrics::create).
+
+    Value lists expand like the reference's KQL conversion (one
+    FilterExpr per value joined by the list combinator), so `a: (1 OR
+    2)` counts two predicates and marks the OR clause.
+    """
+    from clp_spark.operators.kql import BoolOp, Filter, Not
+
+    m = QueryShapeMetrics()
+    stack = [node] if node is not None else []
+    while stack:
+        n = stack.pop()
+        if isinstance(n, BoolOp):
+            if n.op == "OR":
+                m.contains_or_clause = True
+            stack.append(n.lhs)
+            stack.append(n.rhs)
+            continue
+        if isinstance(n, Not):
+            stack.append(n.child)
+            continue
+        if not isinstance(n, Filter):
+            continue
+        # the parser keeps the list combinator tokens ("OR"/"AND"/"NOT")
+        # inline in values — they are separators, not operands
+        values = [
+            v for v in n.values
+            if not (len(n.values) > 1 and not v.quoted
+                    and v.value in ("OR", "AND", "NOT"))
+        ]
+        if len(values) > 1 and n.list_mode == "or":
+            m.contains_or_clause = True
+        for lit in values:
+            m.num_predicates += 1
+            # column shape (add_column_shape): '*'/bare-value = pure
+            # wildcard; any wildcard segment = some; else none
+            col = n.column
+            if col is None or col == ["*"]:
+                m.num_pure_wildcard += 1
+            elif any(
+                any(c in seg for c in "*?") for seg in col
+            ):
+                m.num_some_wildcard += 1
+            else:
+                m.num_no_wildcard += 1
+            # operation (add_predicate_type): `col: *` is EXISTS —
+            # counted as exists only, no operand walk
+            if n.op == ":" and not lit.quoted and lit.value == "*":
+                m.num_exists += 1
+                continue
+            if n.op == ":":
+                m.num_exact_match += 1
+            else:
+                m.num_range += 1
+            _count_operand(lit, n.op, m)
+    if tge is not None and tle is not None and tle - tge >= 0:
+        m.time_range_millis = tle - tge
+    return m
+
+
+@dataclass
+class SearchTelemetrySpan:
+    """One archive-search span: starts on construction, exports on
+    ``end()`` (the reference's constructor/destructor pair)."""
+
+    _attrs: dict = field(default_factory=dict)
+    _start_ns: int = 0
+    _error: str | None = None
+
+    def __post_init__(self):
+        self._start_ns = time.time_ns()
+        self._attrs[ATTR_SUCCESS] = True
+
+    def set_query_context(self, query: str) -> None:
+        self._attrs[ATTR_QUERY_HASH] = hash64(query)
+        if os.environ.get("CLP_QUERY_ID"):
+            self._attrs[ATTR_QUERY_ID] = os.environ["CLP_QUERY_ID"]
+        if os.environ.get("CLP_TASK_ID"):
+            self._attrs[ATTR_TASK_ID] = os.environ["CLP_TASK_ID"]
+
+    def set_archive_context(self, archive_id: str) -> None:
+        self._attrs[ATTR_ARCHIVE_ID_HASH] = hash64(archive_id)
+
+    def set_error(self, message: str) -> None:
+        self._attrs[ATTR_SUCCESS] = False
+        self._attrs[ATTR_ERROR] = message
+        self._error = message
+
+    def set_query_shape_metrics(self, m: QueryShapeMetrics) -> None:
+        p = "clp.query."
+        self._attrs.update({
+            p + "column_types.num_pure_wildcard": m.num_pure_wildcard,
+            p + "column_types.num_some_wildcard": m.num_some_wildcard,
+            p + "column_types.num_no_wildcard": m.num_no_wildcard,
+            p + "predicate_types.num_string": m.num_string,
+            p + "predicate_types.num_string_with_wildcard":
+                m.num_string_with_wildcard,
+            p + "predicate_types.num_int": m.num_integer,
+            p + "predicate_types.num_float": m.num_floating_point,
+            p + "predicate_types.num_null": m.num_null,
+            p + "predicate_types.num_exact_match": m.num_exact_match,
+            p + "predicate_types.num_range": m.num_range,
+            p + "predicate_types.num_exists": m.num_exists,
+            p + "num_predicates": m.num_predicates,
+            p + "contains_or_clause": m.contains_or_clause,
+        })
+        if m.time_range_millis is not None:
+            self._attrs[p + "time_range_millis"] = m.time_range_millis
+
+    def set_search_result_metrics(
+        self,
+        num_archive_records: int = 0,
+        num_archive_records_matching_schemas: int = 0,
+        num_archive_records_matching_query: int = 0,
+        num_matched_schemas: int = 0,
+        num_schemas_with_matches: int = 0,
+    ) -> None:
+        p = "clp.query."
+        self._attrs.update({
+            p + "num_archive_records": num_archive_records,
+            p + "num_archive_records_matching_schemas":
+                num_archive_records_matching_schemas,
+            p + "num_archive_records_matching_query":
+                num_archive_records_matching_query,
+            p + "num_matched_schemas": num_matched_schemas,
+            p + "num_schemas_with_matches": num_schemas_with_matches,
+        })
+
+    def set_termination_stage(self, stage: str) -> None:
+        self._attrs[ATTR_TERMINATION_STAGE] = stage
+
+    def end(self) -> bool:
+        """Export the span; never raises (telemetry must not break the
+        search). Returns whether the POST succeeded."""
+        endpoint = resolve_traces_endpoint()
+        if endpoint is None:
+            return False
+        body = json.dumps(
+            _otlp_payload(self._attrs, self._start_ns, time.time_ns(),
+                          self._error)
+        ).encode("utf-8")
+        try:
+            import urllib.request
+
+            req = urllib.request.Request(
+                endpoint, data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=5) as resp:
+                return 200 <= resp.status < 300
+        except Exception:
+            return False
+
+
+def resolve_traces_endpoint() -> str | None:
+    """TelemetryContext.cpp:73-93 precedence: the standard OTEL
+    variables win; CLP_TELEMETRY_ENDPOINT (trailing slashes stripped,
+    "/v1/traces" appended) only fills in when neither is set."""
+    v = os.environ.get("OTEL_EXPORTER_OTLP_TRACES_ENDPOINT")
+    if v:
+        return v
+    v = os.environ.get("OTEL_EXPORTER_OTLP_ENDPOINT")
+    if v:
+        return v.rstrip("/") + TRACES_PATH
+    v = os.environ.get("CLP_TELEMETRY_ENDPOINT", "").rstrip("/")
+    if not v:
+        return None
+    return v + TRACES_PATH
+
+
+def _otlp_value(v):
+    if isinstance(v, bool):
+        return {"boolValue": v}
+    if isinstance(v, int):
+        # OTLP/JSON encodes int64 as a decimal string
+        return {"intValue": str(v)}
+    return {"stringValue": str(v)}
+
+
+def _otlp_payload(attrs: dict, start_ns: int, end_ns: int,
+                  error: str | None) -> dict:
+    span = {
+        "traceId": os.urandom(16).hex(),
+        "spanId": os.urandom(8).hex(),
+        "name": SPAN_NAME,
+        "kind": 1,  # SPAN_KIND_INTERNAL
+        "startTimeUnixNano": str(start_ns),
+        "endTimeUnixNano": str(end_ns),
+        "attributes": [
+            {"key": k, "value": _otlp_value(v)}
+            for k, v in sorted(attrs.items())
+        ],
+    }
+    if error is not None:
+        span["status"] = {"code": 2, "message": error}  # STATUS_CODE_ERROR
+    service = os.environ.get("OTEL_SERVICE_NAME") or DEFAULT_SERVICE_NAME
+    return {
+        "resourceSpans": [{
+            "resource": {"attributes": [{
+                "key": "service.name",
+                "value": {"stringValue": service},
+            }]},
+            "scopeSpans": [{
+                "scope": {"name": TRACER_NAME},
+                "spans": [span],
+            }],
+        }]
+    }
