@@ -1825,6 +1825,59 @@ def _add_metadata_db_opts(p: argparse.ArgumentParser) -> None:
                    help="(--db-type=mysql only) Database name")
     p.add_argument("--db-table-prefix", default="clp_",
                    help="(--db-type=mysql only) Database table prefix")
+    p.add_argument("--db-config-file", default=None, metavar="FILE",
+                   help="Global metadata DB YAML config (glt "
+                        "--db-config-file; keys: type, and for mysql "
+                        "host/port/name/username/password/table_prefix)")
+
+
+def _apply_db_config_file(args) -> None:
+    """glt `--db-config-file` (glt/GlobalMetadataDBConfig.cpp:22-108):
+    a YAML map with `type: sqlite|mysql`; the mysql flavor requires
+    host/port/name/username/password/table_prefix, each validated with
+    the reference's missing-key / empty-value / negative-port errors.
+    Explicit --db-* command-line options were already parsed, so the
+    file fills the same fields the reference's config object carries."""
+    path = getattr(args, "db_config_file", None)
+    if not path:
+        return
+    import yaml
+
+    try:
+        with open(path) as f:
+            config = yaml.safe_load(f) or {}
+    except OSError as exc:
+        sys.exit(f"error: cannot read --db-config-file: {exc}")
+    if not isinstance(config, dict) or "type" not in config:
+        sys.exit("error: Missing key 'type' in DB config file")
+    db_type = str(config["type"])
+    if db_type == "sqlite":
+        args.db_type = "sqlite"
+        return
+    if db_type != "mysql":
+        sys.exit("error: Unknown type")
+    args.db_type = "mysql"
+    required = ("host", "port", "name", "username", "password",
+                "table_prefix")
+    for key in required:
+        if key not in config:
+            sys.exit(f"error: Missing key '{key}' in DB config file")
+    if not isinstance(config["port"], int):
+        sys.exit("error: Value for key 'port' could not be converted "
+                 "to type int")
+    if config["port"] < 0:
+        sys.exit("error: Database 'port' cannot be negative.")
+    for key in ("host", "name", "username", "password", "table_prefix"):
+        if not str(config[key] or ""):
+            sys.exit(f"error: Database '{key}' not specified or empty.")
+    args.db_host = str(config["host"])
+    args.db_port = config["port"]
+    args.db_name = str(config["name"])
+    args.db_table_prefix = str(config["table_prefix"])
+    # the YAML supplies credentials directly (unlike the env-variable
+    # flow of --db-type), so export them for the shared validation path
+    os.environ.setdefault("CLP_DB_USER", str(config["username"]))
+    os.environ.setdefault("CLP_DB_PASS", str(config["password"]))
 
 
 def _validate_metadata_db_config(args) -> None:
@@ -1994,9 +2047,10 @@ def main(argv: list[str] | None = None) -> None:
         "prune to matching logtype tables (glt c analog)",
     )
     c.add_argument(
-        "--combine-threshold", type=float, default=0.1, metavar="PCT",
+        "--combine-threshold", "--table-combine-threshold",
+        type=float, default=0.1, metavar="PCT",
         help="GLT: logtypes above this %% of rows get their own table "
-        "(glt c --combine-threshold, default 0.1)",
+        "(glt c --table-combine-threshold, default 0.1)",
     )
     c.add_argument(
         "--metadata-db", default=None, metavar="SQLITE_PATH",
@@ -2371,6 +2425,7 @@ def main(argv: list[str] | None = None) -> None:
         _add_metadata_db_opts(sub.choices[name])
 
     args = ap.parse_args(_inject_config_options(argv, sub.choices))
+    _apply_db_config_file(args)
     _validate_metadata_db_config(args)
     args.fn(args)
 
