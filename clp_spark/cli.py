@@ -1437,11 +1437,12 @@ def cmd_search_kql(args) -> None:
             timestamp_key=args.timestamp_key,
             telemetry_info=tinfo,
         )
+        cached = None
         if span is not None:
             span.set_archive_context(tinfo.get("archive_id", ""))
             # one bounded aggregation over the (already small) result
             # set supplies the match-side counters
-            res = res.persist()
+            cached = res = res.persist()
             agg = res.agg(
                 F.count("*").alias("n"),
                 F.countDistinct("__sid__").alias("s"),
@@ -1482,6 +1483,8 @@ def cmd_search_kql(args) -> None:
         finally:
             if span is not None:
                 span.end()
+            if cached is not None:
+                cached.unpersist()
         return
     df = spark.read.text(args.input).withColumnRenamed("value", "raw")
     query = _kql_with_ts_range(
