@@ -1417,48 +1417,58 @@ def cmd_search_kql(args) -> None:
         )
         tinfo = {} if getattr(args, "enable_telemetry", False) else None
         span = None
+        cached = None
         if tinfo is not None:
             # clp-s --enable-telemetry: one span per archive search
-            # (SearchTelemetry.cpp; clp-s.cpp:141-176,209-212)
-            from clp_spark.operators.kql import parse_kql
-            from clp_spark.operators.telemetry import (
-                SearchTelemetrySpan,
-                query_shape_metrics,
-            )
+            # (SearchTelemetry.cpp; clp-s.cpp:141-176,209-215). The query
+            # hash covers the RAW user query (the reference hashes
+            # get_query() before the timestamp-condition transform); the
+            # SHAPE metrics walk the transformed query, where the
+            # injected range conditions count as predicates — same as
+            # the reference's post-AddTimestampConditions create().
+            from clp_spark.operators.telemetry import SearchTelemetrySpan
 
             span = SearchTelemetrySpan()
-            span.set_query_context(query)
-            span.set_query_shape_metrics(
-                query_shape_metrics(parse_kql(query), args.tge, args.tle)
-            )
-        res = search_json_archive(
-            spark, args.input, query,
-            ignore_case=args.ignore_case,
-            timestamp_key=args.timestamp_key,
-            telemetry_info=tinfo,
-        )
-        cached = None
-        if span is not None:
-            span.set_archive_context(tinfo.get("archive_id", ""))
-            # one bounded aggregation over the (already small) result
-            # set supplies the match-side counters
-            cached = res = res.persist()
-            agg = res.agg(
-                F.count("*").alias("n"),
-                F.countDistinct("__sid__").alias("s"),
-            ).collect()[0]
-            span.set_search_result_metrics(
-                num_archive_records=tinfo["num_archive_records"],
-                num_archive_records_matching_schemas=(
-                    tinfo["num_archive_records_matching_schemas"]
-                ),
-                num_archive_records_matching_query=agg["n"],
-                num_matched_schemas=tinfo["num_matched_schemas"],
-                num_schemas_with_matches=int(agg["s"] or 0),
-            )
-            span.set_termination_stage(tinfo["termination_stage"])
-            res = res.drop("__sid__")
+            span.set_query_context(args.query)
         try:
+            if span is not None:
+                from clp_spark.operators.kql import parse_kql
+                from clp_spark.operators.telemetry import (
+                    query_shape_metrics,
+                )
+
+                span.set_query_shape_metrics(
+                    query_shape_metrics(
+                        parse_kql(query), args.tge, args.tle
+                    )
+                )
+            res = search_json_archive(
+                spark, args.input, query,
+                ignore_case=args.ignore_case,
+                timestamp_key=args.timestamp_key,
+                telemetry_info=tinfo,
+                tge=args.tge, tle=args.tle,
+            )
+            if span is not None:
+                span.set_archive_context(tinfo.get("archive_id", ""))
+                # one bounded aggregation over the (already small)
+                # result set supplies the match-side counters
+                cached = res = res.persist()
+                agg = res.agg(
+                    F.count("*").alias("n"),
+                    F.countDistinct("__sid__").alias("s"),
+                ).collect()[0]
+                span.set_search_result_metrics(
+                    num_archive_records=tinfo["num_archive_records"],
+                    num_archive_records_matching_schemas=(
+                        tinfo["num_archive_records_matching_schemas"]
+                    ),
+                    num_archive_records_matching_query=agg["n"],
+                    num_matched_schemas=tinfo["num_matched_schemas"],
+                    num_schemas_with_matches=int(agg["s"] or 0),
+                )
+                span.set_termination_stage(tinfo["termination_stage"])
+                res = res.drop("__sid__")
             if not _kql_aggregate(res, "json", args, ts_pats):
                 if args.max_num_results is not None:
                     res = _latest_n(
@@ -1851,6 +1861,8 @@ def _apply_db_config_file(args) -> None:
             config = yaml.safe_load(f) or {}
     except OSError as exc:
         sys.exit(f"error: cannot read --db-config-file: {exc}")
+    except yaml.YAMLError as exc:
+        sys.exit(f"error: invalid YAML in --db-config-file: {exc}")
     if not isinstance(config, dict) or "type" not in config:
         sys.exit("error: Missing key 'type' in DB config file")
     db_type = str(config["type"])
@@ -1878,9 +1890,10 @@ def _apply_db_config_file(args) -> None:
     args.db_name = str(config["name"])
     args.db_table_prefix = str(config["table_prefix"])
     # the YAML supplies credentials directly (unlike the env-variable
-    # flow of --db-type), so export them for the shared validation path
-    os.environ.setdefault("CLP_DB_USER", str(config["username"]))
-    os.environ.setdefault("CLP_DB_PASS", str(config["password"]))
+    # flow of --db-type) — carried on args, never written into the
+    # process environment
+    args._db_user = str(config["username"])
+    args._db_pass = str(config["password"])
 
 
 def _validate_metadata_db_config(args) -> None:
@@ -1893,9 +1906,9 @@ def _validate_metadata_db_config(args) -> None:
         return
     if not (1 <= args.db_port <= 65535):
         sys.exit("error: Database port must be in the range [1, 65535]")
-    if not os.environ.get("CLP_DB_USER"):
+    if not (getattr(args, "_db_user", None) or os.environ.get("CLP_DB_USER")):
         sys.exit("error: Database username not specified (set CLP_DB_USER)")
-    if not os.environ.get("CLP_DB_PASS"):
+    if not (getattr(args, "_db_pass", None) or os.environ.get("CLP_DB_PASS")):
         sys.exit("error: Database password not specified (set CLP_DB_PASS)")
     sys.exit("error: --db-type=mysql: no MySQL server or driver is "
              "available in this environment (waiver: STATUS.md); the "

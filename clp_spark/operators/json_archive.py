@@ -764,6 +764,8 @@ def search_json_archive(
     ignore_case: bool = False,
     timestamp_key: str | None = None,
     telemetry_info: dict | None = None,
+    tge: int | None = None,
+    tle: int | None = None,
 ) -> DataFrame:
     """KQL search over a COMPRESSED JSON archive on disk — the clp-s
     `s <archive> <query>` path: no raw JSON is re-parsed; each non-pruned
@@ -783,10 +785,16 @@ def search_json_archive(
     epoch seconds → ms; digit strings → ms) to the named column for
     comparisons, without altering the reconstructed output.
 
+    ``tge``/``tle`` (the CLI's explicit epoch-ms range flags) enable the
+    archive-level timestamp prune: a manifest time range disjoint from
+    [tge, tle] terminates before any table I/O, the reference's
+    EvaluateTimestampIndex stage (clp-s.cpp:230-236). Range conditions
+    embedded in the KQL text itself do not trigger this prune.
+
     ``telemetry_info``, when a dict, is filled with the per-archive
     search-telemetry counters the reference records
     (SearchTelemetry.hpp SearchResultMetrics + the termination stage):
-    archive_id, num_schemas, num_matched_schemas, num_archive_records,
+    archive_id, num_matched_schemas, num_archive_records,
     num_archive_records_matching_schemas, termination_stage. When
     telemetry is on, result rows also carry a ``__sid__`` schema-id
     column so the caller can count schemas-with-matches; callers must
@@ -814,10 +822,6 @@ def search_json_archive(
     if telemetry_info is not None:
         telemetry_info.update({
             "archive_id": os.path.basename(os.path.normpath(archive_dir)),
-            "num_schemas": sum(
-                1 for e in manifest["schemas"]
-                if e["schema_id"] != _SCALAR_ID
-            ),
             "num_archive_records": sum(
                 e.get("rows", 0) for e in manifest["schemas"]
             ),
@@ -836,6 +840,17 @@ def search_json_archive(
             if telemetry_info is not None:
                 telemetry_info["termination_stage"] = "range_index_matching"
             return spark.createDataFrame([], empty_schema)
+    # archive-level timestamp prune (EvaluateTimestampIndex,
+    # clp-s.cpp:230-236): a stored [begin, end] disjoint from the CLI's
+    # [tge, tle] terminates before any table I/O
+    a_lo = manifest.get("begin_timestamp")
+    a_hi = manifest.get("end_timestamp")
+    if (tge is not None and a_hi is not None and a_hi < tge) or (
+        tle is not None and a_lo is not None and a_lo > tle
+    ):
+        if telemetry_info is not None:
+            telemetry_info["termination_stage"] = "time_range_matching"
+        return spark.createDataFrame([], empty_schema)
     # borrow JsonArchive's compiler without (re)building an in-memory
     # archive; metadata maps the order column so bare-value filters skip it
     compiler = JsonArchive.__new__(JsonArchive)

@@ -475,6 +475,13 @@ class TestDbConfigFile:
             cli.main(["s", str(tmp_path), "*",
                       "--db-config-file", str(cfg)])
 
+    def test_invalid_yaml_errors_cleanly(self, tmp_path):
+        cfg = tmp_path / "db.yaml"
+        cfg.write_text("type: [unclosed\n")
+        with pytest.raises(SystemExit, match="invalid YAML"):
+            cli.main(["s", str(tmp_path), "*",
+                      "--db-config-file", str(cfg)])
+
     def test_mysql_missing_and_invalid_keys(self, tmp_path, monkeypatch):
         cfg = tmp_path / "db.yaml"
         cfg.write_text("type: mysql\nhost: h\n")

@@ -270,6 +270,49 @@ class TestSearchLifecycle:
         assert a["clp.query.termination_stage"] == "range_index_matching"
         assert a["clp.query.num_archive_records_matching_query"] == 0
 
+    def test_time_range_prune_terminates(
+        self, collector, monkeypatch, telemetry_archive, capsys, spark
+    ):
+        """--tge/--tle outside the archive's stored time range terminate
+        at the timestamp-index stage (clp-s.cpp:230-236). The archive
+        has no timestamps, so prune only on explicit impossible ranges
+        against a timestamped twin."""
+        import json as _json
+
+        from clp_spark import cli
+
+        # build a timestamped archive next to the fixture
+        import tempfile
+
+        d = tempfile.mkdtemp()
+        src = f"{d}/t.jsonl"
+        with open(src, "w") as f:
+            for i in range(10):
+                f.write(_json.dumps(
+                    {"ts": 1700000000000 + i * 1000, "m": i}) + "\n")
+        arch = f"{d}/arch"
+        cli.main(["c", arch, src, "--json", "--timestamp-key", "ts"])
+        capsys.readouterr()
+        monkeypatch.setenv("CLP_TELEMETRY_ENDPOINT",
+                           f"http://127.0.0.1:{collector.port}")
+        cli.main(["s-kql", arch, "m: 3", "--enable-telemetry",
+                  "--tge", "1800000000000", "--tle", "1900000000000"])
+        capsys.readouterr()
+        (s,) = collector.spans()
+        a = collector.attrs(s)
+        assert a["clp.query.termination_stage"] == "time_range_matching"
+        assert a["clp.query.num_archive_records_matching_query"] == 0
+        assert a["clp.query.time_range_millis"] == 100000000000
+
+    def test_query_hash_covers_raw_query_only(
+        self, collector, monkeypatch, telemetry_archive, capsys, spark
+    ):
+        """The hash identifies the USER query; shape metrics cover the
+        ts-augmented one (clp-s.cpp:144 vs 209-215)."""
+        a = self.run(collector, monkeypatch, telemetry_archive,
+                     'level: "ERROR"', capsys)
+        assert a["clp.query.query_hash"] == hash64('level: "ERROR"')
+
     def test_without_flag_no_span(
         self, collector, monkeypatch, telemetry_archive, capsys, spark
     ):
