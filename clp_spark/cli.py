@@ -1387,6 +1387,7 @@ def cmd_search_kql(args) -> None:
             ignore_case=args.ignore_case,
             timestamp_key=args.timestamp_key,
             archive_id=args.archive_id,
+            tge=args.tge, tle=args.tle,
         )
         if not _kql_aggregate(res, "json", args, ts_pats):
             if args.max_num_results is not None:

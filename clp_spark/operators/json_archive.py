@@ -1108,13 +1108,20 @@ def search_json_archives(
     ignore_case: bool = False,
     timestamp_key: str | None = None,
     archive_id: str | None = None,
+    tge: int | None = None,
+    tle: int | None = None,
 ) -> DataFrame:
     """Federated KQL search over a DIRECTORY of JSON archives → one
     DataFrame (archive_id, log_event_idx, json). `archive_id` restricts to
     a single archive (the clp-s `--archive-id` flag). Each archive's
     schema-match pruning still applies, so the union only scans tables
     whose columns can satisfy the query — the whole dir searches as ONE
-    Spark job."""
+    Spark job.
+
+    ``tge``/``tle`` prune whole member archives whose manifest time range
+    is disjoint from the search window (the reference's per-archive
+    EvaluateTimestampIndex stage) — at fleet scale a narrow window skips
+    almost every archive before any footer I/O."""
     from pyspark.sql.types import DoubleType
 
     from clp_spark.operators.json_search import JsonArchive
@@ -1150,6 +1157,16 @@ def search_json_archives(
         eff_ts = timestamp_key if timestamp_key is not None else manifest.get(
             "timestamp_key"
         )
+        # archive-level timestamp prune (EvaluateTimestampIndex,
+        # clp-s.cpp:230-236): stored [begin, end] disjoint from the
+        # search window → the archive contributes nothing, skip it
+        a_lo, a_hi = manifest.get("begin_timestamp"), manifest.get(
+            "end_timestamp"
+        )
+        if (tge is not None and a_hi is not None and a_hi < tge) or (
+            tle is not None and a_lo is not None and a_lo > tle
+        ):
+            continue
         # '$'-namespace filters rewrite PER ARCHIVE (each has its own range
         # index); archives whose rewrite folds to constant false are pruned
         # before any footer I/O, and the rest group by the rewritten AST so

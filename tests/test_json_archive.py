@@ -1126,6 +1126,54 @@ class TestStringTimestampKey:
         ]
         assert sorted(got) == ["b", "c"]
 
+    def test_time_window_prunes_whole_archives(self, spark, tmp_path,
+                                               capsys):
+        """Fleet-scale shape: --tge/--tle disjoint from a member
+        archive's manifest time range skips that archive entirely
+        (per-archive EvaluateTimestampIndex, clp-s.cpp:230-236), with
+        results identical to the unpruned query."""
+        import json as _json
+
+        from clp_spark import cli
+        from clp_spark.operators.json_archive import search_json_archives
+
+        root = tmp_path / "fleet"
+        root.mkdir()
+        for ix, base in enumerate((1700000000000, 1800000000000)):
+            src = tmp_path / f"in{ix}.jsonl"
+            src.write_text("".join(
+                _json.dumps({"ts": base + i * 1000,
+                             "msg": f"a{ix}-{i}"}) + "\n"
+                for i in range(4)
+            ))
+            cli.main(["c", str(root / f"arch{ix}"), str(src), "--json",
+                      "--timestamp-key", "ts"])
+        capsys.readouterr()
+        # window covers only archive 1
+        pruned = search_json_archives(
+            spark, str(root), "msg: *", timestamp_key="ts",
+            tge=1800000000000, tle=1900000000000,
+        )
+        got = sorted(
+            _json.loads(r["json"])["msg"] for r in pruned.collect()
+        )
+        assert got == [f"a1-{i}" for i in range(4)]
+        # parity: same window folded into the query, no archive prune
+        unpruned = search_json_archives(
+            spark, str(root),
+            "msg: * AND ts >= 1800000000000 AND ts <= 1900000000000",
+            timestamp_key="ts",
+        )
+        assert got == sorted(
+            _json.loads(r["json"])["msg"] for r in unpruned.collect()
+        )
+        # a window hitting nobody folds the federated search to empty
+        none = search_json_archives(
+            spark, str(root), "msg: *", timestamp_key="ts",
+            tge=1, tle=2,
+        )
+        assert none.count() == 0
+
     def test_mixed_formats_two_patterns(self, spark, tmp_path):
         import json as _json
         import os as _os
