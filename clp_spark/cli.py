@@ -981,6 +981,36 @@ def cmd_search(args) -> None:
         _emit_search_results(res, args, ts_lookup)
 
 
+def _emit_federated_telemetry(t_sink: list, query: str, args) -> None:
+    """One telemetry span per member archive on the federated path (the
+    reference's per-archive search loop emits one each, clp-s.cpp:437).
+    Pruned archives carry their termination stage and record count — the
+    reference's early-termination spans likewise fill only the record
+    counter; archives that joined the grouped one-job scan carry stage
+    "" without match counters (per-archive match attribution does not
+    exist in the single-plan shape, documented in STATUS.md)."""
+    from clp_spark.operators.kql import parse_kql
+    from clp_spark.operators.telemetry import (
+        SearchTelemetrySpan,
+        query_shape_metrics,
+    )
+
+    shape = query_shape_metrics(parse_kql(query), args.tge, args.tle)
+    for rec in t_sink:
+        span = SearchTelemetrySpan()
+        span.set_query_context(args.query)
+        span.set_query_shape_metrics(shape)
+        span.set_archive_context(rec["archive_id"])
+        if rec["termination_stage"]:
+            span.set_termination_stage(rec["termination_stage"])
+            span.set_search_result_metrics(
+                num_archive_records=rec["num_archive_records"]
+            )
+        else:
+            span.set_termination_stage("")
+        span.end()
+
+
 def _require_reducer_args(args, flags_ok: bool) -> None:
     """Shared validation for `--output-handler reducer` (clp-s
     CommandLineArguments.cpp:1239-1248 + clp-s.cpp:326-331: job-id
@@ -1382,21 +1412,30 @@ def cmd_search_kql(args) -> None:
                 if p not in ts_pats:
                     ts_pats.append(p)
         query = _kql_with_ts_range(args.query, ts_key, args.tge, args.tle)
+        t_sink = (
+            [] if getattr(args, "enable_telemetry", False) else None
+        )
         res = search_json_archives(
             spark, args.input, query,
             ignore_case=args.ignore_case,
             timestamp_key=args.timestamp_key,
             archive_id=args.archive_id,
             tge=args.tge, tle=args.tle,
+            telemetry_sink=t_sink,
         )
-        if not _kql_aggregate(res, "json", args, ts_pats):
-            if args.max_num_results is not None:
-                res = _latest_n(res, "json", ts_key, args.max_num_results,
-                                ts_pats)
-            if args.projection:
-                res = _apply_projection(res, "json", args.projection)
-            out = res.limit(args.limit) if args.limit is not None else res
-            _emit_kql_results(out, "json", args, ts_key=ts_key)
+        try:
+            if not _kql_aggregate(res, "json", args, ts_pats):
+                if args.max_num_results is not None:
+                    res = _latest_n(res, "json", ts_key,
+                                    args.max_num_results, ts_pats)
+                if args.projection:
+                    res = _apply_projection(res, "json", args.projection)
+                out = (res.limit(args.limit) if args.limit is not None
+                       else res)
+                _emit_kql_results(out, "json", args, ts_key=ts_key)
+        finally:
+            if t_sink is not None:
+                _emit_federated_telemetry(t_sink, query, args)
         return
     if args.archive_id:
         sys.exit("error: --archive-id needs a directory of JSON archives")

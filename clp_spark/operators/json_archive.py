@@ -1110,6 +1110,7 @@ def search_json_archives(
     archive_id: str | None = None,
     tge: int | None = None,
     tle: int | None = None,
+    telemetry_sink: list | None = None,
 ) -> DataFrame:
     """Federated KQL search over a DIRECTORY of JSON archives → one
     DataFrame (archive_id, log_event_idx, json). `archive_id` restricts to
@@ -1121,7 +1122,15 @@ def search_json_archives(
     ``tge``/``tle`` prune whole member archives whose manifest time range
     is disjoint from the search window (the reference's per-archive
     EvaluateTimestampIndex stage) — at fleet scale a narrow window skips
-    almost every archive before any footer I/O."""
+    almost every archive before any footer I/O.
+
+    ``telemetry_sink``, when a list, receives one dict per member
+    archive: {archive_id, num_archive_records, termination_stage} —
+    stage "time_range_matching"/"range_index_matching" for archives
+    pruned during the manifest sweep, "" for archives that joined the
+    scan (per-archive match counts are not attributable in the grouped
+    one-job plan; the reference's early-termination spans likewise
+    carry only the record count)."""
     from pyspark.sql.types import DoubleType
 
     from clp_spark.operators.json_search import JsonArchive
@@ -1157,6 +1166,16 @@ def search_json_archives(
         eff_ts = timestamp_key if timestamp_key is not None else manifest.get(
             "timestamp_key"
         )
+        t_rec = None
+        if telemetry_sink is not None:
+            t_rec = {
+                "archive_id": os.path.basename(os.path.normpath(d)),
+                "num_archive_records": sum(
+                    e.get("rows", 0) for e in manifest["schemas"]
+                ),
+                "termination_stage": "",
+            }
+            telemetry_sink.append(t_rec)
         # archive-level timestamp prune (EvaluateTimestampIndex,
         # clp-s.cpp:230-236): stored [begin, end] disjoint from the
         # search window → the archive contributes nothing, skip it
@@ -1166,6 +1185,8 @@ def search_json_archives(
         if (tge is not None and a_hi is not None and a_hi < tge) or (
             tle is not None and a_lo is not None and a_lo > tle
         ):
+            if t_rec is not None:
+                t_rec["termination_stage"] = "time_range_matching"
             continue
         # '$'-namespace filters rewrite PER ARCHIVE (each has its own range
         # index); archives whose rewrite folds to constant false are pruned
@@ -1178,6 +1199,8 @@ def search_json_archives(
                 base_ast, manifest.get("range_index"), IDX_COL, ignore_case
             )
             if fold_range_index_const(d_ast, IDX_COL) is False:
+                if t_rec is not None:
+                    t_rec["termination_stage"] = "range_index_matching"
                 continue
             ast_key = repr(d_ast)
         for entry in manifest["schemas"]:

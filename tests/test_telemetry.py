@@ -313,6 +313,43 @@ class TestSearchLifecycle:
                      'level: "ERROR"', capsys)
         assert a["clp.query.query_hash"] == hash64('level: "ERROR"')
 
+    def test_federated_emits_one_span_per_archive(
+        self, collector, monkeypatch, capsys, spark, tmp_path
+    ):
+        """Federated search: one span per member archive (the
+        reference's per-archive loop); time-pruned members carry their
+        stage + record count."""
+        import json as _json
+
+        from clp_spark import cli
+
+        root = tmp_path / "fleet"
+        root.mkdir()
+        for ix, base in enumerate((1700000000000, 1800000000000)):
+            src = tmp_path / f"in{ix}.jsonl"
+            src.write_text("".join(
+                _json.dumps({"ts": base + i, "m": i}) + "\n"
+                for i in range(5)
+            ))
+            cli.main(["c", str(root / f"a{ix}"), str(src), "--json",
+                      "--timestamp-key", "ts"])
+        capsys.readouterr()
+        monkeypatch.setenv("CLP_TELEMETRY_ENDPOINT",
+                           f"http://127.0.0.1:{collector.port}")
+        cli.main(["s-kql", str(root), "m: *", "--enable-telemetry",
+                  "--tge", "1800000000000"])
+        capsys.readouterr()
+        spans = collector.spans()
+        assert len(spans) == 2
+        by_stage = {}
+        for s in spans:
+            a = collector.attrs(s)
+            by_stage[a["clp.query.termination_stage"]] = a
+        pruned = by_stage["time_range_matching"]
+        assert pruned["clp.query.num_archive_records"] == 5
+        searched = by_stage[""]
+        assert "clp.query.num_archive_records" not in searched
+
     def test_without_flag_no_span(
         self, collector, monkeypatch, telemetry_archive, capsys, spark
     ):
