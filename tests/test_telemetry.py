@@ -313,6 +313,20 @@ class TestSearchLifecycle:
                      'level: "ERROR"', capsys)
         assert a["clp.query.query_hash"] == hash64('level: "ERROR"')
 
+    def test_telemetry_composes_with_count(
+        self, collector, monkeypatch, telemetry_archive, capsys, spark
+    ):
+        from clp_spark import cli
+
+        monkeypatch.setenv("CLP_TELEMETRY_ENDPOINT",
+                           f"http://127.0.0.1:{collector.port}")
+        cli.main(["s-kql", telemetry_archive, 'level: "ERROR"',
+                  "--enable-telemetry", "--count"])
+        assert capsys.readouterr().out.strip() == "10"
+        (s,) = collector.spans()
+        a = collector.attrs(s)
+        assert a["clp.query.num_archive_records_matching_query"] == 10
+
     def test_federated_emits_one_span_per_archive(
         self, collector, monkeypatch, capsys, spark, tmp_path
     ):
