@@ -21,6 +21,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -981,34 +982,46 @@ def cmd_search(args) -> None:
         _emit_search_results(res, args, ts_lookup)
 
 
-def _emit_federated_telemetry(t_sink: list, query: str, args) -> None:
+def _emit_federated_telemetry(
+    t_sink: list, query: str, args, start_ns: int,
+    error: str | None = None,
+) -> None:
     """One telemetry span per member archive on the federated path (the
-    reference's per-archive search loop emits one each, clp-s.cpp:437).
-    Pruned archives carry their termination stage and record count — the
-    reference's early-termination spans likewise fill only the record
-    counter; archives that joined the grouped one-job scan carry stage
-    "" without match counters (per-archive match attribution does not
-    exist in the single-plan shape, documented in STATUS.md)."""
+    reference's per-archive search loop emits one each, clp-s.cpp:437),
+    exported as ONE batched OTLP request — a 10k-archive fleet must not
+    issue 10k sequential POSTs. Spans share the job's start time (the
+    grouped one-job plan searches every member together, so per-archive
+    wall time is the job's). Pruned archives carry their termination
+    stage; every span carries the archive's record count; scanned
+    archives omit the match counters (per-archive match attribution
+    does not exist in the single-plan shape, documented in STATUS.md).
+    A job-level failure marks every member span failed, like the
+    reference's per-archive error recording."""
     from clp_spark.operators.kql import parse_kql
     from clp_spark.operators.telemetry import (
         SearchTelemetrySpan,
+        export_spans,
         query_shape_metrics,
     )
 
     shape = query_shape_metrics(parse_kql(query), args.tge, args.tle)
+    payloads = []
     for rec in t_sink:
-        span = SearchTelemetrySpan()
+        span = SearchTelemetrySpan(start_ns=start_ns)
         span.set_query_context(args.query)
         span.set_query_shape_metrics(shape)
         span.set_archive_context(rec["archive_id"])
+        span.set_termination_stage(rec["termination_stage"])
         if rec["termination_stage"]:
-            span.set_termination_stage(rec["termination_stage"])
             span.set_search_result_metrics(
                 num_archive_records=rec["num_archive_records"]
             )
         else:
-            span.set_termination_stage("")
-        span.end()
+            span.set_archive_record_count(rec["num_archive_records"])
+        if error is not None:
+            span.set_error(error)
+        payloads.append(span.span_payload())
+    export_spans(payloads)
 
 
 def _require_reducer_args(args, flags_ok: bool) -> None:
@@ -1415,15 +1428,17 @@ def cmd_search_kql(args) -> None:
         t_sink = (
             [] if getattr(args, "enable_telemetry", False) else None
         )
-        res = search_json_archives(
-            spark, args.input, query,
-            ignore_case=args.ignore_case,
-            timestamp_key=args.timestamp_key,
-            archive_id=args.archive_id,
-            tge=args.tge, tle=args.tle,
-            telemetry_sink=t_sink,
-        )
+        t_start = time.time_ns() if t_sink is not None else 0
+        t_err: str | None = None
         try:
+            res = search_json_archives(
+                spark, args.input, query,
+                ignore_case=args.ignore_case,
+                timestamp_key=args.timestamp_key,
+                archive_id=args.archive_id,
+                tge=args.tge, tle=args.tle,
+                telemetry_sink=t_sink,
+            )
             if not _kql_aggregate(res, "json", args, ts_pats):
                 if args.max_num_results is not None:
                     res = _latest_n(res, "json", ts_key,
@@ -1433,9 +1448,14 @@ def cmd_search_kql(args) -> None:
                 out = (res.limit(args.limit) if args.limit is not None
                        else res)
                 _emit_kql_results(out, "json", args, ts_key=ts_key)
+        except BaseException as exc:
+            t_err = str(exc)
+            raise
         finally:
             if t_sink is not None:
-                _emit_federated_telemetry(t_sink, query, args)
+                _emit_federated_telemetry(
+                    t_sink, query, args, t_start, error=t_err
+                )
         return
     if args.archive_id:
         sys.exit("error: --archive-id needs a directory of JSON archives")

@@ -757,6 +757,30 @@ def reconstruct_jsonl(
     return out.orderBy(IDX_COL) if (ordered and has_order) else out
 
 
+def _manifest_record_count(manifest: dict) -> int:
+    return sum(e.get("rows", 0) for e in manifest["schemas"])
+
+
+def _manifest_time_disjoint(
+    manifest: dict, timestamp_key, tge: int | None, tle: int | None
+) -> bool:
+    """Archive-level timestamp prune condition (EvaluateTimestampIndex,
+    clp-s.cpp:230-236): the stored [begin, end] range is disjoint from
+    the CLI's [tge, tle] window. Only valid when the search is keyed on
+    the SAME column the manifest range was computed from — a search-time
+    --timestamp-key override targeting a different field must not prune
+    on the compression key's range."""
+    if timestamp_key is not None and timestamp_key != manifest.get(
+        "timestamp_key"
+    ):
+        return False
+    a_lo = manifest.get("begin_timestamp")
+    a_hi = manifest.get("end_timestamp")
+    return (tge is not None and a_hi is not None and a_hi < tge) or (
+        tle is not None and a_lo is not None and a_lo > tle
+    )
+
+
 def search_json_archive(
     spark: SparkSession,
     archive_dir: str,
@@ -822,9 +846,7 @@ def search_json_archive(
     if telemetry_info is not None:
         telemetry_info.update({
             "archive_id": os.path.basename(os.path.normpath(archive_dir)),
-            "num_archive_records": sum(
-                e.get("rows", 0) for e in manifest["schemas"]
-            ),
+            "num_archive_records": _manifest_record_count(manifest),
             "num_matched_schemas": 0,
             "num_archive_records_matching_schemas": 0,
             "termination_stage": "",
@@ -843,11 +865,7 @@ def search_json_archive(
     # archive-level timestamp prune (EvaluateTimestampIndex,
     # clp-s.cpp:230-236): a stored [begin, end] disjoint from the CLI's
     # [tge, tle] terminates before any table I/O
-    a_lo = manifest.get("begin_timestamp")
-    a_hi = manifest.get("end_timestamp")
-    if (tge is not None and a_hi is not None and a_hi < tge) or (
-        tle is not None and a_lo is not None and a_lo > tle
-    ):
+    if _manifest_time_disjoint(manifest, timestamp_key, tge, tle):
         if telemetry_info is not None:
             telemetry_info["termination_stage"] = "time_range_matching"
         return spark.createDataFrame([], empty_schema)
@@ -1170,29 +1188,17 @@ def search_json_archives(
         if telemetry_sink is not None:
             t_rec = {
                 "archive_id": os.path.basename(os.path.normpath(d)),
-                "num_archive_records": sum(
-                    e.get("rows", 0) for e in manifest["schemas"]
-                ),
+                "num_archive_records": _manifest_record_count(manifest),
                 "termination_stage": "",
             }
             telemetry_sink.append(t_rec)
-        # archive-level timestamp prune (EvaluateTimestampIndex,
-        # clp-s.cpp:230-236): stored [begin, end] disjoint from the
-        # search window → the archive contributes nothing, skip it
-        a_lo, a_hi = manifest.get("begin_timestamp"), manifest.get(
-            "end_timestamp"
-        )
-        if (tge is not None and a_hi is not None and a_hi < tge) or (
-            tle is not None and a_lo is not None and a_lo > tle
-        ):
-            if t_rec is not None:
-                t_rec["termination_stage"] = "time_range_matching"
-            continue
         # '$'-namespace filters rewrite PER ARCHIVE (each has its own range
         # index); archives whose rewrite folds to constant false are pruned
         # before any footer I/O, and the rest group by the rewritten AST so
         # fleets sharing a rewrite (e.g. no matching file anywhere) still
-        # scan as one plan per (schema, rewrite)
+        # scan as one plan per (schema, rewrite). Stage order matches the
+        # reference AND the single-archive path: range index first, then
+        # the timestamp index (clp-s.cpp:222-236).
         d_ast, ast_key = base_ast, ""
         if has_meta:
             d_ast = evaluate_range_index_filters(
@@ -1202,6 +1208,13 @@ def search_json_archives(
                 if t_rec is not None:
                     t_rec["termination_stage"] = "range_index_matching"
                 continue
+        # archive-level timestamp prune (EvaluateTimestampIndex,
+        # clp-s.cpp:230-236): stored [begin, end] disjoint from the
+        # search window → the archive contributes nothing, skip it
+        if _manifest_time_disjoint(manifest, timestamp_key, tge, tle):
+            if t_rec is not None:
+                t_rec["termination_stage"] = "time_range_matching"
+            continue
             ast_key = repr(d_ast)
         for entry in manifest["schemas"]:
             if entry["schema_id"] == _SCALAR_ID:

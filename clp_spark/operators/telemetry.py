@@ -179,15 +179,20 @@ def query_shape_metrics(
 
 @dataclass
 class SearchTelemetrySpan:
-    """One archive-search span: starts on construction, exports on
-    ``end()`` (the reference's constructor/destructor pair)."""
+    """One archive-search span: starts on construction (or at an
+    explicit ``start_ns`` — the federated path timestamps its
+    per-archive spans from the shared job start), exports on ``end()``
+    (the reference's constructor/destructor pair)."""
 
+    start_ns: int | None = None
     _attrs: dict = field(default_factory=dict)
     _start_ns: int = 0
     _error: str | None = None
 
     def __post_init__(self):
-        self._start_ns = time.time_ns()
+        self._start_ns = (
+            self.start_ns if self.start_ns is not None else time.time_ns()
+        )
         self._attrs[ATTR_SUCCESS] = True
 
     def set_query_context(self, query: str) -> None:
@@ -245,30 +250,48 @@ class SearchTelemetrySpan:
             p + "num_schemas_with_matches": num_schemas_with_matches,
         })
 
+    def set_archive_record_count(self, n: int) -> None:
+        """Just the total-record counter, for spans where the other
+        result metrics are not attributable (federated scanned
+        members)."""
+        self._attrs["clp.query.num_archive_records"] = n
+
     def set_termination_stage(self, stage: str) -> None:
         self._attrs[ATTR_TERMINATION_STAGE] = stage
+
+    def span_payload(self) -> dict:
+        """The OTLP span object for this search, ended now."""
+        return _otlp_span(self._attrs, self._start_ns, time.time_ns(),
+                          self._error)
 
     def end(self) -> bool:
         """Export the span; never raises (telemetry must not break the
         search). Returns whether the POST succeeded."""
-        endpoint = resolve_traces_endpoint()
-        if endpoint is None:
-            return False
-        body = json.dumps(
-            _otlp_payload(self._attrs, self._start_ns, time.time_ns(),
-                          self._error)
-        ).encode("utf-8")
-        try:
-            import urllib.request
+        return export_spans([self.span_payload()])
 
-            req = urllib.request.Request(
-                endpoint, data=body,
-                headers={"Content-Type": "application/json"},
-            )
-            with urllib.request.urlopen(req, timeout=5) as resp:
-                return 200 <= resp.status < 300
-        except Exception:
-            return False
+
+def export_spans(span_payloads: list[dict]) -> bool:
+    """ONE OTLP/HTTP POST carrying every span — the fleet-scale path
+    (a federated search over N archives exports N spans in a single
+    request, never N sequential round-trips). Never raises; returns
+    whether the POST succeeded."""
+    if not span_payloads:
+        return True
+    endpoint = resolve_traces_endpoint()
+    if endpoint is None:
+        return False
+    body = json.dumps(_otlp_request(span_payloads)).encode("utf-8")
+    try:
+        import urllib.request
+
+        req = urllib.request.Request(
+            endpoint, data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=5) as resp:
+            return 200 <= resp.status < 300
+    except Exception:
+        return False
 
 
 def resolve_traces_endpoint() -> str | None:
@@ -296,8 +319,8 @@ def _otlp_value(v):
     return {"stringValue": str(v)}
 
 
-def _otlp_payload(attrs: dict, start_ns: int, end_ns: int,
-                  error: str | None) -> dict:
+def _otlp_span(attrs: dict, start_ns: int, end_ns: int,
+               error: str | None) -> dict:
     span = {
         "traceId": os.urandom(16).hex(),
         "spanId": os.urandom(8).hex(),
@@ -312,6 +335,10 @@ def _otlp_payload(attrs: dict, start_ns: int, end_ns: int,
     }
     if error is not None:
         span["status"] = {"code": 2, "message": error}  # STATUS_CODE_ERROR
+    return span
+
+
+def _otlp_request(spans: list[dict]) -> dict:
     service = os.environ.get("OTEL_SERVICE_NAME") or DEFAULT_SERVICE_NAME
     return {
         "resourceSpans": [{
@@ -321,7 +348,7 @@ def _otlp_payload(attrs: dict, start_ns: int, end_ns: int,
             }]},
             "scopeSpans": [{
                 "scope": {"name": TRACER_NAME},
-                "spans": [span],
+                "spans": spans,
             }],
         }]
     }

@@ -1173,6 +1173,14 @@ class TestStringTimestampKey:
             tge=1, tle=2,
         )
         assert none.count() == 0
+        # a --timestamp-key override targeting a DIFFERENT field than
+        # the manifest range was computed from must NOT prune on that
+        # range (the window folds into the query only)
+        override = search_json_archives(
+            spark, str(root), "msg: *", timestamp_key="other_field",
+            tge=1, tle=2,
+        )
+        assert override.count() == 8  # nothing pruned; query unfiltered
 
     def test_mixed_formats_two_patterns(self, spark, tmp_path):
         import json as _json

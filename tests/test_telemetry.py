@@ -362,7 +362,13 @@ class TestSearchLifecycle:
         pruned = by_stage["time_range_matching"]
         assert pruned["clp.query.num_archive_records"] == 5
         searched = by_stage[""]
-        assert "clp.query.num_archive_records" not in searched
+        # scanned members keep the record count (it's manifest data) but
+        # omit match counters (not attributable in the one-job plan)
+        assert searched["clp.query.num_archive_records"] == 5
+        assert ("clp.query.num_archive_records_matching_query"
+                not in searched)
+        # one batched POST for the whole fleet, never one per archive
+        assert len(collector.payloads) == 1
 
     def test_without_flag_no_span(
         self, collector, monkeypatch, telemetry_archive, capsys, spark
