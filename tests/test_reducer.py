@@ -302,6 +302,67 @@ class TestLifecycle:
         assert cache.read_documents(3) == []
 
 
+class TestServerLoop:
+    def test_two_jobs_in_sequence_rebind_port(self, tmp_path):
+        """The reducer_server main loop serves a job, resets, and
+        re-registers for the next (reducer_server.cpp main) — the
+        listener port must rebind cleanly between jobs."""
+        from clp_spark import cli
+
+        db = str(tmp_path / "loop.db")
+        sched = FakeScheduler()
+        rc = {}
+
+        def run_cli():
+            try:
+                cli.main([
+                    "reducer-server", "--results-db", db,
+                    "--reducer-port", "0",
+                    "--scheduler-port", str(sched.port),
+                ])
+            except SystemExit as e:
+                rc["code"] = e.code
+
+        t = threading.Thread(target=run_cli, daemon=True)
+        t.start()
+        try:
+            for job_id, count in ((71, 4), (72, 9)):
+                sched.accept_and_configure(job_id, None)
+                port = sched.advertisement["port"]
+                sock = connect_to_reducer("127.0.0.1", port, job_id)
+                assert sock is not None
+                send_pipeline_results(sock, [((), [{"count": count}])])
+                sock.close()
+                sched.send_all_results_sent()
+                sched.wait_final_ack()
+                sched.conn.close()
+            cache = ResultsCache(db)
+            assert cache.read_documents(71) == [
+                {"group_tags": [], "records": [{"count": 4}]}
+            ]
+            assert cache.read_documents(72) == [
+                {"group_tags": [], "records": [{"count": 9}]}
+            ]
+        finally:
+            sched.close()
+
+
+class TestTruncBucketExtremes:
+    def test_int64_extremes_no_overflow(self):
+        import numpy as np
+
+        big = 2**62
+        ts = np.array([big, -big, 2**63 - 1, -(2**63) + 1000],
+                      dtype=np.int64)
+        got = trunc_bucket(ts, 1000).tolist()
+        # C++ truncating division at the extremes
+        exp = []
+        for t in ts.tolist():
+            q = abs(t) // 1000
+            exp.append((q if t >= 0 else -q) * 1000)
+        assert got == exp
+
+
 class TestParserFuzz:
     def test_roundtrip_any_groups_any_chunking(self):
         """Property: any record-group list framed then fed in arbitrary
